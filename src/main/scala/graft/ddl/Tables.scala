@@ -1,0 +1,74 @@
+package graft.ddl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.{CodecSpec, TableConfig}
+
+/** Variant-table DDL and physical layout.
+  *
+  * The reference creates one Iceberg table per (codec, level) —
+  * `{base}_{codec}_l{NN}` — cloning the base schema and setting
+  * `write.parquet.compression-codec`/`-level` table properties
+  * (reference: src/commands/bench.ts:201-249, src/sqlHelpers.ts:117-158).
+  * No Iceberg runtime ships in this environment, so a variant is a Parquet
+  * (or ORC/Avro) directory tree under a warehouse root:
+  *
+  * {{{ <warehouse>/<schema>/<tableBase>_<codec>_lNN/batch=<i>/part-....parquet }}}
+  *
+  * Each load batch commits into its own `batch=<i>` subdirectory. That is the
+  * scale-critical choice: concurrent batch jobs never share an output
+  * directory (Spark's FileOutputCommitter keeps one `_temporary/0` per path —
+  * two concurrent appends to the same path can destroy each other's work),
+  * re-running a batch is an idempotent overwrite of its own subtree, and on a
+  * 1000-executor cluster every batch commit is independent. The `batch=<i>`
+  * naming doubles as a partition column on read, so batch pruning is free.
+  */
+object Tables {
+
+  /** Variant table name (reference: src/commands/bench.ts:204-205). */
+  def variantName(base: String, c: CodecSpec): String =
+    f"${base}_${c.codec}_l${c.level}%02d"
+
+  def variantPath(warehouse: String, cfg: TableConfig, c: CodecSpec): String =
+    s"$warehouse/${cfg.schema}/${variantName(cfg.tableBase, c)}"
+
+  def basePath(warehouse: String, cfg: TableConfig): String =
+    s"$warehouse/${cfg.schema}/${cfg.tableBase}_base"
+
+  /** Session-level codec tuning: Parquet codec levels flow through the Hadoop
+    * configuration, not write options (reference plumbs them as Iceberg table
+    * properties via ALTER, src/sqlHelpers.ts:141-149). gzip level is not
+    * exposed by parquet-java through Spark — documented deviation. */
+  def applyCodecConf(spark: SparkSession, c: CodecSpec): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    c.codec.toLowerCase match {
+      case "zstd" =>
+        hc.setInt("parquet.compression.codec.zstd.level", c.level)
+        hc.setInt("io.compression.codec.zstd.level", c.level)
+      case "brotli" =>
+        hc.setInt("compression.brotli.quality", c.level)
+      case _ => // snappy/lz4/gzip: level not tunable via parquet-java
+    }
+  }
+
+  /** Write one batch of rows into its own subdirectory of the variant. */
+  def writeBatch(
+      df: DataFrame,
+      path: String,
+      batchIndex: Int,
+      c: CodecSpec,
+      format: String = "PARQUET"
+  ): Unit = {
+    applyCodecConf(df.sparkSession, c)
+    df.write
+      .mode("overwrite")
+      .option("compression", c.codec.toLowerCase)
+      .format(format.toLowerCase)
+      .save(s"$path/batch=$batchIndex")
+  }
+
+  /** Read a variant table back (all batches; `batch` becomes a prunable
+    * partition column). */
+  def read(spark: SparkSession, path: String, format: String = "PARQUET"): DataFrame =
+    spark.read.format(format.toLowerCase).option("basePath", path).load(path)
+}

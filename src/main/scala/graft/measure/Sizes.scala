@@ -1,0 +1,59 @@
+package graft.measure
+
+import org.apache.hadoop.fs.{FileSystem, Path, RemoteIterator}
+import org.apache.spark.sql.SparkSession
+
+import graft.ddl.Tables
+import graft.model.{CodecSpec, SizeRow}
+
+/** Storage measurement — the Spark-native stand-in for the reference's
+  * Iceberg `$files` / `$manifests` metadata aggregations
+  * (reference: src/commands/bench.ts:124-168).
+  *
+  * `data_bytes` = sum of data-file lengths from a recursive FS listing
+  * (what `SUM(file_size_in_bytes)` reads from `$files`); `rows` from a
+  * metadata-only Parquet count (Spark answers `count()` from footers without
+  * scanning data); `bytes_per_row` with NULL-safe division
+  * (`SUM(a)/NULLIF(SUM(b),0)`, reference: bench.ts:131-140). Plain Parquet
+  * has no manifests, so `manifest_bytes` is 0 when requested and omitted
+  * otherwise (reference gates it by `LOAD.includeManifestBytes`).
+  */
+object Sizes {
+
+  private def listDataBytes(spark: SparkSession, dir: String): Long = {
+    val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new Path(dir)
+    if (!fs.exists(p)) return 0L
+    var total = 0L
+    val it: RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
+    }
+    total
+  }
+
+  def measure(
+      spark: SparkSession,
+      tableName: String,
+      path: String,
+      codec: CodecSpec,
+      format: String = "PARQUET",
+      includeManifestBytes: Boolean = false
+  ): SizeRow = {
+    val dataBytes = listDataBytes(spark, path)
+    val rows = if (dataBytes == 0) 0L else Tables.read(spark, path, format).count()
+    val bpr = if (rows == 0) 0.0 else dataBytes.toDouble / rows
+    SizeRow(
+      table_name = tableName,
+      codec = codec.codec,
+      level = codec.level,
+      rows = rows,
+      data_bytes = dataBytes,
+      bytes_per_row = bpr,
+      manifest_bytes = if (includeManifestBytes) Some(0L) else None,
+      total_bytes = if (includeManifestBytes) Some(dataBytes) else None
+    )
+  }
+}
