@@ -1,13 +1,361 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.gen.Generator
+import graft.config.Schemas
+import graft.operators.{Dedup, Similarity, TextOps}
+import graft.queries.Workload
+import graft.sources.TestTables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or a
+  * training-data-pipeline operator); `oracleSql` holds the DuckDB-equivalent
+  * SQL the driver checks it against. Cross-engine exactness rules used
+  * throughout:
+  *   - money aggregates: per-row products in double, cast to DECIMAL(18,6),
+  *     exact decimal SUM, then cast to double — both engines produce
+  *     identical bits (no float-summation-order sensitivity);
+  *   - timestamps are never returned raw (Spark µs/UTC vs DuckDB naive):
+  *     projected as `unix_micros` ↔ `epoch_us` bigints instead;
+  *   - counts/sizes cast to BIGINT on both sides;
+  *   - DuckDB `regexp_replace` needs the 'g' flag to match Spark's
+  *     replace-all semantics.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q07_join_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared expression helpers ----
+
+  /** Exact money sum: double per-row expr → decimal(18,6) → SUM → double. */
+  private def moneySum(e: Column): Column =
+    sum(e.cast("decimal(18,6)")).cast("double")
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference scan workload (temp.md:39-105 shapes; SURVEY §2.B13-B17) ----
+    "q02_count_eq" -> ((s, dir) =>
+      Workload.countWhereEq(TestTables.events(s, dir), "event_type", "click")),
+    "q03_count_ts_range" -> ((s, dir) =>
+      Workload.countWhereBetween(TestTables.events(s, dir), "ts",
+        "2024-01-10 00:00:00", "2024-01-20 00:00:00")),
+    "q04_count_like" -> ((s, dir) =>
+      Workload.countWhereContains(TestTables.documents(s, dir), "text", "table")),
+    "q05_count_composite" -> ((s, dir) => {
+      val e = TestTables.events(s, dir)
+      Workload.countComposite(e, Seq(
+        col("props").contains("\"k\": 6"),
+        col("ts").between(ts("2024-01-05 00:00:00"), ts("2024-01-25 00:00:00")),
+        col("value") < 50.0))
+    }),
+    "q06_select_limit" -> ((s, dir) =>
+      Workload.selectWhereLimit(TestTables.events(s, dir),
+          col("event_type") === "purchase", "event_id", 10)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))),
+
+    // ---- core SQL operators over the TPC-H-ish star schema ----
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = TestTables.lineitem(s, dir)
+      li.filter(col("l_shipdate") <= ts("1998-09-01 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).as("sum_charge"),
+          round(moneySum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+          round(moneySum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
+          round(moneySum(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q07_join_agg" -> ((s, dir) => {
+      val o = TestTables.orders(s, dir)
+      val c = TestTables.customer(s, dir)
+      val n = TestTables.nation(s, dir)
+      val r = TestTables.region(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+    "q08_semi_join" -> ((s, dir) => {
+      val c = TestTables.customer(s, dir)
+      val o = TestTables.orders(s, dir).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q09_anti_join" -> ((s, dir) => {
+      val c = TestTables.customer(s, dir)
+      val o = TestTables.orders(s, dir)
+        .filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q10_window_topn" -> ((s, dir) => {
+      val o = TestTables.orders(s, dir)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    }),
+    "q11_distinct_agg" -> ((s, dir) =>
+      TestTables.customer(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_custkey")).as("n_customers"),
+          moneySum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy(col("c_mktsegment"))),
+    "q12_setop_intersect" -> ((s, dir) => {
+      val withOrders = TestTables.orders(s, dir).select(col("o_custkey").as("custkey"))
+      val rich = TestTables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      withOrders.intersect(rich)
+    }),
+    "q13_topk" -> ((s, dir) =>
+      TestTables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+    "q14_rollup" -> ((s, dir) =>
+      TestTables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))),
+    "q26_percentiles" -> ((s, dir) =>
+      TestTables.lineitem(s, dir).agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"))),
+    "q27_stats" -> ((s, dir) =>
+      TestTables.lineitem(s, dir).agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(stddev_samp(col("l_discount")), 6).as("sd_discount"),
+        round(covar_samp(col("l_quantity"), col("l_tax")), 6).as("cov_qty_tax"))),
+    "q20_sessionize" -> ((s, dir) => {
+      val e = TestTables.events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- text analysis (training-data pipeline) ----
+    "q16_token_stats" -> ((s, dir) => {
+      val d = TestTables.documents(s, dir)
+      d.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.avgWordLen(col("text")).as("avg_word_len"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"))
+    }),
+    "q17_quality" -> ((s, dir) =>
+      TestTables.documents(s, dir).select(col("doc_id"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+    "q18_langid" -> ((s, dir) =>
+      TextOps.langIdFrame(TestTables.documents(s, dir), "doc_id", "text")),
+    "q19_fingerprint" -> ((s, dir) =>
+      TestTables.documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))),
+    "q15_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(TestTables.documents(s, dir), "doc_id", Seq("text"))
+        .select(col("keep_id"), col("n_copies"))),
+
+    // ---- near-dup & similarity (no SQL oracle: approximate/hash-defined;
+    //      correctness asserted in ScalaTest against brute-force baselines) ----
+    "q21_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLsh(TestTables.documents(s, dir), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5)),
+    "q22_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(TestTables.documents(s, dir), "doc_id", "text", maxHamming = 8)),
+    "q23_ngram_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccard(TestTables.documents(s, dir), "doc_id", "text", threshold = 0.3)),
+    "q24_cosine_topk" -> ((s, dir) => {
+      val emb = TestTables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("q_vec"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id").as("id"),
+          round(Similarity.cosine(col("embedding").cast("array<double>"), col("q_vec")), 6)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("id").asc)
+        .limit(10)
+    }),
+    "q25_ann_topk" -> ((s, dir) => {
+      val emb = TestTables.embeddings(s, dir)
+      val index = Similarity.buildLshIndex(emb, "vec_id", "embedding")
+      val qv = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      Similarity.annTopK(index, qv, 10)
+    }),
+
+    // ---- generator engine smoke through the driver (no DuckDB oracle:
+    //      DuckDB cannot run the generator) ----
+    "gen_profile" -> ((s, _) => {
+      val df = Generator.generate(s, Schemas.narrowOrders, 1, 10000, seed = 1)
+      df.groupBy(col("status")).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("country").isNull, 1L).otherwise(0L)).as("null_countries"))
+        .orderBy(col("status"))
+    })
+  )
+
+  // ---- DuckDB oracles ----
+
+  private val tokensSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private val stopList = "['the','a','an','and','or','of','to','in','is','it','for','on','with','as']"
+
+  def oracleSql: Map[String, String] = Map(
+    "q02_count_eq" ->
+      "SELECT CAST(count(*) AS BIGINT) AS cnt FROM events WHERE event_type = 'click'",
+    "q03_count_ts_range" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS cnt FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' " +
+        "AND ts <= TIMESTAMP '2024-01-20 00:00:00'"),
+    "q04_count_like" ->
+      "SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents WHERE text LIKE '%table%'",
+    "q05_count_composite" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS cnt FROM events WHERE props LIKE '%\"k\": 6%' " +
+        "AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-25 00:00:00' " +
+        "AND value < 50.0"),
+    "q06_select_limit" ->
+      ("SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id, event_type, value, props " +
+        "FROM events WHERE event_type = 'purchase' ORDER BY event_id LIMIT 10"),
+    "q01_pricing_summary" ->
+      ("""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+         | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+         | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         | round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+         | round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_price,
+         | round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+         | CAST(count(*) AS BIGINT) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""").stripMargin,
+    "q07_join_agg" ->
+      ("""SELECT r_name, n_name,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         | CAST(count(*) AS BIGINT) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""").stripMargin,
+    "q08_semi_join" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+    "q09_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"),
+    "q10_window_topn" ->
+      ("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+         | SELECT o_custkey, o_orderkey, o_totalprice,
+         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         | FROM orders) WHERE rn = 1""").stripMargin,
+    "q11_distinct_agg" ->
+      ("""SELECT c_mktsegment, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+         | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""").stripMargin,
+    "q12_setop_intersect" ->
+      ("SELECT o_custkey AS custkey FROM orders INTERSECT " +
+        "SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000"),
+    "q13_topk" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q14_rollup" ->
+      ("""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""").stripMargin,
+    "q26_percentiles" ->
+      ("""SELECT round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+         | round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+         |FROM lineitem""").stripMargin,
+    "q27_stats" ->
+      ("""SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+         | round(stddev_samp(l_discount), 6) AS sd_discount,
+         | round(covar_samp(l_quantity, l_tax), 6) AS cov_qty_tax
+         |FROM lineitem""").stripMargin,
+    "q20_sessionize" ->
+      ("""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+         | CAST(count(*) AS BIGINT) AS n_events
+         |FROM (
+         | SELECT user_id,
+         |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+         |       THEN 1 ELSE 0 END AS new_session
+         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |) GROUP BY user_id ORDER BY user_id""").stripMargin,
+    "q16_token_stats" ->
+      (s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         | CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+         | round(length(regexp_replace(text, '\\s+', '', 'g')) /
+         |   CAST(greatest(len($tokensSql), 1) AS DOUBLE), 4) AS avg_word_len,
+         | round(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) /
+         |   CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio
+         |FROM documents""").stripMargin,
+    "q17_quality" ->
+      (s"""WITH t AS (
+         | SELECT doc_id, text,
+         |  CAST(len(list_filter($tokensSql, t -> list_contains($stopList, t))) AS DOUBLE)
+         |    / greatest(len($tokensSql), 1) AS swr,
+         |  length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+         |    / CAST(greatest(length(text), 1) AS DOUBLE) AS pr
+         | FROM documents)
+         |SELECT doc_id, round(swr, 4) AS stopword_ratio,
+         | round(least(length(text) / 500.0, 1.0) * 0.5 +
+         |  (CASE WHEN round(pr, 4) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |  (CASE WHEN round(swr, 4) > 0.01 THEN 1.0 ELSE 0.6 END) * 0.25, 4) AS quality
+         |FROM t""").stripMargin,
+    "q18_langid" ->
+      (s"""WITH t AS (
+         | SELECT doc_id,
+         |  len(list_filter($tokensSql, t -> list_contains(['the','and','of','is','with'], t))) AS h_en,
+         |  len(list_filter($tokensSql, t -> list_contains(['der','die','und','ist','nicht'], t))) AS h_de,
+         |  len(list_filter($tokensSql, t -> list_contains(['le','la','les','est','une'], t))) AS h_fr,
+         |  len(list_filter($tokensSql, t -> list_contains(['el','los','es','una','como'], t))) AS h_es,
+         |  len(list_filter($tokensSql, t -> list_contains(['的','是','不','了','在'], t))) AS h_zh
+         | FROM documents)
+         |SELECT doc_id, CASE
+         |  WHEN h_en > 0 AND h_en >= greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'en'
+         |  WHEN h_de > 0 AND h_de >= greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'de'
+         |  WHEN h_fr > 0 AND h_fr >= greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'fr'
+         |  WHEN h_es > 0 AND h_es >= greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'es'
+         |  WHEN h_zh > 0 AND h_zh >= greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'zh'
+         |  ELSE 'und' END AS lang_guess
+         |FROM t""").stripMargin,
+    "q19_fingerprint" ->
+      ("SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint " +
+        "FROM documents"),
+    "q15_dedup_exact" ->
+      ("SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies " +
+        "FROM documents GROUP BY text"),
+    "q24_cosine_topk" ->
+      ("""WITH q AS (
+         |  SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings WHERE vec_id = 0),
+         |v AS (
+         |  SELECT vec_id, unnest(embedding) AS xv, generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |d AS (
+         |  SELECT vec_id, sum(CAST(xv AS DOUBLE) * CAST(qv AS DOUBLE)) AS dp,
+         |         sqrt(sum(CAST(xv AS DOUBLE) * CAST(xv AS DOUBLE))) AS nx
+         |  FROM v JOIN q USING (i) GROUP BY vec_id),
+         |nq AS (SELECT sqrt(sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))) AS n FROM q)
+         |SELECT vec_id AS id, round(dp / (nx * (SELECT n FROM nq)), 6) AS cosine
+         |FROM d ORDER BY cosine DESC, id ASC LIMIT 10""").stripMargin
+  )
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Vector math is `zip_with`/`aggregate` higher-order expressions in double
+  * precision — codegen'd, scan-local, no UDFs. Two search paths:
+  *
+  *  - [[cosineTopK]]: brute-force exact top-k — the correctness baseline;
+  *    one scan plus a tiny top-k reduce (TakeOrderedAndProject), fine when
+  *    the corpus fits a scan budget.
+  *  - [[annTopK]]: random-hyperplane LSH buckets; the query probes only its
+  *    own buckets across `tables` independent hash tables. At 100 TB the
+  *    bucket column is a partition/cluster key, so a query touches a few
+  *    buckets instead of the full corpus. Hyperplane components are derived
+  *    from xxhash64 — deterministic, no stored model needed.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity (0 for zero-norm vectors). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = l2norm(a) * l2norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): xxhash64 mapped to uniform [-1, 1). A signed-projection LSH only
+    * needs sign agreement, so uniform components are sufficient. */
+  private def planeComponent(table: Column, plane: Column, dim: Column): Column =
+    shiftrightunsigned(xxhash64(table, plane, dim), 11) / lit(4503599627370496.0d) - 1.0d
+
+  /** LSH bucket id for a vector in one hash table: the `planes`-bit sign
+    * pattern of projections onto deterministic hyperplanes. */
+  def hyperplaneBucket(v: Column, planes: Int, table: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), p => {
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, i) => x * planeComponent(table, p, i)),
+          lit(0.0d), (acc, x) => acc + x)
+        when(proj >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+
+  /** Exact brute-force cosine top-k against a literal query vector.
+    * Returns (id, cosine) ordered by similarity desc, id asc tie-break. */
+  def cosineTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int
+  ): DataFrame = {
+    val q = array(query.map(x => lit(x.toDouble)): _*)
+    df.select(
+        col(idCol).as("id"),
+        round(cosine(col(vecCol).cast("array<double>"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Precompute the LSH index: (id, vec, table, bucket) — at scale this is
+    * written once, clustered by (table, bucket). */
+  def buildLshIndex(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 6, tables: Int = 8): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"),
+        posexplode(transform(sequence(lit(0), lit(tables - 1)),
+          t => hyperplaneBucket(col("v"), planes, t))))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+
+  /** Approximate top-k: score only rows sharing an LSH bucket with the query
+    * in any table — multi-probe: besides the exact bucket, probe every bucket
+    * whose sign pattern differs in one bit (the planes the query is closest
+    * to crossing). Scan fraction per table ≈ (planes+1)/2^planes; recall
+    * rises steeply with `tables`. Candidates are then exact-ranked. */
+  def annTopK(
+      index: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      planes: Int = 6,
+      tables: Int = 8
+  ): DataFrame = {
+    val qv = array(query.map(x => lit(x.toDouble)): _*)
+    val probeSets = (0 until tables).map { t =>
+      val b = hyperplaneBucket(qv, planes, lit(t))
+      b +: (0 until planes).map(p => b.bitwiseXOR(lit(1L << p)))
+    }
+    val candidates = index
+      .filter((0 until tables).map(t =>
+          col("table") === t && probeSets(t).map(col("bucket") === _).reduce(_ || _))
+        .reduce(_ || _))
+      .select(col("id"), col("v")).distinct()
+    candidates
+      .select(col("id"), round(cosine(col("v").cast("array<double>"), qv), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+}

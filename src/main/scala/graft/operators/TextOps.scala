@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, and document
+  * fingerprinting. All are pure `Column` expressions — whole-stage-codegen'd,
+  * no UDFs, embarrassingly parallel at any scale — and every one is
+  * SQL-expressible so the DuckDB oracle can check them exactly.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the BPE-ish regex variant splits punctuation
+    * off as its own tokens). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** Sub-word token count under a BPE-ish regex: runs of letters, runs of
+    * digits, or single non-alphanumeric non-space characters. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => length(trim(t)) > 0))
+
+  /** Ratio of punctuation chars to all chars, 4 decimals. */
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[^.,;:!?'\"()-]", "")) /
+      greatest(length(text), lit(1)).cast("double"), 4)
+
+  /** Mean whitespace-token length, 4 decimals. */
+  def avgWordLen(text: Column): Column =
+    round(length(regexp_replace(text, "\\s+", "")) /
+      greatest(tokenCount(text), lit(1)).cast("double"), 4)
+
+  private val Stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on", "with", "as")
+
+  /** Fraction of whitespace tokens that are English stopwords, 4 decimals. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val hits = size(filter(toks, t => Stopwords.foldLeft(lit(false))((acc, s) => acc || t === s)))
+    round(hits / greatest(size(toks), lit(1)).cast("double"), 4)
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, moderate
+    * punctuation, presence of stopwords — the usual cheap heuristics used to
+    * filter web text before training. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text) / lit(500.0), lit(1.0))
+    val punctOk = when(punctRatio(text) < 0.2, lit(1.0)).otherwise(lit(0.5))
+    val stopOk = when(stopwordRatio(text) > 0.01, lit(1.0)).otherwise(lit(0.6))
+    round(lenScore * lit(0.5) + punctOk * lit(0.25) + stopOk * lit(0.25), 4)
+  }
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Tiny by design: language ID over web text at 100 TB must stay
+    * a scan-local expression; a real model slots in behind the same column
+    * contract. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "est", "une"),
+    "es" -> Seq("el", "los", "es", "una", "como"),
+    "zh" -> Seq("的", "是", "不", "了", "在")
+  )
+
+  /** Marker-hit count for one language's word list. */
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.foldLeft(lit(false))((acc, w) => acc || t === w)))
+
+  /** Heuristic language ID from a precomputed lowercase token array: the
+    * language with the most marker-word hits, first-listed wins ties, 'und'
+    * (undetermined) when no marker hits. Pass a *materialized* token column
+    * (own projection step) — this expression walks the array once per
+    * language, and an inlined split would be re-evaluated each time. */
+  def langIdFromTokens(tk: Column): Column = {
+    val scored = LangMarkers.map { case (lang, ws) => (lang, hits(tk, ws)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.reverse.foldLeft(lit("und")) { case (acc, (lang, h)) =>
+      when(h > 0 && h === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Heuristic language ID of raw text (see [[langIdFromTokens]]). */
+  def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
+
+  /** Dataframe-level language ID, staged for throughput: tokens → per-language
+    * hit-count columns → winner CASE. Each stage is a real projection, so the
+    * token array is split once and each hit count is one array pass — the
+    * single-expression [[langId]] re-evaluates hits ~6× via the shared
+    * `greatest` subtree (fine for a few rows, not for a corpus). */
+  def langIdFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hitCols = LangMarkers.map { case (lang, ws) => hits(col("tk"), ws).as(s"h_$lang") }
+    val best = LangMarkers.map { case (lang, _) => col(s"h_$lang") }
+      .reduce((a, b) => greatest(a, b))
+    val winner = LangMarkers.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
+      when(col(s"h_$lang") > 0 && col(s"h_$lang") === best, lit(lang)).otherwise(acc)
+    }
+    df.select(col(idCol), tokens(lower(col(textCol))).as("tk"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol) +: hitCols: _*)
+      .select(col(idCol), winner.as("lang_guess"))
+  }
+
+  /** Normalized-content fingerprint: md5 of lowercased,
+    * whitespace-collapsed, trimmed text. md5 (not xxhash64) so any engine —
+    * including the DuckDB oracle — computes the identical fingerprint. */
+  def fingerprint(text: Column): Column =
+    md5(to_binary(trim(regexp_replace(lower(text), "\\s+", " ")), lit("utf-8")))
+
+  /** Full per-document profile. */
+  def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      avgWordLen(t).as("avg_word_len"),
+      punctRatio(t).as("punct_ratio"),
+      stopwordRatio(t).as("stopword_ratio"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_guess"),
+      fingerprint(t).as("fingerprint")
+    )
+  }
+}

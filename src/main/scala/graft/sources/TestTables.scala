@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Accessors for the driver's deterministic parquet fixtures
+  * (/root/testdata/sf*, see TESTDATA.md).
+  *
+  * The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+  * rejects outright ([PARQUET_TYPE_ILLEGAL]) while DuckDB silently truncates
+  * to µs. We read nanos as a raw Long (`spark.sql.legacy.parquet.nanosAsLong`)
+  * and floor-divide by 1000 — integral `div`, not `/`, because ns epochs
+  * (~1.7e18) exceed double's 2^53 mantissa — giving exactly DuckDB's µs
+  * truncation so oracle comparisons agree.
+  */
+object TestTables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _ => spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "sf0.001"
+  private lazy val docs = sf(dir, "documents").cache()
+
+  test("TextOps: token count, fingerprint, langid on known inputs") {
+    val df = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "  le chat   est une  idée  "),
+      (3L, "xyzzy plugh"),
+      (4L, "THE  Cat And  THE Dog  ")
+    ).toDF("id", "text")
+    val prof = df.select($"id",
+      TextOps.tokenCount($"text").as("n"),
+      TextOps.langId($"text").as("lang"),
+      TextOps.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2), r.getString(3)))).toMap
+    assert(prof(1L)._1 == 5 && prof(1L)._2 == "en")
+    assert(prof(2L)._1 == 5 && prof(2L)._2 == "fr")
+    assert(prof(3L)._2 == "und")
+    // normalization: case + whitespace collapse → same fingerprint
+    assert(prof(1L)._3 == prof(4L)._3)
+  }
+
+  test("exact dedup keeps lowest id and counts copies") {
+    val df = Seq((5L, "aa"), (2L, "aa"), (9L, "bb")).toDF("id", "t")
+    val out = Dedup.exact(df, "id", Seq("t")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("aa") == ((2L, 2L)) && out("bb") == ((9L, 1L)))
+  }
+
+  /** Brute-force exact shingle-set Jaccard over all doc pairs (testdata is
+    * small enough) — ground truth for MinHash/ngram operators. */
+  private lazy val bruteJaccard: Map[(Long, Long), Double] = {
+    val sh = docs.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().map { case (id, s) => id -> s.toSet }
+    (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j > 0.05
+    } yield (a, b) -> j).toMap
+  }
+
+  test("ngramJaccard matches brute-force exact Jaccard") {
+    val got = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val expected = bruteJaccard.filter(_._2 >= 0.3)
+    assert(got.keySet == expected.keySet,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-4) }
+  }
+
+  test("minhashLsh finds all high-Jaccard pairs with accurate estimates") {
+    val got = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 64, bands = 16,
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val mustFind = bruteJaccard.filter(_._2 >= 0.8).keySet
+    assert(mustFind.subsetOf(got.keySet),
+      s"missed high-sim pairs: ${mustFind -- got.keySet}")
+    // signature estimate within ±0.25 of truth for found pairs that exist in truth
+    got.foreach { case (k, est) =>
+      bruteJaccard.get(k).foreach(truth => assert(math.abs(est - truth) < 0.25,
+        s"pair $k est $est truth $truth"))
+    }
+  }
+
+  test("simhash: zero distance for identical text, small for near-identical") {
+    val df = Seq(
+      (1L, "spark query engine for large scale data processing pipelines"),
+      (2L, "spark query engine for large scale data processing pipelines"),
+      (3L, "spark query engine for very large scale data processing pipelines"),
+      (4L, "completely different words about gardening tulips roses daffodils")
+    ).toDF("id", "text")
+    val sig = df.select($"id", Dedup.simhash($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) <= 12)
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(4L)) > 12)
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("embedding near-dups via LSH find the duplicated vectors") {
+    val emb = sf(dir, "embeddings")
+    // plant an exact duplicate pair by unioning a copy with shifted ids
+    val dup = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding", $"label")
+    val all = emb.unionByName(dup)
+    val pairs = Dedup.embeddingNearDups(all, "vec_id", "embedding", threshold = 0.99)
+      .as[(Long, Long, Double)].collect()
+    (0 until 3).foreach { i =>
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 10000 && p._3 > 0.999),
+        s"missing planted dup $i")
+    }
+  }
+
+  test("annTopK recall vs brute-force cosine top-k") {
+    val emb = sf(dir, "embeddings").cache()
+    val q = emb.filter($"vec_id" === 0).head().getSeq[Float](1)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val index = Similarity.buildLshIndex(emb, "vec_id", "embedding")
+    val approx = Similarity.annTopK(index, q, 10).as[(Long, Double)].collect().map(_._1).toSet
+    val recall = (exact & approx).size / 10.0
+    info(s"ANN recall@10 = $recall (candidates from 8 tables × 64 buckets)")
+    assert(approx.contains(0L), "query vector itself must be found")
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+}
