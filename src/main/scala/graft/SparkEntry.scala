@@ -187,14 +187,8 @@ object SparkEntry {
       Dedup.ngramJaccard(TestTables.documents(s, dir), "doc_id", "text", threshold = 0.3)),
     "q24_cosine_topk" -> ((s, dir) => {
       val emb = TestTables.embeddings(s, dir)
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>").as("q_vec"))
-      emb.crossJoin(broadcast(q))
-        .select(col("vec_id").as("id"),
-          round(Similarity.cosine(col("embedding").cast("array<double>"), col("q_vec")), 6)
-            .as("cosine"))
-        .orderBy(col("cosine").desc, col("id").asc)
-        .limit(10)
+      val qv = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      Similarity.cosineTopK(emb, "vec_id", "embedding", qv, 10)
     }),
     "q25_ann_topk" -> ((s, dir) => {
       val emb = TestTables.embeddings(s, dir)

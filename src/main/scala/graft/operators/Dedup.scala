@@ -179,16 +179,20 @@ object Dedup {
       shingleLen: Int = 3,
       maxShingleFreq: Int = 1000
   ): DataFrame = {
+    // Shuffle on a 64-bit shingle hash, not the shingle string: the window
+    // count, the join key, and the exchange payload all shrink, and xxhash64
+    // collisions are negligible for intersection counting.
     val sh = shingleFrame(df, idCol, textCol, shingleLen)
       .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+      .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
     val filtered = sh
       .withColumn("freq", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+        org.apache.spark.sql.expressions.Window.partitionBy("sh_h")))
       .filter(col("freq") <= maxShingleFreq)
       .persist()
-    val l = filtered.select(col("shingle"), col("id").as("id_a"), col("n_sh").as("n_a"))
-    val r = filtered.select(col("shingle"), col("id").as("id_b"), col("n_sh").as("n_b"))
-    l.join(r, Seq("shingle"))
+    val l = filtered.select(col("sh_h"), col("id").as("id_a"), col("n_sh").as("n_a"))
+    val r = filtered.select(col("sh_h"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    l.join(r, Seq("sh_h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))

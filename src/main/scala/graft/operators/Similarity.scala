@@ -52,7 +52,12 @@ object Similarity {
       lit(0L), (acc, bit) => acc.bitwiseOR(bit))
 
   /** Exact brute-force cosine top-k against a literal query vector.
-    * Returns (id, cosine) ordered by similarity desc, id asc tie-break. */
+    * Returns (id, cosine) ordered by similarity desc, id asc tie-break.
+    *
+    * Staged (cast → dot/norm → score) so each interpreted array pass runs
+    * once per row, and repartitioned so a single-file corpus still uses every
+    * core; the top-k itself is a TakeOrderedAndProject (per-partition heaps,
+    * no global sort). */
   def cosineTopK(
       df: DataFrame,
       idCol: String,
@@ -60,10 +65,15 @@ object Similarity {
       query: Seq[Float],
       k: Int
   ): DataFrame = {
-    val q = array(query.map(x => lit(x.toDouble)): _*)
-    df.select(
-        col(idCol).as("id"),
-        round(cosine(col(vecCol).cast("array<double>"), q), 6).as("cosine"))
+    val qd = query.map(_.toDouble)
+    val qn = math.sqrt(qd.map(x => x * x).sum)
+    val q = array(qd.map(lit): _*)
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), dot(col("v"), q).as("dp"), l2norm(col("v")).as("nv"))
+      .select(col("id"),
+        when(col("nv") === 0, lit(0.0))
+          .otherwise(round(col("dp") / (col("nv") * lit(qn)), 6)).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }
