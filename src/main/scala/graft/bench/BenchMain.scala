@@ -68,7 +68,13 @@ object BenchMain {
       val path = Tables.variantPath(warehouse, cfg, c)
       println(s"[bench] loading $name → $path (${plan.totalRows} rows)")
       val t0 = System.nanoTime()
-      val ran = Loader.loadTable(spark, cfg, plan, c, path, seed)
+      // Reference declares partitioning but ships with it disabled in DDL
+      // emission (tableConfig.ts:10, sqlHelpers.ts:127) — opt in via env.
+      val partitioning =
+        if (env("PARTITIONED", "false").toBoolean) cfg.partitioning else Nil
+      val sortedBy = sys.env.get("SORT_BY").toSeq.flatMap(_.split(",")).map(_.trim)
+      val ran = Loader.loadTable(spark, cfg, plan, c, path, seed,
+        partitioning = partitioning, sortedBy = sortedBy)
       if (plan.compactAfterLoad) Loader.optimize(spark, path, c, cfg.format)
       println(f"[bench] $name: $ran batches in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       // sample row (reference: bench.ts:241-246)

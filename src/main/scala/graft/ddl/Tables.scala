@@ -51,19 +51,57 @@ object Tables {
     }
   }
 
-  /** Write one batch of rows into its own subdirectory of the variant. */
+  /** Iceberg-style partition transform string → (derived column name,
+    * expression) (reference declares these in `TableConfig.partitioning`,
+    * e.g. `date(created_at)`, `month(order_date)`, `bucket(10, account)`,
+    * `truncate(4, code)`, or a bare column — README.md:85-86, types.ts:36).
+    * Bucket uses `pmod(xxhash64(col), n)` rather than Iceberg's murmur3 — the
+    * co-location property is what matters, not the hash choice. */
+  def partitionTransform(spec: String): (String, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    val fn = """(\w+)\(\s*([^)]*)\)""".r
+    spec.trim match {
+      case fn("date", c)  => (s"${c.trim}_day", to_date(col(c.trim)))
+      case fn("day", c)   => (s"${c.trim}_day", to_date(col(c.trim)))
+      case fn("month", c) => (s"${c.trim}_month", date_format(col(c.trim), "yyyy-MM"))
+      case fn("year", c)  => (s"${c.trim}_year", year(col(c.trim)))
+      case fn("hour", c)  => (s"${c.trim}_hour", date_format(col(c.trim), "yyyy-MM-dd-HH"))
+      case fn("bucket", args) =>
+        val Array(n, c) = args.split(",").map(_.trim)
+        (s"${c}_bucket", pmod(xxhash64(col(c)), lit(n.toInt)))
+      case fn("truncate", args) =>
+        val Array(n, c) = args.split(",").map(_.trim)
+        (s"${c}_trunc", substring(col(c).cast("string"), 1, n.toInt))
+      case bare => (bare, col(bare))
+    }
+  }
+
+  /** Write one batch of rows into its own subdirectory of the variant,
+    * optionally hive-partitioned by Iceberg-style transforms and sorted
+    * within partitions (reference: README.md:85-86 `partitioning` /
+    * `sorted_by` table options). */
   def writeBatch(
       df: DataFrame,
       path: String,
       batchIndex: Int,
       c: CodecSpec,
-      format: String = "PARQUET"
+      format: String = "PARQUET",
+      partitioning: Seq[String] = Nil,
+      sortedBy: Seq[String] = Nil
   ): Unit = {
     applyCodecConf(df.sparkSession, c)
-    df.write
+    val transforms = partitioning.map(partitionTransform)
+    val derived = transforms.filterNot { case (n, _) => df.columns.contains(n) }
+    val withParts = derived.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }
+    val sorted =
+      if (sortedBy.nonEmpty) withParts.sortWithinPartitions(sortedBy.map(df(_)): _*)
+      else withParts
+    val writer = sorted.write
       .mode("overwrite")
       .option("compression", c.codec.toLowerCase)
       .format(format.toLowerCase)
+    val partCols = transforms.map(_._1)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .save(s"$path/batch=$batchIndex")
   }
 

@@ -74,7 +74,9 @@ object Loader {
       codec: CodecSpec,
       path: String,
       seed: Long = 1L,
-      quiet: Boolean = false
+      quiet: Boolean = false,
+      partitioning: Seq[String] = Nil,
+      sortedBy: Seq[String] = Nil
   ): Int = {
     val table = Tables.variantName(cfg.tableBase, codec)
     val batches = makeBatches(plan.startId, plan.totalRows, plan.batchRows)
@@ -92,7 +94,7 @@ object Loader {
           spark.sparkContext.setJobDescription(s"load $table batch=${b.index}")
           val rows = b.end - b.start + 1
           val df = Generator.generate(spark, cfg, b.start, rows, seed)
-          Tables.writeBatch(df, path, b.index, codec, cfg.format)
+          Tables.writeBatch(df, path, b.index, codec, cfg.format, partitioning, sortedBy)
           this.synchronized {
             done += b.index
             saveCheckpoint(plan.checkpointDir, table, done)

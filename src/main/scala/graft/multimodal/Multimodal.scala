@@ -1,0 +1,130 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: media as opaque `binary` columns with typed metadata, processed
+  * by batch-shaped per-partition functions.
+  *
+  * The Spark-side plumbing — schema contract, partition sizing, batched
+  * iteration, deterministic outputs — is real and tested. The actual
+  * byte-level DECODE IS A STUB (this environment ships no image/audio
+  * codecs): `decodeStub` derives deterministic fake features from the bytes'
+  * hash. A real decoder (JNI/FFI or an Arrow-batched python worker — the
+  * Scala analogue of a Pandas UDF over `mapInPandas`) drops in behind
+  * `FeatureExtractor` without touching any caller.
+  *
+  * Scale notes: media rows are large and skewed — `repartitionForMedia`
+  * targets a byte budget per task, not a row count, so one 4 GB video and a
+  * thousand thumbnails cost a task about the same. Feature extraction is
+  * mapPartitions (amortizes any per-batch model-load cost), never a per-row
+  * UDF.
+  */
+object Multimodal {
+
+  /** Canonical media row: id, modality, raw bytes, sparse typed metadata. */
+  case class MediaRow(
+      media_id: Long,
+      media_type: String, // image | audio | video
+      bytes: Array[Byte],
+      width: Option[Int],
+      height: Option[Int],
+      duration_ms: Option[Long])
+
+  case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      features: Array[Float])
+
+  case class Frame(media_id: Long, frame_index: Int, offset_ms: Long, frame_bytes: Array[Byte])
+
+  /** Batch shape for feature extraction: process `batchSize` rows per model
+    * invocation — the mapPartitions analogue of a Pandas UDF's Arrow batch. */
+  val BatchSize = 64
+
+  /** The decoder seam. Swap the stub for a real codec without touching
+    * callers. Must be deterministic per (bytes, dims). */
+  type FeatureExtractor = Seq[MediaRow] => Seq[MediaFeatures]
+
+  /** STUB decode: deterministic fake "embedding" from the content hash —
+    * stands in for decode→preprocess→model-forward. Real implementation
+    * plugs in here. */
+  val decodeStub: FeatureExtractor = rows =>
+    rows.map { r =>
+      val h = java.util.Arrays.hashCode(r.bytes)
+      val rng = new scala.util.Random(h.toLong)
+      MediaFeatures(r.media_id, r.media_type, r.bytes.length.toLong,
+        Array.fill(16)(rng.nextFloat() * 2 - 1))
+    }
+
+  /** Repartition media so each task holds ~`targetBytesPerTask` of payload.
+    * Uses a cheap pre-aggregated byte count, not a row count — media sizes
+    * are wildly skewed. */
+  def repartitionForMedia(df: DataFrame, targetBytesPerTask: Long = 256L * 1024 * 1024): DataFrame = {
+    val totalBytes = df.agg(sum(length(col("bytes")))).head().getLong(0)
+    val parts = math.max(1, (totalBytes / math.max(1, targetBytesPerTask)).toInt)
+    df.repartition(math.max(parts, df.sparkSession.sparkContext.defaultParallelism))
+  }
+
+  /** Feature extraction over batches within each partition. */
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      extractor: FeatureExtractor = decodeStub
+  ): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.grouped(BatchSize).flatMap(extractor(_)))
+  }
+
+  /** STUB frame sampling for video rows: emits `framesPer` evenly-spaced
+    * pseudo-frames (byte slices stand in for decoded frames); images/audio
+    * pass through as a single frame. The plumbing — one-to-many explode with
+    * deterministic offsets — is the real contract. */
+  def sampleFrames(media: Dataset[MediaRow], framesPer: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.media_type match {
+        case "video" =>
+          val dur = r.duration_ms.getOrElse(0L)
+          (0 until framesPer).map { i =>
+            val off = if (framesPer <= 1) 0L else dur * i / framesPer
+            val sliceLen = math.max(1, r.bytes.length / framesPer)
+            val start = math.min(r.bytes.length - 1, i * sliceLen).max(0)
+            Frame(r.media_id, i, off,
+              java.util.Arrays.copyOfRange(r.bytes, start,
+                math.min(r.bytes.length, start + sliceLen)))
+          }
+        case _ => Seq(Frame(r.media_id, 0, 0L, r.bytes))
+      }
+    }
+  }
+
+  /** Metadata "resize": pure column transform (no decode) recording the
+    * target geometry next to the payload — at scale this is a catalog
+    * operation, the pixel work happens in the extractor. */
+  def withResizeTarget(df: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(
+      lit(maxSide) / greatest(col("width"), lit(1)).cast("double"),
+      lit(maxSide) / greatest(col("height"), lit(1)).cast("double"),
+      lit(1.0))
+    df.withColumn("target_width", round(col("width") * scale).cast("int"))
+      .withColumn("target_height", round(col("height") * scale).cast("int"))
+  }
+
+  /** Deterministic synthetic media table for tests/benches: bytes derived
+    * from the id hash (no external fixtures needed). */
+  def syntheticMedia(spark: SparkSession, n: Long, seed: Long = 1L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n).map { id =>
+      val rng = new scala.util.Random(seed * 1000003 + id)
+      val mt = Seq("image", "audio", "video")(rng.nextInt(3))
+      val len = 256 + rng.nextInt(1024)
+      val bytes = Array.fill(len)(rng.nextInt().toByte)
+      MediaRow(id, mt, bytes,
+        if (mt == "image") Some(64 + rng.nextInt(4000)) else None,
+        if (mt == "image") Some(64 + rng.nextInt(4000)) else None,
+        if (mt != "image") Some(1000L + rng.nextInt(600000)) else None)
+    }
+  }
+}

@@ -70,21 +70,26 @@ object Report {
     val cols = lines.head.split(",").map(_.trim)
     def idx(n: String) = cols.indexOf(n)
     lines.tail.filter(_.nonEmpty).map { l =>
-      val f = l.split(",").map(_.trim.replace("_", ""))
+      val f = l.split(",").map(_.trim)
       def get(n: String): Option[String] = idx(n) match {
         case -1 => None
         case i if i < f.length => Some(f(i))
         case _ => None
       }
+      // numeric coercion strips grouping chars, like the reference's `toNum`
+      // (plot.ts:46-51) — names pass through untouched
+      implicit class Num(o: Option[String]) {
+        def num: Option[String] = o.map(_.replace("_", "").replace(" ", ""))
+      }
       SizeRow(
         table_name = get("table_name").getOrElse(""),
         codec = get("codec").getOrElse(""),
-        level = get("level").map(_.toInt).getOrElse(0),
-        rows = get("rows").map(_.toLong).getOrElse(0L),
-        data_bytes = get("data_bytes").map(_.toLong).getOrElse(0L),
-        bytes_per_row = get("bytes_per_row").map(_.toDouble).getOrElse(0.0),
-        manifest_bytes = get("manifest_bytes").map(_.toLong),
-        total_bytes = get("total_bytes").map(_.toLong)
+        level = get("level").num.map(_.toInt).getOrElse(0),
+        rows = get("rows").num.map(_.toLong).getOrElse(0L),
+        data_bytes = get("data_bytes").num.map(_.toLong).getOrElse(0L),
+        bytes_per_row = get("bytes_per_row").num.map(_.toDouble).getOrElse(0.0),
+        manifest_bytes = get("manifest_bytes").num.map(_.toLong),
+        total_bytes = get("total_bytes").num.map(_.toLong)
       )
     }
   }

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference has no streaming surface (SURVEY §2.D) — "events" is just a
+  * table name there — but a training-data engine ingesting at 100 TB scale
+  * needs an incremental path. All transformations here are
+  * source-independent: the same code runs over `readStream` (files/Kafka/
+  * rate) and over a batch DataFrame, which is also how the specs test the
+  * exact stream/batch parity Structured Streaming guarantees.
+  *
+  * Scale notes: windowed counts keep state per (window, event_type) — bounded
+  * by the watermark horizon; sessionization state is one small record per
+  * active user, dropped on timeout. Both shuffle once on their grouping key.
+  */
+object EventStreams {
+
+  /** File-based stream source over an events directory (parquet parts land
+    * atomically; schema must be supplied for streaming reads). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Tumbling-window event counts with a watermark: late rows beyond
+    * `watermark` are dropped, so state is bounded. Works identically on a
+    * batch frame (window() is a plain grouping expression). */
+  def windowedCounts(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLen: String = "10 minutes"
+  ): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
+      value: Double)
+  case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long)
+
+  /** Stateful sessionization with `flatMapGroupsWithState`: a session closes
+    * after `gapMs` of inactivity (event-time via watermark + processing-time
+    * state timeout). Emits one row per closed session. */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "30 minutes"
+  ): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+
+    def flush(userId: Long, st: SessionState): Session =
+      Session(userId, new Timestamp(st.sessionStart), new Timestamp(st.lastSeen), st.nEvents)
+
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(userId, _)).toIterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(
+              SessionState(sorted.head.ts.getTime, sorted.head.ts.getTime, 0))
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (t - st.lastSeen > gapMs && st.nEvents > 0) {
+                closed += flush(userId, st)
+                st = SessionState(t, t, 1)
+              } else {
+                st = SessionState(st.sessionStart, math.max(st.lastSeen, t), st.nEvents + 1)
+              }
+            }
+            state.update(st)
+            state.setTimeoutDuration(gapMs)
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Batch-mode sessionization with identical semantics (window + gap sum) —
+    * the oracle for the stateful streaming path and the efficient form when
+    * the data is already at rest. */
+  def sessionizeBatch(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ws = Window.partitionBy(col("user_id"), col("session_id"))
+    events.toDF()
+      .withColumn("prev_ms",
+        lag((col("ts").cast("double") * 1000).cast("long"), 1).over(w))
+      .withColumn("ms", (col("ts").cast("double") * 1000).cast("long"))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("session_id")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.load
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.config.Schemas
+import graft.ddl.Tables
+import graft.measure.Sizes
+import graft.model.{CodecSpec, LoadPlan, SizeRow}
+import graft.report.Report
+
+class PipelineSpec extends SparkSpec {
+
+  test("makeBatches splits ranges like the reference (utils.ts:24-38)") {
+    val b = Loader.makeBatches(1, 100, 30)
+    assert(b.map(x => (x.index, x.start, x.end)) ==
+      Seq((0, 1L, 30L), (1, 31L, 60L), (2, 61L, 90L), (3, 91L, 100L)))
+    assert(Loader.makeBatches(5, 10, 100) == Seq(graft.model.Batch(0, 5, 14)))
+    intercept[IllegalArgumentException](Loader.makeBatches(1, 10, 0))
+  }
+
+  test("checkpoint roundtrip and resume filtering") {
+    val dir = Files.createTempDirectory("graft_cp").toString
+    assert(Loader.loadCheckpoint(dir, "t") == Set.empty[Int])
+    Loader.saveCheckpoint(dir, "t", Set(3, 1, 2))
+    assert(Loader.loadCheckpoint(dir, "t") == Set(1, 2, 3))
+  }
+
+  test("human units match the reference formatting") {
+    assert(Report.humanSize(0) == "0 B")
+    assert(Report.humanSize(1536) == "1.5 KB")
+    assert(Report.humanSize(3L * 1024 * 1024 * 1024) == "3.0 GB")
+    assert(Report.humanNumber(1000000) == "1_000_000")
+    assert(Report.humanNumber(999) == "999")
+  }
+
+  test("CSV write/read roundtrip preserves SizeRows") {
+    val rows = Seq(
+      SizeRow("t_zstd_l06", "zstd", 6, 1000, 50000, 50.0),
+      SizeRow("t_snappy_l00", "snappy", 0, 1000, 80000, 80.0))
+    val f = Files.createTempDirectory("graft_csv").resolve("r.csv").toString
+    Report.writeCsv(rows, f)
+    val back = Report.readCsv(f)
+    assert(back.map(r => (r.table_name, r.codec, r.level, r.rows, r.data_bytes)).toSet ==
+      rows.map(r => (r.table_name, r.codec, r.level, r.rows, r.data_bytes)).toSet)
+  }
+
+  test("partition transforms parse Iceberg-style specs") {
+    assert(Tables.partitionTransform("date(created_at)")._1 == "created_at_day")
+    assert(Tables.partitionTransform("month(order_date)")._1 == "order_date_month")
+    assert(Tables.partitionTransform("bucket(10, account_id)")._1 == "account_id_bucket")
+    assert(Tables.partitionTransform("truncate(4, code)")._1 == "code_trunc")
+    assert(Tables.partitionTransform("country")._1 == "country")
+  }
+
+  test("end-to-end variant load: checkpointed batches, sizes, partitioned variant") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val cp = Files.createTempDirectory("graft_cp").toString
+    val cfg = Schemas.narrowOrders
+    val plan = LoadPlan(totalRows = 30000, batchRows = 10000, concurrency = 2,
+      checkpointDir = cp)
+    val codec = CodecSpec("zstd", 3)
+    val path = Tables.variantPath(wh, cfg, codec)
+
+    val ran = Loader.loadTable(spark, cfg, plan, codec, path, quiet = true)
+    assert(ran == 3)
+    // resume: nothing left to do
+    assert(Loader.loadTable(spark, cfg, plan, codec, path, quiet = true) == 0)
+
+    val size = Sizes.measure(spark, Tables.variantName(cfg.tableBase, codec), path, codec)
+    assert(size.rows == 30000 && size.data_bytes > 0 && size.bytes_per_row > 0)
+
+    // partitioned write: day-partition dirs appear under the batch dir
+    val pPath = s"$wh/partitioned"
+    Loader.loadTable(spark, cfg, plan.copy(checkpointDir = cp + "2"), codec, pPath,
+      quiet = true, partitioning = Seq("date(created_at)"), sortedBy = Seq("created_at"))
+    val batchDir = new java.io.File(s"$pPath/batch=0")
+    assert(batchDir.listFiles().exists(_.getName.startsWith("created_at_day=")))
+    // partition pruning: reading one day touches that day's rows only
+    val oneDay = Tables.read(spark, pPath)
+      .filter(org.apache.spark.sql.functions.col("created_at_day") === "2024-06-01")
+    assert(oneDay.count() > 0 && oneDay.count() < 1000)
+
+    // compaction collapses batches
+    Loader.optimize(spark, path, codec)
+    assert(Sizes.measure(spark, "t", path, codec).rows == 30000)
+    assert(new java.io.File(path).listFiles().map(_.getName).count(_.startsWith("batch=")) == 1)
+  }
+}

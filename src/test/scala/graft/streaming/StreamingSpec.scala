@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.{Event, Session}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  private val sample = Seq(
+    Event(1, ts(0), 1, "click", 1.0),
+    Event(2, ts(1), 1, "click", 2.0),
+    Event(3, ts(2), 2, "view", 3.0),
+    Event(4, ts(11), 1, "click", 4.0),
+    Event(5, ts(12), 2, "view", 5.0),
+    Event(6, ts(25), 1, "view", 6.0)
+  )
+
+  test("windowedCounts: streaming (complete mode) matches batch grouping") {
+    val batch = EventStreams.windowedCounts(sample.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    val q = EventStreams.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("wc").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(batch.exists { case (_, t, n, _) => t == "click" && n == 2 }) // first window
+  }
+
+  test("sessionize (stateful stream) emits closed sessions matching batch semantics") {
+    // user 1: events at 0,1 min then a >30min gap then 40 min → first session closes
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "click", 1.0),
+      Event(3, ts(40), 1, "click", 1.0),
+      Event(4, ts(2), 2, "view", 1.0) // user 2: single open session, never emitted
+    )
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val closed = spark.table("sessions").as[Session].collect()
+    assert(closed.length == 1)
+    assert(closed.head.user_id == 1 && closed.head.n_events == 2)
+    assert(closed.head.session_start == ts(0) && closed.head.session_end == ts(1))
+
+    // batch oracle: same gap rule over the same data
+    val batch = EventStreams.sessionizeBatch(events.toDS()).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(batch == Set(
+      (1L, ts(0), ts(1), 2L),
+      (1L, ts(40), ts(40), 1L),
+      (2L, ts(2), ts(2), 1L)))
+  }
+
+  test("file-source streaming reads the events table incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // testdata events carry NANOS timestamps — stage through our accessor
+    val src = graft.sources.TestTables.events(spark, "/root/testdata/sf0.001")
+    src.limit(100).write.mode("overwrite").parquet(dir)
+    val counts = EventStreams.windowedCounts(
+      EventStreams.readEventsStream(spark, dir), windowLen = "1 hour")
+    val q = counts.writeStream.format("memory").queryName("filewc")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("filewc").agg(org.apache.spark.sql.functions.sum("n_events"))
+      .head().getLong(0) == 100L)
+  }
+}
