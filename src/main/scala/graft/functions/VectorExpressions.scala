@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for the embedding hot path.
+  *
+  * The `zip_with`/`aggregate` higher-order formulation of a dot product is
+  * semantically right but executes interpreted (higher-order functions don't
+  * participate in whole-stage codegen) and allocates an intermediate array
+  * per row. At 100 TB the dot product runs once per (row × probe), so it gets
+  * the full treatment: a binary expression with `doGenCode` that compiles to
+  * a tight primitive loop over the two `ArrayData`s — no boxing, no
+  * intermediate array, vectorizer-friendly.
+  *
+  * This is the one place the operator inventory justifies dropping below the
+  * DataFrame API (SURVEY §7: "custom Catalyst work needed: almost none"):
+  * everything else in the engine stays on built-ins.
+  */
+object VectorExpressions {
+
+  private def elemKind(dt: DataType): String = dt match {
+    case ArrayType(FloatType, _)  => "float"
+    case ArrayType(DoubleType, _) => "double"
+    case other                    => throw new IllegalArgumentException(
+      s"vector expression expects array<float|double>, got $other")
+  }
+
+  /** SUM(a[i]*b[i]) over two numeric arrays, accumulated in double.
+    * NULL if either side is NULL; lengths must match (min length used). */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with Serializable {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      (left.dataType, right.dataType) match {
+        case (ArrayType(lt, _), ArrayType(rt, _))
+            if Seq(FloatType, DoubleType).contains(lt) && lt == rt =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case _ =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"dot_product expects two array<float> or two array<double>, " +
+              s"got ${left.dataType} and ${right.dataType}")
+      }
+    }
+
+    private lazy val isFloat = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0d
+      var i = 0
+      if (isFloat) {
+        while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+      } else {
+        while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val get = if (isFloat) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += (double) $a.$get($i) * (double) $b.$get($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** sqrt(SUM(v[i]^2)) — L2 norm with the same codegen shape. */
+  case class L2Norm(child: Expression) extends UnaryExpression with Serializable {
+    override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"l2_norm expects array<float|double>, got $other")
+      }
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      var acc = 0.0d
+      var i = 0
+      val n = a.numElements()
+      if (isFloat) {
+        while (i < n) { val x = a.getFloat(i).toDouble; acc += x * x; i += 1 }
+      } else {
+        while (i < n) { val x = a.getDouble(i); acc += x * x; i += 1 }
+      }
+      math.sqrt(acc)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val get = if (isFloat) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val x = ctx.freshName("x")
+        s"""
+           |int $n = $a.numElements();
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = (double) $a.$get($i);
+           |  $acc += $x * $x;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($acc);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column API. */
+  def dot_product(a: Column, b: Column): Column =
+    GraftBridge.toColumn(DotProduct(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+  def l2_norm(v: Column): Column =
+    GraftBridge.toColumn(L2Norm(GraftBridge.toExpression(v)))
+
+  /** Cosine similarity via the native expressions (0 for zero norms). */
+  def cosine_sim(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val d = l2_norm(a) * l2_norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot_product(a, b) / d)
+  }
+
+  /** Register as SQL functions (`SELECT dot_product(a, b)`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_norm", exprs => L2Norm(exprs.head), "built-in")
+  }
+}

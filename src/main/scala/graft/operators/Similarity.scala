@@ -19,18 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Dot product of two same-typed float/double array columns, accumulated
+    * in double — a native codegen'd expression (see
+    * [[graft.functions.VectorExpressions]]); the `zip_with`/`aggregate`
+    * formulation runs interpreted and allocates per row. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dot_product(a, b)
 
-  /** L2 norm. */
-  def l2norm(v: Column): Column = sqrt(dot(v, v))
+  /** L2 norm (native codegen'd expression). */
+  def l2norm(v: Column): Column = graft.functions.VectorExpressions.l2_norm(v)
 
   /** Cosine similarity (0 for zero-norm vectors). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = l2norm(a) * l2norm(b)
-    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExpressions.cosine_sim(a, b)
 
   /** Deterministic pseudo-random hyperplane component for (table, plane,
     * dim): xxhash64 mapped to uniform [-1, 1). A signed-projection LSH only
@@ -65,10 +64,9 @@ object Similarity {
       query: Seq[Float],
       k: Int
   ): DataFrame = {
-    val qd = query.map(_.toDouble)
-    val qn = math.sqrt(qd.map(x => x * x).sum)
-    val q = array(qd.map(lit): _*)
-    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val qn = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+    val q = array(query.map(lit(_)): _*) // float literal array — no cast of the scan column
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"), dot(col("v"), q).as("dp"), l2norm(col("v")).as("nv"))
       .select(col("id"),
@@ -100,9 +98,10 @@ object Similarity {
       planes: Int = 6,
       tables: Int = 8
   ): DataFrame = {
-    val qv = array(query.map(x => lit(x.toDouble)): _*)
+    val qd = array(query.map(x => lit(x.toDouble)): _*)
+    val qf = array(query.map(lit(_)): _*)
     val probeSets = (0 until tables).map { t =>
-      val b = hyperplaneBucket(qv, planes, lit(t))
+      val b = hyperplaneBucket(qd, planes, lit(t))
       b +: (0 until planes).map(p => b.bitwiseXOR(lit(1L << p)))
     }
     val candidates = index
@@ -111,7 +110,7 @@ object Similarity {
         .reduce(_ || _))
       .select(col("id"), col("v")).distinct()
     candidates
-      .select(col("id"), round(cosine(col("v").cast("array<double>"), qv), 6).as("cosine"))
+      .select(col("id"), round(cosine(col("v"), qf), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }

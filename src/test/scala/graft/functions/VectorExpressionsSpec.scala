@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorExpressions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = sf("sf0.001", "embeddings").cache()
+
+  test("native dot/l2norm match the higher-order-function formulation exactly") {
+    val hofDot = aggregate(
+      zip_with($"embedding".cast("array<double>"), $"q".cast("array<double>"),
+        (x, y) => x * y),
+      lit(0.0d), (acc, v) => acc + v)
+    val q = vecs.limit(1).select($"embedding").head().getSeq[Float](0)
+    val df = vecs.withColumn("q", array(q.map(lit(_)): _*))
+    val rows = df.select(
+      dot_product($"embedding", $"q").as("native"),
+      hofDot.as("hof"),
+      l2_norm($"embedding").as("nnorm"),
+      sqrt(aggregate(zip_with($"embedding".cast("array<double>"),
+        $"embedding".cast("array<double>"), (x, y) => x * y), lit(0.0d),
+        (acc, v) => acc + v)).as("hnorm")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot mismatch")
+      assert(r.getDouble(2) == r.getDouble(3), "norm mismatch")
+    }
+  }
+
+  test("null and empty inputs") {
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
+      (None, Some(Seq(1.0f))),
+      (Some(Seq.empty[Float]), Some(Seq.empty[Float]))
+    ).toDF("a", "b")
+    val out = df.select(dot_product($"a", $"b")).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0))
+    assert(out(2).getDouble(0) == 0.0)
+  }
+
+  test("mismatched types are rejected at analysis") {
+    val df = Seq((Seq(1.0f), Seq(1.0))).toDF("a", "b")
+    intercept[Exception](df.select(dot_product($"a", $"b")).collect())
+  }
+
+  test("expressions run inside whole-stage codegen") {
+    val df = vecs.select(dot_product($"embedding", $"embedding").as("d"))
+    // whole-stage-codegen stages print as `*(n)` prefixes in the plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen span in:\n$plan")
+    assert(df.agg(sum($"d")).head().getDouble(0) > 0)
+  }
+
+  test("SQL registration: dot_product / l2_norm callable from SQL") {
+    VectorExpressions.register(spark)
+    vecs.createOrReplaceTempView("emb")
+    val r = spark.sql(
+      "SELECT l2_norm(embedding) AS n, dot_product(embedding, embedding) AS d FROM emb LIMIT 5")
+      .collect()
+    r.foreach(row => assert(math.abs(row.getDouble(0) * row.getDouble(0) - row.getDouble(1)) < 1e-9))
+  }
+}
