@@ -197,6 +197,55 @@ object SparkEntry {
       Similarity.annTopK(index, qv, 10)
     }),
 
+    // ---- wider SQL-operator coverage ----
+    "q28_cube" -> ((s, dir) =>
+      TestTables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(moneySum(col("o_totalprice")) / count(lit(1)), 4).as("avg_price"))),
+    "q29_in_subquery" -> ((s, dir) => {
+      val o = TestTables.orders(s, dir)
+      val bigSpenders = o.groupBy(col("o_custkey"))
+        .agg(moneySum(col("o_totalprice")).as("spend"))
+        .filter(col("spend") > 1000000)
+        .select(col("o_custkey").as("k"))
+      o.join(broadcast(bigSpenders), o("o_custkey") === bigSpenders("k"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    "q30_union_all" -> ((s, dir) => {
+      val e = TestTables.events(s, dir)
+      val hi = e.filter(col("value") > 90).select(col("event_id"), lit("hi").as("band"))
+      val lo = e.filter(col("value") < 10).select(col("event_id"), lit("lo").as("band"))
+      hi.unionAll(lo).groupBy(col("band")).agg(count(lit(1)).as("n")).orderBy(col("band"))
+    }),
+    "q31_subword_tokens" -> ((s, dir) =>
+      TestTables.documents(s, dir).select(col("doc_id"),
+        TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))),
+    "q32_quality_pipeline" -> ((s, dir) => {
+      // end-to-end training-data prep: quality-filter → exact-dedup → profile
+      val d = TestTables.documents(s, dir)
+      val scored = d.select(col("doc_id"), col("text"), col("lang"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val kept = scored.filter(col("quality") >= 0.7)
+      val deduped = kept.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+          min(col("quality")).as("quality"))
+      deduped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(moneySum(col("quality")) / count(lit(1)), 4).as("mean_quality"))
+        .orderBy(col("lang"))
+    }),
+    "q33_embedding_centroids" -> ((s, dir) => {
+      val e = TestTables.embeddings(s, dir)
+      e.select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("centroid_val"))
+        .filter(col("pos") < 4) // keep the oracle result compact
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // ---- generator engine smoke through the driver (no DuckDB oracle:
     //      DuckDB cannot run the generator) ----
     "gen_profile" -> ((s, _) => {
@@ -337,6 +386,48 @@ object SparkEntry {
     "q15_dedup_exact" ->
       ("SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies " +
         "FROM documents GROUP BY text"),
+    "q28_cube" ->
+      ("""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+         | round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_price
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""").stripMargin,
+    "q29_in_subquery" ->
+      ("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         |FROM orders WHERE o_custkey IN (
+         | SELECT o_custkey FROM orders GROUP BY o_custkey
+         | HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) > 1000000)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""").stripMargin,
+    "q30_union_all" ->
+      ("""SELECT band, CAST(count(*) AS BIGINT) AS n FROM (
+         | SELECT event_id, 'hi' AS band FROM events WHERE value > 90
+         | UNION ALL
+         | SELECT event_id, 'lo' AS band FROM events WHERE value < 10
+         |) GROUP BY band ORDER BY band""").stripMargin,
+    "q31_subword_tokens" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) " +
+        "AS BIGINT) AS n_subwords FROM documents"),
+    "q32_quality_pipeline" ->
+      (s"""WITH scored AS (
+         | SELECT doc_id, text, lang,
+         |  round(least(length(text) / 500.0, 1.0) * 0.5 +
+         |   (CASE WHEN round(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+         |      / CAST(greatest(length(text), 1) AS DOUBLE), 4) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |   (CASE WHEN round(CAST(len(list_filter($tokensSql, t -> list_contains($stopList, t))) AS DOUBLE)
+         |      / greatest(len($tokensSql), 1), 4) > 0.01 THEN 1.0 ELSE 0.6 END) * 0.25, 4) AS quality
+         | FROM documents),
+         |kept AS (SELECT * FROM scored WHERE quality >= 0.7),
+         |deduped AS (
+         | SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(quality) AS quality
+         | FROM kept GROUP BY text)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | round(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS mean_quality
+         |FROM deduped GROUP BY lang ORDER BY lang""").stripMargin,
+    "q33_embedding_centroids" ->
+      ("""SELECT label, CAST(i - 1 AS INT) AS pos,
+         | round(avg(CAST(x AS DOUBLE)), 6) AS centroid_val
+         |FROM (SELECT label, unnest(embedding) AS x,
+         |        generate_subscripts(embedding, 1) AS i FROM embeddings)
+         |WHERE i <= 4 GROUP BY label, i ORDER BY label, i""").stripMargin,
     "q24_cosine_topk" ->
       ("""WITH q AS (
          |  SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i

@@ -20,9 +20,11 @@ object TextOps {
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
   /** Sub-word token count under a BPE-ish regex: runs of letters, runs of
-    * digits, or single non-alphanumeric non-space characters. */
+    * digits, or single non-alphanumeric non-space characters. Formulated with
+    * `regexp_extract_all` (no lookarounds) so RE2-based engines — including
+    * the DuckDB oracle — compute the identical count. */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => length(trim(t)) > 0))
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Ratio of punctuation chars to all chars, 4 decimals. */
   def punctRatio(text: Column): Column =

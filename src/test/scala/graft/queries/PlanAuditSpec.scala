@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.ddl.Catalog
+
+/** Physical-plan audit: the properties that make these plans survive a 100×
+  * scale-up, asserted on the actual executed plans.
+  *
+  *  - filters reach the parquet scan (`PushedFilters`) → row-group skipping;
+  *  - projections prune the read schema → a 2-column query reads 2 columns;
+  *  - dimension joins broadcast → no shuffle of the fact table;
+  *  - top-k compiles to TakeOrderedAndProject → no global sort.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("predicate pushdown: scan workload filters appear in PushedFilters") {
+    val q = graft.SparkEntry.queries("q02_count_eq")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"),
+      s"missing pushed filter in:\n$p")
+  }
+
+  test("column pruning: token stats reads only doc_id and text") {
+    val q = graft.SparkEntry.queries("q16_token_stats")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"unpruned read schema in:\n$p")
+  }
+
+  test("dimension joins broadcast (no fact-side shuffle for q07)") {
+    val q = graft.SparkEntry.queries("q07_join_agg")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join in:\n$p")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val q = graft.SparkEntry.queries("q13_topk")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+  }
+
+  test("aggregation is two-phase (map-side partial combine) with pushed scan filter") {
+    val q = graft.SparkEntry.queries("q01_pricing_summary")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("partial_sum"), s"no map-side combine in:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed in:\n$p")
+  }
+
+  test("catalog introspection surface") {
+    Catalog.registerTestTables(spark, dir)
+    val tables = Catalog.showTables(spark).collect().map(_.getString(1)).toSet
+    assert(Catalog.TestTableNames.toSet.subsetOf(tables))
+    val desc = Catalog.describeTable(spark, "lineitem").collect().map(_.getString(0)).toSet
+    assert(desc.contains("l_orderkey") && desc.contains("l_shipdate"))
+    assert(Catalog.showCreateTable(spark, "orders").contains("o_totalprice DOUBLE"))
+    assert(Catalog.engineVersion(spark).startsWith("4."))
+  }
+}
