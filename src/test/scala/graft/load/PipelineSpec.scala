@@ -53,6 +53,35 @@ class PipelineSpec extends SparkSpec {
     assert(Tables.partitionTransform("country")._1 == "country")
   }
 
+  test("ORC format variants write and read back (reference allows PARQUET|ORC|AVRO; " +
+    "AVRO needs the spark-avro connector, absent in this environment)") {
+    val wh = Files.createTempDirectory("graft_orc").toString
+    val cfg = Schemas.narrowOrders.copy(format = "ORC")
+    val codec = CodecSpec("zstd", 3)
+    val path = Tables.variantPath(wh, cfg, codec)
+    val df = graft.gen.Generator.generate(spark, cfg, 1, 5000, 1, Some(2))
+    Tables.writeBatch(df, path, 0, codec, cfg.format)
+    val back = Tables.read(spark, path, cfg.format)
+    assert(back.count() == 5000)
+    assert(back.columns.contains("user_name"))
+    val size = Sizes.measure(spark, "orc_t", path, codec, cfg.format)
+    assert(size.rows == 5000 && size.data_bytes > 0)
+  }
+
+  test("zstd level plumb-through: level 9 compresses tighter than level 1") {
+    val wh = Files.createTempDirectory("graft_lvl").toString
+    val cfg = Schemas.narrowOrders
+    // enum/string-heavy data compresses; levels must actually reach the codec
+    val df = graft.gen.Generator.generate(spark, cfg, 1, 50000, 1, Some(2)).cache()
+    Tables.writeBatch(df, s"$wh/l1", 0, CodecSpec("zstd", 1))
+    Tables.writeBatch(df, s"$wh/l19", 0, CodecSpec("zstd", 19))
+    val b1 = Sizes.measure(spark, "l1", s"$wh/l1", CodecSpec("zstd", 1)).data_bytes
+    val b19 = Sizes.measure(spark, "l19", s"$wh/l19", CodecSpec("zstd", 19)).data_bytes
+    info(s"zstd l1=$b1 bytes, l19=$b19 bytes")
+    assert(b19 < b1, s"level 19 ($b19) not smaller than level 1 ($b1)")
+    df.unpersist()
+  }
+
   test("end-to-end variant load: checkpointed batches, sizes, partitioned variant") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val cp = Files.createTempDirectory("graft_cp").toString
