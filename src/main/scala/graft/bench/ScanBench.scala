@@ -1,0 +1,107 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.Schemas
+import graft.ddl.Tables
+import graft.load.Loader
+import graft.model.{CodecSpec, LoadPlan}
+
+/** Scan-throughput benchmark reproducing the reference's measured ad-hoc
+  * workload on the wide `events` table (reference: temp.md:39-105 — varchar
+  * equality, timestamp eq/gt/range/BETWEEN, LIKE at three selectivities,
+  * conjunctive composite, predicated LIMIT) so rows/s compares directly
+  * against BASELINE.md.
+  *
+  * Generates (or reuses) `events_zstd_l06` at SCAN_ROWS rows under WAREHOUSE,
+  * then times each query with warmup + measured iterations and prints one
+  * JSON line per query: {"query":…,"sec":…,"mrows_per_s":…}.
+  */
+object ScanBench {
+  def env(k: String, d: String): String = sys.env.getOrElse(k, d)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = env("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scanbench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // a LIMIT with a selective predicate otherwise scans 1 → 4 → 16 …
+      // partitions in sequential waves with idle cores
+      .config("spark.sql.limit.initialNumPartitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val rows = env("SCAN_ROWS", "10000000").toLong
+    val warehouse = env("WAREHOUSE", "/tmp/graft_scan")
+    val warmup = env("BENCH_WARMUP", "1").toInt
+    val iters = env("BENCH_ITERS", "3").toInt
+    val cfg = Schemas.wideEvents
+    val codec = CodecSpec("zstd", 6)
+    val path = Tables.variantPath(warehouse, cfg, codec)
+    val plan = LoadPlan(totalRows = rows, batchRows = env("BATCH_ROWS", "2500000").toLong,
+      concurrency = 2, checkpointDir = s"$warehouse/.checkpoints")
+
+    val t0 = System.nanoTime()
+    val ran = Loader.loadTable(spark, cfg, plan, codec, path, quiet = true)
+    if (ran > 0)
+      System.err.println(f"[scanbench] loaded $ran batches in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // No engine-side cache: queries scan the (OS-page-cached) parquet like
+    // the reference's warm Trino runs — that's the comparable condition, and
+    // a 10M-row wide table materialized in executor memory would measure the
+    // cache, not the scan.
+    val df = Tables.read(spark, path)
+    val total = df.count()
+    System.err.println(s"[scanbench] table ready: $total rows")
+
+    // sample live predicate values like the reference's interactive session did
+    val sample = df.select("row_3", "row_1").head()
+    val eqVal = sample.getString(0)
+    val tsVal = sample.getTimestamp(1)
+
+    val queries: Seq[(String, DataFrame)] = Seq(
+      "count_eq_varchar7" -> df.filter(col("row_3") === eqVal),
+      "count_eq_varchar1" -> df.filter(col("row_5") === "e"),
+      "count_eq_ts" -> df.filter(col("row_1") === tsVal),
+      "count_gt_ts" -> df.filter(col("row_1") > lit("2024-11-01").cast("timestamp")),
+      "count_range_ts" -> df.filter(col("row_1") > lit("2024-11-01").cast("timestamp") &&
+        col("row_1") < lit("2024-11-20").cast("timestamp")),
+      "count_between_ts" -> df.filter(col("row_1").between(
+        lit("2024-11-01").cast("timestamp"), lit("2024-11-20").cast("timestamp"))),
+      "count_like3" -> df.filter(col("row_32").contains("50c")),
+      "count_like5" -> df.filter(col("row_32").contains("50ccb")),
+      "count_like7" -> df.filter(col("row_32").contains("50ccb74")),
+      "count_composite" -> df.filter(col("row_32").contains("50c") &&
+        col("row_1").between(lit("2024-11-01").cast("timestamp"),
+          lit("2024-11-20").cast("timestamp")) && col("row_16") < 80)
+    )
+
+    queries.foreach { case (name, q) =>
+      (1 to warmup).foreach(_ => q.count())
+      val times = (1 to iters).map { _ =>
+        val s = System.nanoTime(); val n = q.count(); (System.nanoTime() - s) / 1e9 -> n
+      }
+      val mean = times.map(_._1).sum / iters
+      val hits = times.head._2
+      println(f"""{"query":"$name","sec":$mean%.4f,"mrows_per_s":${total / mean / 1e6}%.1f,"hits":$hits,"rows":$total}""")
+    }
+    // predicated SELECT * LIMIT 10 (temp.md:39-66) — two-phase late
+    // materialization (see Workload.selectWhereLimitLateMat): a naive
+    // wide-row limit pays a full 90-column decode of the whole table
+    def limitQuery(): Unit =
+      graft.queries.Workload
+        .selectWhereLimitLateMat(df, col("row_3") === eqVal, "id", 10)
+        .collect()
+    (1 to warmup).foreach(_ => limitQuery())
+    val ts2 = (1 to iters).map { _ =>
+      val s = System.nanoTime(); limitQuery(); (System.nanoTime() - s) / 1e9
+    }
+    println(f"""{"query":"select_limit10","sec":${ts2.sum / iters}%.4f,"rows":$total}""")
+    spark.stop()
+  }
+}

@@ -20,13 +20,17 @@ import graft.model.TableConfig
 object Generator {
 
   /** Target rows per generated partition: keeps task sizes bounded at any
-    * scale (a 1B-row wide load → ~1000 tasks, not 32). */
-  val RowsPerPartition: Long = 1L << 20
+    * scale (a 1B-row wide load → ~4000 tasks, not 32). 2^18 wide rows ≈
+    * 80 MB uncompressed — small enough that a 100k-row batch still fans out
+    * across executors, large enough to amortize task overhead. */
+  val RowsPerPartition: Long = 1L << 18
 
+  /** ceil(rows / RowsPerPartition), clamped to [1, 4 × parallelism] so one
+    * generate() call can saturate the cluster without flooding the
+    * scheduler; concurrent batch loads multiply this naturally. */
   def partitionsFor(spark: SparkSession, rows: Long): Int = {
     val byRows = ((rows + RowsPerPartition - 1) / RowsPerPartition).toInt
-    math.max(spark.sparkContext.defaultParallelism.min(byRows), 1)
-      .max(math.min(byRows, 4 * spark.sparkContext.defaultParallelism))
+    math.max(1, math.min(byRows, 4 * spark.sparkContext.defaultParallelism))
   }
 
   /** Generate `[startId, startId+rows)` rows of `cfg`'s schema. */

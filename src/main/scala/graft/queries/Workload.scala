@@ -37,4 +37,23 @@ object Workload {
     * `SELECT * … LIMIT 10`, temp.md:39-66, made order-stable for testing). */
   def selectWhereLimit(df: DataFrame, pred: Column, orderCol: String, n: Int): DataFrame =
     df.filter(pred).orderBy(col(orderCol)).limit(n)
+
+  /** `SELECT * WHERE p LIMIT n` via two-phase late materialization.
+    *
+    * Spark's vectorized Parquet reader decodes every projected column of
+    * every scanned batch — a `SELECT *` limit over a wide table pays a
+    * full-width decode even when the filter matches almost nothing (measured
+    * 50-100× slower than the equivalent COUNT on a 90-column table). Phase 1
+    * scans only (filter column, id) and takes n matching ids; phase 2
+    * refetches those rows through an `IN` filter on `idCol`, which pushes to
+    * parquet row-group statistics — with sequentially-generated ids the
+    * min/max ranges are tight, so the wide decode touches only the few row
+    * groups that contain hits. Same result, scan cost ∝ hits instead of
+    * table width × table size.
+    */
+  def selectWhereLimitLateMat(df: DataFrame, pred: Column, idCol: String, n: Int): DataFrame = {
+    val ids = df.filter(pred).select(col(idCol)).limit(n).collect().map(_.get(0))
+    if (ids.isEmpty) df.filter(lit(false))
+    else df.filter(col(idCol).isin(ids.toIndexedSeq: _*))
+  }
 }
