@@ -196,6 +196,13 @@ object SparkEntry {
       val qv = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
       Similarity.annTopK(index, qv, 10)
     }),
+    "q34_ivf_topk" -> ((s, dir) => {
+      val emb = TestTables.embeddings(s, dir)
+      val cb = graft.operators.Ivf.train(emb, "embedding", k = 16, iters = 3)
+      val index = graft.operators.Ivf.buildIndex(emb, "vec_id", "embedding", cb)
+      val qv = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      graft.operators.Ivf.topK(index, cb, qv, 10, nprobe = 4)
+    }),
 
     // ---- wider SQL-operator coverage ----
     "q28_cube" -> ((s, dir) =>

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = sf("sf0.001", "embeddings").cache()
+
+  test("training is deterministic and assignments cover the corpus") {
+    val cb1 = Ivf.train(emb, "embedding", k = 8, iters = 3)
+    val cb2 = Ivf.train(emb, "embedding", k = 8, iters = 3)
+    assert(cb1.centroids.map(_.toSeq).toSeq == cb2.centroids.map(_.toSeq).toSeq)
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", cb1).cache()
+    assert(index.count() == emb.count())
+    val clusters = index.groupBy("cluster").count().collect()
+    assert(clusters.length > 1, "degenerate clustering")
+    // every vector in exactly one cluster
+    assert(index.select("id").distinct().count() == emb.count())
+  }
+
+  test("IVF top-k recall vs brute force beats the probe fraction") {
+    val cb = Ivf.train(emb, "embedding", k = 8, iters = 3)
+    val index = Ivf.buildIndex(emb, "vec_id", "embedding", cb).cache()
+    val q = emb.filter($"vec_id" === 0).head().getSeq[Float](1)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val approx = Ivf.topK(index, cb, q, 10, nprobe = 3)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val recall = (exact & approx).size / 10.0
+    info(s"IVF recall@10 = $recall at nprobe=3/8 (scan fraction ~3/8)")
+    assert(approx.contains(0L), "query vector itself must be found")
+    assert(recall >= 0.5, s"recall $recall below 0.5")
+  }
+}
