@@ -196,6 +196,8 @@ object SparkEntry {
       val qv = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
       Similarity.annTopK(index, qv, 10)
     }),
+    "q35_knn_join" -> ((s, dir) =>
+      Similarity.knnJoin(TestTables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
     "q34_ivf_topk" -> ((s, dir) => {
       val emb = TestTables.embeddings(s, dir)
       val cb = graft.operators.Ivf.train(emb, "embedding", k = 16, iters = 3)

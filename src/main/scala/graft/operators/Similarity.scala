@@ -76,6 +76,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch k-NN join: for every row of `df`, its `k` nearest other rows by
+    * cosine, candidates restricted to shared LSH buckets (multi-probe on the
+    * left side via 1-bit flips). The join shuffles on (table, bucket) — the
+    * same O(candidates) shape as the dedup LSH joins, never O(N²) — and the
+    * per-left top-k is a window rank over the candidate set.
+    *
+    * Returns (id_a, id_b, cosine, rank) with rank 1..k per id_a. */
+  def knnJoin(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 6,
+      tables: Int = 8
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("norm", l2norm(col("v")))
+      .filter(col("norm") > 0)
+    val buckets = base.select(col("id"), col("v"), col("norm"),
+      posexplode(transform(sequence(lit(0), lit(tables - 1)),
+        t => hyperplaneBucket(col("v"), planes, t))))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+      .persist()
+    // multi-probe only the query (left) side: exact bucket + 1-bit flips
+    val probed = buckets.select(col("id"), col("v"), col("norm"), col("table"),
+      explode(array(col("bucket") +:
+        (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+    val l = probed.select(col("table"), col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("norm").as("norm_a"))
+    val r = buckets.select(col("table"), col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("norm").as("norm_b"))
+    val scored = l.join(r, Seq("table", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 6).as("cosine"))
+      .groupBy("id_a", "id_b") // a pair can meet in several buckets; scalar-only shuffle
+      .agg(max("cosine").as("cosine"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Precompute the LSH index: (id, vec, table, bucket) — at scale this is
     * written once, clustered by (table, bucket). */
   def buildLshIndex(df: DataFrame, idCol: String, vecCol: String,

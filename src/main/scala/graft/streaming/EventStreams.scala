@@ -44,6 +44,16 @@ object EventStreams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Streaming exact dedup on an id column: state is bounded by the
+    * watermark horizon (`dropDuplicatesWithinWatermark`), so an at-least-once
+    * upstream (Kafka, file redelivery) collapses to exactly-once rows without
+    * unbounded key state — the streaming face of [[graft.operators.Dedup.exact]]. */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+      watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
+    else events.dropDuplicates(idCol)
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
       value: Double)
   case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)

@@ -102,6 +102,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("knnJoin: planted duplicates are each other's rank-1 neighbor") {
+    val emb = sf(dir, "embeddings")
+    val dup = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding", $"label")
+    val all = emb.unionByName(dup)
+    val nn = Similarity.knnJoin(all, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    (0 until 3).foreach { i =>
+      val top = nn.filter(p => p._1 == i && p._4 == 1)
+      assert(top.nonEmpty && top.head._2 == i + 10000 && top.head._3 > 0.999,
+        s"vector $i's rank-1 neighbor should be its planted copy, got ${top.toSeq}")
+    }
+    // every left id has at most k ranked neighbors, ranks are 1..k
+    nn.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
   test("annTopK recall vs brute-force cosine top-k") {
     val emb = sf(dir, "embeddings").cache()
     val q = emb.filter($"vec_id" === 0).head().getSeq[Float](1)

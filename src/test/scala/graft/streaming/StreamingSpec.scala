@@ -69,6 +69,25 @@ class StreamingSpec extends SparkSpec {
       (2L, ts(2), ts(2), 1L)))
   }
 
+  test("streaming dedup collapses redelivered events within the watermark") {
+    val dup = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(0), 1, "click", 1.0), // exact redelivery
+      Event(2, ts(1), 1, "view", 2.0),
+      Event(2, ts(1, 30), 1, "view", 2.0), // same id, slightly later ts
+      Event(3, ts(2), 2, "click", 3.0)
+    )
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(dup: _*)
+    val q = EventStreams.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("file-source streaming reads the events table incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // testdata events carry NANOS timestamps — stage through our accessor
