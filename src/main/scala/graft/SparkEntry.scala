@@ -196,6 +196,22 @@ object SparkEntry {
       val qv = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
       Similarity.annTopK(index, qv, 10)
     }),
+    "q36_tfidf" -> ((s, dir) => {
+      val d = TestTables.documents(s, dir)
+      val n = d.count()
+      val terms = d.select(col("doc_id"),
+        explode(TextOps.tokens(lower(col("text")))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfreq), "term")
+        .withColumn("tfidf",
+          round(col("tf") * (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3 && col("doc_id") < 50)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+    }),
     "q35_knn_join" -> ((s, dir) =>
       Similarity.knnJoin(TestTables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
     "q34_ivf_topk" -> ((s, dir) => {
@@ -437,6 +453,22 @@ object SparkEntry {
          |FROM (SELECT label, unnest(embedding) AS x,
          |        generate_subscripts(embedding, 1) AS i FROM embeddings)
          |WHERE i <= 4 GROUP BY label, i ORDER BY label, i""").stripMargin,
+    "q36_tfidf" ->
+      (s"""WITH terms AS (
+         |  SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS c FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |   round(tf * (ln(((SELECT c FROM n) + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+         |  FROM tf JOIN dfreq USING (term)),
+         |ranked AS (
+         |  SELECT doc_id, term, tfidf,
+         |   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, tfidf, rank FROM ranked
+         |WHERE rank <= 3 AND doc_id < 50""").stripMargin,
     "q24_cosine_topk" ->
       ("""WITH q AS (
          |  SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
