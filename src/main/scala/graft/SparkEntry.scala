@@ -198,14 +198,20 @@ object SparkEntry {
     }),
     "q36_tfidf" -> ((s, dir) => {
       val d = TestTables.documents(s, dir)
-      val n = d.count()
+      // Corpus size as a 1-row aggregate cross-joined in (always broadcast-
+      // safe) — not a driver-side count() action, which would add a full
+      // extra scan before the query starts. The tf⋈dfreq join carries no
+      // broadcast hint: the term dictionary of a web-scale corpus is
+      // unbounded (Zipf), so AQE broadcasts only when dfreq actually fits
+      // and shuffle-joins otherwise.
+      val n = d.agg(count(lit(1)).as("n_docs"))
       val terms = d.select(col("doc_id"),
         explode(TextOps.tokens(lower(col("text")))).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = tf.join(broadcast(dfreq), "term")
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
         .withColumn("tfidf",
-          round(col("tf") * (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+          round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 4))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
       scored.withColumn("rank", row_number().over(w))

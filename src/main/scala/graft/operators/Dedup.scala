@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashExpressions
+
 /** Deduplication operators for training-data pipelines, each designed for
   * the 100 TB case:
   *
@@ -13,21 +15,23 @@ import org.apache.spark.sql.functions._
   *  - n-gram Jaccard: inverted-index join with a hot-shingle cutoff so the
   *    shuffle stays bounded under Zipfian shingle frequencies.
   *
-  * Signature computation is pure Catalyst expressions (higher-order functions
-  * over token arrays) — no UDFs. Two execution-shape rules learned the hard
-  * way and applied everywhere:
+  * Execution-shape rules applied everywhere:
   *
-  *  1. **Stage expensive array expressions as real projection steps.**
-  *     Higher-order functions evaluate interpreted; an expression like
-  *     `transform(seq(0,63), i -> f(shingles(text)))` re-evaluates the whole
-  *     shingle pipeline (including the regex split) 64× per row. Separate
-  *     `select`s materialize tokens → shingles → signature once per row, and
-  *     `CollapseProject` keeps them apart because the references are non-cheap
-  *     and multiply used.
-  *  2. **Repartition before the signature stage.** A small corpus can arrive
-  *     as one parquet split; signature computation is CPU-bound and must use
-  *     every core. At scale the input is already wide — the repartition is
-  *     then a cheap rebalance of an embarrassingly parallel stage.
+  *  1. **Signatures are native codegen'd expressions**
+  *     ([[graft.functions.HashExpressions]]) — the higher-order-function
+  *     formulations never enter whole-stage codegen and re-walk the token
+  *     array once per hash slot. The native loops hash each element once.
+  *  2. **Stage expensive array expressions as real projection steps**
+  *     (tokens → shingles → signature), so each runs once per row.
+  *  3. **Widen only when narrow** ([[Stage.ensureWide]]): a small corpus can
+  *     arrive as one parquet split and must fan out to every core, but an
+  *     input that is already wide is left alone — no unconditional shuffle
+  *     of the corpus payload.
+  *  4. **Self-joins are symmetric over one canonical plan**: both sides of
+  *     each banded candidate join are the same aliased frame, so Spark
+  *     shuffles the signature pipeline once and the second side reads the
+  *     `ReusedExchange` — no `persist()`, nothing left in executor storage
+  *     after the action completes.
   */
 object Dedup {
 
@@ -51,32 +55,31 @@ object Dedup {
     * Prefer the staged [[shinglesFromTokens]] inside dataframe pipelines. */
   def shingles(text: Column, n: Int = 3): Column = shinglesFromTokens(toks(text), n)
 
-  /** (id, shingles) projection, staged and repartitioned for the CPU-bound
-    * signature stages that follow. */
-  private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    df.select(col(idCol).as("id"), toks(col(textCol)).as("tk"))
-      .repartition(parallelism)
-      .select(col("id"), shinglesFromTokens(col("tk"), shingleLen).as("sh"))
-  }
+  /** (id, tokens) projection staged for the CPU-bound signature stages that
+    * follow; widened only if the input arrives narrow. Shingling itself is
+    * fused into the native signature expressions — materializing shingle
+    * strings through `transform`/`concat_ws` HOFs would pull the whole
+    * projection out of whole-stage codegen. */
+  private def tokenFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Stage.ensureWide(df.select(col(idCol).as("id"), toks(col(textCol)).as("tk")))
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum xxhash64 over the row's shingle set. Scan-local, no shuffle. */
+  /** MinHash signature: `numHashes` longs, slot `i` = min over the shingle
+    * set of a per-slot avalanche mix of the shingle's xxhash64. Native
+    * codegen'd expression — one byte pass per shingle, `numHashes` integer
+    * mixes, no intermediate arrays. Scan-local, no shuffle. */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
+    HashExpressions.minhash_signature(sh, numHashes)
 
-  /** Estimated Jaccard from two signatures: fraction of agreeing slots. */
+  /** Estimated Jaccard from two signatures: fraction of agreeing slots
+    * (native codegen'd scalar — no intermediate arrays). */
   def signatureSimilarity(a: Column, b: Column): Column =
-    size(filter(zip_with(a, b, (x, y) => x === y), identity(_))) /
-      size(a).cast("double")
+    HashExpressions.signature_agreement(a, b)
 
   /** MinHash + LSH near-duplicate pairs.
     *
     * signatures → `bands` bands of `numHashes/bands` rows each → bucket id =
-    * xxhash64(band slice) → self-join per (band, bucket) → distinct candidate
-    * pairs → keep pairs whose signature similarity ≥ `threshold`.
+    * xxhash64(band slice) → self-join per (band, bucket) → candidate pairs →
+    * keep pairs whose signature similarity ≥ `threshold`.
     *
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     */
@@ -91,23 +94,23 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sig = shingleFrame(df, idCol, textCol, shingleLen)
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-    // Self-joined below: persist so the signature pipeline (the expensive
-    // part) runs once, not once per join side. At cluster scale this frame
-    // would be checkpointed to storage instead.
-    val banded = sig.select(
-      col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+    // Fused shingling+signature (one native codegen'd pass per row; MinHash
+    // over the shingle multiset equals MinHash over the distinct set).
+    val sig = tokenFrame(df, idCol, textCol)
+      .select(col("id"),
+        HashExpressions.minhash_shingles(col("tk"), shingleLen, numHashes).as("sig"))
+    // Band buckets as a static array of codegen'd slice hashes — not a
+    // higher-order `transform`, which would evaluate interpreted.
+    val bandBuckets = array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+    val banded = sig.select(col("id"), col("sig"), posexplode(bandBuckets))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .persist()
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        signatureSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        signatureSimilarity(col("l.sig"), col("r.sig")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .groupBy("id_a", "id_b")
       .agg(round(max("est_jaccard"), 6).as("est_jaccard"))
@@ -115,22 +118,8 @@ object Dedup {
 
   /** 64-bit SimHash from a token-array column: bit j of the signature is set
     * iff the sum over tokens of ±1 (sign of bit j of xxhash64(token)) is
-    * positive. */
-  def simhashFromTokens(tk: Column): Column = {
-    val counters = aggregate(
-      transform(tk, t => xxhash64(t)),
-      array_repeat(lit(0), 64),
-      (acc, h) =>
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (c, j) => c + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1)
-            .otherwise(-1))
-    )
-    aggregate(
-      zip_with(counters, sequence(lit(0), lit(63)),
-        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, bit) => acc.bitwiseOR(bit))
-  }
+    * positive. Native codegen'd expression. */
+  def simhashFromTokens(tk: Column): Column = HashExpressions.simhash64(tk)
 
   /** SimHash of lowercased whitespace tokens of `text`. */
   def simhash(text: Column): Column = simhashFromTokens(toks(text))
@@ -144,21 +133,18 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val sig = df.select(col(idCol).as("id"), toks(col(textCol)).as("tk"))
-      .repartition(parallelism)
+    val sig = Stage.ensureWide(df.select(col(idCol).as("id"), toks(col(textCol)).as("tk")))
       .select(col("id"), simhashFromTokens(col("tk")).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xffff))))
+    val chunks = array((0 until 4).map(b =>
+      shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)
+    val banded = sig.select(col("id"), col("sig"), posexplode(chunks))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-      .persist()
-    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
@@ -181,20 +167,23 @@ object Dedup {
   ): DataFrame = {
     // Shuffle on a 64-bit shingle hash, not the shingle string: the window
     // count, the join key, and the exchange payload all shrink, and xxhash64
-    // collisions are negligible for intersection counting.
-    val sh = shingleFrame(df, idCol, textCol, shingleLen)
-      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-      .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
+    // collisions are negligible for intersection counting. The distinct
+    // hashes come from one native codegen'd pass (the strings are never
+    // materialized into the plan).
+    val sh = tokenFrame(df, idCol, textCol)
+      .select(col("id"), HashExpressions.shingle_hashes(col("tk"), shingleLen).as("shs"))
+      .select(col("id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh_h"))
     val filtered = sh
       .withColumn("freq", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("sh_h")))
       .filter(col("freq") <= maxShingleFreq)
-      .persist()
-    val l = filtered.select(col("sh_h"), col("id").as("id_a"), col("n_sh").as("n_a"))
-    val r = filtered.select(col("sh_h"), col("id").as("id_b"), col("n_sh").as("n_b"))
-    l.join(r, Seq("sh_h"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .select(col("id"), col("n_sh"), col("sh_h"))
+    val l = filtered.as("l")
+    val r = filtered.as("r")
+    l.join(r, col("l.sh_h") === col("r.sh_h"))
+      .filter(col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.n_sh").as("n_a"), col("r.n_sh").as("n_b"))
       .agg(count(lit(1)).as("inter"))
       .select(col("id_a"), col("id_b"),
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
@@ -203,8 +192,9 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from
-    * random-hyperplane LSH buckets (see [[Similarity.hyperplaneBucket]]) —
-    * the same banded-join shape as MinHash, so no O(N²) scan. */
+    * random-hyperplane LSH buckets — the same banded-join shape as MinHash,
+    * so no O(N²) scan. Bucket assignment is one native codegen'd array pass
+    * per row ([[graft.functions.HashExpressions.HyperplaneBuckets]]). */
   def embeddingNearDups(
       df: DataFrame,
       idCol: String,
@@ -213,24 +203,18 @@ object Dedup {
       planes: Int = 16,
       tables: Int = 4
   ): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .repartition(parallelism)
+    val base = Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("norm", Similarity.l2norm(col("v")))
       .filter(col("norm") > 0)
-    val banded = sig.select(col("id"), col("v"), col("norm"),
-      posexplode(transform(sequence(lit(0), lit(tables - 1)),
-        t => Similarity.hyperplaneBucket(col("v"), planes, t))))
+    val banded = base.select(col("id"), col("v"), col("norm"),
+      posexplode(HashExpressions.hyperplane_buckets(col("v"), planes, tables)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-      .persist()
-    val l = banded.select(col("table"), col("bucket"), col("id").as("id_a"),
-      col("v").as("v_a"), col("norm").as("norm_a"))
-    val r = banded.select(col("table"), col("bucket"), col("id").as("id_b"),
-      col("v").as("v_b"), col("norm").as("norm_b"))
-    l.join(r, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(Similarity.dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 6)
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(Similarity.dot(col("l.v"), col("r.v")) / (col("l.norm") * col("r.norm")), 6)
           .as("cosine"))
       .filter(col("cosine") >= threshold)
       .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))

@@ -3,10 +3,14 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashExpressions
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
-  * Vector math is `zip_with`/`aggregate` higher-order expressions in double
-  * precision — codegen'd, scan-local, no UDFs. Two search paths:
+  * Vector math and LSH bucket assignment are native codegen'd Catalyst
+  * expressions ([[graft.functions.VectorExpressions]],
+  * [[graft.functions.HashExpressions.HyperplaneBuckets]]) — scan-local, no
+  * UDFs, no interpreted higher-order functions. Two search paths:
   *
   *  - [[cosineTopK]]: brute-force exact top-k — the correctness baseline;
   *    one scan plus a tiny top-k reduce (TakeOrderedAndProject), fine when
@@ -20,9 +24,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two same-typed float/double array columns, accumulated
-    * in double — a native codegen'd expression (see
-    * [[graft.functions.VectorExpressions]]); the `zip_with`/`aggregate`
-    * formulation runs interpreted and allocates per row. */
+    * in double — a native codegen'd expression. */
   def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dot_product(a, b)
 
   /** L2 norm (native codegen'd expression). */
@@ -31,32 +33,18 @@ object Similarity {
   /** Cosine similarity (0 for zero-norm vectors). */
   def cosine(a: Column, b: Column): Column = graft.functions.VectorExpressions.cosine_sim(a, b)
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim): xxhash64 mapped to uniform [-1, 1). A signed-projection LSH only
-    * needs sign agreement, so uniform components are sufficient. */
-  private def planeComponent(table: Column, plane: Column, dim: Column): Column =
-    shiftrightunsigned(xxhash64(table, plane, dim), 11) / lit(4503599627370496.0d) - 1.0d
-
-  /** LSH bucket id for a vector in one hash table: the `planes`-bit sign
-    * pattern of projections onto deterministic hyperplanes. */
-  def hyperplaneBucket(v: Column, planes: Int, table: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(planes - 1)), p => {
-        val proj = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, i) => x * planeComponent(table, p, i)),
-          lit(0.0d), (acc, x) => acc + x)
-        when(proj >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  /** All `tables` LSH bucket ids for a vector, as one native array pass.
+    * Bucket `t` is the `planes`-bit sign pattern of projections onto
+    * deterministic xxhash64-derived hyperplanes. */
+  def hyperplaneBuckets(v: Column, planes: Int, tables: Int): Column =
+    HashExpressions.hyperplane_buckets(v, planes, tables)
 
   /** Exact brute-force cosine top-k against a literal query vector.
     * Returns (id, cosine) ordered by similarity desc, id asc tie-break.
     *
-    * Staged (cast → dot/norm → score) so each interpreted array pass runs
-    * once per row, and repartitioned so a single-file corpus still uses every
-    * core; the top-k itself is a TakeOrderedAndProject (per-partition heaps,
-    * no global sort). */
+    * Staged (project → dot/norm → score) so each array pass runs once per
+    * row, widened only if the corpus arrives narrow; the top-k itself is a
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
   def cosineTopK(
       df: DataFrame,
       idCol: String,
@@ -66,8 +54,7 @@ object Similarity {
   ): DataFrame = {
     val qn = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
     val q = array(query.map(lit(_)): _*) // float literal array — no cast of the scan column
-    df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .select(col("id"), dot(col("v"), q).as("dp"), l2norm(col("v")).as("nv"))
       .select(col("id"),
         when(col("nv") === 0, lit(0.0))
@@ -82,6 +69,11 @@ object Similarity {
     * same O(candidates) shape as the dedup LSH joins, never O(N²) — and the
     * per-left top-k is a window rank over the candidate set.
     *
+    * The bucket stream feeds both join sides; recomputing it on the right is
+    * one extra columnar scan plus a native hash pass — cheaper at scale than
+    * pinning the corpus in executor storage (a `persist()` here would leak
+    * the banded frame for the session lifetime).
+    *
     * Returns (id_a, id_b, cosine, rank) with rank 1..k per id_a. */
   def knnJoin(
       df: DataFrame,
@@ -92,15 +84,12 @@ object Similarity {
       tables: Int = 8
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val base = Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("norm", l2norm(col("v")))
       .filter(col("norm") > 0)
     val buckets = base.select(col("id"), col("v"), col("norm"),
-      posexplode(transform(sequence(lit(0), lit(tables - 1)),
-        t => hyperplaneBucket(col("v"), planes, t))))
+      posexplode(hyperplaneBuckets(col("v"), planes, tables)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-      .persist()
     // multi-probe only the query (left) side: exact bucket + 1-bit flips
     val probed = buckets.select(col("id"), col("v"), col("norm"), col("table"),
       explode(array(col("bucket") +:
@@ -119,21 +108,26 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Precompute the LSH index: (id, vec, table, bucket) — at scale this is
+  /** Precompute the LSH index: (id, v, table, bucket) — at scale this is
     * written once, clustered by (table, bucket). */
   def buildLshIndex(df: DataFrame, idCol: String, vecCol: String,
       planes: Int = 6, tables: Int = 8): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), col("v"),
-        posexplode(transform(sequence(lit(0), lit(tables - 1)),
-          t => hyperplaneBucket(col("v"), planes, t))))
+        posexplode(hyperplaneBuckets(col("v"), planes, tables)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
 
   /** Approximate top-k: score only rows sharing an LSH bucket with the query
     * in any table — multi-probe: besides the exact bucket, probe every bucket
     * whose sign pattern differs in one bit (the planes the query is closest
     * to crossing). Scan fraction per table ≈ (planes+1)/2^planes; recall
-    * rises steeply with `tables`. Candidates are then exact-ranked. */
+    * rises steeply with `tables`. Candidates are then exact-ranked.
+    *
+    * Probe bucket ids are computed driver-side
+    * ([[graft.functions.HashExpressions.hyperplaneBucketLocal]], bit-identical
+    * to the stored assignment) and pushed as one `In` filter per table —
+    * at rest, with the index clustered by (table, bucket), this prunes to a
+    * handful of files. */
   def annTopK(
       index: DataFrame,
       query: Seq[Float],
@@ -141,16 +135,14 @@ object Similarity {
       planes: Int = 6,
       tables: Int = 8
   ): DataFrame = {
-    val qd = array(query.map(x => lit(x.toDouble)): _*)
+    val qd = query.map(_.toDouble)
     val qf = array(query.map(lit(_)): _*)
-    val probeSets = (0 until tables).map { t =>
-      val b = hyperplaneBucket(qd, planes, lit(t))
-      b +: (0 until planes).map(p => b.bitwiseXOR(lit(1L << p)))
-    }
     val candidates = index
-      .filter((0 until tables).map(t =>
-          col("table") === t && probeSets(t).map(col("bucket") === _).reduce(_ || _))
-        .reduce(_ || _))
+      .filter((0 until tables).map { t =>
+          val b = HashExpressions.hyperplaneBucketLocal(qd, planes, t)
+          val probes = b +: (0 until planes).map(p => b ^ (1L << p))
+          col("table") === t && col("bucket").isin(probes: _*)
+        }.reduce(_ || _))
       .select(col("id"), col("v")).distinct()
     candidates
       .select(col("id"), round(cosine(col("v"), qf), 6).as("cosine"))

@@ -101,8 +101,7 @@ object TextOps {
     val winner = LangMarkers.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
       when(col(s"h_$lang") > 0 && col(s"h_$lang") === best, lit(lang)).otherwise(acc)
     }
-    df.select(col(idCol), tokens(lower(col(textCol))).as("tk"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Stage.ensureWide(df.select(col(idCol), tokens(lower(col(textCol))).as("tk")))
       .select(col(idCol) +: hitCols: _*)
       .select(col(idCol), winner.as("lang_guess"))
   }

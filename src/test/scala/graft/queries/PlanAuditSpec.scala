@@ -53,6 +53,33 @@ class PlanAuditSpec extends SparkSpec {
       s"shipdate filter not pushed in:\n$p")
   }
 
+  test("dedup self-join: exchange reuse, codegen'd signatures, nothing left cached") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val q = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5)
+    q.collect()
+    val p = plan(q)
+    // the signature pipeline feeds both join sides through one reused
+    // exchange rather than a persist() that would outlive the action
+    assert(p.contains("ReusedExchange"), s"no exchange reuse in:\n$p")
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "operator leaked cached RDDs into executor storage")
+    // the fused shingle+minhash projection runs inside whole-stage codegen
+    assert("\\*\\(\\d+\\) Project \\[[^\\]]*minhashshingles".r.findFirstIn(p).isDefined,
+      s"signature projection not codegen'd in:\n$p")
+  }
+
+  test("ensureWide is the identity for already-wide inputs, widens narrow ones") {
+    import graft.operators.Stage
+    val parallelism = spark.sparkContext.defaultParallelism
+    val wide = spark.range(1000).toDF("id").repartition(parallelism + 2)
+    assert(Stage.ensureWide(wide) eq wide,
+      "ensureWide must not insert an exchange when the input is already wide")
+    val narrow = spark.range(1000).toDF("id").coalesce(1)
+    assert(Stage.ensureWide(narrow).rdd.getNumPartitions == parallelism)
+  }
+
   test("catalog introspection surface") {
     Catalog.registerTestTables(spark, dir)
     val tables = Catalog.showTables(spark).collect().map(_.getString(1)).toSet
