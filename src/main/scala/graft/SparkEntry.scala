@@ -375,7 +375,7 @@ object SparkEntry {
          |) GROUP BY user_id ORDER BY user_id""").stripMargin,
     "q16_token_stats" ->
       (s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-         | CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+         | CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokensSql) END AS BIGINT) AS n_tokens,
          | round(length(regexp_replace(text, '\\s+', '', 'g')) /
          |   CAST(greatest(len($tokensSql), 1) AS DOUBLE), 4) AS avg_word_len,
          | round(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) /
@@ -475,6 +475,35 @@ object SparkEntry {
          |  FROM scored)
          |SELECT doc_id, term, tfidf, rank FROM ranked
          |WHERE rank <= 3 AND doc_id < 50""").stripMargin,
+    // q23's hot-shingle cutoff (maxShingleFreq=1000) cannot trigger at the
+    // driver's sf0.01 (500 docs), so the operator is exact there: pairwise
+    // Jaccard over distinct 3-word shingle sets. Spark dedups shingles by
+    // xxhash64; a collision between distinct shingles would skew a count,
+    // but at this scale the probability is ~1e-13.
+    "q23_ngram_pairs" ->
+      ("""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+         |           ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+         |    FROM (SELECT doc_id, tk,
+         |            unnest(range(1, greatest(len(tk) - 1, 2))) AS i
+         |          FROM toks))),
+         |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) AS jaccard
+         |FROM pairs
+         |JOIN counts ca ON ca.doc_id = id_a
+         |JOIN counts cb ON cb.doc_id = id_b
+         |WHERE round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) >= 0.3""").stripMargin,
     "q24_cosine_topk" ->
       ("""WITH q AS (
          |  SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
