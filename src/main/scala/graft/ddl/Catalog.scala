@@ -24,7 +24,19 @@ object Catalog {
       graft.sources.TestTables.table(spark, dir, t).createOrReplaceTempView(t)
     }
 
-  /** Register every variant of a table config found under the warehouse. */
+  /** Per-table storage/write properties recorded at registration — the
+    * backing store of the `$properties` view. Keyed per session+table so
+    * concurrent sessions don't cross-talk. */
+  private val propertyRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Map[String, String]]
+
+  private def recordProperties(spark: SparkSession, table: String,
+      props: Map[String, String]): Unit =
+    propertyRegistry.put((System.identityHashCode(spark), table), props)
+
+  /** Register every variant of a table config found under the warehouse.
+    * Each variant's storage properties (format/codec/level/location/
+    * partitioning) are recorded for [[tableProperties]]. */
   def registerVariants(spark: SparkSession, warehouse: String, cfg: TableConfig,
       codecs: Seq[CodecSpec]): Seq[String] =
     codecs.flatMap { c =>
@@ -34,6 +46,13 @@ object Catalog {
         new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
       if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
         Tables.read(spark, path, cfg.format).createOrReplaceTempView(name)
+        recordProperties(spark, name, Map(
+          "format" -> cfg.format.toLowerCase,
+          "write.compression-codec" -> c.codec,
+          "write.compression-level" -> c.level.toString,
+          "location" -> path,
+          "partitioning" -> cfg.partitioning.mkString(", ")
+        ) ++ cfg.tableProperties)
         Some(name)
       } else None
     }
@@ -51,6 +70,16 @@ object Catalog {
     val fields = spark.table(table).schema.fields
       .map(f => s"  ${f.name} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}")
     s"CREATE TABLE $table (\n${fields.mkString(",\n")}\n)"
+  }
+
+  /** `SHOW TBLPROPERTIES t` / `SELECT * FROM "t$properties"` analogue
+    * (reference: README.md:55-58, temp.md:9): the storage and write
+    * properties of a registered variant as (key, value) rows, sorted by key.
+    * Empty for tables registered without properties (e.g. raw fixtures). */
+  def tableProperties(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    propertyRegistry.getOrElse((System.identityHashCode(spark), table), Map.empty)
+      .toSeq.sortBy(_._1).toDF("key", "value")
   }
 
   /** Engine version (reference: `SELECT node_version FROM system.runtime.nodes`,

@@ -145,7 +145,73 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Index of the nearest centroid (squared-L2, lowest index wins ties) for
+    * a float/double vector against a fixed codebook — the IVF coarse-
+    * quantizer assignment as a scalar expression, so the scan stays columnar
+    * and whole-stage-codegen'd instead of dropping to an RDD row loop.
+    *
+    * The codebook rides inside the expression and is serialized with each
+    * task binary: fine for the IVF regime (k ≤ 4096, a few MB); a codebook
+    * beyond tens of MB should be a join, not a quantizer.
+    *
+    * Codegen emits a call to [[compute]] via a bound reference, keeping the
+    * surrounding projection inside whole-stage codegen. */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression with Serializable {
+    require(centroids.nonEmpty, "empty codebook")
+
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"nearest_centroid expects array<float|double>, got $other")
+      }
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+
+    def compute(a: ArrayData): Int = {
+      val n = a.numElements()
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        val m = math.min(n, cent.length)
+        var d = 0.0d
+        var i = 0
+        while (i < m) {
+          val x = (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)) - cent(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("nearestCentroid", this, classOf[NearestCentroid].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column API. */
+  def nearest_centroid(v: Column, centroids: Array[Array[Double]]): Column =
+    GraftBridge.toColumn(NearestCentroid(GraftBridge.toExpression(v), centroids))
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.toColumn(DotProduct(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
   def l2_norm(v: Column): Column =

@@ -119,7 +119,16 @@ object Loader {
 
   /** Post-load compaction (reference: `ALTER TABLE … EXECUTE optimize`,
     * src/commands/bench.ts:112-122): rewrite the variant into evenly-sized
-    * files, collapsing the per-batch layout into `batch=0`. */
+    * files, collapsing the per-batch layout into `batch=0`.
+    *
+    * Crash-safe swap ordering (the reference gets this from Iceberg's atomic
+    * snapshot commit; on a plain filesystem the closest equivalent is
+    * rename-first): write the compacted tree to `.compact.tmp`, rename the
+    * live tree aside to `.compact.old`, rename tmp into place, then delete
+    * the old tree. A crash at any point leaves at least one complete copy on
+    * disk (`path` or `.compact.old`) — the delete-then-rename ordering used
+    * previously had a window where a crash lost the variant entirely while
+    * the batch checkpoint still claimed it was loaded. */
   def optimize(
       spark: SparkSession,
       path: String,
@@ -130,13 +139,22 @@ object Loader {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path.compact.old")
+    // residue from a previous crashed run: tmp is incomplete by definition;
+    // an old tree only survives a crash between the two renames below, in
+    // which case the live tree may be missing — restore it first.
+    if (fs.exists(old)) {
+      if (!fs.exists(p)) fs.rename(old, p) else fs.delete(old, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     if (!fs.exists(p)) return
     val bytes = fs.getContentSummary(p).getLength
     val files = math.max(1, (bytes / targetFileBytes).toInt)
     val df = Tables.read(spark, path, format).drop("batch").repartition(files)
-    val tmp = s"$path.compact.tmp"
-    Tables.writeBatch(df, tmp, 0, codec, format)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    Tables.writeBatch(df, tmp.toString, 0, codec, format)
+    fs.rename(p, old)
+    fs.rename(tmp, p)
+    fs.delete(old, true)
   }
 }

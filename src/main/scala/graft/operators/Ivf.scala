@@ -1,14 +1,14 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) similarity index: k-means coarse quantizer + cluster-
   * pruned search — the classic scale path for ANN next to LSH.
   *
   * Execution shape at 100 TB:
-  *  - training iterates assign → recenter; assignment is a `mapPartitions`
-  *    over a broadcast codebook (k × dim doubles — a few MB for k ≤ 4096),
+  *  - training iterates assign → recenter; assignment is a native codegen'd
+  *    argmin over the codebook (k × dim doubles — a few MB for k ≤ 4096),
   *    recentering is one `posexplode` + grouped average (single shuffle of
   *    (cluster, dim, value) triples). No driver-side data beyond the
   *    codebook itself.
@@ -50,7 +50,6 @@ object Ivf {
       iters: Int = 5,
       seed: Long = 1L
   ): Codebook = {
-    val spark = df.sparkSession
     // deterministic init: the k vectors with the smallest xxhash64(seed, vec)
     var centroids: Array[Array[Double]] = df
       .select(col(vecCol).as("v"))
@@ -59,9 +58,9 @@ object Ivf {
       .collect().map(toDoubleArray(_, "v"))
 
     (1 to iters).foreach { _ =>
-      val bc = spark.sparkContext.broadcast(Codebook(centroids))
-      val assigned = assign(df, vecCol, bc.value).select("cluster", "v")
-      // recenter: mean per (cluster, dim); empty clusters keep their centroid
+      val assigned = assign(df, vecCol, Codebook(centroids)).select("cluster", "v")
+      // recenter: mean per (cluster, dim); empty clusters keep their centroid.
+      // The collect is bounded at k × dim rows — codebook-sized, not corpus-sized.
       val means = assigned
         .select(col("cluster"), posexplode(col("v")))
         .groupBy("cluster", "pos").agg(avg(col("col").cast("double")).as("m"))
@@ -69,30 +68,19 @@ object Ivf {
       val next = centroids.map(_.clone())
       means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
       centroids = next
-      bc.destroy()
     }
     Codebook(centroids)
   }
 
-  /** (id?, v, cluster) assignment frame: broadcast codebook, per-partition
-    * argmin — the one genuinely imperative inner loop in this engine. */
-  def assign(df: DataFrame, vecCol: String, codebook: Codebook): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(codebook)
-    val schema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+
-        org.apache.spark.sql.types.StructField("cluster", org.apache.spark.sql.types.IntegerType,
-          nullable = false))
-    val vecIdx = df.schema.fieldIndex(vecCol)
-    val rdd = df.rdd.mapPartitions { it =>
-      val cb = bc.value
-      it.map { r =>
-        val v = r.getAs[scala.collection.Seq[Float]](vecIdx).iterator.map(_.toDouble).toArray
-        Row.fromSeq(r.toSeq :+ cb.nearest(v, 1).head)
-      }
-    }
-    spark.createDataFrame(rdd, schema).withColumnRenamed(vecCol, "v")
-  }
+  /** (…, v, cluster) assignment frame: argmin over the codebook as a native
+    * scalar expression ([[graft.functions.VectorExpressions.NearestCentroid]])
+    * — the scan stays columnar and whole-stage-codegen'd; no RDD conversion,
+    * no per-row `Row` copies. Tie-break matches [[Codebook.nearest]]
+    * (lowest cluster index). */
+  def assign(df: DataFrame, vecCol: String, codebook: Codebook): DataFrame =
+    df.withColumnRenamed(vecCol, "v")
+      .withColumn("cluster",
+        graft.functions.VectorExpressions.nearest_centroid(col("v"), codebook.centroids))
 
   /** Build the searchable index: corpus + cluster id (at rest this is
     * written partitioned by `cluster`). */

@@ -114,5 +114,37 @@ class PipelineSpec extends SparkSpec {
     Loader.optimize(spark, path, codec)
     assert(Sizes.measure(spark, "t", path, codec).rows == 30000)
     assert(new java.io.File(path).listFiles().map(_.getName).count(_.startsWith("batch=")) == 1)
+
+    // catalog surface: registration exposes the $properties analogue
+    val names = graft.ddl.Catalog.registerVariants(spark, wh, cfg, Seq(codec))
+    assert(names.nonEmpty)
+    val props = graft.ddl.Catalog.tableProperties(spark, names.head).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("write.compression-codec") == "zstd")
+    assert(props("write.compression-level") == "3")
+    assert(props("format") == "parquet")
+    assert(props("location").endsWith(names.head))
+  }
+
+  test("optimize recovers a variant stranded by a crash between swap renames") {
+    val wh = Files.createTempDirectory("graft_wh_crash").toString
+    val cp = Files.createTempDirectory("graft_cp_crash").toString
+    val cfg = Schemas.narrowOrders
+    val plan = LoadPlan(totalRows = 5000, batchRows = 5000, concurrency = 1,
+      checkpointDir = cp)
+    val codec = CodecSpec("zstd", 1)
+    val path = Tables.variantPath(wh, cfg, codec)
+    Loader.loadTable(spark, cfg, plan, codec, path, quiet = true)
+    // simulate the crash window: live tree already renamed aside, tmp
+    // half-written — a rerun must restore the table, not lose it
+    val live = new java.io.File(path)
+    assert(live.renameTo(new java.io.File(path + ".compact.old")))
+    val tmp = new java.io.File(path + ".compact.tmp")
+    tmp.mkdirs()
+    new java.io.File(tmp, "junk").createNewFile()
+    Loader.optimize(spark, path, codec)
+    assert(Sizes.measure(spark, "t", path, codec).rows == 5000)
+    assert(!new java.io.File(path + ".compact.old").exists())
+    assert(!new java.io.File(path + ".compact.tmp").exists())
   }
 }

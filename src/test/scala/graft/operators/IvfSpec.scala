@@ -19,6 +19,20 @@ class IvfSpec extends SparkSpec {
     assert(index.select("id").distinct().count() == emb.count())
   }
 
+  test("assign is a columnar native expression — no RDD conversion in the plan") {
+    val cb = Ivf.train(emb, "embedding", k = 8, iters = 1)
+    val assigned = Ivf.assign(emb.select($"vec_id", $"embedding"), "embedding", cb)
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("ExistingRDD") && !p.contains("Scan ExistingRDD"),
+      s"assign dropped to an RDD scan:\n$p")
+    assert(p.contains("nearestcentroid"), s"native expression missing from plan:\n$p")
+    // parity with the driver-side argmin used for probe selection
+    val rows = assigned.select($"v", $"cluster").as[(Seq[Float], Int)].collect()
+    rows.take(50).foreach { case (v, c) =>
+      assert(cb.nearest(v.iterator.map(_.toDouble).toArray, 1).head == c)
+    }
+  }
+
   test("IVF top-k recall vs brute force beats the probe fraction") {
     val cb = Ivf.train(emb, "embedding", k = 8, iters = 3)
     val index = Ivf.buildIndex(emb, "vec_id", "embedding", cb).cache()
