@@ -30,7 +30,7 @@ object Bench {
       "q01_pricing_summary", "q02_count_eq", "q03_count_ts_range", "q04_count_like",
       "q05_count_composite", "q06_select_limit", "q07_join_agg", "q10_window_topn",
       "q13_topk", "q15_dedup_exact", "q16_token_stats", "q18_langid", "q20_sessionize",
-      "q21_minhash_pairs", "q23_ngram_pairs", "q24_cosine_topk", "q36_tfidf")
+      "q21_minhash_pairs", "q23_ngram_pairs", "q24_cosine_topk", "q36_tfidf", "q37_bm25")
       .filter(SparkEntry.queries.contains)
 
     def once(name: String): Double = {

@@ -218,6 +218,30 @@ object SparkEntry {
         .filter(col("rank") <= 3 && col("doc_id") < 50)
         .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
     }),
+    "q37_bm25" -> ((s, dir) => {
+      // BM25 (k1=1.2, b=0.75) with the same scale shape as q36: no driver
+      // actions, 1-row corpus stats broadcast, term-dictionary join left to
+      // AQE. Constants are pre-folded (2.2 = k1+1, 0.25 = 1-b) and mirrored
+      // literally in the oracle so both engines evaluate the identical tree.
+      val d = TestTables.documents(s, dir)
+      val terms = d.select(col("doc_id"),
+        explode(TextOps.tokens(lower(col("text")))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("bm25",
+          round(col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl"))), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("bm25").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3 && col("doc_id") < 50)
+        .select(col("doc_id"), col("term"), col("bm25"), col("rank"))
+    }),
     "q35_knn_join" -> ((s, dir) =>
       Similarity.knnJoin(TestTables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
     "q34_ivf_topk" -> ((s, dir) => {
@@ -474,6 +498,24 @@ object SparkEntry {
          |   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
          |  FROM scored)
          |SELECT doc_id, term, tfidf, rank FROM ranked
+         |WHERE rank <= 3 AND doc_id < 50""").stripMargin,
+    "q37_bm25" ->
+      (s"""WITH terms AS (
+         |  SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+         |      (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)), 4) AS bm25
+         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |ranked AS (
+         |  SELECT doc_id, term, bm25,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS INT) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, bm25, rank FROM ranked
          |WHERE rank <= 3 AND doc_id < 50""").stripMargin,
     // q23's hot-shingle cutoff (maxShingleFreq=1000) cannot trigger at the
     // driver's sf0.01 (500 docs), so the operator is exact there: pairwise
