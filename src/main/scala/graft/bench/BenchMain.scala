@@ -42,6 +42,7 @@ object BenchMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.plans.CheapFirstFilterOrder.install(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     val cfg0 = env("SCHEMA_KIND", "wide") match {

@@ -34,6 +34,7 @@ object ScanBench {
       // partitions in sequential waves with idle cores
       .config("spark.sql.limit.initialNumPartitions", cpus)
       .getOrCreate()
+    graft.plans.CheapFirstFilterOrder.install(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
     val rows = env("SCAN_ROWS", "10000000").toLong

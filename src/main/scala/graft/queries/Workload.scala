@@ -52,7 +52,13 @@ object Workload {
     * table width × table size.
     */
   def selectWhereLimitLateMat(df: DataFrame, pred: Column, idCol: String, n: Int): DataFrame = {
-    val ids = df.filter(pred).select(col(idCol)).limit(n).collect().map(_.get(0))
+    // Phase 1 as orderBy+limit → TakeOrderedAndProject: per-partition top-n
+    // heaps in ONE parallel pass over the 2-column scan. A bare `limit(n)`
+    // would run CollectLimit's serial partition waves (1×, 4×, 16× …) —
+    // pathological when the predicate matches fewer than n rows, because
+    // every wave must be exhausted before the next is scheduled.
+    val ids = df.filter(pred).select(col(idCol)).orderBy(col(idCol)).limit(n)
+      .collect().map(_.get(0))
     if (ids.isEmpty) df.filter(lit(false))
     else df.filter(col(idCol).isin(ids.toIndexedSeq: _*))
   }

@@ -15,12 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object TestTables {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The driver owns the session, so the engine's optimizer rules are
+    // registered here — the common entry point of every driver query.
+    graft.plans.CheapFirstFilterOrder.install(spark)
+    name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/events.parquet")
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     case _ => spark.read.parquet(s"$dir/$name.parquet")
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")

@@ -80,6 +80,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(Stage.ensureWide(narrow).rdd.getNumPartitions == parallelism)
   }
 
+  test("cheap-first conjunct order: substring search evaluates after comparisons") {
+    graft.plans.CheapFirstFilterOrder.install(spark)
+    // written order in q05 is contains && ts-between && int< — the optimizer
+    // must move the Contains to the end so the two long compares and the
+    // double compare short-circuit ~95% of rows before the substring search
+    val q = graft.SparkEntry.queries("q05_count_composite")(spark, dir)
+    val cond = q.queryExecution.optimizedPlan.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.get.toString
+    val containsAt = cond.indexOf("Contains")
+    val valueAt = cond.indexOf("value")
+    assert(containsAt >= 0 && valueAt >= 0 && containsAt > valueAt,
+      s"Contains not reordered after cheap comparisons: $cond")
+  }
+
   test("catalog introspection surface") {
     Catalog.registerTestTables(spark, dir)
     val tables = Catalog.showTables(spark).collect().map(_.getString(1)).toSet
