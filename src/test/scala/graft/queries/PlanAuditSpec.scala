@@ -95,6 +95,27 @@ class PlanAuditSpec extends SparkSpec {
       s"Contains not reordered after cheap comparisons: $cond")
   }
 
+  test("cheap-first ordering skips non-deterministic filters and is idempotent") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    graft.plans.CheapFirstFilterOrder.install(spark)
+    // rand() conjunct: reordering would change which rows see which draw —
+    // the rule must leave the condition exactly as written
+    val nd = spark.range(100).toDF("id")
+      .filter(concat(col("id").cast("string"), lit("x")).contains("1x") && rand(7) > 0.5)
+    val ndCond = nd.queryExecution.optimizedPlan.collectFirst {
+      case f: Filter => f.condition
+    }.get.toString
+    assert(ndCond.indexOf("Contains") < ndCond.indexOf("rand"),
+      s"non-deterministic filter was reordered: $ndCond")
+    // idempotency: a second application of the rule is a no-op
+    val once = graft.plans.CheapFirstFilterOrder(
+      spark.range(100).toDF("id")
+        .filter(col("id").cast("string").contains("1") && col("id") > 5)
+        .queryExecution.optimizedPlan)
+    assert(graft.plans.CheapFirstFilterOrder(once) == once)
+  }
+
   test("catalog introspection surface") {
     Catalog.registerTestTables(spark, dir)
     val tables = Catalog.showTables(spark).collect().map(_.getString(1)).toSet
