@@ -301,6 +301,29 @@ object SparkEntry {
         .orderBy(col("label"), col("pos"))
     }),
 
+    "q38_hash_sample" -> ((s, dir) => {
+      // Deterministic content-hash sampling — the training-pipeline way to
+      // take a reproducible ~10% subset: md5 hex of the id compared against
+      // a hex threshold ('1a'/'100' ≈ 10.2%). Pure scan-local filter, no
+      // shuffle until the per-language rollup; the same rows are selected on
+      // any engine, any cluster size, any run.
+      val d = TestTables.documents(s, dir)
+      d.filter(md5(col("doc_id").cast("string").cast("binary")) < "1a")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_id"))
+        .orderBy(col("lang"))
+    }),
+    "q39_daily_histogram" -> ((s, dir) => {
+      // Time-series binning: events per day + mean value, the standard
+      // monitoring rollup. One map-side-combinable aggregation on the
+      // day bucket.
+      val e = TestTables.events(s, dir)
+      e.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          round(moneySum(col("value")) / count(lit(1)), 6).as("avg_value"))
+        .orderBy(col("day"))
+    }),
+
     // ---- generator engine smoke through the driver (no DuckDB oracle:
     //      DuckDB cannot run the generator) ----
     "gen_profile" -> ((s, _) => {
@@ -499,6 +522,15 @@ object SparkEntry {
          |  FROM scored)
          |SELECT doc_id, term, tfidf, rank FROM ranked
          |WHERE rank <= 3 AND doc_id < 50""").stripMargin,
+    "q38_hash_sample" ->
+      ("""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+         | CAST(min(doc_id) AS BIGINT) AS first_id
+         |FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'
+         |GROUP BY lang ORDER BY lang""").stripMargin,
+    "q39_daily_histogram" ->
+      ("""SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events,
+         | round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
+         |FROM events GROUP BY 1 ORDER BY 1""").stripMargin,
     "q37_bm25" ->
       (s"""WITH terms AS (
          |  SELECT doc_id, unnest($tokensSql) AS term FROM documents),
