@@ -173,10 +173,13 @@ object Dedup {
     val sh = tokenFrame(df, idCol, textCol)
       .select(col("id"), HashExpressions.shingle_hashes(col("tk"), shingleLen).as("shs"))
       .select(col("id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh_h"))
+    // freq ≥ 2: a shingle present in a single document cannot contribute to
+    // any pair — dropping singletons (the vast majority under Zipf) shrinks
+    // the self-join input without changing the result.
     val filtered = sh
       .withColumn("freq", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("sh_h")))
-      .filter(col("freq") <= maxShingleFreq)
+      .filter(col("freq") >= 2 && col("freq") <= maxShingleFreq)
       .select(col("id"), col("n_sh"), col("sh_h"))
     val l = filtered.as("l")
     val r = filtered.as("r")
