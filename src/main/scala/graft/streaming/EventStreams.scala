@@ -54,6 +54,29 @@ object EventStreams {
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
     else events.dropDuplicates(idCol)
 
+  /** Stream-static enrichment join: every micro-batch of the (unbounded)
+    * stream joins a bounded dimension frame re-read per batch. The dimension
+    * side is broadcast, so the stream side never shuffles and no join state
+    * accumulates — the standard shape for attaching user/item attributes to
+    * an event firehose. Works identically on a batch frame. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    events.join(broadcast(dim), Seq(key), "left")
+  }
+
+  /** Incremental corpus preparation: the scan-local TextOps column
+    * expressions applied unchanged to a documents stream — quality score,
+    * language id, normalized fingerprint. Stateless (one projection), so the
+    * streaming face of the batch quality pipeline costs exactly the batch
+    * expressions per micro-batch. */
+  def profileDocsStream(docs: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    docs.select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.langId(col("text")).as("lang_guess"),
+      TextOps.fingerprint(col("text")).as("fingerprint"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
       value: Double)
   case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)

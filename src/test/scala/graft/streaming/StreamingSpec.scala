@@ -88,6 +88,46 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-static enrichment join broadcasts the dimension, matches batch") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val batch = EventStreams.enrich(sample.toDF(), dim, "user_id")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("segment"))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    val q = EventStreams.enrich(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("enriched").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("segment"))).toSet
+    assert(streamed == batch)
+    assert(streamed.contains((1L, "gold")) && streamed.contains((2L, "basic")))
+  }
+
+  test("document profiling runs unchanged over a stream (stream/batch parity)") {
+    val docs = Seq(
+      (1L, "the cat and the dog sat on the mat with a hat"),
+      (2L, "le chat est une idée grande et belle aussi")
+    )
+    val batch = EventStreams.profileDocsStream(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = EventStreams.profileDocsStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("docprof")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("docprof").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.exists { case (id, _, lang, _) => id == 1L && lang == "en" })
+    assert(streamed.exists { case (id, _, lang, _) => id == 2L && lang == "fr" })
+  }
+
   test("file-source streaming reads the events table incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // testdata events carry NANOS timestamps — stage through our accessor
