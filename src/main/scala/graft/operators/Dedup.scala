@@ -173,13 +173,16 @@ object Dedup {
     val sh = tokenFrame(df, idCol, textCol)
       .select(col("id"), HashExpressions.shingle_hashes(col("tk"), shingleLen).as("shs"))
       .select(col("id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh_h"))
-    // freq ≥ 2: a shingle present in a single document cannot contribute to
-    // any pair — dropping singletons (the vast majority under Zipf) shrinks
-    // the self-join input without changing the result.
-    val filtered = sh
-      .withColumn("freq", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh_h")))
+    // Shingle-frequency gate as an aggregate + join rather than a window:
+    // the count aggregates map-side (tiny shuffle of (sh_h, partial-count)
+    // pairs, no sort of the full exploded stream), and the qualifying-hash
+    // set joins back — broadcast when it fits, shuffle otherwise. Kept
+    // shingles need 2..maxShingleFreq docs: singletons (the Zipf tail)
+    // cannot form a pair, and hotter shingles are the quadratic-cost guard.
+    val freqs = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= 2 && col("freq") <= maxShingleFreq)
+      .select(col("sh_h"))
+    val filtered = sh.join(freqs, "sh_h")
       .select(col("id"), col("n_sh"), col("sh_h"))
     val l = filtered.as("l")
     val r = filtered.as("r")
