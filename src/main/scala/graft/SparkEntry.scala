@@ -244,6 +244,13 @@ object SparkEntry {
     }),
     "q35_knn_join" -> ((s, dir) =>
       Similarity.knnJoin(TestTables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
+    "q40_pq_topk" -> ((s, dir) => {
+      val emb = TestTables.embeddings(s, dir)
+      val cb = graft.operators.Pq.train(emb, "embedding", dim = 64, m = 8, k = 16, iters = 2)
+      val index = graft.operators.Pq.encode(emb, "vec_id", "embedding", cb)
+      val qv = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      graft.operators.Pq.topK(index, cb, qv, 10)
+    }),
     "q34_ivf_topk" -> ((s, dir) => {
       val emb = TestTables.embeddings(s, dir)
       val cb = graft.operators.Ivf.train(emb, "embedding", k = 16, iters = 3)

@@ -209,7 +209,54 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Asymmetric-distance lookup for product-quantized codes: the sum over
+    * sub-spaces of `tables(s)(code(s))`, where `tables` are the query's
+    * precomputed per-centroid squared distances. `m` array lookups per row —
+    * the whole point of PQ search. Codegen via a bound reference like
+    * [[NearestCentroid]]. */
+  case class AdcDistance(child: Expression, tables: Array[Array[Double]])
+      extends UnaryExpression with Serializable {
+    require(tables.nonEmpty, "empty ADC tables")
+
+    override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"adc_distance expects array<int> codes, got $other")
+      }
+
+    def compute(a: ArrayData): Double = {
+      val m = math.min(a.numElements(), tables.length)
+      var d = 0.0d
+      var s = 0
+      while (s < m) {
+        val c = a.getInt(s)
+        val t = tables(s)
+        if (c >= 0 && c < t.length) d += t(c)
+        s += 1
+      }
+      d
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("adcDistance", this, classOf[AdcDistance].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Column API. */
+  def adc_distance(code: Column, tables: Array[Array[Double]]): Column =
+    GraftBridge.toColumn(AdcDistance(GraftBridge.toExpression(code), tables))
   def nearest_centroid(v: Column, centroids: Array[Array[Double]]): Column =
     GraftBridge.toColumn(NearestCentroid(GraftBridge.toExpression(v), centroids))
   def dot_product(a: Column, b: Column): Column =
