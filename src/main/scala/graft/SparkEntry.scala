@@ -251,6 +251,14 @@ object SparkEntry {
       val qv = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
       graft.operators.Pq.topK(index, cb, qv, 10)
     }),
+    "q41_ivfpq_topk" -> ((s, dir) => {
+      val emb = TestTables.embeddings(s, dir)
+      val ivf = graft.operators.Ivf.train(emb, "embedding", k = 16, iters = 2)
+      val pq = graft.operators.Pq.train(emb, "embedding", dim = 64, m = 8, k = 16, iters = 2)
+      val index = graft.operators.Pq.ivfPqIndex(emb, "vec_id", "embedding", ivf, pq)
+      val qv = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      graft.operators.Pq.ivfPqTopK(index, ivf, pq, qv, 10, nprobe = 4)
+    }),
     "q34_ivf_topk" -> ((s, dir) => {
       val emb = TestTables.embeddings(s, dir)
       val cb = graft.operators.Ivf.train(emb, "embedding", k = 16, iters = 3)

@@ -91,4 +91,32 @@ object Pq {
       .orderBy(col("adc_dist").asc, col("id").asc)
       .limit(k)
   }
+
+  /** IVF+PQ composed index — the production ANN shape: (id, cluster, code),
+    * written partitioned by `cluster` at rest. A query reads only `nprobe`
+    * clusters (IVF pruning) and scores each candidate with `m` table lookups
+    * (PQ compression): scan fraction ≈ nprobe/k_ivf of ~m bytes per vector. */
+  def ivfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      ivf: Ivf.Codebook, pq: PqCodebook): DataFrame = {
+    val assigned = Ivf.assign(df.select(col(idCol).as("id"), col(vecCol)), vecCol, ivf)
+    val codes = array((0 until pq.m).map(s =>
+      VectorExpressions.nearest_centroid(
+        slice(col("v"), s * pq.subDim + 1, pq.subDim), pq.codebooks(s).centroids)): _*)
+    assigned.select(col("id"), col("cluster"), codes.as("code"))
+  }
+
+  /** Cluster-pruned ADC top-k over an [[ivfPqIndex]]. */
+  def ivfPqTopK(index: DataFrame, ivf: Ivf.Codebook, pq: PqCodebook,
+      query: Seq[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    val qd = query.iterator.map(_.toDouble).toArray
+    val probes = ivf.nearest(qd, nprobe)
+    val tables = pq.adcTables(qd)
+    index
+      .filter(col("cluster").isin(probes: _*))
+      .select(col("id"),
+        round(graft.functions.VectorExpressions.adc_distance(col("code"), tables), 6)
+          .as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("id").asc)
+      .limit(k)
+  }
 }

@@ -55,6 +55,27 @@ class PqSpec extends SparkSpec {
     assert(top.find(_._1 == 0L).map(_._2) == top.find(_._1 == 10000L).map(_._2))
   }
 
+  test("IVF+PQ: cluster-pruned ADC search finds the planted duplicate") {
+    val q = emb.filter($"vec_id" === 0).head().getSeq[Float](1)
+    val dup = emb.filter($"vec_id" === 0)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding", $"label")
+    val all = emb.unionByName(dup)
+    val ivf = Ivf.train(all, "embedding", k = 8, iters = 2)
+    val pq = Pq.train(all, "embedding", Dim, m = 8, k = 16, iters = 2)
+    val index = Pq.ivfPqIndex(all, "vec_id", "embedding", ivf, pq).cache()
+    // index carries the composed layout
+    assert(index.columns.toSeq == Seq("id", "cluster", "code"))
+    val top = Pq.ivfPqTopK(index, ivf, pq, q, 10, nprobe = 3)
+      .as[(Long, Double)].collect()
+    val ids = top.map(_._1).toSet
+    // query and its exact copy share a cluster and identical codes
+    assert(ids.contains(0L) && ids.contains(10000L), s"got ${top.toSeq}")
+    // pruning really prunes: fewer candidate rows than the corpus
+    val probed = ivf.nearest(q.iterator.map(_.toDouble).toArray, 3)
+    val candidates = index.filter($"cluster".isin(probed: _*)).count()
+    assert(candidates < all.count(), "nprobe=3/8 must scan a strict subset")
+  }
+
   test("PQ recall vs exact L2 top-k is usable at 32x compression") {
     val cb = Pq.train(emb, "embedding", Dim, m = 8, k = 16, iters = 3)
     val q = emb.filter($"vec_id" === 0).head().getSeq[Float](1)
