@@ -316,6 +316,17 @@ object SparkEntry {
         .orderBy(col("label"), col("pos"))
     }),
 
+    "q42_chunking" -> ((s, dir) =>
+      TextOps.chunkFrame(TestTables.documents(s, dir), "doc_id", "text",
+          chunkSize = 50, overlap = 10)
+        .filter(col("doc_id") < 50)),
+    "q43_packing" -> ((s, dir) => {
+      val bins = TextOps.packBins(TestTables.documents(s, dir), "doc_id", "text",
+        "lang", capacity = 2000)
+      bins.groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("lang"), col("bin"))
+    }),
     "q38_hash_sample" -> ((s, dir) => {
       // Deterministic content-hash sampling — the training-pipeline way to
       // take a reproducible ~10% subset: md5 hex of the id compared against
@@ -537,6 +548,33 @@ object SparkEntry {
          |  FROM scored)
          |SELECT doc_id, term, tfidf, rank FROM ranked
          |WHERE rank <= 3 AND doc_id < 50""").stripMargin,
+    "q42_chunking" ->
+      (s"""WITH t AS (
+         |  SELECT doc_id, $tokensSql AS tk FROM documents WHERE doc_id < 50),
+         |c AS (
+         |  SELECT doc_id, tk, len(tk) AS n,
+         |    CAST(ceil(greatest(len(tk) - 10, 1) / 40.0) AS INT) AS cnt
+         |  FROM t),
+         |e AS (SELECT doc_id, tk, n, unnest(range(0, cnt)) AS i FROM c)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  array_to_string(tk[i*40+1 : i*40+50], ' ') AS chunk_text,
+         |  CAST(least(n - i*40, 50) AS BIGINT) AS n_tokens
+         |FROM e""").stripMargin,
+    "q43_packing" ->
+      (s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokensSql) END AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |b AS (
+         |  SELECT lang,
+         |    CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+         |      - n_tokens) / 2000) AS BIGINT) AS bin,
+         |    n_tokens
+         |  FROM t)
+         |SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM b GROUP BY lang, bin ORDER BY lang, bin""").stripMargin,
     "q38_hash_sample" ->
       ("""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
          | CAST(min(doc_id) AS BIGINT) AS first_id

@@ -112,6 +112,45 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(to_binary(trim(regexp_replace(lower(text), "\\s+", " ")), lit("utf-8")))
 
+  /** Sliding-window document chunking: split each document into
+    * `chunkSize`-token chunks overlapping by `overlap` tokens — the standard
+    * context-window preparation step. Chunk `i` covers token positions
+    * `[i·step, i·step + chunkSize)` with `step = chunkSize − overlap`;
+    * the chunk count is `ceil(max(n − overlap, 1) / step)`, so a short
+    * document yields exactly one chunk and the final chunk always reaches
+    * the last token. Entirely built-in expressions (explode + slice +
+    * concat_ws): codegen'd, scan-local, one row per chunk. */
+  def chunkFrame(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 50, overlap: Int = 10): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    df.select(col(idCol), tokens(trim(lower(col(textCol)))).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .withColumn("cnt",
+        ceil(greatest(col("n") - overlap, lit(1)).cast("double") / step).cast("int"))
+      .select(col(idCol), col("tk"), col("n"),
+        posexplode(sequence(lit(0), col("cnt") - 1)))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        concat_ws(" ", slice(col("tk"), col("pos") * step + 1, lit(chunkSize))).as("chunk_text"),
+        least(col("n") - col("pos") * step, lit(chunkSize)).cast("long").as("n_tokens"))
+  }
+
+  /** Sequential-fill context packing: within each `groupCol`, documents are
+    * taken in `idCol` order and assigned to the bin in which their first
+    * token lands under a running token count — `bin = floor((cumsum − n) /
+    * capacity)`. Deterministic, one window per group (parallel across
+    * groups; packing is inherently order-serial within one), SQL-mirrorable
+    * for the oracle. A bin may overrun capacity by at most one document's
+    * tail — the usual trade for single-pass packing. */
+  def packBins(df: DataFrame, idCol: String, textCol: String, groupCol: String,
+      capacity: Int = 2000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+    df.select(col(idCol), col(groupCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / capacity).cast("long"))
+  }
+
   /** Full per-document profile. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
