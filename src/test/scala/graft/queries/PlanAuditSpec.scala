@@ -70,6 +70,28 @@ class PlanAuditSpec extends SparkSpec {
       s"signature projection not codegen'd in:\n$p")
   }
 
+  test("every banded self-join reuses its exchange (simhash, ngram, embedding)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // plant duplicates so the result is non-empty — AQE otherwise collapses
+    // an empty aggregate to EmptyRelation and hides the executed stages
+    val dup = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .select((org.apache.spark.sql.functions.col("vec_id") + 10000).as("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("label"))
+    val ops = Seq(
+      "simhashPairs" -> graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8),
+      "ngramJaccard" -> graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.3),
+      "embeddingNearDups" -> graft.operators.Dedup.embeddingNearDups(
+        emb.unionByName(dup), "vec_id", "embedding", threshold = 0.99))
+    ops.foreach { case (name, q) =>
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"), s"$name lost exchange reuse:\n$p")
+    }
+  }
+
   test("ensureWide is the identity for already-wide inputs, widens narrow ones") {
     import graft.operators.Stage
     val parallelism = spark.sparkContext.defaultParallelism
