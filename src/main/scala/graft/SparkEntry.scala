@@ -33,9 +33,11 @@ object SparkEntry {
 
   // ---- shared expression helpers ----
 
-  /** Exact money sum: double per-row expr → decimal(18,6) → SUM → double. */
-  private def moneySum(e: Column): Column =
-    sum(e.cast("decimal(18,6)")).cast("double")
+  /** Exact money sum — semantically `CAST(SUM(CAST(e AS DECIMAL(18,6))) AS
+    * DOUBLE)` (what the DuckDB oracles mirror), computed by the native
+    * 128-bit-integer aggregate ([[graft.functions.MoneySum]]): identical
+    * bits, ~3× faster than the BigDecimal-backed decimal accumulator. */
+  private def moneySum(e: Column): Column = graft.functions.MoneySum.money_sum(e)
 
   private def ts(s: String): Column = lit(s).cast("timestamp")
 

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** MoneySum must be bit-identical to the decimal formulation it replaces —
+  * `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)` — since that formulation
+  * is what the DuckDB oracle mirrors. */
+class MoneySumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dec(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  test("bit-exact vs the decimal formulation on real lineitem money expressions") {
+    val li = sf("sf0.01", "lineitem")
+    val exprs = Seq(
+      col("l_quantity"),
+      col("l_extendedprice"),
+      col("l_extendedprice") * (lit(1) - col("l_discount")),
+      col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")),
+      col("l_discount"))
+    val row = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        (exprs.map(e => dec(e)) ++ exprs.map(e => MoneySum.money_sum(e))): _*)
+      .collect()
+    row.foreach { r =>
+      (0 until exprs.length).foreach { i =>
+        val d = r.getDouble(2 + i)
+        val m = r.getDouble(2 + exprs.length + i)
+        assert(java.lang.Double.doubleToLongBits(d) == java.lang.Double.doubleToLongBits(m),
+          s"group ${r.get(0)} expr $i: decimal $d vs money_sum $m")
+      }
+    }
+  }
+
+  test("bit-exact on adversarial many-decimal values and negatives") {
+    // values exercising HALF_UP boundaries, negatives, and magnitude spread
+    val rng = new graft.gen.Mulberry32(42L)
+    val vals = (1 to 20000).map { i =>
+      (i % 7).toLong -> ((rng.next() * 1e7).floor / 1e3 - 5000.0) * (1.0 + i / 997.0)
+    }
+    val df = vals.toDF("g", "x")
+    val rows = df.groupBy($"g")
+      .agg(dec($"x").as("d"), MoneySum.money_sum($"x").as("m"))
+      .as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (g, d, m) =>
+      assert(java.lang.Double.doubleToLongBits(d) == java.lang.Double.doubleToLongBits(m),
+        s"group $g: $d vs $m")
+    }
+  }
+
+  test("null semantics: empty input sums to null, null rows are skipped") {
+    val df = Seq((1L, Some(2.5)), (1L, None), (2L, None)).toDF("g", "x")
+    val rows = df.groupBy($"g")
+      .agg(dec($"x").as("d"), MoneySum.money_sum($"x").as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.isNullAt(1), r.isNullAt(2)))).toMap
+    assert(rows(1L) == ((false, false)))
+    assert(rows(2L) == ((true, true)))
+  }
+}
