@@ -318,6 +318,19 @@ object SparkEntry {
         .orderBy(col("label"), col("pos"))
     }),
 
+    "q44_asof_join" -> ((s, dir) => {
+      // point-in-time enrichment: each click gets the latest prior purchase
+      // (per user) — the as-of join Spark lacks natively, as a single
+      // sort+forward-fill (see operators/AsofJoin)
+      val e = TestTables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("p_ts_us"))
+        .agg(max(col("value")).as("p_value"))
+        .select(col("user_id"), col("p_ts_us"), col("p_ts_us").as("p_ts"), col("p_value"))
+      graft.operators.AsofJoin.asofLeft(clicks, purchases, "user_id", "ts_us", "p_ts_us")
+    }),
     "q42_chunking" -> ((s, dir) =>
       TextOps.chunkFrame(TestTables.documents(s, dir), "doc_id", "text",
           chunkSize = 50, overlap = 10)
@@ -550,6 +563,30 @@ object SparkEntry {
          |  FROM scored)
          |SELECT doc_id, term, tfidf, rank FROM ranked
          |WHERE rank <= 3 AND doc_id < 50""").stripMargin,
+    // identical union + forward-fill formulation (not DuckDB's native ASOF
+    // JOIN) so tie/ordering semantics are mirrored by construction
+    "q44_asof_join" ->
+      ("""WITH clicks AS (
+         |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+         |  FROM events WHERE event_type = 'click'),
+         |purchases AS (
+         |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS p_ts_us, max(value) AS p_value
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |u AS (
+         |  SELECT user_id, ts_us AS t, 1 AS is_left, event_id,
+         |         NULL::BIGINT AS p_ts, NULL::DOUBLE AS p_value
+         |  FROM clicks
+         |  UNION ALL
+         |  SELECT user_id, p_ts_us AS t, 0, NULL, p_ts_us, p_value FROM purchases),
+         |f AS (
+         |  SELECT user_id, t, is_left, event_id,
+         |    last_value(p_ts IGNORE NULLS) OVER w AS p_ts,
+         |    last_value(p_value IGNORE NULLS) OVER w AS p_value
+         |  FROM u
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY t, is_left
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, t AS ts_us, p_ts, p_value
+         |FROM f WHERE is_left = 1""").stripMargin,
     "q42_chunking" ->
       (s"""WITH t AS (
          |  SELECT doc_id, $tokensSql AS tk FROM documents WHERE doc_id < 50),

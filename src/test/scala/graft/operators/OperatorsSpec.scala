@@ -88,6 +88,25 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("asofLeft: latest right row at-or-before each left ts, nulls before any") {
+    val trades = Seq( // (key, ts, trade_id)
+      (1L, 100L, "t1"), (1L, 200L, "t2"), (1L, 300L, "t3"),
+      (2L, 150L, "t4"),
+      (3L, 50L, "t5") // key with no quotes at all
+    ).toDF("k", "ts", "trade_id")
+    val quotes = Seq( // (key, ts, px) — unique per (key, ts)
+      (1L, 90L, 1.0), (1L, 200L, 2.0), (1L, 250L, 3.0),
+      (2L, 160L, 9.0) // strictly after the only trade for key 2
+    ).toDF("k", "qts", "px")
+    val out = AsofJoin.asofLeft(trades, quotes, "k", "ts", "qts")
+      .collect().map(r => r.getString(2) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out("t1").contains(1.0))  // 90 <= 100
+    assert(out("t2").contains(2.0))  // equal ts is inclusive
+    assert(out("t3").contains(3.0))  // latest of 90/200/250
+    assert(out("t4").isEmpty)        // quote is later than the trade
+    assert(out("t5").isEmpty)        // no right rows for the key
+  }
+
   test("embedding near-dups via LSH find the duplicated vectors") {
     val emb = sf(dir, "embeddings")
     // plant an exact duplicate pair by unioning a copy with shifted ids
