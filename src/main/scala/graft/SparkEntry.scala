@@ -318,6 +318,24 @@ object SparkEntry {
         .orderBy(col("label"), col("pos"))
     }),
 
+    "q45_range_join" -> ((s, dir) => {
+      // interval join via bin bucketization: lineitems shipped within 30
+      // days of a high-value order's date, rolled up per (returnflag, month)
+      val li = TestTables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast("date"))
+            .cast("long").as("ship_day"))
+      val big = TestTables.orders(s, dir).filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+            .cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 30)
+      graft.operators.RangeJoin.pointInInterval(li, "ship_day", big, "lo", "hi",
+          binWidth = 32)
+        .groupBy(col("l_returnflag"), floor(col("ship_day") / 365).as("yr"))
+        .agg(count(lit(1)).as("n_pairs"), countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("l_returnflag"), col("yr"))
+    }),
     "q44_asof_join" -> ((s, dir) => {
       // point-in-time enrichment: each click gets the latest prior purchase
       // (per user) — the as-of join Spark lacks natively, as a single
@@ -563,6 +581,23 @@ object SparkEntry {
          |  FROM scored)
          |SELECT doc_id, term, tfidf, rank FROM ranked
          |WHERE rank <= 3 AND doc_id < 50""").stripMargin,
+    // the oracle states the range join declaratively (DuckDB's IEJoin
+    // handles the inequality join exactly at this scale); Spark runs the
+    // bucketized formulation — same rows by construction
+    "q45_range_join" ->
+      ("""WITH li AS (
+         |  SELECT l_returnflag,
+         |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ship_day
+         |  FROM lineitem),
+         |big AS (
+         |  SELECT o_orderkey,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS lo
+         |  FROM orders WHERE o_totalprice > 450000)
+         |SELECT l_returnflag, CAST(floor(ship_day / 365.0) AS BIGINT) AS yr,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+         |FROM li JOIN big ON li.ship_day >= big.lo AND li.ship_day <= big.lo + 30
+         |GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
     // identical union + forward-fill formulation (not DuckDB's native ASOF
     // JOIN) so tie/ordering semantics are mirrored by construction
     "q44_asof_join" ->

@@ -107,6 +107,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out("t5").isEmpty)        // no right rows for the key
   }
 
+  test("pointInInterval matches the naive range join across bin widths") {
+    val points = (1L to 200L).map(i => (i, i * 3 % 101)).toDF("pid", "p")
+    val intervals = Seq((1L, 5L, 20L), (2L, 18L, 19L), (3L, 90L, 150L), (4L, 0L, 0L))
+      .toDF("iid", "lo", "hi")
+    val naive = points.join(intervals, $"p" >= $"lo" && $"p" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().sorted.toSeq
+    Seq(1L, 7L, 64L, 1000L).foreach { bw =>
+      val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", bw)
+        .select($"pid", $"iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == naive, s"binWidth=$bw diverges from the naive join")
+    }
+  }
+
   test("embedding near-dups via LSH find the duplicated vectors") {
     val emb = sf(dir, "embeddings")
     // plant an exact duplicate pair by unioning a copy with shifted ids
