@@ -42,8 +42,7 @@ object TextOps {
   /** Fraction of whitespace tokens that are English stopwords, 4 decimals. */
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(lower(text))
-    val hits = size(filter(toks, t => t.isin(Stopwords: _*)))
-    round(hits / greatest(size(toks), lit(1)).cast("double"), 4)
+    round(hits(toks, Stopwords) / greatest(size(toks), lit(1)).cast("double"), 4)
   }
 
   /** Composite quality score in [0,1]: length sweet-spot, moderate
@@ -68,10 +67,12 @@ object TextOps {
     "zh" -> Seq("的", "是", "不", "了", "在")
   )
 
-  /** Marker-hit count for one language's word list (a single In-expression
-    * per token beats an Or-tree ~5× under interpreted evaluation). */
+  /** Marker-hit count for one word list — a native one-pass set-membership
+    * count ([[graft.functions.TextExpressions.MarkerCounts]]); the
+    * `size(filter(_, isin))` formulation is an interpreted higher-order
+    * function and pulls its whole projection out of codegen. */
   private def hits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words: _*)))
+    element_at(graft.functions.TextExpressions.marker_counts(toks, Seq(words)), 1)
 
   /** Heuristic language ID from a precomputed lowercase token array: the
     * language with the most marker-word hits, first-listed wins ties, 'und'
@@ -95,13 +96,18 @@ object TextOps {
     * single-expression [[langId]] re-evaluates hits ~6× via the shared
     * `greatest` subtree (fine for a few rows, not for a corpus). */
   def langIdFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hitCols = LangMarkers.map { case (lang, ws) => hits(col("tk"), ws).as(s"h_$lang") }
+    // one native pass computes every language's hit count at once
+    val hitCols = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      element_at(col("h"), i + 1).as(s"h_$lang")
+    }
     val best = LangMarkers.map { case (lang, _) => col(s"h_$lang") }
       .reduce((a, b) => greatest(a, b))
     val winner = LangMarkers.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
       when(col(s"h_$lang") > 0 && col(s"h_$lang") === best, lit(lang)).otherwise(acc)
     }
     Stage.ensureWide(df.select(col(idCol), tokens(lower(col(textCol))).as("tk")))
+      .select(col(idCol),
+        graft.functions.TextExpressions.marker_counts(col("tk"), LangMarkers.map(_._2)).as("h"))
       .select(col(idCol) +: hitCols: _*)
       .select(col(idCol), winner.as("lang_guess"))
   }
