@@ -170,15 +170,19 @@ object Dedup {
     // collisions are negligible for intersection counting. The distinct
     // hashes come from one native codegen'd pass (the strings are never
     // materialized into the plan).
+    // One explicit hash shuffle of the exploded stream feeds BOTH the
+    // frequency aggregate and the join probe side — the exchange is
+    // canonically identical in the two branches, so the explode+hash
+    // pipeline computes once and everything downstream reads the
+    // ReusedExchange, already clustered on sh_h (no further exchanges).
     val sh = tokenFrame(df, idCol, textCol)
       .select(col("id"), HashExpressions.shingle_hashes(col("tk"), shingleLen).as("shs"))
       .select(col("id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh_h"))
-    // Shingle-frequency gate as an aggregate + join rather than a window:
-    // the count aggregates map-side (tiny shuffle of (sh_h, partial-count)
-    // pairs, no sort of the full exploded stream), and the qualifying-hash
-    // set joins back — broadcast when it fits, shuffle otherwise. Kept
-    // shingles need 2..maxShingleFreq docs: singletons (the Zipf tail)
-    // cannot form a pair, and hotter shingles are the quadratic-cost guard.
+      .repartition(col("sh_h"))
+    // Shingle-frequency gate as an aggregate + join rather than a window
+    // (no sort of the full stream). Kept shingles need 2..maxShingleFreq
+    // docs: singletons (the Zipf tail) cannot form a pair, and hotter
+    // shingles are the quadratic-cost guard.
     val freqs = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= 2 && col("freq") <= maxShingleFreq)
       .select(col("sh_h"))
