@@ -599,7 +599,10 @@ object SparkEntry {
          |FROM li JOIN big ON li.ship_day >= big.lo AND li.ship_day <= big.lo + 30
          |GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
     // identical union + forward-fill formulation (not DuckDB's native ASOF
-    // JOIN) so tie/ordering semantics are mirrored by construction
+    // JOIN) so tie/ordering semantics are mirrored by construction; the
+    // payload is filled as ONE struct, exactly like AsofJoin.asofLeft, so a
+    // right row with a legitimately-NULL payload value can never be stitched
+    // with an older row's non-null value
     "q44_asof_join" ->
       ("""WITH clicks AS (
          |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
@@ -609,18 +612,20 @@ object SparkEntry {
          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
          |u AS (
          |  SELECT user_id, ts_us AS t, 1 AS is_left, event_id,
-         |         NULL::BIGINT AS p_ts, NULL::DOUBLE AS p_value
+         |         NULL::STRUCT(p_ts BIGINT, p_value DOUBLE) AS p
          |  FROM clicks
          |  UNION ALL
-         |  SELECT user_id, p_ts_us AS t, 0, NULL, p_ts_us, p_value FROM purchases),
+         |  SELECT user_id, p_ts_us AS t, 0, NULL,
+         |         struct_pack(p_ts := p_ts_us, p_value := p_value) FROM purchases),
          |f AS (
          |  SELECT user_id, t, is_left, event_id,
-         |    last_value(p_ts IGNORE NULLS) OVER w AS p_ts,
-         |    last_value(p_value IGNORE NULLS) OVER w AS p_value
+         |    last_value(p IGNORE NULLS) OVER w AS p
          |  FROM u
          |  WINDOW w AS (PARTITION BY user_id ORDER BY t, is_left
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         |SELECT event_id, user_id, t AS ts_us, p_ts, p_value
+         |SELECT event_id, user_id, t AS ts_us,
+         |  struct_extract(p, 'p_ts') AS p_ts,
+         |  struct_extract(p, 'p_value') AS p_value
          |FROM f WHERE is_left = 1""").stripMargin,
     "q42_chunking" ->
       (s"""WITH t AS (

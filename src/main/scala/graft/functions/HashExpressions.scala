@@ -50,6 +50,10 @@ object HashExpressions {
       extends UnaryExpression with Serializable {
     require(numHashes > 0, "numHashes must be positive")
 
+    // NULL is produced for empty/all-null arrays even when the child is
+    // non-nullable, so nullability must not be inherited from the child
+    // (inheriting it makes codegen emit `false = true;` for ev.isNull).
+    override def nullable: Boolean = true
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult =
       requireStringArray(child.dataType, "minhash_signature")
@@ -250,6 +254,8 @@ object HashExpressions {
       extends UnaryExpression with Serializable {
     require(shingleLen > 0 && numHashes > 0, "need positive shingleLen/numHashes")
 
+    // empty array → NULL regardless of child nullability (see MinHashSignature)
+    override def nullable: Boolean = true
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult =
       requireStringArray(child.dataType, "minhash_shingles")
@@ -314,6 +320,8 @@ object HashExpressions {
       extends UnaryExpression with Serializable {
     require(shingleLen > 0, "need positive shingleLen")
 
+    // empty array → NULL regardless of child nullability (see MinHashSignature)
+    override def nullable: Boolean = true
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult =
       requireStringArray(child.dataType, "shingle_hashes")

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
 
 /** Range (interval) join — `left.point BETWEEN right.lo AND right.hi` —
@@ -17,6 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact `floorDiv(c, w)` over longs. `floor(c / w)` would divide in
+    * DOUBLE, whose 53-bit mantissa mis-rounds values at or above 2^53
+    * (e.g. nanosecond epochs) and can bin a point outside the bins its
+    * interval exploded to — silently dropping matches. Instead subtract
+    * the `pmod` remainder (non-negative, since w > 0) to land on an exact
+    * multiple of w, then integer-divide: truncation equals floor on exact
+    * multiples, for negative values too. */
+  private def floorDivBin(c: Column, w: Long): Column = {
+    val lc = c.cast("long")
+    val exact = lc - pmod(lc, lit(w))
+    GraftBridge.toColumn(IntegralDivide(
+      GraftBridge.toExpression(exact), GraftBridge.toExpression(lit(w))))
+  }
+
   /** Inner point-in-interval join over numeric (long-compatible) columns.
     * Output: all left columns + all right columns. */
   def pointInInterval(
@@ -28,10 +43,10 @@ object RangeJoin {
       binWidth: Long
   ): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val lb = left.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
+    val lb = left.withColumn("__bin", floorDivBin(col(pointCol), binWidth))
     val rb = right.withColumn("__bin",
-      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+      explode(sequence(floorDivBin(col(loCol), binWidth),
+        floorDivBin(col(hiCol), binWidth))))
     lb.join(rb, Seq("__bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")

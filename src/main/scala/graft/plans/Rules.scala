@@ -4,6 +4,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.StringType
 
 /** Custom optimizer rules registered on top of Catalyst.
   *
@@ -17,10 +19,19 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * two long compares. Cost-ordering the conjuncts is what Trino's evaluator
   * does implicitly; measured 5× on the composite scan at 100M rows.
   *
-  * `AND` is commutative under SQL three-valued logic and Spark's default
-  * (non-ANSI) expressions are side-effect- and exception-free, so the
-  * reorder is semantics-preserving; any non-deterministic conjunct disables
-  * the rewrite for that Filter. The sort is stable — written order survives
+  * Safety: `AND` is commutative under SQL three-valued logic, but an
+  * expression that can *throw* is order-sensitive — a conjunct like
+  * `CAST(s AS INT) < 80` guarded by `s RLIKE '^[0-9]+$'` must not move
+  * ahead of its guard (Spark 4 runs with `spark.sql.ansi.enabled=true` by
+  * default, where CAST / arithmetic overflow / division / element_at
+  * throw). The rewrite therefore only fires when EVERY conjunct is
+  * provably exception-free: each node of each subtree must come from a
+  * whitelist of non-throwing forms (comparisons, IS NULL, string
+  * predicates, literal-pattern regexes, up-casts and casts to string;
+  * under non-ANSI semantics also arithmetic and arbitrary casts, which
+  * return NULL instead of throwing). UDFs, subqueries and `raise_error`
+  * never qualify. Any non-deterministic conjunct likewise disables the
+  * rewrite for that Filter. The sort is stable — written order survives
   * within a cost class, and repeated application is a fixed point.
   */
 object CheapFirstFilterOrder extends Rule[LogicalPlan] {
@@ -45,10 +56,37 @@ object CheapFirstFilterOrder extends Rule[LogicalPlan] {
     if (marks.isEmpty) 1 else marks.max
   }
 
+  /** True iff every node of the subtree is a provably non-throwing form, so
+    * evaluating `e` on ANY row (including rows another conjunct would have
+    * filtered) cannot raise. A foldable cast is safe — constant folding has
+    * already run by the time extraOptimizations fire, and a throwing
+    * constant throws regardless of conjunct order. */
+  private def nonThrowing(e: Expression, ansi: Boolean): Boolean = {
+    val offender = e.find {
+      case _: Attribute | _: Literal | _: BoundReference              => false
+      case _: And | _: Or | _: Not                                    => false
+      case _: IsNull | _: IsNotNull | _: IsNaN                        => false
+      case _: EqualTo | _: EqualNullSafe | _: LessThan |
+           _: LessThanOrEqual | _: GreaterThan | _: GreaterThanOrEqual => false
+      case _: In | _: InSet                                           => false
+      case _: StartsWith | _: EndsWith | _: Contains |
+           _: Like | _: ILike                                         => false
+      case r: RLike => !r.right.foldable // non-literal pattern: compile may throw per row
+      case c: Cast =>
+        ansi && !c.child.foldable && c.dataType != StringType &&
+          !Cast.canUpCast(c.child.dataType, c.dataType)
+      case _: BinaryArithmetic | _: UnaryMinus | _: Abs => ansi // overflow/div throw only under ANSI
+      case _ => true // unknown node: assume it may throw
+    }
+    offender.isEmpty
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, _) =>
       val parts = splitConjuncts(cond)
-      if (parts.length < 2 || parts.exists(!_.deterministic)) f
+      lazy val ansi = SQLConf.get.ansiEnabled
+      if (parts.length < 2 || parts.exists(!_.deterministic) ||
+          !parts.forall(nonThrowing(_, ansi))) f
       else {
         val sorted = parts.sortBy(cost)
         if (sorted == parts) f else f.copy(condition = sorted.reduce(And))

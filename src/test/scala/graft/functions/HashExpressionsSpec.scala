@@ -96,6 +96,25 @@ class HashExpressionsSpec extends SparkSpec {
     assert(g == e)
   }
 
+  test("non-nullable input: signatures codegen-compile, empty arrays yield NULL") {
+    // A non-nullable array child is the path ADVICE r2 flagged: the three
+    // NULL-producing expressions must declare nullable=true themselves, or
+    // codegen emits an unassignable `false = true;` and the interpreted
+    // fallback hands a null to a projection that declared non-nullable.
+    val nn = spark.range(3).select(
+      slice(array(lit("a"), lit("b"), lit("c")), lit(1), $"id".cast("int")).as("tk"))
+    assert(!nn.schema("tk").nullable,
+      "fixture must be non-nullable to exercise the flagged path")
+    val out = nn.select(
+      HashExpressions.minhash_signature($"tk", 8).as("sig"),
+      HashExpressions.minhash_shingles($"tk", 2, 8).as("fused"),
+      HashExpressions.shingle_hashes($"tk", 2).as("hs")).collect()
+    // id=0 → empty array → NULL from all three; id>0 → non-null signatures
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1) && out(0).isNullAt(2))
+    assert((1 until 3).forall(i => !out(i).isNullAt(0) && !out(i).isNullAt(1) &&
+      !out(i).isNullAt(2)))
+  }
+
   test("SignatureAgreement matches the zip_with formulation") {
     val sigs = Seq(
       (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L)),  // 2/4 agree

@@ -107,6 +107,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out("t5").isEmpty)        // no right rows for the key
   }
 
+  test("asofLeft: NULL payload values come from the latest right row, never stitched") {
+    val l = Seq((1L, 100L, "e1"), (1L, 300L, "e2")).toDF("k", "ts", "eid")
+    val r = Seq((1L, 90L, Option(5.0), Option("a")), (1L, 250L, Option.empty[Double], Option("b")))
+      .toDF("k", "rts", "px", "tag")
+    val out = AsofJoin.asofLeft(l, r, "k", "ts", "rts").orderBy($"ts").collect()
+    assert(out(0).getAs[Double]("px") == 5.0 && out(0).getAs[String]("tag") == "a")
+    // e2 at ts=300 must see the 250 row WHOLE: px NULL, not 5.0 from the 90 row
+    assert(out(1).isNullAt(out(1).fieldIndex("px")),
+      "px was stitched from an older right row past a newer NULL")
+    assert(out(1).getAs[String]("tag") == "b")
+  }
+
+  test("asofLeft fails fast when a right payload column collides with a left column") {
+    val l = Seq((1L, 1L, 2.0)).toDF("k", "ts", "px")
+    val r = Seq((1L, 1L, 3.0)).toDF("k", "rts", "px")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofLeft(l, r, "k", "ts", "rts")
+    }
+  }
+
+  test("pointInInterval is exact for longs beyond 2^53 (no double rounding)") {
+    val base = 1L << 60 // ~ns-epoch magnitude; double ulp here is 256
+    val points = Seq((1L, base + 5L), (2L, base - 3L), (3L, base + 11L)).toDF("pid", "p")
+    val intervals = Seq((10L, base - 5L, base + 10L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", binWidth = 7L)
+      .select($"pid").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
   test("pointInInterval matches the naive range join across bin widths") {
     val points = (1L to 200L).map(i => (i, i * 3 % 101)).toDF("pid", "p")
     val intervals = Seq((1L, 5L, 20L), (2L, 18L, 19L), (3L, 90L, 150L), (4L, 0L, 0L))

@@ -122,6 +122,29 @@ class PlanAuditSpec extends SparkSpec {
       s"Contains not reordered after cheap comparisons: $cond")
   }
 
+  test("cheap-first ordering never promotes a throwing conjunct past its guard") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import spark.implicits._
+    graft.plans.CheapFirstFilterOrder.install(spark)
+    assert(spark.conf.get("spark.sql.ansi.enabled").toBoolean,
+      "Spark 4 runs ANSI by default; this test exercises the ANSI-throw guard")
+    // the ADVICE r2 scenario: the regex guards the cast — cost-ordering
+    // would promote the cheap cast conjunct and throw on the 'abc' row.
+    // Parquet-backed so ConvertToLocalRelation can't fold the Filter away.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ansi_guard").toString
+    Seq("12", "abc", "7").toDF("s").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+      .filter($"s".rlike("^[0-9]+$") && $"s".cast("int") < 80)
+    val cond = df.queryExecution.optimizedPlan.collectFirst {
+      case f: Filter => f.condition
+    }.get.toString
+    assert(cond.indexOf("RLIKE") >= 0 && cond.indexOf("cast") >= 0 &&
+      cond.indexOf("RLIKE") < cond.indexOf("cast"),
+      s"throwing cast was moved ahead of its regex guard: $cond")
+    assert(df.count() == 2) // would throw CAST_INVALID_INPUT if reordered
+  }
+
   test("cheap-first ordering skips non-deterministic filters and is idempotent") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.catalyst.plans.logical.Filter
