@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.gen.Generator
 import graft.config.Schemas
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Similarity, Stage, TextOps}
 import graft.queries.Workload
 import graft.sources.TestTables
 
@@ -158,7 +158,9 @@ object SparkEntry {
 
     // ---- text analysis (training-data pipeline) ----
     "q16_token_stats" -> ((s, dir) => {
-      val d = TestTables.documents(s, dir)
+      // text expressions are the whole cost; widen a single-split corpus
+      val d = Stage.ensureWide(
+        TestTables.documents(s, dir).select(col("doc_id"), col("text")))
       d.select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),

@@ -165,35 +165,39 @@ object Dedup {
       shingleLen: Int = 3,
       maxShingleFreq: Int = 1000
   ): DataFrame = {
-    // Shuffle on a 64-bit shingle hash, not the shingle string: the window
-    // count, the join key, and the exchange payload all shrink, and xxhash64
-    // collisions are negligible for intersection counting. The distinct
-    // hashes come from one native codegen'd pass (the strings are never
-    // materialized into the plan).
-    // One explicit hash shuffle of the exploded stream feeds BOTH the
-    // frequency aggregate and the join probe side — the exchange is
-    // canonically identical in the two branches, so the explode+hash
-    // pipeline computes once and everything downstream reads the
-    // ReusedExchange, already clustered on sh_h (no further exchanges).
+    // Shuffle on a 64-bit shingle hash, not the shingle string: the group
+    // key, and the exchange payload all shrink, and xxhash64 collisions are
+    // negligible for intersection counting. The distinct hashes come from
+    // one native codegen'd pass (the strings are never materialized into the
+    // plan). `explode_outer` + null filter instead of `explode`, because the
+    // non-outer generator makes Catalyst infer a `size(shingle_hashes(…))>0`
+    // scan filter that re-runs the shingle hashing below the exchange.
+    //
+    // ONE pass builds the whole inverted index: groupBy(sh_h) with the
+    // capped posting-list aggregate collects each shingle's documents and
+    // drops Zipf-hot shingles (freq > maxShingleFreq → NULL, buffer freed
+    // at cap+1 — bounded memory, see [[graft.functions.CappedPostings]]).
+    // Candidate pairs then come from a local double-explode of each posting
+    // list — no frequency pre-count, no re-join against a filtered key set,
+    // no self-join: the corpus is scanned once, shuffled once on sh_h, and
+    // once more as the (much smaller) pair stream. Singleton shingles (the
+    // Zipf tail) cannot form a pair and die on the size≥2 gate; hotter-
+    // than-cap shingles are dropped — the standard recall/cost dial, pairs
+    // sharing only dropped shingles can be missed.
     val sh = tokenFrame(df, idCol, textCol)
       .select(col("id"), HashExpressions.shingle_hashes(col("tk"), shingleLen).as("shs"))
-      .select(col("id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh_h"))
-      .repartition(col("sh_h"))
-    // Shingle-frequency gate as an aggregate + join rather than a window
-    // (no sort of the full stream). Kept shingles need 2..maxShingleFreq
-    // docs: singletons (the Zipf tail) cannot form a pair, and hotter
-    // shingles are the quadratic-cost guard.
-    val freqs = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= 2 && col("freq") <= maxShingleFreq)
-      .select(col("sh_h"))
-    val filtered = sh.join(freqs, "sh_h")
-      .select(col("id"), col("n_sh"), col("sh_h"))
-    val l = filtered.as("l")
-    val r = filtered.as("r")
-    l.join(r, col("l.sh_h") === col("r.sh_h"))
-      .filter(col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.n_sh").as("n_a"), col("r.n_sh").as("n_b"))
+      .select(col("id"), size(col("shs")).as("n_sh"), explode_outer(col("shs")).as("sh_h"))
+      .filter(col("sh_h").isNotNull)
+    val postings = sh.groupBy(col("sh_h"))
+      .agg(graft.functions.CappedPostings
+        .capped_postings(col("id"), col("n_sh"), maxShingleFreq).as("docs"))
+      .filter(col("docs").isNotNull && size(col("docs")) >= 2)
+    postings
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("inter"))
       .select(col("id_a"), col("id_b"),
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)

@@ -87,7 +87,6 @@ class PlanAuditSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("label"))
     val ops = Seq(
       "simhashPairs" -> graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8),
-      "ngramJaccard" -> graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.3),
       "embeddingNearDups" -> graft.operators.Dedup.embeddingNearDups(
         emb.unionByName(dup), "vec_id", "embedding", threshold = 0.99))
     ops.foreach { case (name, q) =>
@@ -95,6 +94,23 @@ class PlanAuditSpec extends SparkSpec {
       val p = q.queryExecution.executedPlan.toString
       assert(p.contains("ReusedExchange"), s"$name lost exchange reuse:\n$p")
     }
+  }
+
+  test("ngram jaccard: one corpus scan, no joins — posting lists carry the pairs") {
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.3)
+    q.collect()
+    // AQE toString prints the Initial Plan below the Final one — audit only
+    // the final (executed) section
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "FileScan".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single corpus scan, found $scans:\n$p")
+    assert(!p.contains("Join"), s"pair generation must not need a join:\n$p")
+    // the expensive shingle hashing must not be re-run in an inferred
+    // generator filter below the exchange
+    assert("Filter [^\\n]*shinglehashes".r.findFirstIn(p).isEmpty,
+      s"shingle hashing recomputed inside a pushed filter:\n$p")
   }
 
   test("ensureWide is the identity for already-wide inputs, widens narrow ones") {
