@@ -56,14 +56,33 @@ case class MoneySum(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      // identical rounding to Spark's Cast(double -> decimal(18,6)); a value
-      // that overflows decimal(18,6) casts to NULL there, so skip it here too
-      val dec = JBigDecimal.valueOf(v.asInstanceOf[Double])
-        .setScale(6, RoundingMode.HALF_UP)
-      if (dec.precision() <= 18) {
-        val micros = dec.unscaledValue().longValueExact()
+      val d = v.asInstanceOf[Double]
+      // Fast path: identical result to the BigDecimal slow path below,
+      // proven by a midpoint guard. The slow path rounds the SHORTEST
+      // decimal representation s of d (that is what BigDecimal.valueOf
+      // rounds) half-up at 6 dp. With x = fl(d*1e6) and r = nearest
+      // integer to x, both |s*1e6 - d*1e6| (half-ulp of d, scaled) and
+      // |x - d*1e6| (half-ulp of x) are within ~1.5*ulp(x), so whenever x
+      // is further than 4*ulp(x) from a rounding midpoint, s*1e6 lies
+      // strictly inside (r-0.5, r+0.5) and rounds to r under any
+      // half-rounding rule. Near-midpoint values (~1e-10 of inputs) and
+      // near-overflow magnitudes take the slow path and stay bit-exact.
+      val x = d * 1e6
+      val r = Math.rint(x)
+      if (Math.abs(x - r) < 0.5 - 4 * Math.ulp(x) && Math.abs(r) < 1e18) {
+        val micros = r.toLong
         add128(buf, micros >> 63, micros)
         buf(2) = 1L
+      } else {
+        // identical rounding to Spark's Cast(double -> decimal(18,6)); a
+        // value that overflows decimal(18,6) casts to NULL there, so skip
+        // it here too
+        val dec = JBigDecimal.valueOf(d).setScale(6, RoundingMode.HALF_UP)
+        if (dec.precision() <= 18) {
+          val micros = dec.unscaledValue().longValueExact()
+          add128(buf, micros >> 63, micros)
+          buf(2) = 1L
+        }
       }
     }
     buf

@@ -52,6 +52,26 @@ class MoneySumSpec extends SparkSpec {
     }
   }
 
+  test("bit-exact on rounding midpoints (the fast path's slow-path guard)") {
+    // 7th-decimal '5' midpoints: exactly where nearest-integer on d*1e6
+    // diverges from HALF_UP on the shortest decimal representation — these
+    // must detour to the BigDecimal path
+    val vals = (1 to 5000).flatMap { i =>
+      val base = i * 37 % 1000
+      Seq(1L -> (base + 0.0000005), 2L -> -(base + 0.0000005),
+        3L -> (base + 0.9999995), 4L -> (base + i * 1e-7))
+    }
+    val df = vals.toDF("g", "x")
+    val rows = df.groupBy($"g")
+      .agg(dec($"x").as("d"), MoneySum.money_sum($"x").as("m"))
+      .as[(Long, Double, Double)].collect()
+    assert(rows.length == 4)
+    rows.foreach { case (g, d, m) =>
+      assert(java.lang.Double.doubleToLongBits(d) == java.lang.Double.doubleToLongBits(m),
+        s"group $g: $d vs $m")
+    }
+  }
+
   test("null semantics: empty input sums to null, null rows are skipped") {
     val df = Seq((1L, Some(2.5)), (1L, None), (2L, None)).toDF("g", "x")
     val rows = df.groupBy($"g")
