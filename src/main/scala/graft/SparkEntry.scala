@@ -385,6 +385,40 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    "q46_dedup_clusters" -> ((s, dir) => {
+      // pair edges → dedup clusters: min-label connected components over the
+      // exact ngram-Jaccard pairs; rep = canonical (minimum) member id
+      val pairs = Dedup.ngramJaccard(TestTables.documents(s, dir), "doc_id", "text",
+        threshold = 0.3)
+      graft.operators.ConnectedComponents.components(pairs, "id_a", "id_b")
+        .select(col("id"), col("rep"))
+    }),
+    "q47_decontaminate" -> ((s, dir) => {
+      // benchmark-leakage check: training docs (id ≥ 100) sharing ≥2 distinct
+      // 3-gram shingles with the "benchmark" slice (id < 100)
+      val d = TestTables.documents(s, dir)
+      graft.operators.Contamination.overlap(
+          d.filter(col("doc_id") >= 100), "doc_id", "text",
+          d.filter(col("doc_id") < 100), "doc_id", "text",
+          shingleLen = 3, minShared = 2)
+        .select(col("train_id"), col("n_shared"), col("n_eval_docs"))
+    }),
+    "q48_repetition" -> ((s, dir) => {
+      // Gopher-style intra-document repetition: bigram duplication stats from
+      // one native pass (hash, sort, run-length — no shingle strings)
+      val d = Stage.ensureWide(
+        TestTables.documents(s, dir).select(col("doc_id"), col("text")))
+      d.select(col("doc_id"),
+          graft.functions.HashExpressions.shingle_dup_stats(
+            split(trim(lower(col("text"))), "\\s+"), 2).as("st"))
+        .select(col("doc_id"),
+          col("st.n_shingles").cast("long").as("n_shingles"),
+          col("st.n_distinct").cast("long").as("n_distinct"),
+          round(lit(1.0) - col("st.n_distinct") / col("st.n_shingles").cast("double"), 6)
+            .as("dup_ratio"),
+          col("st.max_freq").cast("long").as("max_freq"))
+    }),
+
     // ---- generator engine smoke through the driver (no DuckDB oracle:
     //      DuckDB cannot run the generator) ----
     "gen_profile" -> ((s, _) => {
@@ -400,6 +434,37 @@ object SparkEntry {
 
   private val tokensSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
   private val stopList = "['the','a','an','and','or','of','to','in','is','it','for','on','with','as']"
+
+  // q23's hot-shingle cutoff (maxShingleFreq=1000) cannot trigger at the
+  // driver's sf0.01 (500 docs), so the operator is exact there: pairwise
+  // Jaccard over distinct 3-word shingle sets. Spark dedups shingles by
+  // xxhash64; a collision between distinct shingles would skew a count,
+  // but at this scale the probability is ~1e-13. Shared by q23 and the
+  // q46 connected-components oracle (clusters over the same pair list).
+  private val ngramPairsSql: String =
+    ("""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+       |           ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+       |    FROM (SELECT doc_id, tk,
+       |            unnest(range(1, greatest(len(tk) - 1, 2))) AS i
+       |          FROM toks))),
+       |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b USING (shingle)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) AS jaccard
+       |FROM pairs
+       |JOIN counts ca ON ca.doc_id = id_a
+       |JOIN counts cb ON cb.doc_id = id_b
+       |WHERE round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) >= 0.3""").stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q02_count_eq" ->
@@ -683,12 +748,25 @@ object SparkEntry {
          |  FROM scored)
          |SELECT doc_id, term, bm25, rank FROM ranked
          |WHERE rank <= 3 AND doc_id < 50""").stripMargin,
-    // q23's hot-shingle cutoff (maxShingleFreq=1000) cannot trigger at the
-    // driver's sf0.01 (500 docs), so the operator is exact there: pairwise
-    // Jaccard over distinct 3-word shingle sets. Spark dedups shingles by
-    // xxhash64; a collision between distinct shingles would skew a count,
-    // but at this scale the probability is ~1e-13.
-    "q23_ngram_pairs" ->
+    "q23_ngram_pairs" -> ngramPairsSql,
+    // transitive closure over the exact q23 pair list (tiny at sf0.01), then
+    // min reachable id per node — the declarative mirror of min-label
+    // propagation's fixpoint
+    "q46_dedup_clusters" ->
+      ("WITH RECURSIVE pairs AS (\n" + ngramPairsSql + "\n),\n" +
+        """edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS id, CAST(least(src, min(dst)) AS BIGINT) AS rep
+         |FROM reach GROUP BY src""".stripMargin),
+    // string-shingle formulation of the hash-shingle overlap join; identical
+    // counts barring 64-bit hash collisions (~1e-13 at this scale)
+    "q47_decontaminate" ->
       ("""WITH toks AS (
          |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
          |  FROM documents),
@@ -699,19 +777,31 @@ object SparkEntry {
          |           ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
          |    FROM (SELECT doc_id, tk,
          |            unnest(range(1, greatest(len(tk) - 1, 2))) AS i
-         |          FROM toks))),
-         |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM sh a JOIN sh b USING (shingle)
-         |  WHERE a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b,
-         |  round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) AS jaccard
-         |FROM pairs
-         |JOIN counts ca ON ca.doc_id = id_a
-         |JOIN counts cb ON cb.doc_id = id_b
-         |WHERE round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) >= 0.3""").stripMargin,
+         |          FROM toks)))
+         |SELECT t.doc_id AS train_id,
+         |  CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_shared,
+         |  CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+         |FROM sh t JOIN sh e ON t.shingle = e.shingle
+         |WHERE t.doc_id >= 100 AND e.doc_id < 100
+         |GROUP BY t.doc_id
+         |HAVING count(DISTINCT t.shingle) >= 2""").stripMargin,
+    "q48_repetition" ->
+      ("""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) < 2 THEN array_to_string(tk, ' ')
+         |         ELSE array_to_string(tk[i:i+1], ' ') END AS shingle
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(range(1, greatest(len(tk), 2))) AS i
+         |        FROM toks)),
+         |g AS (SELECT doc_id, shingle, count(*) AS c FROM sh GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_ratio,
+         |  CAST(max(c) AS BIGINT) AS max_freq
+         |FROM g GROUP BY doc_id""").stripMargin,
     "q24_cosine_topk" ->
       ("""WITH q AS (
          |  SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i

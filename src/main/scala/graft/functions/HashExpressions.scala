@@ -379,6 +379,85 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Intra-document repetition statistics over the (non-distinct) stream of
+    * `shingleLen`-word shingles of a token array: struct(n_shingles,
+    * n_distinct, max_freq) — the inputs for Gopher-style repetition filters
+    * (duplicate-n-gram fraction, dominant-n-gram share). One hash pass, one
+    * in-place sort, one run-length scan per row; no arrays of strings in the
+    * plan. Short arrays (< shingleLen tokens) form one whole-text shingle,
+    * matching [[ShingleHashes]]; empty arrays yield NULL. */
+  case class ShingleDupStats(child: Expression, shingleLen: Int)
+      extends UnaryExpression with Serializable {
+    require(shingleLen > 0, "need positive shingleLen")
+
+    // empty array → NULL regardless of child nullability (see MinHashSignature)
+    override def nullable: Boolean = true
+    override def dataType: DataType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_shingles", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_distinct", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("max_freq", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child.dataType, "shingle_dup_stats")
+
+    def compute(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+      val a = v
+      val n = a.numElements()
+      if (n == 0) return null
+      val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+      val hs: Array[Long] =
+        if (n < shingleLen) {
+          val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+          var k = 0
+          while (k < n) { parts(k) = a.getUTF8String(k); k += 1 }
+          Array(XXH64.hashUTF8String(
+            org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*), Xxh64DefaultSeed))
+        } else {
+          val m = n - shingleLen + 1
+          val out = new Array[Long](m)
+          val parts = new Array[org.apache.spark.unsafe.types.UTF8String](shingleLen)
+          var s = 0
+          while (s < m) {
+            var k = 0
+            while (k < shingleLen) { parts(k) = a.getUTF8String(s + k); k += 1 }
+            out(s) = XXH64.hashUTF8String(
+              org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*), Xxh64DefaultSeed)
+            s += 1
+          }
+          out
+        }
+      java.util.Arrays.sort(hs)
+      var distinct = 0
+      var maxFreq = 0
+      var run = 0
+      var i = 0
+      while (i < hs.length) {
+        if (i == 0 || hs(i) != hs(i - 1)) { distinct += 1; run = 1 }
+        else run += 1
+        if (run > maxFreq) maxFreq = run
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](hs.length, distinct, maxFreq))
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("shingleDupStats", this, classOf[ShingleDupStats].getName)
+      val ir = classOf[org.apache.spark.sql.catalyst.InternalRow].getName
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""
+           |$ir ${ev.value}_r = $self.compute($a);
+           |if (${ev.value}_r == null) { ${ev.isNull} = true; } else { ${ev.value} = ${ev.value}_r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** All `tables` random-hyperplane LSH bucket ids of a float/double vector
     * in one array pass: bucket `t` is the `planes`-bit sign pattern of the
     * vector's projections onto deterministic pseudo-random hyperplanes whose
@@ -508,6 +587,8 @@ object HashExpressions {
     GraftBridge.toColumn(MinHashShingles(GraftBridge.toExpression(tokens), shingleLen, numHashes))
   def shingle_hashes(tokens: Column, shingleLen: Int): Column =
     GraftBridge.toColumn(ShingleHashes(GraftBridge.toExpression(tokens), shingleLen))
+  def shingle_dup_stats(tokens: Column, shingleLen: Int): Column =
+    GraftBridge.toColumn(ShingleDupStats(GraftBridge.toExpression(tokens), shingleLen))
 
   /** Register as SQL functions. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

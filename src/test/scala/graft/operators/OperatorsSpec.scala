@@ -149,6 +149,54 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: min-label clusters across chains, pairs, and isolates") {
+    import graft.operators.ConnectedComponents
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),      // chain → component rep 1
+      (10L, 11L),                        // pair → rep 10
+      (20L, 21L), (21L, 22L), (20L, 22L) // triangle → rep 20
+    ).toDF("id_a", "id_b")
+    val got = ConnectedComponents.components(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val cl = ConnectedComponents.clusters(edges).as[(Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r._2).toMap
+    assert(cl == Map(1L -> 4L, 10L -> 2L, 20L -> 3L))
+  }
+
+  test("contamination overlap finds the planted eval/train shingle leak") {
+    import graft.operators.Contamination
+    val eval0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated benchmark prompt text here")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (100L, "story begins the quick brown fox jumps away"), // shares 3 trigrams w/ doc 1
+      (101L, "no overlap with anything in the benchmark"),
+      (102L, "the quick brown fox jumps over the lazy dog indeed") // near copy of doc 1
+    ).toDF("doc_id", "text")
+    val got = Contamination.overlap(train, "doc_id", "text", eval0, "doc_id", "text",
+        shingleLen = 3, minShared = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.contains(100L) && got(100L)._2 == 1L)
+    assert(got.contains(102L) && got(102L)._1 >= 7L && got(102L)._2 == 1L)
+    assert(!got.contains(101L), "clean doc flagged")
+  }
+
+  test("shingle_dup_stats: counts, distincts, and max frequency match hand-computed") {
+    import graft.functions.HashExpressions
+    val df = Seq(
+      (1L, "a b a b a"),   // bigrams: ab,ba,ab,ba → (4, 2, 2)
+      (2L, "x"),           // short → single whole-text shingle → (1, 1, 1)
+      (3L, "w w w w")      // ww,ww,ww → (3, 1, 3)
+    ).toDF("id", "text")
+    val got = df.select($"id", HashExpressions.shingle_dup_stats(
+        split(trim(lower($"text")), "\\s+"), 2).as("st"))
+      .select($"id", $"st.n_shingles", $"st.n_distinct", $"st.max_freq")
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(1L -> ((4, 2, 2)), 2L -> ((1, 1, 1)), 3L -> ((3, 1, 3))))
+  }
+
   test("embedding near-dups via LSH find the duplicated vectors") {
     val emb = sf(dir, "embeddings")
     // plant an exact duplicate pair by unioning a copy with shifted ids
