@@ -419,6 +419,20 @@ object SparkEntry {
           col("st.max_freq").cast("long").as("max_freq"))
     }),
 
+    "q49_bpe" -> ((s, dir) => {
+      // learned subword tokenizer: corpus word-count (one shuffle) → driver
+      // merge loop on the top word types → native scan-local encode. No
+      // DuckDB oracle (BPE is not SQL-expressible); BpeSpec pins the merge
+      // sequence on the classic hand-computable corpus and determinism.
+      val d = TestTables.documents(s, dir)
+      val model = graft.operators.Bpe.train(d, "text", numMerges = 100,
+        maxWordTypes = 5000)
+      Stage.ensureWide(d.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          size(graft.operators.Bpe.encode(model, col("text"))).cast("long")
+            .as("n_bpe_tokens"))
+    }),
+
     // ---- generator engine smoke through the driver (no DuckDB oracle:
     //      DuckDB cannot run the generator) ----
     "gen_profile" -> ((s, _) => {
