@@ -419,6 +419,45 @@ object SparkEntry {
           col("st.max_freq").cast("long").as("max_freq"))
     }),
 
+    "q50_json_extract" -> ((s, dir) => {
+      // semi-structured extraction: parse the JSON props column, aggregate
+      // on the extracted field — scan-local parse (codegen'd path), one
+      // agg shuffle
+      val e = TestTables.events(s, dir)
+      e.select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          round(moneySum(col("value")) / count(lit(1)), 6).as("avg_value"))
+        .orderBy(col("k"))
+    }),
+    "q51_moving_avg" -> ((s, dir) => {
+      // event-time feature: per-user 5-row trailing mean over the purchase
+      // stream — one shuffle on the window key, sorted within partitions
+      val e = TestTables.events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      // exact decimal window sum / row count instead of avg(): windowed
+      // double summation order differs across engines (DuckDB segment-trees
+      // its window aggs), so the float-exactness recipe applies here too
+      e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value").cast("decimal(18,6)")).over(w).cast("double") /
+            count(lit(1)).over(w), 6).as("avg5"))
+    }),
+    "q52_ntile" -> ((s, dir) => {
+      // decile bucketing of customers by balance — the standard cohort cut
+      val c = TestTables.customer(s, dir)
+      // a global-order ntile is inherently a single sorted pass — fine on a
+      // dimension table; corpus-scale decile cuts use approx quantiles
+      c.select(col("c_custkey"),
+          ntile(10).over(Window.orderBy(col("c_acctbal").desc,
+            col("c_custkey").asc)).cast("long").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
+        .orderBy(col("decile"))
+    }),
     "q49_bpe" -> ((s, dir) => {
       // learned subword tokenizer: corpus word-count (one shuffle) → driver
       // merge loop on the top word types → native scan-local encode. No
@@ -763,6 +802,25 @@ object SparkEntry {
          |SELECT doc_id, term, bm25, rank FROM ranked
          |WHERE rank <= 3 AND doc_id < 50""").stripMargin,
     "q23_ngram_pairs" -> ngramPairsSql,
+    "q50_json_extract" ->
+      ("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         | CAST(count(*) AS BIGINT) AS n,
+         | round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
+         |FROM events GROUP BY 1 ORDER BY 1""").stripMargin,
+    "q51_moving_avg" ->
+      ("""SELECT event_id, user_id,
+         | round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         |   / count(*) OVER w, 6) AS avg5
+         |FROM events WHERE event_type = 'purchase'
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""").stripMargin,
+    "q52_ntile" ->
+      ("""SELECT decile, CAST(count(*) AS BIGINT) AS n,
+         | CAST(min(c_custkey) AS BIGINT) AS min_key
+         |FROM (SELECT c_custkey,
+         |        ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+         |      FROM customer)
+         |GROUP BY decile ORDER BY decile""").stripMargin,
     // transitive closure over the exact q23 pair list (tiny at sf0.01), then
     // min reachable id per node — the declarative mirror of min-label
     // propagation's fixpoint
