@@ -231,7 +231,10 @@ object SparkEntry {
       val terms = d.select(col("doc_id"),
         explode(TextOps.tokens(lower(col("text")))).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // dl from tf (Σ tf per doc), NOT from terms: a second groupBy over the
+      // raw term stream is a second scan+tokenize of the corpus, while tf's
+      // exchange is already computed and gets reused for this rollup
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val scored = tf.join(dfreq, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
