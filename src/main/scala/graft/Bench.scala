@@ -14,7 +14,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val warmup = sys.env.getOrElse("BENCH_WARMUP", "1").toInt
+    // two warmup runs: the first JITs the query's generated code, the second
+    // runs it hot — one warmup still measures C1-compiled code on the
+    // heavier queries and inflates the mean by ~20% run-to-run
+    val warmup = sys.env.getOrElse("BENCH_WARMUP", "2").toInt
     val iters = sys.env.getOrElse("BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
