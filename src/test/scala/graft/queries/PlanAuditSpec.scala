@@ -113,6 +113,21 @@ class PlanAuditSpec extends SparkSpec {
       s"shingle hashing recomputed inside a pushed filter:\n$p")
   }
 
+  test("connected components returns a truncated lineage, not the iteration ladder") {
+    import spark.implicits._
+    val edges = (1L to 50L).map(i => (i, i + 1)).toDF("id_a", "id_b") // one long chain
+    val labels = graft.operators.ConnectedComponents.components(edges, maxIter = 60)
+    // each round localCheckpoints: the returned frame must be rooted at the
+    // checkpointed RDD — a downstream consumer must NOT re-execute the
+    // whole join ladder (lineage would double per round otherwise)
+    val p = labels.queryExecution.optimizedPlan.toString
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      s"labels frame is not checkpoint-rooted:\n$p")
+    assert(!p.contains("Join"), s"iteration ladder leaked into the result plan:\n$p")
+    // and the chain actually collapsed to one component labeled by its min
+    assert(labels.as[(Long, Long)].collect().forall(_._2 == 1L))
+  }
+
   test("ensureWide is the identity for already-wide inputs, widens narrow ones") {
     import graft.operators.Stage
     val parallelism = spark.sparkContext.defaultParallelism
