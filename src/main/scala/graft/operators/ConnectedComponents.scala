@@ -26,13 +26,30 @@ import org.apache.spark.sql.functions._
   * garbage-collected, so nothing outlives its consumers (the r1-verdict
   * persist()-leak pattern does not apply). Convergence is detected with a
   * one-row checksum action per round: per-node labels are monotonically
-  * non-increasing, so the label sum strictly decreases until fixpoint.
+  * non-increasing, so the label sum strictly decreases until fixpoint. The
+  * sum is taken in DECIMAL(38,0): a LongType sum overflows (ANSI: a
+  * job-killing throw; non-ANSI: silent wrap that could alias the equality
+  * check) at billion-row corpora with 64-bit hash-derived ids, while 38
+  * digits hold ~10^12 ids of magnitude 2^63 exactly.
   */
 object ConnectedComponents {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Exact label checksum; NULL (zero rows) coalesces to 0 so an empty edge
+    * set converges on the first round instead of NPE-ing on a null slot. */
+  private def checksumOf(labels: DataFrame): java.math.BigDecimal = {
+    val row = labels.agg(sum(col("rep").cast("decimal(38,0)"))).head()
+    if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
+  }
+
   /** Components of the undirected graph given by (`srcCol`, `dstCol`) pairs.
     * Output: (id, rep) for every node that appears in any edge, where `rep`
-    * is the component's minimum member id. */
+    * is the component's minimum member id. If the fixpoint is not reached
+    * within `maxIter` rounds (possible only when some component's diameter
+    * exceeds `maxIter`), the returned labels are a sound over-partition —
+    * every labeled group is a subset of a true component, never a merge of
+    * two — and a warning is logged. */
   def components(
       edges: DataFrame,
       srcCol: String = "id_a",
@@ -49,7 +66,7 @@ object ConnectedComponents {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
       .localCheckpoint(true)
-    var checksum = labels.agg(sum(col("rep"))).head().getLong(0)
+    var checksum = checksumOf(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -60,12 +77,17 @@ object ConnectedComponents {
         .groupBy(col("id"))
         .agg(min(col("rep")).as("rep"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum(col("rep"))).head().getLong(0)
-      converged = nextSum == checksum
+      val nextSum = checksumOf(next)
+      converged = nextSum.compareTo(checksum) == 0
       checksum = nextSum
       labels = next
       iter += 1
     }
+    if (!converged)
+      log.warn(s"connected-components stopped after maxIter=$maxIter rounds " +
+        "without reaching a fixpoint — labels are correct only for components " +
+        s"with diameter <= $maxIter; raise maxIter (rounds = diameter) or use " +
+        "a star-contraction variant for adversarial long-chain graphs")
     labels
   }
 

@@ -21,15 +21,21 @@ object RangeJoin {
   /** Exact `floorDiv(c, w)` over longs. `floor(c / w)` would divide in
     * DOUBLE, whose 53-bit mantissa mis-rounds values at or above 2^53
     * (e.g. nanosecond epochs) and can bin a point outside the bins its
-    * interval exploded to — silently dropping matches. Instead subtract
-    * the `pmod` remainder (non-negative, since w > 0) to land on an exact
-    * multiple of w, then integer-divide: truncation equals floor on exact
-    * multiples, for negative values too. */
+    * interval exploded to — silently dropping matches. Truncating
+    * integer-divide, then step one bin down for negative non-multiples.
+    * Every intermediate stays in Long range — including c = Long.MinValue:
+    * q*w = c - (c % w) lies in [c, 0] for negative c, and q-1 only fires
+    * when the remainder is nonzero, which requires w >= 2 and hence
+    * q >= Long.MinValue/2. (The earlier `lc - pmod(lc, w)` formulation
+    * underflowed for points within w-1 of Long.MinValue: pmod is
+    * non-negative, so the subtraction left the Long range — an ANSI throw
+    * mid-query, or a silent wrong bin without ANSI.) */
   private def floorDivBin(c: Column, w: Long): Column = {
     val lc = c.cast("long")
-    val exact = lc - pmod(lc, lit(w))
-    GraftBridge.toColumn(IntegralDivide(
-      GraftBridge.toExpression(exact), GraftBridge.toExpression(lit(w))))
+    val q = GraftBridge.toColumn(IntegralDivide(
+      GraftBridge.toExpression(lc), GraftBridge.toExpression(lit(w))))
+    val r = lc - q * lit(w)
+    when(lc < 0 && r =!= 0, q - lit(1L)).otherwise(q)
   }
 
   /** Inner point-in-interval join over numeric (long-compatible) columns.

@@ -69,9 +69,12 @@ object CheapFirstFilterOrder extends Rule[LogicalPlan] {
       case _: EqualTo | _: EqualNullSafe | _: LessThan |
            _: LessThanOrEqual | _: GreaterThan | _: GreaterThanOrEqual => false
       case _: In | _: InSet                                           => false
-      case _: StartsWith | _: EndsWith | _: Contains |
-           _: Like | _: ILike                                         => false
-      case r: RLike => !r.right.foldable // non-literal pattern: compile may throw per row
+      case _: StartsWith | _: EndsWith | _: Contains                  => false
+      // non-literal pattern: compiled per row, and a malformed pattern (e.g.
+      // a dangling escape char in LIKE) throws regardless of ANSI mode
+      case l: Like  => !l.right.foldable
+      case l: ILike => !l.right.foldable
+      case r: RLike => !r.right.foldable
       case c: Cast =>
         ansi && !c.child.foldable && c.dataType != StringType &&
           !Cast.canUpCast(c.child.dataType, c.dataType)

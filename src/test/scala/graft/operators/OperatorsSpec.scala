@@ -164,6 +164,39 @@ class OperatorsSpec extends SparkSpec {
     assert(cl == Map(1L -> 4L, 10L -> 2L, 20L -> 3L))
   }
 
+  test("connectedComponents: ids near Long.MaxValue converge without ANSI overflow") {
+    import graft.operators.ConnectedComponents
+    assert(spark.conf.get("spark.sql.ansi.enabled").toBoolean,
+      "Spark 4 runs ANSI by default; this test exercises the checksum overflow guard")
+    // xxhash64-derived doc ids live at 2^63 magnitude: three of them already
+    // overflow a LongType sum (r3 verdict — the old checksum threw mid-job)
+    val m = Long.MaxValue
+    val edges = Seq((m, m - 1L), (m - 1L, m - 2L), (m - 4L, m - 5L))
+      .toDF("id_a", "id_b")
+    val got = ConnectedComponents.components(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(m -> (m - 2L), (m - 1L) -> (m - 2L), (m - 2L) -> (m - 2L),
+      (m - 4L) -> (m - 5L), (m - 5L) -> (m - 5L)))
+  }
+
+  test("connectedComponents: empty edge set returns empty labels, no NPE") {
+    import graft.operators.ConnectedComponents
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(ConnectedComponents.components(edges).count() == 0)
+    assert(ConnectedComponents.clusters(edges).count() == 0)
+  }
+
+  test("pointInInterval is exact within binWidth of Long.MinValue") {
+    // the old bin formula `lc - pmod(lc, w)` left the Long range for points
+    // within w-1 of Long.MinValue — ANSI throw or a silently wrong bin
+    val lo = Long.MinValue
+    val points = Seq((1L, lo + 3L), (2L, lo), (3L, lo + 9L), (4L, lo + 25L))
+      .toDF("pid", "p")
+    val intervals = Seq((10L, lo, lo + 10L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", binWidth = 10L)
+      .select($"pid").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
   test("contamination overlap finds the planted eval/train shingle leak") {
     import graft.operators.Contamination
     val eval0 = Seq(

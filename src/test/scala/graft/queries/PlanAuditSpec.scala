@@ -176,6 +176,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() == 2) // would throw CAST_INVALID_INPUT if reordered
   }
 
+  test("cheap-first ordering treats a non-literal LIKE pattern as throwing") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    graft.plans.CheapFirstFilterOrder.install(spark)
+    // a column-valued LIKE pattern is compiled per row; a malformed pattern
+    // (dangling escape) throws regardless of ANSI mode, so the rule must
+    // leave the conjunct order exactly as written (same policy as RLIKE)
+    val df = spark.range(10)
+      .select(col("id").cast("string").as("s"),
+        concat(lit("%"), col("id").cast("string")).as("p"), col("id").as("n"))
+      .filter(expr("s LIKE p") && col("n") < 5)
+    val cond = df.queryExecution.optimizedPlan.collectFirst {
+      case f: Filter => f.condition
+    }.get.toString
+    assert(cond.indexOf("LIKE") >= 0 && cond.indexOf(" < ") >= 0 &&
+      cond.indexOf("LIKE") < cond.indexOf(" < "),
+      s"non-foldable LIKE was reordered past the comparison: $cond")
+  }
+
   test("cheap-first ordering skips non-deterministic filters and is idempotent") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.catalyst.plans.logical.Filter
