@@ -186,7 +186,14 @@ object SparkEntry {
       Dedup.minhashLsh(TestTables.documents(s, dir), "doc_id", "text",
         numHashes = 64, bands = 16, threshold = 0.5)),
     "q22_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(TestTables.documents(s, dir), "doc_id", "text", maxHamming = 8)),
+      // portable md5-derived 60-bit signature (4 × 15-bit chunks) instead of
+      // the native xxhash64 one, so the whole hash → signature → banding →
+      // Hamming pipeline is DuckDB-reproducible and oracle-checked; the
+      // native signature path stays covered by OperatorsSpec
+      Dedup.simhashPairsFromSig(
+          Dedup.portableSimhashSigs(TestTables.documents(s, dir), "doc_id", "text"),
+          maxHamming = 8, chunks = 4, chunkBits = 15)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))),
     "q23_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccard(TestTables.documents(s, dir), "doc_id", "text", threshold = 0.3)),
     "q24_cosine_topk" -> ((s, dir) => {
@@ -461,6 +468,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
         .orderBy(col("decile"))
     }),
+    "q53_select_latemat" -> ((s, dir) =>
+      // the two-phase late-materialization row fetch (Workload.scala): phase
+      // 1 takes the top-n matching ids from a 2-column scan, phase 2
+      // refetches the full rows through a row-group-prunable IN filter —
+      // scan cost ∝ hits, not table width × size
+      Workload.selectWhereLimitLateMat(TestTables.events(s, dir),
+          col("value") > 99.5, "event_id", 10)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))),
     "q49_bpe" -> ((s, dir) => {
       // learned subword tokenizer: corpus word-count (one shuffle) → driver
       // merge loop on the top word types → native scan-local encode. No
@@ -522,7 +538,36 @@ object SparkEntry {
        |JOIN counts cb ON cb.doc_id = id_b
        |WHERE round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) >= 0.3""").stripMargin
 
+  /** DuckDB replica of q22: md5-prefix per-token hash → ±1 bit votes →
+    * 60-bit signature → 4×15-bit chunk-agreement candidates → Hamming ≤ 8.
+    * Generated programmatically (60 vote sums) to match
+    * [[graft.operators.Dedup.portableSimhashSigs]] bit-for-bit. */
+  private val simhashPairsSql: String = {
+    val bits = 0 until 60
+    val votes = bits
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val sigExpr = bits
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val chunkCond = (0 until 4)
+      .map(b => s"((l.sig >> ${b * 15}) & 32767) = ((r.sig >> ${b * 15}) & 32767)")
+      .mkString(" OR ")
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+       |        FROM documents)),
+       |bitvotes AS (SELECT id, $votes FROM tok GROUP BY id),
+       |sigs AS (SELECT id, $sigExpr AS sig FROM bitvotes)
+       |SELECT l.id AS id_a, r.id AS id_b,
+       |  CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+       |FROM sigs l JOIN sigs r
+       |  ON l.id < r.id AND ($chunkCond)
+       |WHERE bit_count(xor(l.sig, r.sig)) <= 8""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q22_simhash_pairs" -> simhashPairsSql,
     "q02_count_eq" ->
       "SELECT CAST(count(*) AS BIGINT) AS cnt FROM events WHERE event_type = 'click'",
     "q03_count_ts_range" ->
@@ -817,6 +862,9 @@ object SparkEntry {
          |FROM events WHERE event_type = 'purchase'
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
          |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""").stripMargin,
+    "q53_select_latemat" ->
+      ("SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id, event_type, value, props " +
+        "FROM events WHERE value > 99.5 ORDER BY event_id LIMIT 10"),
     "q52_ntile" ->
       ("""SELECT decile, CAST(count(*) AS BIGINT) AS n,
          | CAST(min(c_custkey) AS BIGINT) AS min_key

@@ -1,0 +1,179 @@
+package graft.bench
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExpressions
+import graft.operators.{ConnectedComponents, Contamination, Dedup, Stage}
+
+/** Corpus-scale benchmark for the LLM-pipeline operators (minhash, ngram
+  * Jaccard, dedup clustering, decontamination) at 10×–100× the sf0.1
+  * document count — the scales where formulation choices (posting-list
+  * aggregate vs inverted-index join, hash vs sort aggregation) actually
+  * separate. The driver's per-round bench only sees ~5k docs; this main
+  * records the off-paper evidence that the chosen plans hold.
+  *
+  * The corpus is a pure function of (doc_id): documents are 50–200 words
+  * drawn Zipf-style (u³-warped uniform) from a 30k-word vocabulary, and
+  * every 20-id block plants a 3-member near-dup group (shared body from the
+  * block base id, distinct first token per replica) so dedup operators have
+  * real positives at every scale. Deterministic → any two runs, any
+  * partitioning, produce the identical corpus; generation cost is excluded
+  * by materializing to parquet first and timing reads of that.
+  *
+  * Protocol mirrors the reference's micro-bench scaffold (warmup then
+  * measured iterations, reference: bench/config.json:10-11) with the
+  * headline = min over iterations, same contention-robust estimator as
+  * [[graft.Bench]]. Each op also records total shuffle write and spill
+  * bytes from a task-metrics listener — the numbers that predict 100 TB
+  * behavior better than local wall-clock.
+  *
+  * Env: CORPUS_DOCS="50000,500000" (doc counts), CORPUS_DIR (parquet
+  * staging), CORPUS_OUT (JSONL artifact path), BENCH_WARMUP/BENCH_ITERS.
+  */
+object CorpusBench {
+
+  /** Sums shuffle-write and spill bytes across all tasks since creation. */
+  final class ShuffleTally extends SparkListener {
+    val written = new AtomicLong
+    val spilled = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+  }
+
+  /** Deterministic synthetic corpus: (doc_id, text). */
+  def corpus(spark: SparkSession, nDocs: Long): DataFrame = {
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      (nDocs / 50000L).toInt)
+    val groupPos = pmod(col("doc_id"), lit(20L))
+    val base = when(groupPos < 3, col("doc_id") - groupPos).otherwise(col("doc_id"))
+    val len = (pmod(xxhash64(base, lit("len")), lit(151L)) + lit(50L)).cast("int")
+    // Zipf-ish draw: u ∈ [0,1) per (base, position), index = floor(u³ · V) —
+    // cubing piles mass near word 0, giving the hot-shingle head that the
+    // posting cap and frequency gates exist for.
+    val words = transform(sequence(lit(1), len), i => {
+      val u = pmod(xxhash64(base, i), lit(1000000L)).cast("double") / 1e6
+      concat(lit("w"), floor(pow(u, 3.0) * 30000).cast("long"))
+    })
+    spark.range(0, nDocs, 1, parts).toDF("doc_id")
+      .select(col("doc_id"),
+        array_join(concat(array(concat(lit("r"), groupPos)), words), " ").as("text"))
+  }
+
+  /** The round-2 inverted-index JOIN formulation of exact n-gram Jaccard,
+    * kept verbatim as the comparison target for the round-3 single-pass
+    * posting-list rewrite ([[Dedup.ngramJaccard]]): explode shingle hashes,
+    * frequency-gate 2..maxShingleFreq via aggregate+join over one reused
+    * exchange, self-join on sh_h, count intersections. */
+  private def ngramJaccardJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleLen: Int = 3,
+      maxShingleFreq: Int = 1000
+  ): DataFrame = {
+    val sh = Stage.ensureWide(
+        df.select(col(idCol).as("id"), split(trim(lower(col(textCol))), "\\s+").as("tk")))
+      .select(col("id"), HashExpressions.shingle_hashes(col("tk"), shingleLen).as("shs"))
+      .select(col("id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh_h"))
+      .repartition(col("sh_h"))
+    val freqs = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 2 && col("freq") <= maxShingleFreq)
+      .select(col("sh_h"))
+    val filtered = sh.join(freqs, "sh_h")
+      .select(col("id"), col("n_sh"), col("sh_h"))
+    val l = filtered.as("l")
+    val r = filtered.as("r")
+    l.join(r, col("l.sh_h") === col("r.sh_h"))
+      .filter(col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.n_sh").as("n_a"), col("r.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = sys.env.getOrElse("CORPUS_DOCS", "50000").split(",").map(_.trim.toLong)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val stageDir = sys.env.getOrElse("CORPUS_DIR", "/tmp/graft_corpus")
+    val outPath = sys.env.getOrElse("CORPUS_OUT", "docs/corpusbench_local32.jsonl")
+    val warmup = sys.env.getOrElse("BENCH_WARMUP", "1").toInt
+    val iters = sys.env.getOrElse("BENCH_ITERS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-corpusbench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+
+    val out = Paths.get(outPath)
+    if (out.getParent != null) Files.createDirectories(out.getParent)
+
+    def record(line: String): Unit = {
+      println(line)
+      Files.write(out, (line + "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+
+    for (n <- sizes) {
+      val path = s"$stageDir/docs_$n"
+      if (!Files.exists(Paths.get(path)))
+        corpus(spark, n).write.mode("overwrite").parquet(path)
+      val docs = spark.read.parquet(path)
+
+      def bench(op: String, f: DataFrame => DataFrame): Unit = {
+        try {
+          (1 to warmup).foreach(_ => f(docs).count())
+          val runs = (1 to iters).map { _ =>
+            val w0 = tally.written.get; val s0 = tally.spilled.get
+            val t0 = System.nanoTime()
+            val rows = f(docs).count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            (sec, rows, tally.written.get - w0, tally.spilled.get - s0)
+          }
+          val best = runs.minBy(_._1)
+          val itersStr = runs.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
+          record(
+            f"""{"op":"$op","n_docs":$n,"sec":${best._1}%.3f,"iters_sec":$itersStr,"rows":${best._2},"shuffle_mb":${best._3 / 1e6}%.1f,"spill_mb":${best._4 / 1e6}%.1f,"cpus":$cpus,"warmup":$warmup}""")
+        } catch {
+          case e: Throwable =>
+            record(s"""{"op":"$op","n_docs":$n,"error":"${e.getClass.getSimpleName}"}""")
+            System.err.println(s"[corpusbench] $op@$n failed: ${e.getMessage}")
+        }
+      }
+
+      bench("minhash_pairs",
+        d => Dedup.minhashLsh(d, "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.5))
+      bench("ngram_posting", d => Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3))
+      bench("ngram_join", d => ngramJaccardJoin(d, "doc_id", "text", threshold = 0.3))
+      bench("dedup_clusters", d =>
+        ConnectedComponents.components(
+          Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3), "id_a", "id_b"))
+      bench("decontaminate", d =>
+        Contamination.overlap(
+          d.filter(col("doc_id") >= 1000), "doc_id", "text",
+          d.filter(col("doc_id") < 1000), "doc_id", "text",
+          shingleLen = 3, minShared = 2))
+    }
+    spark.stop()
+  }
+}

@@ -124,20 +124,23 @@ object Dedup {
   /** SimHash of lowercased whitespace tokens of `text`. */
   def simhash(text: Column): Column = simhashFromTokens(toks(text))
 
-  /** SimHash near-duplicate pairs within a Hamming radius, banded LSH over
-    * 4×16-bit chunks (a pair within Hamming distance 3 of a 64-bit signature
-    * must agree exactly on at least one 16-bit chunk). */
-  def simhashPairs(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      maxHamming: Int = 3
+  /** Banded SimHash pair generation over a precomputed `(id, sig)` frame:
+    * candidate pairs agree exactly on at least one of `chunks` contiguous
+    * `chunkBits`-bit chunks of the signature (pigeonhole: a pair within
+    * Hamming distance `chunks - 1` always does; farther pairs are best-
+    * effort recall), kept when total Hamming distance ≤ `maxHamming`.
+    * Symmetric self-join over one canonical plan → ReusedExchange, same
+    * shape as the MinHash band join. */
+  def simhashPairsFromSig(
+      sig: DataFrame,
+      maxHamming: Int,
+      chunks: Int = 4,
+      chunkBits: Int = 16
   ): DataFrame = {
-    val sig = Stage.ensureWide(df.select(col(idCol).as("id"), toks(col(textCol)).as("tk")))
-      .select(col("id"), simhashFromTokens(col("tk")).as("sig"))
-    val chunks = array((0 until 4).map(b =>
-      shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)
-    val banded = sig.select(col("id"), col("sig"), posexplode(chunks))
+    val mask = (1L << chunkBits) - 1
+    val chunkArr = array((0 until chunks).map(b =>
+      shiftrightunsigned(col("sig"), b * chunkBits).bitwiseAND(lit(mask))): _*)
+    val banded = sig.select(col("id"), col("sig"), posexplode(chunkArr))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     val l = banded.as("l")
     val r = banded.as("r")
@@ -147,6 +150,43 @@ object Dedup {
         bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  /** SimHash near-duplicate pairs within a Hamming radius, banded LSH over
+    * 4×16-bit chunks of the native 64-bit signature. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame =
+    simhashPairsFromSig(
+      Stage.ensureWide(df.select(col(idCol).as("id"), toks(col(textCol)).as("tk")))
+        .select(col("id"), simhashFromTokens(col("tk")).as("sig")),
+      maxHamming)
+
+  /** 60-bit SimHash whose per-token hash is the top 60 bits of `md5(token)`
+    * — every step (md5, hex→int, bit tests, the ±1 bit votes) is plain ANSI
+    * SQL, so an external engine can recompute the signature bit-for-bit from
+    * the raw text and the WHOLE banded pair pipeline (hash → signature →
+    * chunk banding → Hamming gate) becomes oracle-checkable, not just
+    * spec-checkable. The native xxhash64 [[simhash]] stays the production
+    * path: one codegen'd pass per row, no shuffle; this variant pays one
+    * token explode + aggregation and is for cross-engine verification and
+    * engine-portable pipelines. Ties (bit vote sum 0) resolve to 0. */
+  def portableSimhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = 60 // 15 hex chars: the 60-bit prefix fits a signed 64-bit int in any engine
+    val tok = df.select(col(idCol).as("id"), explode(toks(col(textCol))).as("t"))
+      .select(col("id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val votes = (0 until bits).map(j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j"))
+    val sigExpr = (0 until bits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"), sigExpr.as("sig"))
   }
 
   /** Exact n-gram Jaccard similarity via inverted-index join.
@@ -184,6 +224,18 @@ object Dedup {
     // Zipf tail) cannot form a pair and die on the size≥2 gate; hotter-
     // than-cap shingles are dropped — the standard recall/cost dial, pairs
     // sharing only dropped shingles can be missed.
+    // The posting aggregate is a TypedImperativeAggregate, so the groupBy
+    // runs on ObjectHashAggregateExec — which abandons hashing for a full
+    // SORT of the stream after `objectHashAggregate.sortBased.
+    // fallbackThreshold` in-memory groups (default 128; a shingle index has
+    // millions). The buffers here are bounded by construction (≤
+    // maxShingleFreq entries each, freed at cap+1, and the Zipf tail is
+    // freq-1), so a large in-memory map is safe: raise the threshold so both
+    // partial and final phases stay hash-based. 2^21 groups × ~100 B ≈
+    // 200 MB/task worst case — inside a 1-4 GB executor-task budget, and
+    // per-partition group counts shrink as shuffle partitions scale out.
+    df.sparkSession.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 21).toString)
     val sh = tokenFrame(df, idCol, textCol)
       .select(col("id"), HashExpressions.shingle_hashes(col("tk"), shingleLen).as("shs"))
       .select(col("id"), size(col("shs")).as("n_sh"), explode_outer(col("shs")).as("sh_h"))

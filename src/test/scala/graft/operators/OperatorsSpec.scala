@@ -164,6 +164,49 @@ class OperatorsSpec extends SparkSpec {
     assert(cl == Map(1L -> 4L, 10L -> 2L, 20L -> 3L))
   }
 
+  test("portableSimhashSigs matches an independent md5 recomputation; near-dups pair") {
+    import graft.operators.Dedup
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "The  quick BROWN fox jumps over the LAZY dog "), // same after normalize
+      (3L, "completely different material about query engines and columns"))
+    val df = texts.toDF("doc_id", "text")
+    val got = Dedup.portableSimhashSigs(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // independent reference: md5 via java.security, same 60-bit vote rule
+    def refSig(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](60)
+      text.trim.toLowerCase.split("\\s+").foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.take(15), 16)
+        var j = 0
+        while (j < 60) { votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1); j += 1 }
+      }
+      (0 until 60).foldLeft(0L)((acc, j) => if (votes(j) > 0) acc | (1L << j) else acc)
+    }
+    texts.foreach { case (id, t) =>
+      assert(got(id) == refSig(t), s"signature mismatch for doc $id")
+    }
+    // pair structure must equal the rule applied to the reference sigs:
+    // ≥1 agreeing 15-bit chunk AND Hamming ≤ 8 (identical docs 1/2 pair at
+    // distance 0; doc 3 must only appear if the rule says so — it doesn't)
+    val refSigs = texts.map { case (id, t) => id -> refSig(t) }.toMap
+    val expected = (for {
+      a <- texts.map(_._1); b <- texts.map(_._1) if a < b
+      sa = refSigs(a); sb = refSigs(b)
+      agree = (0 until 4).exists(c => ((sa >> (c * 15)) & 0x7fff) == ((sb >> (c * 15)) & 0x7fff))
+      ham = java.lang.Long.bitCount(sa ^ sb)
+      if agree && ham <= 8
+    } yield (a, b, ham)).toSet
+    val pairs = Dedup.simhashPairsFromSig(
+        Dedup.portableSimhashSigs(df, "doc_id", "text"),
+        maxHamming = 8, chunks = 4, chunkBits = 15)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == expected, s"pair structure diverges from the rule: $pairs vs $expected")
+    assert(expected.contains((1L, 2L, 0)), "identical docs must pair at distance 0")
+  }
+
   test("connectedComponents: ids near Long.MaxValue converge without ANSI overflow") {
     import graft.operators.ConnectedComponents
     assert(spark.conf.get("spark.sql.ansi.enabled").toBoolean,
