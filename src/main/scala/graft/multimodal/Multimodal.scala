@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * by batch-shaped per-partition functions.
   *
   * The Spark-side plumbing — schema contract, partition sizing, batched
-  * iteration, deterministic outputs — is real and tested. The actual
-  * byte-level DECODE IS A STUB (this environment ships no image/audio
-  * codecs): `decodeStub` derives deterministic fake features from the bytes'
-  * hash. A real decoder (JNI/FFI or an Arrow-batched python worker — the
-  * Scala analogue of a Pandas UDF over `mapInPandas`) drops in behind
-  * `FeatureExtractor` without touching any caller.
+  * iteration, deterministic outputs — is real and tested. IMAGE decode is
+  * real too: [[imageDecode]] uses the JDK's own `javax.imageio` codecs
+  * (PNG/JPEG/GIF/BMP), no external libraries. AUDIO/VIDEO byte-level decode
+  * remains A STUB (no such codecs ship in this environment): `decodeStub`
+  * derives deterministic fake features from the bytes' hash. A real decoder
+  * (JNI/FFI or an Arrow-batched python worker — the Scala analogue of a
+  * Pandas UDF over `mapInPandas`) drops in behind `FeatureExtractor`
+  * without touching any caller.
   *
   * Scale notes: media rows are large and skewed — `repartitionForMedia`
   * targets a byte budget per task, not a row count, so one 4 GB video and a
@@ -57,6 +59,58 @@ object Multimodal {
       val rng = new scala.util.Random(h.toLong)
       MediaFeatures(r.media_id, r.media_type, r.bytes.length.toLong,
         Array.fill(16)(rng.nextFloat() * 2 - 1))
+    }
+
+  /** REAL image decode via the JDK's built-in `javax.imageio` codecs
+    * (PNG/JPEG/GIF/BMP — no external libraries). Features (16 floats):
+    * width, height, per-channel RGB means and standard deviations, and an
+    * 8-bin luminance histogram (fraction of sampled pixels per bin), all
+    * from a ≤64×64 uniform pixel grid so cost is bounded regardless of
+    * image size. Deterministic per bytes. Rows that are not images, or
+    * whose bytes no JDK codec accepts, fall back to [[decodeStub]] — the
+    * seam audio/video decode still occupies (those codecs don't ship in
+    * the JDK). */
+  val imageDecode: FeatureExtractor = rows =>
+    rows.map { r =>
+      val img =
+        if (r.media_type == "image")
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes)))
+          catch { case _: Exception => None }
+        else None
+      img match {
+        case Some(im) =>
+          val w = im.getWidth; val h = im.getHeight
+          val stepX = math.max(1, w / 64); val stepY = math.max(1, h / 64)
+          val sum = new Array[Double](3); val sumSq = new Array[Double](3)
+          val hist = new Array[Double](8)
+          var n = 0; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = im.getRGB(x, y)
+              val c = Array((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+              var k = 0
+              while (k < 3) { sum(k) += c(k); sumSq(k) += c(k).toDouble * c(k); k += 1 }
+              val lum = (0.299 * c(0) + 0.587 * c(1) + 0.114 * c(2)).toInt
+              hist(math.min(7, lum >> 5)) += 1
+              n += 1; x += stepX
+            }
+            y += stepY
+          }
+          val feats = new Array[Float](16)
+          feats(0) = w.toFloat; feats(1) = h.toFloat
+          var k = 0
+          while (k < 3) {
+            val mean = sum(k) / n
+            feats(2 + k) = mean.toFloat
+            feats(5 + k) = math.sqrt(math.max(0.0, sumSq(k) / n - mean * mean)).toFloat
+            k += 1
+          }
+          var b = 0
+          while (b < 8) { feats(8 + b) = (hist(b) / n).toFloat; b += 1 }
+          MediaFeatures(r.media_id, r.media_type, r.bytes.length.toLong, feats)
+        case None => decodeStub(Seq(r)).head
+      }
     }
 
   /** Repartition media so each task holds ~`targetBytesPerTask` of payload.

@@ -27,6 +27,41 @@ class MultimodalSpec extends SparkSpec {
     f1.foreach(f => assert(f.n_bytes == sizes(f.media_id)))
   }
 
+  test("imageDecode: real PNG and JPEG bytes decode to geometry + channel stats") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // fixture 1: 80×40 solid red PNG; fixture 2: 32×64 solid gray JPEG
+    def encode(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(im, fmt, bos), s"JDK lacks $fmt encoder")
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "image", encode(80, 40, 0xff0000, "png"), Some(80), Some(40), None),
+      MediaRow(2L, "image", encode(32, 64, 0x808080, "jpg"), Some(32), Some(64), None),
+      MediaRow(3L, "image", Array[Byte](1, 2, 3), None, None, None), // undecodable
+      MediaRow(4L, "audio", Array[Byte](9, 9), None, None, Some(100L)))
+    val ds = spark.createDataset(rows)(org.apache.spark.sql.Encoders.product[MediaRow])
+    val got = extractFeatures(ds, imageDecode).collect().map(f => f.media_id -> f).toMap
+    // red PNG: geometry decoded from the bytes, R mean 255, G/B mean 0, zero stddev
+    val red = got(1L).features
+    assert(red(0) == 80f && red(1) == 40f)
+    assert(red(2) == 255f && red(3) == 0f && red(4) == 0f)
+    assert(red(5) == 0f && red(6) == 0f && red(7) == 0f)
+    // gray JPEG: geometry exact; channel means near 128 (JPEG is lossy)
+    val gray = got(2L).features
+    assert(gray(0) == 32f && gray(1) == 64f)
+    Seq(gray(2), gray(3), gray(4)).foreach(m => assert(math.abs(m - 128f) < 8f, s"mean $m"))
+    // luminance histogram sums to 1 for decoded images
+    assert(math.abs(red.slice(8, 16).sum - 1f) < 1e-4)
+    // undecodable image bytes and non-image rows fall back to the stub (16-dim)
+    assert(got(3L).features.length == 16 && got(4L).features.length == 16)
+    assert(got(3L).features(0) != 0f || got(3L).features(1) != 0f) // stub values, not geometry
+  }
+
   test("sampleFrames: videos explode to N frames with monotonic offsets") {
     val frames = sampleFrames(media, framesPer = 4).collect().groupBy(_.media_id)
     val byType = media.collect().map(r => r.media_id -> r.media_type).toMap
