@@ -76,7 +76,8 @@ object Loader {
       seed: Long = 1L,
       quiet: Boolean = false,
       partitioning: Seq[String] = Nil,
-      sortedBy: Seq[String] = Nil
+      sortedBy: Seq[String] = Nil,
+      tableFormat: graft.ddl.TableFormat = graft.ddl.HadoopPathFormat
   ): Int = {
     val table = Tables.variantName(cfg.tableBase, codec)
     val batches = makeBatches(plan.startId, plan.totalRows, plan.batchRows)
@@ -94,7 +95,7 @@ object Loader {
           spark.sparkContext.setJobDescription(s"load $table batch=${b.index}")
           val rows = b.end - b.start + 1
           val df = Generator.generate(spark, cfg, b.start, rows, seed)
-          Tables.writeBatch(df, path, b.index, codec, cfg.format, partitioning, sortedBy)
+          tableFormat.writeBatch(df, path, b.index, codec, cfg.format, partitioning, sortedBy)
           this.synchronized {
             done += b.index
             saveCheckpoint(plan.checkpointDir, table, done)

@@ -3,7 +3,6 @@ package graft.measure
 import org.apache.hadoop.fs.{FileSystem, Path, RemoteIterator}
 import org.apache.spark.sql.SparkSession
 
-import graft.ddl.Tables
 import graft.model.{CodecSpec, SizeRow}
 
 /** Storage measurement — the Spark-native stand-in for the reference's
@@ -20,7 +19,10 @@ import graft.model.{CodecSpec, SizeRow}
   */
 object Sizes {
 
-  private def listDataBytes(spark: SparkSession, dir: String): Long = {
+  /** Recursive data-file byte count (skips `_`/`.`-prefixed bookkeeping
+    * files) — the plain-filesystem `$files` aggregate, exposed for
+    * [[graft.ddl.HadoopPathFormat]]. */
+  private[graft] def listDataBytes(spark: SparkSession, dir: String): Long = {
     val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val p = new Path(dir)
     if (!fs.exists(p)) return 0L
@@ -40,11 +42,14 @@ object Sizes {
       path: String,
       codec: CodecSpec,
       format: String = "PARQUET",
-      includeManifestBytes: Boolean = false
+      includeManifestBytes: Boolean = false,
+      tableFormat: graft.ddl.TableFormat = graft.ddl.HadoopPathFormat
   ): SizeRow = {
-    val dataBytes = listDataBytes(spark, path)
-    val rows = if (dataBytes == 0) 0L else Tables.read(spark, path, format).count()
+    val dataBytes = tableFormat.dataBytes(spark, path)
+    val rows = if (dataBytes == 0) 0L else tableFormat.read(spark, path, format).count()
     val bpr = if (rows == 0) 0.0 else dataBytes.toDouble / rows
+    val manifests =
+      if (includeManifestBytes) Some(tableFormat.manifestBytes(spark, path)) else None
     SizeRow(
       table_name = tableName,
       codec = codec.codec,
@@ -52,8 +57,8 @@ object Sizes {
       rows = rows,
       data_bytes = dataBytes,
       bytes_per_row = bpr,
-      manifest_bytes = if (includeManifestBytes) Some(0L) else None,
-      total_bytes = if (includeManifestBytes) Some(dataBytes) else None
+      manifest_bytes = manifests,
+      total_bytes = manifests.map(_ + dataBytes)
     )
   }
 }
