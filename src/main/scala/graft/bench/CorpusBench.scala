@@ -8,8 +8,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExpressions
-import graft.operators.{ConnectedComponents, Contamination, Dedup, Stage}
+import graft.operators.{ConnectedComponents, Contamination, Dedup}
 
 /** Corpus-scale benchmark for the LLM-pipeline operators (minhash, ngram
   * Jaccard, dedup clustering, decontamination) at 10×–100× the sf0.1
@@ -35,6 +34,11 @@ import graft.operators.{ConnectedComponents, Contamination, Dedup, Stage}
   *
   * Env: CORPUS_DOCS="50000,500000" (doc counts), CORPUS_DIR (parquet
   * staging), CORPUS_OUT (JSONL artifact path), BENCH_WARMUP/BENCH_ITERS.
+  *
+  * Run at the DEFAULT fork heap (8 GB): a 48 GB heap measured 3-6× slower
+  * on every operator here (G1 with an oversized heap and 32 local tasks) —
+  * memory pressure is answered by the operators' own spill discipline, not
+  * by heap. All recorded artifacts use the default.
   */
 object CorpusBench {
 
@@ -68,42 +72,6 @@ object CorpusBench {
     spark.range(0, nDocs, 1, parts).toDF("doc_id")
       .select(col("doc_id"),
         array_join(concat(array(concat(lit("r"), groupPos)), words), " ").as("text"))
-  }
-
-  /** The round-2 inverted-index JOIN formulation of exact n-gram Jaccard,
-    * kept verbatim as the comparison target for the round-3 single-pass
-    * posting-list rewrite ([[Dedup.ngramJaccard]]): explode shingle hashes,
-    * frequency-gate 2..maxShingleFreq via aggregate+join over one reused
-    * exchange, self-join on sh_h, count intersections. */
-  private def ngramJaccardJoin(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      threshold: Double,
-      shingleLen: Int = 3,
-      maxShingleFreq: Int = 1000
-  ): DataFrame = {
-    val sh = Stage.ensureWide(
-        df.select(col(idCol).as("id"), split(trim(lower(col(textCol))), "\\s+").as("tk")))
-      .select(col("id"), HashExpressions.shingle_hashes(col("tk"), shingleLen).as("shs"))
-      .select(col("id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh_h"))
-      .repartition(col("sh_h"))
-    val freqs = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= 2 && col("freq") <= maxShingleFreq)
-      .select(col("sh_h"))
-    val filtered = sh.join(freqs, "sh_h")
-      .select(col("id"), col("n_sh"), col("sh_h"))
-    val l = filtered.as("l")
-    val r = filtered.as("r")
-    l.join(r, col("l.sh_h") === col("r.sh_h"))
-      .filter(col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.n_sh").as("n_a"), col("r.n_sh").as("n_b"))
-      .agg(count(lit(1)).as("inter"))
-      .select(col("id_a"), col("id_b"),
-        round(col("inter") / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   def main(args: Array[String]): Unit = {
@@ -164,7 +132,7 @@ object CorpusBench {
       bench("minhash_pairs",
         d => Dedup.minhashLsh(d, "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.5))
       bench("ngram_posting", d => Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3))
-      bench("ngram_join", d => ngramJaccardJoin(d, "doc_id", "text", threshold = 0.3))
+      bench("ngram_join", d => Dedup.ngramJaccardJoin(d, "doc_id", "text", threshold = 0.3))
       bench("dedup_clusters", d =>
         ConnectedComponents.components(
           Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3), "id_a", "id_b"))

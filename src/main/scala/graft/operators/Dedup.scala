@@ -78,8 +78,26 @@ object Dedup {
   /** MinHash + LSH near-duplicate pairs.
     *
     * signatures → `bands` bands of `numHashes/bands` rows each → bucket id =
-    * xxhash64(band slice) → self-join per (band, bucket) → candidate pairs →
-    * keep pairs whose signature similarity ≥ `threshold`.
+    * xxhash64(band slice) → self-join per (band, bucket) → DISTINCT candidate
+    * id pairs → re-attach the two signatures → keep pairs whose signature
+    * similarity ≥ `threshold`.
+    *
+    * The band self-join deliberately carries only (id, band, bucket) — 24
+    * bytes/row — NOT the `numHashes`-long signature. Shipping the signature
+    * through the band exchange (the previous formulation) multiplies the
+    * shuffle payload by bands × signature width on BOTH join sides, and
+    * every bucket collision re-ships it. Candidates are deduplicated across
+    * bands (`distinct`) while still skinny, then the signature attaches via
+    * two id-keyed joins against the one canonical signature frame — whose
+    * exchanges are canonically identical, so the signature computes once
+    * there and the second join reads the ReusedExchange. Similarity is
+    * computed once per unique pair instead of once per shared band.
+    *
+    * Measured at 500k docs (docs/corpusbench_local32.jsonl, local[32]):
+    * shuffle 3.17 GB → 0.43 GB (7.3×), spill 15.9 GB → 0, and local wall
+    * 6.7 s → 5.3 s — a win on every axis even where local-disk shuffle is
+    * nearly free; on a network-shuffle cluster the 7× byte reduction is
+    * the term that scales.
     *
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     */
@@ -103,17 +121,21 @@ object Dedup {
     // higher-order `transform`, which would evaluate interpreted.
     val bandBuckets = array((0 until bands).map(b =>
       xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
-    val banded = sig.select(col("id"), col("sig"), posexplode(bandBuckets))
+    val banded = sig.select(col("id"), posexplode(bandBuckets))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+    val candidates = l
+      .join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
       .filter(col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        signatureSimilarity(col("l.sig"), col("r.sig")).as("est_jaccard"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sig.as("sa"), col("id_a") === col("sa.id"))
+      .join(sig.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        round(signatureSimilarity(col("sa.sig"), col("sb.sig")), 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy("id_a", "id_b")
-      .agg(round(max("est_jaccard"), 6).as("est_jaccard"))
   }
 
   /** 64-bit SimHash from a token-array column: bit j of the signature is set
@@ -189,14 +211,19 @@ object Dedup {
       .select(col("id"), sigExpr.as("sig"))
   }
 
-  /** Exact n-gram Jaccard similarity via inverted-index join.
+  /** Exact n-gram Jaccard similarity — the DEFAULT, zero-join posting-list
+    * formulation. One scan, one shuffle on the shingle hash, pairs emitted
+    * from a local double-explode of each capped posting list.
     *
-    * Explode distinct shingles → drop shingles shared by more than
-    * `maxShingleFreq` docs (Zipf guard: a stopword shingle would otherwise
-    * produce a quadratic bucket) → count shared shingles per pair →
-    * `|A∩B| / (|A|+|B|-|A∩B|)`. Pairs sharing only dropped shingles can be
-    * missed — that is the standard recall/cost dial.
-    */
+    * Settled by measurement against [[ngramJaccardJoin]] on the
+    * deterministic corpus (docs/corpusbench_local32.jsonl, local[32],
+    * min-of-2, default Spark confs): posting wins at EVERY scale —
+    * 0.74 s vs 0.84 s at 5k docs, 1.16 s vs 2.15 s at 50k, 9.8 s vs
+    * 24.8 s at 500k — with ~15% less shuffle (1.32 GB vs 1.55 GB at 500k)
+    * and 4.7× less spill (7.5 GB vs 35 GB). The one configuration that
+    * made it lose (62-73 s, GC-bound) was raising the object-hash-agg
+    * sort-fallback threshold; see the in-body comment — the default
+    * fallback is load-bearing and deliberately left alone. */
   def ngramJaccard(
       df: DataFrame,
       idCol: String,
@@ -225,17 +252,16 @@ object Dedup {
     // than-cap shingles are dropped — the standard recall/cost dial, pairs
     // sharing only dropped shingles can be missed.
     // The posting aggregate is a TypedImperativeAggregate, so the groupBy
-    // runs on ObjectHashAggregateExec — which abandons hashing for a full
-    // SORT of the stream after `objectHashAggregate.sortBased.
-    // fallbackThreshold` in-memory groups (default 128; a shingle index has
-    // millions). The buffers here are bounded by construction (≤
-    // maxShingleFreq entries each, freed at cap+1, and the Zipf tail is
-    // freq-1), so a large in-memory map is safe: raise the threshold so both
-    // partial and final phases stay hash-based. 2^21 groups × ~100 B ≈
-    // 200 MB/task worst case — inside a 1-4 GB executor-task budget, and
-    // per-partition group counts shrink as shuffle partitions scale out.
-    df.sparkSession.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 21).toString)
+    // runs on ObjectHashAggregateExec, which abandons hashing for sort-based
+    // aggregation after `objectHashAggregate.sortBased.fallbackThreshold`
+    // in-memory groups (default 128; a shingle index has millions). The
+    // obvious "fix" — raising the threshold so the phases stay hash-based —
+    // was MEASURED AND REJECTED: with a 2^21-group threshold the per-task
+    // ObjectAggregationMap holds millions of live buffer objects and the
+    // run goes GC-bound (50k docs: 73 s vs 1.2 s under the default
+    // fallback; 500k: OOMs an 8 GB JVM outright). The early sort fallback
+    // is load-bearing: sorted runs stream group-at-a-time with O(1) live
+    // buffers. Left at the Spark default deliberately.
     val sh = tokenFrame(df, idCol, textCol)
       .select(col("id"), HashExpressions.shingle_hashes(col("tk"), shingleLen).as("shs"))
       .select(col("id"), size(col("shs")).as("n_sh"), explode_outer(col("shs")).as("sh_h"))
@@ -250,6 +276,59 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard similarity via inverted-index join — the
+    * alternative formulation, kept as the measured comparison target for
+    * [[ngramJaccard]] (which beats it at every corpus scale tried; see its
+    * scaladoc for the numbers) and for engines/sessions where a custom
+    * imperative aggregate is unavailable.
+    *
+    * Explode distinct shingles → drop shingles shared by more than
+    * `maxShingleFreq` docs (Zipf guard: a stopword shingle would otherwise
+    * produce a quadratic bucket) → count shared shingles per pair →
+    * `|A∩B| / (|A|+|B|-|A∩B|)`. Pairs sharing only dropped shingles can be
+    * missed — that is the standard recall/cost dial.
+    *
+    * One explicit hash shuffle of the exploded (id, n_sh, sh_h) stream feeds
+    * BOTH the frequency aggregate and the join probe side — the exchange is
+    * canonically identical in the two branches, so the explode+hash pipeline
+    * computes once and everything downstream reads the ReusedExchange,
+    * already clustered on sh_h. Fully codegen'd over primitive rows, but
+    * pays a second pass over the exploded stream (the self-join) that the
+    * posting formulation replaces with a local double-explode. */
+  def ngramJaccardJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      shingleLen: Int = 3,
+      maxShingleFreq: Int = 1000
+  ): DataFrame = {
+    val sh = tokenFrame(df, idCol, textCol)
+      .select(col("id"), HashExpressions.shingle_hashes(col("tk"), shingleLen).as("shs"))
+      .select(col("id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh_h"))
+      .repartition(col("sh_h"))
+    // Shingle-frequency gate as an aggregate + join rather than a window (no
+    // sort of the full stream). Kept shingles need 2..maxShingleFreq docs:
+    // singletons (the Zipf tail) cannot form a pair, and hotter shingles are
+    // the quadratic-cost guard.
+    val freqs = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 2 && col("freq") <= maxShingleFreq)
+      .select(col("sh_h"))
+    val filtered = sh.join(freqs, "sh_h")
+      .select(col("id"), col("n_sh"), col("sh_h"))
+    val l = filtered.as("l")
+    val r = filtered.as("r")
+    l.join(r, col("l.sh_h") === col("r.sh_h"))
+      .filter(col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.n_sh").as("n_a"), col("r.n_sh").as("n_b"))
       .agg(count(lit(1)).as("inter"))
       .select(col("id_a"), col("id_b"),
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
@@ -272,17 +351,27 @@ object Dedup {
     val base = Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("norm", Similarity.l2norm(col("v")))
       .filter(col("norm") > 0)
-    val banded = base.select(col("id"), col("v"), col("norm"),
+    // Same exchange-slimming as [[minhashLsh]]: the bucket self-join ships
+    // only (id, table, bucket); vectors attach to the DISTINCT candidate
+    // pairs afterwards via two id-keyed joins over one canonical plan
+    // (ReusedExchange), so each embedding crosses the wire once, not
+    // tables × collisions times, and each pair's cosine computes once.
+    val banded = base.select(col("id"),
       posexplode(HashExpressions.hyperplane_buckets(col("v"), planes, tables)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r, col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket"))
+    val candidates = l
+      .join(r, col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket"))
       .filter(col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(Similarity.dot(col("l.v"), col("r.v")) / (col("l.norm") * col("r.norm")), 6)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(base.as("ba"), col("id_a") === col("ba.id"))
+      .join(base.as("bb"), col("id_b") === col("bb.id"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dot(col("ba.v"), col("bb.v")) / (col("ba.norm") * col("bb.norm")), 6)
           .as("cosine"))
       .filter(col("cosine") >= threshold)
-      .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
   }
 }

@@ -48,13 +48,18 @@ class OperatorsSpec extends SparkSpec {
     } yield (a, b) -> j).toMap
   }
 
-  test("ngramJaccard matches brute-force exact Jaccard") {
-    val got = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.3)
-      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+  test("ngramJaccard (join and postings formulations) matches brute-force exact Jaccard") {
     val expected = bruteJaccard.filter(_._2 >= 0.3)
-    assert(got.keySet == expected.keySet,
-      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
-    got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-4) }
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "postings" -> Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.3),
+      "join" -> Dedup.ngramJaccardJoin(docs, "doc_id", "text", threshold = 0.3)
+    ).foreach { case (name, q) =>
+      val got = q.as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+      assert(got.keySet == expected.keySet,
+        s"$name: missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+      got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-4, s"$name $k") }
+    }
   }
 
   test("minhashLsh finds all high-Jaccard pairs with accurate estimates") {

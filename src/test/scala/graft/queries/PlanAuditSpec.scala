@@ -87,6 +87,8 @@ class PlanAuditSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("label"))
     val ops = Seq(
       "simhashPairs" -> graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8),
+      "ngramJaccardJoin" -> graft.operators.Dedup.ngramJaccardJoin(docs, "doc_id", "text",
+        threshold = 0.3),
       "embeddingNearDups" -> graft.operators.Dedup.embeddingNearDups(
         emb.unionByName(dup), "vec_id", "embedding", threshold = 0.99))
     ops.foreach { case (name, q) =>
