@@ -69,10 +69,14 @@ object Similarity {
     * same O(candidates) shape as the dedup LSH joins, never O(N²) — and the
     * per-left top-k is a window rank over the candidate set.
     *
-    * The bucket stream feeds both join sides; recomputing it on the right is
-    * one extra columnar scan plus a native hash pass — cheaper at scale than
-    * pinning the corpus in executor storage (a `persist()` here would leak
-    * the banded frame for the session lifetime).
+    * Exchange-slimmed like [[graft.operators.Dedup.minhashLsh]]: the bucket
+    * join ships (id, table, bucket) only — shipping vectors would multiply
+    * the exchange payload by tables × (planes+1) probe rows on the left
+    * side alone. Candidate id pairs dedupe across tables/probes while
+    * skinny (a pair can meet in several buckets), then both vectors attach
+    * via two id-keyed joins over the one canonical (id, v, norm) frame
+    * (canonically identical exchanges → ReusedExchange) and each pair's
+    * cosine computes exactly once.
     *
     * Returns (id_a, id_b, cosine, rank) with rank 1..k per id_a. */
   def knnJoin(
@@ -87,23 +91,25 @@ object Similarity {
     val base = Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("norm", l2norm(col("v")))
       .filter(col("norm") > 0)
-    val buckets = base.select(col("id"), col("v"), col("norm"),
+    val buckets = base.select(col("id"),
       posexplode(hyperplaneBuckets(col("v"), planes, tables)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     // multi-probe only the query (left) side: exact bucket + 1-bit flips
-    val probed = buckets.select(col("id"), col("v"), col("norm"), col("table"),
+    val probed = buckets.select(col("id"), col("table"),
       explode(array(col("bucket") +:
         (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
-    val l = probed.select(col("table"), col("bucket"), col("id").as("id_a"),
-      col("v").as("v_a"), col("norm").as("norm_a"))
-    val r = buckets.select(col("table"), col("bucket"), col("id").as("id_b"),
-      col("v").as("v_b"), col("norm").as("norm_b"))
-    val scored = l.join(r, Seq("table", "bucket"))
+    val candidates = probed.select(col("table"), col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("table"), col("bucket"), col("id").as("id_b")),
+        Seq("table", "bucket"))
       .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val scored = candidates
+      .join(base.as("ba"), col("id_a") === col("ba.id"))
+      .join(base.as("bb"), col("id_b") === col("bb.id"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 6).as("cosine"))
-      .groupBy("id_a", "id_b") // a pair can meet in several buckets; scalar-only shuffle
-      .agg(max("cosine").as("cosine"))
+        round(dot(col("ba.v"), col("bb.v")) / (col("ba.norm") * col("bb.norm")), 6)
+          .as("cosine"))
     val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
