@@ -8,7 +8,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ConnectedComponents, Contamination, Dedup}
+import graft.operators.{ConnectedComponents, Contamination, Dedup, Similarity}
 
 /** Corpus-scale benchmark for the LLM-pipeline operators (minhash, ngram
   * Jaccard, dedup clustering, decontamination) at 10×–100× the sf0.1
@@ -74,6 +74,27 @@ object CorpusBench {
         array_join(concat(array(concat(lit("r"), groupPos)), words), " ").as("text"))
   }
 
+  /** Deterministic synthetic embeddings: (vec_id, embedding float[64]),
+    * uniform in [-1, 1) per dimension; the same every-20-id 3-member
+    * near-dup groups as [[corpus]] — replicas share the block-base vector
+    * plus per-replica noise of ±0.01 per dimension (cosine ≥ 0.999), so
+    * near-dup and k-NN operators have planted positives at every scale. */
+  def embCorpus(spark: SparkSession, nVecs: Long, dims: Int = 64): DataFrame = {
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      (nVecs / 100000L).toInt)
+    val groupPos = pmod(col("vec_id"), lit(20L))
+    val base = when(groupPos < 3, col("vec_id") - groupPos).otherwise(col("vec_id"))
+    val vec = transform(sequence(lit(0), lit(dims - 1)), i => {
+      val u = pmod(xxhash64(base, i), lit(2000001L)).cast("double") / 1e6 - 1.0
+      val noise = when(groupPos < 3,
+        (pmod(xxhash64(col("vec_id"), i, lit("n")), lit(21L)).cast("double") - 10.0) / 1000.0)
+        .otherwise(lit(0.0))
+      (u + noise).cast("float")
+    })
+    spark.range(0, nVecs, 1, parts).toDF("vec_id")
+      .select(col("vec_id"), vec.as("embedding"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sizes = sys.env.getOrElse("CORPUS_DOCS", "50000").split(",").map(_.trim.toLong)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -107,14 +128,18 @@ object CorpusBench {
       if (!Files.exists(Paths.get(path)))
         corpus(spark, n).write.mode("overwrite").parquet(path)
       val docs = spark.read.parquet(path)
+      val embPath = s"$stageDir/emb_$n"
+      if (!Files.exists(Paths.get(embPath)))
+        embCorpus(spark, n).write.mode("overwrite").parquet(embPath)
+      val embs = spark.read.parquet(embPath)
 
-      def bench(op: String, f: DataFrame => DataFrame): Unit = {
+      def benchOn(op: String, input: DataFrame, f: DataFrame => DataFrame): Unit = {
         try {
-          (1 to warmup).foreach(_ => f(docs).count())
+          (1 to warmup).foreach(_ => f(input).count())
           val runs = (1 to iters).map { _ =>
             val w0 = tally.written.get; val s0 = tally.spilled.get
             val t0 = System.nanoTime()
-            val rows = f(docs).count()
+            val rows = f(input).count()
             val sec = (System.nanoTime() - t0) / 1e9
             (sec, rows, tally.written.get - w0, tally.spilled.get - s0)
           }
@@ -128,6 +153,7 @@ object CorpusBench {
             System.err.println(s"[corpusbench] $op@$n failed: ${e.getMessage}")
         }
       }
+      def bench(op: String, f: DataFrame => DataFrame): Unit = benchOn(op, docs, f)
 
       bench("minhash_pairs",
         d => Dedup.minhashLsh(d, "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.5))
@@ -141,6 +167,16 @@ object CorpusBench {
           d.filter(col("doc_id") >= 1000), "doc_id", "text",
           d.filter(col("doc_id") < 1000), "doc_id", "text",
           shingleLen = 3, minShared = 2))
+      // similarity family over the embedding corpus: planes grow with
+      // log2(n) so bucket occupancy — which bounds the candidate count —
+      // stays O(1) at any scale
+      val planes = Similarity.planesFor(n)
+      benchOn("embedding_neardups", embs, e =>
+        Dedup.embeddingNearDups(e, "vec_id", "embedding", threshold = 0.95,
+          planes = planes, tables = 4))
+      benchOn("knn_join", embs, e =>
+        Similarity.knnJoin(e, "vec_id", "embedding", k = 5,
+          planes = planes, tables = 4))
     }
     spark.stop()
   }

@@ -90,8 +90,11 @@ object Dedup {
     * bands (`distinct`) while still skinny, then the signature attaches via
     * two id-keyed joins against the one canonical signature frame — whose
     * exchanges are canonically identical, so the signature computes once
-    * there and the second join reads the ReusedExchange. Similarity is
-    * computed once per unique pair instead of once per shared band.
+    * there and the second join reads the reused exchange (or a single
+    * broadcast when the signature table's size estimate fits an executor —
+    * [[Stage.attachSide]]); no sort ever sees a signature-laden row.
+    * Similarity is computed once per unique pair instead of once per
+    * shared band.
     *
     * Measured at 500k docs (docs/corpusbench_local32.jsonl, local[32]):
     * shuffle 3.17 GB → 0.43 GB (7.3×), spill 15.9 GB → 0, and local wall
@@ -130,9 +133,10 @@ object Dedup {
       .filter(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+    val sigAttach = Stage.attachSide(sig)
     candidates
-      .join(sig.as("sa"), col("id_a") === col("sa.id"))
-      .join(sig.as("sb"), col("id_b") === col("sb.id"))
+      .join(sigAttach.as("sa"), col("id_a") === col("sa.id"))
+      .join(sigAttach.as("sb"), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"),
         round(signatureSimilarity(col("sa.sig"), col("sb.sig")), 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
@@ -366,9 +370,10 @@ object Dedup {
       .filter(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+    val baseAttach = Stage.attachSide(base)
     candidates
-      .join(base.as("ba"), col("id_a") === col("ba.id"))
-      .join(base.as("bb"), col("id_b") === col("bb.id"))
+      .join(baseAttach.as("ba"), col("id_a") === col("ba.id"))
+      .join(baseAttach.as("bb"), col("id_b") === col("bb.id"))
       .select(col("id_a"), col("id_b"),
         round(Similarity.dot(col("ba.v"), col("bb.v")) / (col("ba.norm") * col("bb.norm")), 6)
           .as("cosine"))

@@ -23,6 +23,18 @@ import graft.functions.HashExpressions
   */
 object Similarity {
 
+  /** Hyperplane count sized so LSH bucket occupancy stays O(1): with
+    * `planes = ceil(log2(n))` there are ≥ n buckets per table, so expected
+    * candidates per probe row stay constant as the corpus grows — the knob
+    * that keeps [[knnJoin]]/LSH candidate generation O(n), not O(n²/2^p).
+    * (Measured failure mode of a fixed plane count: at 500k vectors with
+    * planes=16, occupancy 7.6 made the candidate join spill past local
+    * disk; planes=19 puts occupancy back under 1.) Clamped to [4, 30]. */
+  def planesFor(n: Long): Int = {
+    val p = math.ceil(math.log(math.max(2, n).toDouble) / math.log(2.0)).toInt
+    math.min(30, math.max(4, p))
+  }
+
   /** Dot product of two same-typed float/double array columns, accumulated
     * in double — a native codegen'd expression. */
   def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dot_product(a, b)
@@ -104,9 +116,15 @@ object Similarity {
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // Attach strategy (Stage.attachSide): broadcast the vector table when
+    // its size estimate fits an executor — the candidate stream then never
+    // re-shuffles with a vector attached, the decisive term when pairs ≫
+    // vectors — else SHUFFLE_HASH so no sort ever sees a vector-laden row.
+    // The window below sorts only (id_a, id_b, cosine).
+    val attach = Stage.attachSide(base)
     val scored = candidates
-      .join(base.as("ba"), col("id_a") === col("ba.id"))
-      .join(base.as("bb"), col("id_b") === col("bb.id"))
+      .join(attach.as("ba"), col("id_a") === col("ba.id"))
+      .join(attach.as("bb"), col("id_b") === col("bb.id"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("ba.v"), col("bb.v")) / (col("ba.norm") * col("bb.norm")), 6)
           .as("cosine"))

@@ -20,4 +20,22 @@ object Stage {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Join-side strategy for attaching a payload table (signatures, vectors)
+    * to a skinny candidate-pair stream: BROADCAST when Catalyst's size
+    * estimate says the payload fits comfortably on an executor — the
+    * candidate stream then never re-shuffles with payload attached, the
+    * decisive term when pairs ≫ payload rows — otherwise SHUFFLE_HASH,
+    * which still keeps payload-laden rows out of every sort (a sort-merge
+    * join would sort the pair stream with a full vector attached per row;
+    * measured as tens of GB of sort spill at 500k vectors).
+    *
+    * The estimate is Catalyst's `optimizedPlan.stats.sizeInBytes` — no
+    * action, propagated from file sizes — so a 100 TB embedding table
+    * correctly falls back to the shuffle path. */
+  def attachSide(df: DataFrame, maxBroadcastBytes: Long = 256L * 1024 * 1024): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= maxBroadcastBytes) org.apache.spark.sql.functions.broadcast(df)
+    else df.hint("SHUFFLE_HASH")
+  }
 }

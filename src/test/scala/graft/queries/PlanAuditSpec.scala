@@ -32,6 +32,15 @@ class PlanAuditSpec extends SparkSpec {
       s"unpruned read schema in:\n$p")
   }
 
+  test("late materialization refetch pushes the id IN-list to the scan (q53)") {
+    // phase 2 must reach parquet row-group stats as an In filter — that is
+    // what makes the wide refetch cost ∝ hits instead of width × size
+    val q = graft.SparkEntry.queries("q53_select_latemat")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [In(event_id"),
+      s"id refetch not pushed to the scan in:\n$p")
+  }
+
   test("dimension joins broadcast (no fact-side shuffle for q07)") {
     val q = graft.SparkEntry.queries("q07_join_agg")(spark, dir)
     val p = plan(q)
