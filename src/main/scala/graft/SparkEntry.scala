@@ -194,6 +194,13 @@ object SparkEntry {
           Dedup.portableSimhashSigs(TestTables.documents(s, dir), "doc_id", "text"),
           maxHamming = 8, chunks = 4, chunkBits = 15)
         .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))),
+    "q54_minhash_portable" -> ((s, dir) =>
+      // portable md5 + universal-hash MinHash (operators/Dedup) so the whole
+      // shingle → signature → band → candidate → estimate pipeline is
+      // DuckDB-reproducible and oracle-checked; the native codegen'd q21
+      // path stays covered by OperatorsSpec recall/estimate assertions
+      Dedup.portableMinhashLsh(TestTables.documents(s, dir), "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)),
     "q23_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccard(TestTables.documents(s, dir), "doc_id", "text", threshold = 0.3)),
     "q24_cosine_topk" -> ((s, dir) => {
@@ -258,6 +265,14 @@ object SparkEntry {
     }),
     "q35_knn_join" -> ((s, dir) =>
       Similarity.knnJoin(TestTables.embeddings(s, dir), "vec_id", "embedding", k = 5)),
+    "q55_knn_brute" -> ((s, dir) =>
+      // the exact all-pairs baseline the LSH q35 is measured against —
+      // every pair scored, window top-k per row, rank on the rounded
+      // cosine so cross-engine float association can't flip it
+      Similarity.knnJoinExact(TestTables.embeddings(s, dir), "vec_id",
+          "embedding", k = 5)
+        .select(col("id_a"), col("id_b"), col("cosine"),
+          col("rank").cast("long").as("rank"))),
     "q40_pq_topk" -> ((s, dir) => {
       val emb = TestTables.embeddings(s, dir)
       val cb = graft.operators.Pq.train(emb, "embedding", dim = 64, m = 8, k = 16, iters = 2)
@@ -468,6 +483,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
         .orderBy(col("decile"))
     }),
+    "q56_ntile_scalable" -> ((s, dir) => {
+      // the same decile cut as q52 computed WITHOUT a single-partition
+      // window: range-partition on the sort key, per-partition offsets,
+      // local stamp (operators/Rank) — the formulation that survives a
+      // fact-table input where q52's global Window.orderBy serializes
+      val c = TestTables.customer(s, dir)
+      graft.operators.Rank.exactNtile(c,
+          Seq(col("c_acctbal").desc, col("c_custkey").asc), 10,
+          tileCol = "decile")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
+        .orderBy(col("decile"))
+    }),
     "q53_select_latemat" -> ((s, dir) =>
       // the two-phase late-materialization row fetch (Workload.scala): phase
       // 1 takes the top-n matching ids from a 2-column scan, phase 2
@@ -566,8 +594,73 @@ object SparkEntry {
        |WHERE bit_count(xor(l.sig, r.sig)) <= 8""".stripMargin
   }
 
+  /** DuckDB replica of q54: md5-prefix shingle hash mod p → 32 universal-
+    * hash MIN slots → 16 two-slot band keys → band-equality candidates →
+    * agreeing-slot estimate. Generated programmatically to match
+    * [[graft.operators.Dedup.portableMinhashLsh]] value-for-value. */
+  private val minhashPairsSql: String = {
+    val n = 32; val bands = 16; val rpb = n / bands; val p = 2147483647L
+    val slots = (0 until n)
+      .map(i => s"MIN((h * ${2 * i + 3} + ${5 * i + 7}) % $p) AS m$i")
+      .mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rpb)
+        .map(j => s"CAST(m${b * rpb + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT id, $b AS band, $key AS key FROM sigs"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until n)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id AS id, shingle FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+       |           ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+       |    FROM (SELECT doc_id, tk,
+       |            unnest(range(1, greatest(len(tk) - 1, 2))) AS i
+       |          FROM toks))),
+       |hashed AS (
+       |  SELECT id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % $p AS h
+       |  FROM sh),
+       |sigs AS (SELECT id, $slots FROM hashed GROUP BY id),
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.id < r.id)
+       |SELECT id_a, id_b, round(($agree) / $n.0, 6) AS est_jaccard
+       |FROM cand JOIN sigs a ON id_a = a.id JOIN sigs b ON id_b = b.id
+       |WHERE round(($agree) / $n.0, 6) >= 0.5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q22_simhash_pairs" -> simhashPairsSql,
+    "q54_minhash_portable" -> minhashPairsSql,
+    "q55_knn_brute" ->
+      ("""WITH v AS (
+         |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |nrm AS (
+         |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n
+         |  FROM v GROUP BY vec_id),
+         |dp AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS d
+         |  FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT id_a, id_b, round(d / (na.n * nb.n), 6) AS cosine
+         |  FROM dp JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
+         |  WHERE na.n > 0 AND nb.n > 0),
+         |r AS (
+         |  SELECT id_a, id_b, cosine,
+         |         row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
+         |  FROM sc)
+         |SELECT id_a, id_b, cosine, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5""").stripMargin,
     "q02_count_eq" ->
       "SELECT CAST(count(*) AS BIGINT) AS cnt FROM events WHERE event_type = 'click'",
     "q03_count_ts_range" ->
@@ -866,6 +959,15 @@ object SparkEntry {
       ("SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id, event_type, value, props " +
         "FROM events WHERE value > 99.5 ORDER BY event_id LIMIT 10"),
     "q52_ntile" ->
+      ("""SELECT decile, CAST(count(*) AS BIGINT) AS n,
+         | CAST(min(c_custkey) AS BIGINT) AS min_key
+         |FROM (SELECT c_custkey,
+         |        ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+         |      FROM customer)
+         |GROUP BY decile ORDER BY decile""").stripMargin,
+    // identical oracle to q52 by design: two implementations (window vs
+    // range-partitioned rank), one semantic
+    "q56_ntile_scalable" ->
       ("""SELECT decile, CAST(count(*) AS BIGINT) AS n,
          | CAST(min(c_custkey) AS BIGINT) AS min_key
          |FROM (SELECT c_custkey,

