@@ -399,6 +399,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_id"))
         .orderBy(col("lang"))
     }),
+    "q57_stratified_sample" -> ((s, dir) => {
+      // per-stratum deterministic sampling — the training-mixture knob:
+      // different keep-rates per language, selected by content hash so the
+      // subset is reproducible on any engine/cluster/run. Scan-local
+      // filter; md5 hex threshold '19'/'100' ≈ 9.8%, '4c' ≈ 29.7%
+      val d = TestTables.documents(s, dir)
+      val rate = when(col("lang") === "en", lit("19")).otherwise(lit("4c"))
+      d.filter(md5(concat(col("lang"), lit(":"),
+          col("doc_id").cast("string")).cast("binary")) < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"))
+        .orderBy(col("lang"))
+    }),
+    "q58_group_sample" -> ((s, dir) => {
+      // deterministic k-per-stratum sample: rank docs inside each language
+      // by content hash (a seeded uniform draw any engine reproduces), keep
+      // the first 20 — the fixed-size variant of q57's fixed-rate sample.
+      // Window is partitioned by the stratum, so it scales horizontally —
+      // no global order anywhere
+      val d = TestTables.documents(s, dir)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      d.select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+    }),
     "q39_daily_histogram" -> ((s, dir) => {
       // Time-series binning: events per day + mean value, the standard
       // monitoring rollup. One map-side-combinable aggregation on the
@@ -474,8 +500,9 @@ object SparkEntry {
     "q52_ntile" -> ((s, dir) => {
       // decile bucketing of customers by balance — the standard cohort cut
       val c = TestTables.customer(s, dir)
-      // a global-order ntile is inherently a single sorted pass — fine on a
-      // dimension table; corpus-scale decile cuts use approx quantiles
+      // a window-over-global-order ntile collapses onto one task — fine on
+      // a dimension table like this; the fact-table formulation is q56
+      // (operators/Rank.exactNtile: range partition + offset stamp)
       c.select(col("c_custkey"),
           ntile(10).over(Window.orderBy(col("c_acctbal").desc,
             col("c_custkey").asc)).cast("long").as("decile"))
@@ -920,6 +947,20 @@ object SparkEntry {
          | CAST(min(doc_id) AS BIGINT) AS first_id
          |FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'
          |GROUP BY lang ORDER BY lang""").stripMargin,
+    "q57_stratified_sample" ->
+      ("""SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         | CAST(min(doc_id) AS BIGINT) AS first_id
+         |FROM documents
+         |WHERE md5(lang || ':' || CAST(doc_id AS VARCHAR))
+         |      < (CASE WHEN lang = 'en' THEN '19' ELSE '4c' END)
+         |GROUP BY lang ORDER BY lang""").stripMargin,
+    "q58_group_sample" ->
+      ("""SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 20""").stripMargin,
     "q39_daily_histogram" ->
       ("""SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events,
          | round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering — the multi-column layout operator.
+  *
+  * A table sorted on one column prunes scans filtering on that column and
+  * nothing else; a table clustered on the Z-curve of k columns gives every
+  * one of them locality: each written file covers a narrow min/max band of
+  * EVERY curve column, so engine-side file/row-group skipping (Parquet
+  * footer stats, catalog min/max) works for filters on any of them. At
+  * 100 TB this is the difference between "fast when you filter on the
+  * partition key" and "fast on every hot dimension".
+  *
+  * Mechanics (the standard OPTIMIZE ZORDER shape):
+  *   1. one tiny min/max aggregation over the curve columns (single job,
+  *      one row to the driver);
+  *   2. each value scales linearly to a `bits`-wide integer rank;
+  *   3. ranks interleave bit-by-bit into one long z-value (pure codegen'd
+  *      column arithmetic — no UDF);
+  *   4. `repartitionByRange` + `sortWithinPartitions` on the z-value — one
+  *      shuffle, identical cost shape to a plain global sort-write.
+  *
+  * Linear min/max scaling keeps the normalization one pass; heavily skewed
+  * columns get unbalanced curve cells (the documented trade-off — an
+  * equi-depth variant can rank each column through
+  * [[Rank.withGlobalRank]] at one extra shuffle per column).
+  *
+  * Numeric, date, and timestamp columns are supported (anything castable
+  * to double; 16-bit default rank precision keeps the cast exact far past
+  * any realistic file count).
+  */
+object ZOrder {
+
+  /** Interleave the low `bits` of each rank column: result bit
+    * `i * ncols + j` = bit `i` of column `j`. Total bits must fit a long. */
+  def interleave(ranks: Seq[Column], bits: Int): Column = {
+    require(ranks.nonEmpty, "need at least one column")
+    require(ranks.size * bits <= 63, s"${ranks.size} cols × $bits bits exceeds a long")
+    val terms = for {
+      i <- 0 until bits
+      (r, j) <- ranks.zipWithIndex
+    } yield shiftleft(shiftrightunsigned(r, i).bitwiseAND(lit(1L)),
+      i * ranks.size + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** The z-value column for `cols`, normalized by the supplied per-column
+    * (min, max) bounds. Values outside the bounds clamp to the edge cells. */
+  def zvalue(cols: Seq[Column], bounds: Seq[(Double, Double)], bits: Int = 16): Column = {
+    val cells = (1L << bits) - 1
+    val ranks = cols.zip(bounds).map { case (c, (lo, hi)) =>
+      val span = if (hi > lo) hi - lo else 1.0
+      val scaled = floor((c.cast("double") - lit(lo)) / lit(span) * cells)
+      least(greatest(scaled, lit(0.0)), lit(cells.toDouble)).cast("long")
+    }
+    interleave(ranks, bits)
+  }
+
+  /** Cluster `df` on the Z-curve of `cols`: rows come back range-
+    * partitioned and sorted by z-value, ready for a partition-per-file
+    * write whose footer stats are narrow on every curve column.
+    * One min/max job + one range shuffle. */
+  def clusterBy(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 16,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    require(cols.nonEmpty, "need at least one cluster column")
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val stats = df.agg(
+      min(col(cols.head).cast("double")).as("mn0"),
+      cols.tail.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c"))) :+
+        max(col(cols.head).cast("double")).as("mx0"): _*).head()
+    if (stats.isNullAt(0)) return df // empty input: nothing to cluster
+    val bounds = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) =
+        if (i == 0) (stats.getAs[Double]("mn0"), stats.getAs[Double]("mx0"))
+        else (stats.getAs[Double](s"mn_$c"), stats.getAs[Double](s"mx_$c"))
+      (lo, hi)
+    }
+    val z = zvalue(cols.map(col), bounds, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

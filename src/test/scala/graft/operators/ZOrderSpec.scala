@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleave produces textbook Morton codes") {
+    // (x=0b10, y=0b11) → z = y1 x1 y0 x0 = 1 1 1 0 = 14
+    val df = Seq((2L, 3L)).toDF("x", "y")
+      .select(ZOrder.interleave(Seq($"x", $"y"), bits = 2).as("z"))
+    assert(df.head().getLong(0) == 14L)
+    // identity on one column
+    val one = Seq(5L).toDF("x").select(ZOrder.interleave(Seq($"x"), 3).as("z"))
+    assert(one.head().getLong(0) == 5L)
+  }
+
+  test("zvalue orders the unit square along the Z curve") {
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0))
+      .toDF("x", "y")
+    val z = pts.select($"x", $"y",
+        ZOrder.zvalue(Seq($"x", $"y"), Seq((0.0, 1.0), (0.0, 1.0)), bits = 1).as("z"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(z((0.0, 0.0)) == 0 && z((1.0, 0.0)) == 1)
+    assert(z((0.0, 1.0)) == 2 && z((1.0, 1.0)) == 3)
+  }
+
+  test("clusterBy preserves rows exactly and empties pass through") {
+    val df = (1 to 5000).map(i => (i.toLong, (i * 7919) % 1000, (i * 104729) % 1000))
+      .toDF("id", "a", "b")
+    val out = ZOrder.clusterBy(df, Seq("a", "b"), numPartitions = 8)
+    assert(out.columns.toSeq == df.columns.toSeq)
+    assert(out.as[(Long, Int, Int)].collect().sorted.toSeq ==
+      df.as[(Long, Int, Int)].collect().sorted.toSeq)
+    val empty = ZOrder.clusterBy(Seq.empty[(Long, Int, Int)].toDF("id", "a", "b"),
+      Seq("a", "b"))
+    assert(empty.count() == 0)
+  }
+
+  // mean per-file min/max span of `c`, as a fraction of the global span —
+  // the quantity footer-stats file skipping is driven by
+  private def meanSpan(written: DataFrame, c: String): Double = {
+    val spans = written
+      .groupBy(input_file_name())
+      .agg((max(col(c)) - min(col(c))).cast("double").as("span"))
+      .collect().map(_.getDouble(1))
+    spans.sum / spans.length / 999.0
+  }
+
+  test("z-ordered files are narrow on BOTH columns; single-column sort is not") {
+    // two independent uniform columns; 16 files
+    val df = (1 to 20000).map { i =>
+      (i.toLong, (i * 7919) % 1000, (i * 104729) % 1000)
+    }.toDF("id", "a", "b")
+    val dir = Files.createTempDirectory("zorder").toString
+
+    ZOrder.clusterBy(df, Seq("a", "b"), numPartitions = 16)
+      .write.mode("overwrite").parquet(s"$dir/z")
+    val z = spark.read.parquet(s"$dir/z")
+    val (za, zb) = (meanSpan(z, "a"), meanSpan(z, "b"))
+
+    df.repartitionByRange(16, $"a").sortWithinPartitions($"a")
+      .write.mode("overwrite").parquet(s"$dir/s")
+    val s = spark.read.parquet(s"$dir/s")
+    val (sa, sb) = (meanSpan(s, "a"), meanSpan(s, "b"))
+
+    info(f"z-order spans a=$za%.3f b=$zb%.3f; sort-by-a spans a=$sa%.3f b=$sb%.3f")
+    // sorting by a alone: a is tight, b covers ~the full range per file
+    assert(sa < 0.15 && sb > 0.7)
+    // the curve gives BOTH columns sub-half spans — every curve column is
+    // file-prunable, the property single-column sort cannot provide
+    assert(za < 0.5 && zb < 0.5, f"z spans a=$za%.3f b=$zb%.3f")
+    assert(za + zb < sa + sb)
+  }
+}

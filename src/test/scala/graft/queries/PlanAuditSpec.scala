@@ -227,6 +227,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(graft.plans.CheapFirstFilterOrder(once) == once)
   }
 
+  test("scalable ntile: range-partitioned, no window, no single-partition sort") {
+    import org.apache.spark.sql.functions._
+    val c = graft.sources.TestTables.customer(spark, dir)
+    val tiled = graft.operators.Rank.exactNtile(c,
+      Seq(col("c_acctbal").desc, col("c_custkey").asc), 10, tileCol = "decile")
+    val p = plan(tiled)
+    assert(!p.contains("Window"), s"scalable ntile must not plan a window:\n$p")
+    // the q52 formulation, by contrast, plans a Window over a global order —
+    // the single-task shape q56 exists to avoid
+    val windowed = c.select(ntile(10).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("c_acctbal"))).as("d"))
+    assert(plan(windowed).contains("Window"))
+  }
+
   test("catalog introspection surface") {
     Catalog.registerTestTables(spark, dir)
     val tables = Catalog.showTables(spark).collect().map(_.getString(1)).toSet
