@@ -444,6 +444,15 @@ object SparkEntry {
       graft.operators.ConnectedComponents.components(pairs, "id_a", "id_b")
         .select(col("id"), col("rep"))
     }),
+    "q59_dedup_clusters_star" -> ((s, dir) => {
+      // same clusters as q46 via alternating large-star/small-star
+      // contraction — O(log² n) rounds independent of component diameter,
+      // the formulation that survives adversarial near-dup chains
+      val pairs = Dedup.ngramJaccard(TestTables.documents(s, dir), "doc_id", "text",
+        threshold = 0.3)
+      graft.operators.ConnectedComponents.componentsStar(pairs, "id_a", "id_b")
+        .select(col("id"), col("rep"))
+    }),
     "q47_decontaminate" -> ((s, dir) => {
       // benchmark-leakage check: training docs (id ≥ 100) sharing ≥2 distinct
       // 3-gram shingles with the "benchmark" slice (id < 100)
@@ -662,6 +671,22 @@ object SparkEntry {
        |FROM cand JOIN sigs a ON id_a = a.id JOIN sigs b ON id_b = b.id
        |WHERE round(($agree) / $n.0, 6) >= 0.5""".stripMargin
   }
+
+  /** Transitive closure over the exact q23 pair list (tiny at sf0.01), then
+    * min reachable id per node — the declarative mirror of the min-label /
+    * star-contraction fixpoint; shared by q46 and q59. */
+  private val clustersOracleSql: String =
+    "WITH RECURSIVE pairs AS (\n" + ngramPairsSql + "\n),\n" +
+      """edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS id, CAST(least(src, min(dst)) AS BIGINT) AS rep
+       |FROM reach GROUP BY src""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q22_simhash_pairs" -> simhashPairsSql,
@@ -1015,21 +1040,10 @@ object SparkEntry {
          |        ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
          |      FROM customer)
          |GROUP BY decile ORDER BY decile""").stripMargin,
-    // transitive closure over the exact q23 pair list (tiny at sf0.01), then
-    // min reachable id per node — the declarative mirror of min-label
-    // propagation's fixpoint
-    "q46_dedup_clusters" ->
-      ("WITH RECURSIVE pairs AS (\n" + ngramPairsSql + "\n),\n" +
-        """edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION
-         |  SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         |SELECT src AS id, CAST(least(src, min(dst)) AS BIGINT) AS rep
-         |FROM reach GROUP BY src""".stripMargin),
+    "q46_dedup_clusters" -> clustersOracleSql,
+    // q59 computes the identical clusters by star contraction — one oracle,
+    // two implementations (the q52/q56 pattern applied to clustering)
+    "q59_dedup_clusters_star" -> clustersOracleSql,
     // string-shingle formulation of the hash-shingle overlap join; identical
     // counts barring 64-bit hash collisions (~1e-13 at this scale)
     "q47_decontaminate" ->

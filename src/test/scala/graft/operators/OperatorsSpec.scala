@@ -253,6 +253,28 @@ class OperatorsSpec extends SparkSpec {
     assert(expected.contains((1L, 2L, 0)), "identical docs must pair at distance 0")
   }
 
+  test("componentsStar: agrees with min-label on random graphs, converges on long chains") {
+    import graft.operators.ConnectedComponents._
+    // random graph: 300 nodes, 400 edges — many components, mixed shapes
+    val rnd = new scala.util.Random(11)
+    val randomEdges = Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val viaLabel = components(randomEdges, maxIter = 60)
+      .as[(Long, Long)].collect().toMap
+    val viaStar = componentsStar(randomEdges)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar == viaLabel)
+    // a 400-hop chain: min-label needs 400 rounds; star contraction must
+    // finish inside its default 50 (it needs O(log^2 n) ≈ a handful)
+    val chain = (0L until 400L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = componentsStar(chain).as[(Long, Long)].collect()
+    assert(got.length == 401 && got.forall(_._2 == 0L),
+      s"chain must collapse to rep 0: ${got.filter(_._2 != 0L).take(5).toSeq}")
+    // empty edges: empty labels, no throw
+    assert(componentsStar(Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+  }
+
   test("connectedComponents: ids near Long.MaxValue converge without ANSI overflow") {
     import graft.operators.ConnectedComponents
     assert(spark.conf.get("spark.sql.ansi.enabled").toBoolean,
