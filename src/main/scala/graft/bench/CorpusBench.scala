@@ -177,6 +177,9 @@ object CorpusBench {
       benchOn("knn_join", embs, e =>
         Similarity.knnJoin(e, "vec_id", "embedding", k = 5,
           planes = planes, tables = 4))
+      benchOn("knn_join_topk", embs, e =>
+        Similarity.knnJoinTopK(e, "vec_id", "embedding", k = 5,
+          planes = planes, tables = 4))
     }
     spark.stop()
   }

@@ -79,7 +79,9 @@ object Similarity {
     * cosine, candidates restricted to shared LSH buckets (multi-probe on the
     * left side via 1-bit flips). The join shuffles on (table, bucket) — the
     * same O(candidates) shape as the dedup LSH joins, never O(N²) — and the
-    * per-left top-k is a window rank over the candidate set.
+    * per-left top-k is a window rank over the candidate set (the bounded-
+    * heap aggregate alternative measured SLOWER at every corpus scale —
+    * see [[topKStage]]).
     *
     * Exchange-slimmed like [[graft.operators.Dedup.minhashLsh]]: the bucket
     * join ships (id, table, bucket) only — shipping vectors would multiply
@@ -98,8 +100,17 @@ object Similarity {
       k: Int,
       planes: Int = 6,
       tables: Int = 8
+  ): DataFrame = topKStageWindow(scoredCandidates(df, idCol, vecCol, planes, tables), k)
+
+  /** The shared candidate pipeline: LSH buckets → skinny multi-probe bucket
+    * join → distinct pairs → vector attach → exact cosine per pair. */
+  private def scoredCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      tables: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("norm", l2norm(col("v")))
       .filter(col("norm") > 0)
@@ -120,7 +131,6 @@ object Similarity {
     // its size estimate fits an executor — the candidate stream then never
     // re-shuffles with a vector attached, the decisive term when pairs ≫
     // vectors — else SHUFFLE_HASH so no sort ever sees a vector-laden row.
-    // The window below sorts only (id_a, id_b, cosine).
     val attach = Stage.attachSide(base)
     val scored = candidates
       .join(attach.as("ba"), col("id_a") === col("ba.id"))
@@ -128,9 +138,53 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(dot(col("ba.v"), col("bb.v")) / (col("ba.norm") * col("bb.norm")), 6)
           .as("cosine"))
+    scored
+  }
+
+  /** Per-left top-k as a bounded-heap AGGREGATE
+    * ([[graft.functions.TopK.collect_top_k]]) — identical output, including
+    * ranks, to the window formulation, MEASURED AND REJECTED as the default
+    * for this operator (docs/corpusbench_local32.jsonl, knn_join vs
+    * knn_join_topk rows): 0.77 vs 0.85 s at 5k vectors, 1.81 vs 2.30 s at
+    * 50k, 20.1 vs 27.1 s at 500k, with shuffle bytes EQUAL. Why the classic
+    * "map-side partial top-k" argument fails here: candidate generation
+    * scatters each left id's ~k·occupancy candidates across partitions, so
+    * a partition rarely holds more than k rows per id and partial combine
+    * compresses nothing — the exchange payload is the same, plus queue-
+    * buffer serialization; and above the 128-group threshold
+    * ObjectHashAggregate falls back to sorting the exploded stream anyway
+    * (the same load-bearing fallback the q23 measurements hit). The 24 GB
+    * spill at 500k lives in the SHUFFLE_HASH vector-attach join, which no
+    * top-k formulation touches. Retained for shapes where one partition
+    * holds many candidates per group (c ≫ k locally) — there the heap
+    * genuinely shrinks the exchange. */
+  private[graft] def topKStage(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("id_a"))
+      .agg(graft.functions.TopK.collect_top_k(
+        struct(negate(col("cosine")).as("nc"), col("id_b")), k, reverse = true).as("tk"))
+      .select(col("id_a"), posexplode(col("tk")))
+      .select(col("id_a"), col("col.id_b").as("id_b"),
+        negate(col("col.nc")).as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+
+  /** The window formulation of the final top-k — the measured default. */
+  private def topKStageWindow(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** [[knnJoin]] with the bounded-heap aggregate top-k — the measured
+    * (rejected-as-default) alternative; see [[topKStage]]. */
+  private[graft] def knnJoinTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 6,
+      tables: Int = 8
+  ): DataFrame =
+    topKStage(scoredCandidates(df, idCol, vecCol, planes, tables), k)
 
   /** Exact brute-force k-NN join — every pair scored, window top-k per left
     * row. The correctness baseline for [[knnJoin]]: O(N²) comparisons by
@@ -151,7 +205,6 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("norm", l2norm(col("v")))
       .filter(col("norm") > 0)
@@ -160,8 +213,7 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
           .as("cosine"))
-    val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKStageWindow(scored, k)
   }
 
   /** Precompute the LSH index: (id, v, table, bucket) — at scale this is

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -75,6 +75,44 @@ object EventStreams {
       TextOps.qualityScore(col("text")).as("quality"),
       TextOps.langId(col("text")).as("lang_guess"),
       TextOps.fingerprint(col("text")).as("fingerprint"))
+  }
+
+  /** Streaming decontamination — the on-ingest face of
+    * [[graft.operators.Contamination.overlap]]: every arriving training doc
+    * is checked for n-gram overlap against a STATIC benchmark corpus before
+    * it ever lands in the training set (catching leakage at ingest beats a
+    * nightly batch sweep at 100 TB — contaminated docs never get written).
+    *
+    * Shape: the stream side explodes to (doc_id, shingle-hash) — already
+    * distinct per doc, the native `ShingleHashes` contract — and
+    * stream-static inner-joins the benchmark's distinct hash set (bounded,
+    * planner-broadcast), then counts matches per doc: an exact distinct
+    * shared-shingle count with NO stateful distinct. The aggregation is the
+    * only stateful op (state = one counter per contaminated doc id; clean
+    * docs never enter state because the inner join drops them). Emit in
+    * `update` mode. Works identically on a batch frame — parity-tested.
+    *
+    * Returns (train_id, n_shared) for docs sharing ≥ `minShared` distinct
+    * shingles with the benchmark. */
+  def decontaminateStream(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleLen: Int = 3,
+      minShared: Int = 2
+  ): DataFrame = {
+    import graft.functions.HashExpressions
+    def hashes(df: DataFrame, keep: Column): DataFrame =
+      df.select(keep,
+        explode(HashExpressions.shingle_hashes(
+          split(trim(lower(col(textCol))), "\\s+"), shingleLen)).as("sh_h"))
+    val evalHashes = hashes(evalDocs, lit(1).as("one")).select(col("sh_h")).distinct()
+    hashes(docs, col(idCol).as("train_id"))
+      .join(broadcast(evalHashes), "sh_h")
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,

@@ -373,6 +373,16 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("knnJoin: bounded-heap aggregate top-k ≡ window top-k, row for row") {
+    val emb = sf(dir, "embeddings")
+    val win = Similarity.knnJoin(emb, "vec_id", "embedding", k = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val agg = Similarity.knnJoinTopK(emb, "vec_id", "embedding", k = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(agg == win,
+      s"missing=${(win -- agg).take(5)} extra=${(agg -- win).take(5)}")
+  }
+
   test("annTopK recall vs brute-force cosine top-k") {
     val emb = sf(dir, "embeddings").cache()
     val q = emb.filter($"vec_id" === 0).head().getSeq[Float](1)

@@ -128,6 +128,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists { case (id, _, lang, _) => id == 2L && lang == "fr" })
   }
 
+  test("streaming decontamination: stream-static shingle join matches batch overlap") {
+    val evalDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val trainDocs = Seq(
+      (100L, "alpha beta gamma delta other words here"), // 3 shared trigrams
+      (101L, "something alpha beta gamma unrelated"),    // 1 shared trigram
+      (102L, "completely clean document with no overlap at all")
+    )
+    val batch = graft.operators.Contamination.overlap(
+        trainDocs.toDF("doc_id", "text"), "doc_id", "text",
+        evalDocs, "doc_id", "text", shingleLen = 3, minShared = 2)
+      .select($"train_id", $"n_shared")
+      .as[(Long, Long)].collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.decontaminateStream(
+        mem.toDF().toDF("doc_id", "text"), evalDocs, minShared = 2)
+      .writeStream.format("memory").queryName("decontam")
+      .outputMode("update").start()
+    mem.addData(trainDocs.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(trainDocs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    // update mode re-emits a doc's row as its count grows; the final value
+    // per doc is the max
+    val streamed = spark.table("decontam").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, rows) => (id, rows.map(_._2).max) }.toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.exists(_._1 == 100L) && !streamed.exists(_._1 == 102L))
+  }
+
   test("file-source streaming reads the events table incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // testdata events carry NANOS timestamps — stage through our accessor
