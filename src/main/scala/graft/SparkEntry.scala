@@ -436,6 +436,41 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    "q60_pivot" -> ((s, dir) =>
+      // wide-format rollup: one row per day, one column per event type —
+      // Spark's relational pivot with an explicit value list (explicit so
+      // the schema is static and no extra distinct-scan job runs)
+      TestTables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day"))),
+    "q61_unpivot" -> ((s, dir) =>
+      // long-format melt of per-order money columns — Spark 4's native
+      // unpivot (UNPIVOT/MELT), the inverse surface of q60
+      TestTables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_totalprice") * 0.1).as("o_tax"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("o_totalprice"), col("o_tax")), "measure", "amount")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+          round(moneySum(col("amount")), 4).as("total"))
+        .orderBy(col("measure"))),
+    "q62_grouping_sets" -> ((s, dir) => {
+      // arbitrary grouping-set combos — the general form rollup/cube (q14/
+      // q28) specialize: (status, priority), (status), (priority) but NOT ()
+      val o = TestTables.orders(s, dir)
+      o.createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  count(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |  (o_orderstatus), (o_orderpriority))""".stripMargin)
+    }),
     "q46_dedup_clusters" -> ((s, dir) => {
       // pair edges → dedup clusters: min-label connected components over the
       // exact ngram-Jaccard pairs; rep = canonical (minimum) member id
@@ -1040,6 +1075,27 @@ object SparkEntry {
          |        ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
          |      FROM customer)
          |GROUP BY decile ORDER BY decile""").stripMargin,
+    "q60_pivot" ->
+      ("""SELECT CAST(ts AS DATE) AS day,
+         | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+         | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         |FROM events GROUP BY 1 ORDER BY 1""").stripMargin,
+    "q61_unpivot" ->
+      ("""SELECT measure, CAST(count(*) AS BIGINT) AS n,
+         | round(CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+         |FROM (
+         |  SELECT 'o_totalprice' AS measure, o_totalprice AS amount FROM orders
+         |  UNION ALL
+         |  SELECT 'o_tax' AS measure, o_totalprice * 0.1 AS amount FROM orders)
+         |GROUP BY measure ORDER BY measure""").stripMargin,
+    "q62_grouping_sets" ->
+      ("""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         |  (o_orderstatus), (o_orderpriority))""").stripMargin,
     "q46_dedup_clusters" -> clustersOracleSql,
     // q59 computes the identical clusters by star contraction — one oracle,
     // two implementations (the q52/q56 pattern applied to clustering)
