@@ -436,6 +436,12 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    "q63_cosine_pairs" -> ((s, dir) =>
+      // exact embedding near-pair mining — the all-pairs baseline the LSH
+      // embeddingNearDups candidates are measured against (threshold set to
+      // the testdata's similarity regime; real near-dup corpora use ~0.95)
+      Dedup.embeddingPairsExact(TestTables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.45)),
     "q60_pivot" -> ((s, dir) =>
       // wide-format rollup: one row per day, one column per event type —
       // Spark's relational pivot with an explicit value list (explicit so
@@ -1075,6 +1081,22 @@ object SparkEntry {
          |        ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
          |      FROM customer)
          |GROUP BY decile ORDER BY decile""").stripMargin,
+    "q63_cosine_pairs" ->
+      ("""WITH v AS (
+         |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |nrm AS (
+         |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n
+         |  FROM v GROUP BY vec_id),
+         |dp AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS d
+         |  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(d / (na.n * nb.n), 6) AS cosine
+         |FROM dp JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
+         |WHERE na.n > 0 AND nb.n > 0
+         |  AND round(d / (na.n * nb.n), 6) >= 0.45""").stripMargin,
     "q60_pivot" ->
       ("""SELECT CAST(ts AS DATE) AS day,
          | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

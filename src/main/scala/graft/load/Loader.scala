@@ -130,12 +130,19 @@ object Loader {
     * disk (`path` or `.compact.old`) — the delete-then-rename ordering used
     * previously had a window where a crash lost the variant entirely while
     * the batch checkpoint still claimed it was loaded. */
+  /** Compaction rewrite. With `zorderCols` non-empty the rewrite clusters
+    * rows on the Morton curve of those columns
+    * ([[graft.operators.ZOrder.clusterBy]]) instead of hash-repartitioning,
+    * so the compacted files carry narrow min/max footer stats on EVERY
+    * curve column — the OPTIMIZE ZORDER shape. Same crash-safe
+    * rename-first swap either way. */
   def optimize(
       spark: SparkSession,
       path: String,
       codec: CodecSpec,
       format: String = "PARQUET",
-      targetFileBytes: Long = 512L * 1024 * 1024
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      zorderCols: Seq[String] = Nil
   ): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -152,7 +159,11 @@ object Loader {
     if (!fs.exists(p)) return
     val bytes = fs.getContentSummary(p).getLength
     val files = math.max(1, (bytes / targetFileBytes).toInt)
-    val df = Tables.read(spark, path, format).drop("batch").repartition(files)
+    val base = Tables.read(spark, path, format).drop("batch")
+    val df =
+      if (zorderCols.nonEmpty)
+        graft.operators.ZOrder.clusterBy(base, zorderCols, numPartitions = files)
+      else base.repartition(files)
     Tables.writeBatch(df, tmp.toString, 0, codec, format)
     fs.rename(p, old)
     fs.rename(tmp, p)

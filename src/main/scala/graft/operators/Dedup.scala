@@ -406,6 +406,28 @@ object Dedup {
     * random-hyperplane LSH buckets — the same banded-join shape as MinHash,
     * so no O(N²) scan. Bucket assignment is one native codegen'd array pass
     * per row ([[graft.functions.HashExpressions.HyperplaneBuckets]]). */
+  /** Exact all-pairs cosine near-pair mining — the oracle-able baseline
+    * [[embeddingNearDups]]'s LSH candidates are measured against. O(N²) by
+    * construction (right side via [[Stage.attachSide]]); small-corpus /
+    * recall-measurement tool, not the 100 TB path. Returns
+    * (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold. */
+  def embeddingPairsExact(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val base = Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .withColumn("norm", Similarity.l2norm(col("v")))
+      .filter(col("norm") > 0)
+    base.as("a")
+      .join(Stage.attachSide(base).as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(Similarity.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   def embeddingNearDups(
       df: DataFrame,
       idCol: String,

@@ -193,4 +193,39 @@ class PipelineSpec extends SparkSpec {
     assert(!new java.io.File(path + ".compact.old").exists())
     assert(!new java.io.File(path + ".compact.tmp").exists())
   }
+
+  test("optimize with zorderCols rewrites to Morton-clustered files, rows intact") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_wh_z").toString
+    val cp = Files.createTempDirectory("graft_cp_z").toString
+    val cfg = Schemas.narrowOrders
+    val plan = LoadPlan(totalRows = 20000, batchRows = 10000, concurrency = 1,
+      checkpointDir = cp)
+    val codec = CodecSpec("zstd", 1)
+    val path = Tables.variantPath(wh, cfg, codec)
+    Loader.loadTable(spark, cfg, plan, codec, path, quiet = true)
+    val before = spark.read.parquet(path).drop("batch")
+      .orderBy(col("id")).collect().map(_.toSeq)
+    Loader.optimize(spark, path, codec, targetFileBytes = 64 * 1024,
+      zorderCols = Seq("amount", "age"))
+    val after = spark.read.parquet(path)
+    assert(after.drop("batch").orderBy(col("id")).collect().map(_.toSeq).toSeq
+      == before.toSeq)
+    // clustered layout: mean per-file span of each curve column is well
+    // under the global span (files carry narrow footer stats on BOTH)
+    def meanSpanFrac(c: String): Double = {
+      val spans = after.groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .filter(col("n") > 100) // ignore tiny tail files
+        .collect().map(_.getDouble(1))
+      val g = after.agg((max(col(c)) - min(col(c))).cast("double")).head().getDouble(0)
+      spans.sum / spans.length / g
+    }
+    val nFiles = after.select(input_file_name()).distinct().count()
+    if (nFiles >= 4) {
+      assert(meanSpanFrac("amount") < 0.7, s"amount span ${meanSpanFrac("amount")}")
+      assert(meanSpanFrac("age") < 0.7, s"age span ${meanSpanFrac("age")}")
+    }
+  }
 }

@@ -95,6 +95,24 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(est * 32 - math.round(est * 32)) < 1e-3, s"estimate $est"))
   }
 
+  test("embeddingPairsExact: all pairs over a hand-computed threshold, none below") {
+    val emb = sf(dir, "embeddings").limit(40).cache()
+    val vecs = emb.as[(Long, Seq[Float], String)].collect()
+      .map { case (id, v, _) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      math.rint(d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)) * 1e6) / 1e6
+    }
+    val expected = (for {
+      (a, va) <- vecs.toSeq; (b, vb) <- vecs.toSeq if a < b
+      c = cos(va, vb) if c >= 0.3
+    } yield (a, b, c)).toSet
+    val got = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected, s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("knnJoinExact: identical results to a hand-computed all-pairs top-k") {
     val emb = sf(dir, "embeddings").limit(40).cache()
     val vecs = emb.as[(Long, Seq[Float], String)].collect()
