@@ -442,6 +442,27 @@ object SparkEntry {
       // the testdata's similarity regime; real near-dup corpora use ~0.95)
       Dedup.embeddingPairsExact(TestTables.embeddings(s, dir), "vec_id",
         "embedding", threshold = 0.45)),
+    "q64_shuffle_order" -> ((s, dir) =>
+      // deterministic corpus shuffle — the pre-training reorder: sort by
+      // content hash, reproducible on any engine/run. At scale this is a
+      // repartitionByRange on the hash (balanced, one shuffle); the LIMIT
+      // here keeps the oracle compact
+      TestTables.documents(s, dir)
+        .select(col("doc_id"), md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .orderBy(col("h"), col("doc_id"))
+        .limit(20)),
+    "q65_split_assign" -> ((s, dir) => {
+      // hash-based train/val/test assignment (~80/10/10 by md5 prefix) —
+      // deterministic, scan-local, the canonical split op; rollup per
+      // (split, lang) checks both the ratios and the stratification
+      val d = TestTables.documents(s, dir)
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      d.select(col("doc_id"), col("lang"),
+          when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
+        .orderBy(col("split"), col("lang"))
+    }),
     "q60_pivot" -> ((s, dir) =>
       // wide-format rollup: one row per day, one column per event type —
       // Spark's relational pivot with an explicit value list (explicit so
@@ -1097,6 +1118,16 @@ object SparkEntry {
          |FROM dp JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
          |WHERE na.n > 0 AND nb.n > 0
          |  AND round(d / (na.n * nb.n), 6) >= 0.45""").stripMargin,
+    "q64_shuffle_order" ->
+      ("""SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+         |FROM documents ORDER BY h, doc_id LIMIT 20""").stripMargin,
+    "q65_split_assign" ->
+      ("""SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+         |            WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  lang, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(doc_id) AS BIGINT) AS first_id
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
     "q60_pivot" ->
       ("""SELECT CAST(ts AS DATE) AS day,
          | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -46,4 +46,34 @@ class IvfSpec extends SparkSpec {
     assert(approx.contains(0L), "query vector itself must be found")
     assert(recall >= 0.5, s"recall $recall below 0.5")
   }
+
+  test("IVF index at rest: cluster is the partition key, probes prune partitions") {
+    import org.apache.spark.sql.functions._
+    val cb = Ivf.train(emb, "embedding", k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    // the at-rest layout the Scaladoc promises: one partition per cluster
+    Ivf.buildIndex(emb, "vec_id", "embedding", cb)
+      .write.partitionBy("cluster").mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val q = emb.filter($"vec_id" === 0).head().getSeq[Float](1)
+    val probes = cb.nearest(q.map(_.toDouble).toArray, 3)
+    val probed = stored.filter($"cluster".isin(probes.map(Integer.valueOf): _*))
+    // partition pruning is visible in the plan …
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"no partition filter pushed:\n$plan")
+    // … and on disk: only the probed cluster directories are read
+    val filesRead = probed.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(filesRead.nonEmpty &&
+      filesRead.forall(f => probes.exists(p => f.contains(s"cluster=$p"))),
+      s"read beyond probed clusters: ${filesRead.filterNot(f => probes.exists(p => f.contains(s"cluster=$p"))).take(3)}")
+    // the same query through the stored index returns the same top-k as the
+    // in-memory index — the layout changes cost, not results
+    val viaStored = Ivf.topK(stored, cb, q, 10, nprobe = 3)
+      .as[(Long, Double)].collect().toSeq
+    val viaMem = Ivf.topK(Ivf.buildIndex(emb, "vec_id", "embedding", cb), cb, q, 10,
+      nprobe = 3).as[(Long, Double)].collect().toSeq
+    assert(viaStored == viaMem)
+  }
 }
