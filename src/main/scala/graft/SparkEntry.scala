@@ -442,6 +442,13 @@ object SparkEntry {
       // the testdata's similarity regime; real near-dup corpora use ~0.95)
       Dedup.embeddingPairsExact(TestTables.embeddings(s, dir), "vec_id",
         "embedding", threshold = 0.45)),
+    "q66_editdist_pairs" -> ((s, dir) =>
+      // short-string dedup: Levenshtein ≤ 3 over 40-char title prefixes,
+      // char-trigram blocked (operators/Dedup.editDistancePairs) — trigram
+      // hashes block identically to the oracle's trigram strings barring
+      // ~1e-13 xxhash64 collisions, every candidate exact-verified
+      Dedup.editDistancePairs(TestTables.documents(s, dir), "doc_id", "text",
+        maxDist = 3, maxLen = 40)),
     "q64_shuffle_order" -> ((s, dir) =>
       // deterministic corpus shuffle — the pre-training reorder: sort by
       // content hash, reproducible on any engine/run. At scale this is a
@@ -1118,6 +1125,20 @@ object SparkEntry {
          |FROM dp JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
          |WHERE na.n > 0 AND nb.n > 0
          |  AND round(d / (na.n * nb.n), 6) >= 0.45""").stripMargin,
+    "q66_editdist_pairs" ->
+      ("""WITH t AS (
+         |  SELECT doc_id AS id, substring(trim(lower(text)), 1, 40) AS s
+         |  FROM documents WHERE length(substring(trim(lower(text)), 1, 40)) >= 3),
+         |g AS (
+         |  SELECT DISTINCT id, substring(s, i, 3) AS g
+         |  FROM (SELECT id, s, unnest(range(1, length(s) - 1)) AS i FROM t)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM g a JOIN g b ON a.g = b.g AND a.id < b.id)
+         |SELECT id_a, id_b, CAST(levenshtein(ta.s, tb.s) AS BIGINT) AS dist
+         |FROM cand JOIN t ta ON ta.id = id_a JOIN t tb ON tb.id = id_b
+         |WHERE abs(length(ta.s) - length(tb.s)) <= 3
+         |  AND levenshtein(ta.s, tb.s) <= 3""").stripMargin,
     "q64_shuffle_order" ->
       ("""SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
          |FROM documents ORDER BY h, doc_id LIMIT 20""").stripMargin,

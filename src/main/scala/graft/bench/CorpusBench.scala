@@ -162,6 +162,13 @@ object CorpusBench {
       bench("dedup_clusters", d =>
         ConnectedComponents.components(
           Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3), "id_a", "id_b"))
+      // the adversarial-diameter variant on the same edges — recorded so the
+      // min-label default is a measured choice, not an assumption (near-dup
+      // graphs are shallow, so min-label's cheaper rounds should win here;
+      // star contraction exists for long-chain graphs)
+      bench("dedup_clusters_star", d =>
+        ConnectedComponents.componentsStar(
+          Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3), "id_a", "id_b"))
       bench("decontaminate", d =>
         Contamination.overlap(
           d.filter(col("doc_id") >= 1000), "doc_id", "text",

@@ -406,6 +406,50 @@ object Dedup {
     * random-hyperplane LSH buckets — the same banded-join shape as MinHash,
     * so no O(N²) scan. Bucket assignment is one native codegen'd array pass
     * per row ([[graft.functions.HashExpressions.HyperplaneBuckets]]). */
+  /** Edit-distance (Levenshtein) near-duplicate pairs — the dedup modality
+    * for SHORT strings (titles, names, headers), where token shingling is
+    * too coarse. Candidates must (a) share at least one character trigram
+    * and (b) differ in length by at most `maxDist` — both sound pre-filters
+    * for edit distance ≤ maxDist on strings long enough to contain a
+    * trigram — then every candidate is verified with the exact
+    * `levenshtein` builtin. Blocking is the same inverted-index join shape
+    * as [[graft.operators.Contamination]]: (id, trigram-hash) streams
+    * skinny through the equi-join, candidate id pairs dedupe before the
+    * strings attach ([[Stage.attachSide]]), so no exchange ever carries a
+    * string payload. Levenshtein is O(len²) per pair — `maxLen` caps the
+    * compared prefix so verification cost is bounded by construction.
+    *
+    * Returns (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist. */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      maxLen: Int = 40
+  ): DataFrame = {
+    val t = Stage.ensureWide(
+        df.select(col(idCol).as("id"),
+          substring(trim(lower(col(textCol))), 1, maxLen).as("s")))
+      .filter(length(col("s")) >= 3)
+    // array_remove strips the empty tail Java's split("") can append, so
+    // trigram windows match an external engine's substring(s, i, 3) exactly
+    val grams = t.select(col("id"),
+      explode(graft.functions.HashExpressions.shingle_hashes(
+        array_remove(split(col("s"), ""), ""), 3)).as("g"))
+    val candidates = grams.as("a")
+      .join(grams.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val attach = Stage.attachSide(t)
+    candidates
+      .join(attach.as("ta"), col("id_a") === col("ta.id"))
+      .join(attach.as("tb"), col("id_b") === col("tb.id"))
+      .filter(abs(length(col("ta.s")) - length(col("tb.s"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta.s"), col("tb.s")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Exact all-pairs cosine near-pair mining — the oracle-able baseline
     * [[embeddingNearDups]]'s LSH candidates are measured against. O(N²) by
     * construction (right side via [[Stage.attachSide]]); small-corpus /

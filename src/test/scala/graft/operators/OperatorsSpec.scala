@@ -76,6 +76,37 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairs: blocked Levenshtein matches brute force on known strings") {
+    val rows = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fux"),   // dist 1 from #1
+      (3L, "the quick crown fox"),   // dist 1 from #1, 2 from #2
+      (4L, "a completely different sentence"),
+      (5L, "the quick brown fox"),   // exact dup of #1
+      (6L, "xy")                     // too short for a trigram — excluded
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(rows, "doc_id", "text", maxDist = 2)
+      .as[(Long, Long, Long)].collect().map { case (a, b, d) => (a, b) -> d }.toMap
+    // brute force over the same normalized prefixes
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val texts = Seq(1L -> "the quick brown fox", 2L -> "the quick brown fux",
+      3L -> "the quick crown fox", 4L -> "a completely different sentence",
+      5L -> "the quick brown fox")
+    val expected = (for {
+      (a, ta) <- texts; (b, tb) <- texts if a < b
+      d = lev(ta, tb) if d <= 2
+    } yield (a, b) -> d.toLong).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(!got.keySet.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
   test("portableMinhashLsh: high-Jaccard pairs found, estimates track truth") {
     val got = Dedup.portableMinhashLsh(docs, "doc_id", "text", numHashes = 32,
         bands = 16, threshold = 0.5)
