@@ -115,6 +115,62 @@ object EventStreams {
       .filter(col("n_shared") >= minShared)
   }
 
+  case class DocSig(doc_id: Long, sig: Long, bucket: Long)
+  case class NearDupVerdict(doc_id: Long, is_dup: Boolean, dup_of: Long)
+  case class BucketState(sigs: List[(Long, Long)])
+
+  /** Streaming near-duplicate FILTER — the ingest-time guard in front of
+    * the exact batch dedup passes: each arriving doc's 64-bit SimHash is
+    * checked against previously admitted docs in its bucket (top 16
+    * signature bits); within `maxHamming` of any of them → flagged with the
+    * admitting doc's id, else admitted into state.
+    *
+    * Approximate BY DESIGN and documented as such: one 16-bit band catches
+    * near-dups agreeing on those bits (the overwhelming case at Hamming ≤ 8
+    * over 64 bits, but not all of them) — the batch operators
+    * ([[graft.operators.Dedup.simhashPairs]] etc.) remain the exact ground
+    * truth; this pass exists so the obvious dups never get written at
+    * 100 TB ingest rates. State is bounded: ≤ `maxPerBucket` (sig, id)
+    * pairs per bucket, newest kept. Precedence is arrival order; within a
+    * micro-batch, ascending doc id (deterministic replay). Works on a batch
+    * frame through the same `flatMapGroupsWithState` — parity-tested.
+    *
+    * Emits (doc_id, is_dup, dup_of = admitting id or −1). */
+  def nearDupFilterStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 8,
+      maxPerBucket: Int = 1024
+  ): Dataset[NearDupVerdict] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.HashExpressions
+    val sigs = docs.select(col(idCol).cast("long").as("doc_id"),
+        HashExpressions.simhash64(split(trim(lower(col(textCol))), "\\s+")).as("sig"))
+      .withColumn("bucket", shiftrightunsigned(col("sig"), 48))
+      .as[DocSig]
+    sigs.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, NearDupVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
+        var seen = state.getOption.map(_.sigs).getOrElse(Nil)
+        val out = List.newBuilder[NearDupVerdict]
+        it.toSeq.sortBy(_.doc_id).foreach { d =>
+          seen.find { case (s, _) =>
+            java.lang.Long.bitCount(s ^ d.sig) <= maxHamming
+          } match {
+            case Some((_, admittedId)) =>
+              out += NearDupVerdict(d.doc_id, is_dup = true, dup_of = admittedId)
+            case None =>
+              out += NearDupVerdict(d.doc_id, is_dup = false, dup_of = -1L)
+              seen = (d.sig, d.doc_id) :: seen
+              if (seen.length > maxPerBucket) seen = seen.take(maxPerBucket)
+          }
+        }
+        state.update(BucketState(seen))
+        out.result().iterator
+      }
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
       value: Double)
   case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)

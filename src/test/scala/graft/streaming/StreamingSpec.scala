@@ -164,6 +164,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._1 == 100L) && !streamed.exists(_._1 == 102L))
   }
 
+  test("streaming near-dup filter: dups flagged against admitted docs, batch parity") {
+    // 1 and 2 share all but one word (near-identical simhash); 3 is distinct;
+    // 4 arrives later and duplicates 1 exactly
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (3L, "completely unrelated text about spark catalyst optimizer internals"))
+    val b2 = Seq(
+      (4L, "the quick brown fox jumps over the lazy dog again and again today"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.nearDupFilterStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    // reference implementation over the real signatures, in arrival order
+    import org.apache.spark.sql.functions.{lower, split, trim}
+    val sigs = (b1 ++ b2).toDF("doc_id", "text").select($"doc_id",
+        graft.functions.HashExpressions.simhash64(
+          split(trim(lower($"text")), "\\s+")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def reference(order: Seq[Long]): Map[Long, (Boolean, Long)] = {
+      var seen = Map.empty[Long, List[(Long, Long)]].withDefaultValue(Nil)
+      order.map { id =>
+        val sig = sigs(id); val bucket = sig >>> 48
+        seen(bucket).find { case (s, _) =>
+          java.lang.Long.bitCount(s ^ sig) <= 8 } match {
+          case Some((_, admitted)) => id -> ((true, admitted))
+          case None =>
+            seen = seen.updated(bucket, (sig, id) :: seen(bucket))
+            id -> ((false, -1L))
+        }
+      }.toMap
+    }
+    val expected = reference(b1.map(_._1).sorted ++ b2.map(_._1).sorted)
+    assert(got == expected, s"got=$got expected=$expected")
+    // the structural guarantees regardless of hash specifics:
+    assert(got(1L) == ((false, -1L)), "first arrival is admitted")
+    assert(got(4L) == ((true, 1L)), "exact text dup flagged cross-batch against doc 1")
+    // batch parity: same docs, one pass, same verdicts (ids arrive sorted)
+    val batch = EventStreams.nearDupFilterStream((b1 ++ b2).toDF("doc_id", "text"))
+      .collect().map(v => v.doc_id -> ((v.is_dup, v.dup_of))).toMap
+    assert(batch == got)
+  }
+
   test("file-source streaming reads the events table incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // testdata events carry NANOS timestamps — stage through our accessor
