@@ -47,7 +47,8 @@ object ZOrder {
   }
 
   /** The z-value column for `cols`, normalized by the supplied per-column
-    * (min, max) bounds. Values outside the bounds clamp to the edge cells. */
+    * (min, max) bounds. Values outside the bounds clamp to the edge cells.
+    * Columns must already be numeric (see [[asNumeric]] for date/timestamp). */
   def zvalue(cols: Seq[Column], bounds: Seq[(Double, Double)], bits: Int = 16): Column = {
     val cells = (1L << bits) - 1
     val ranks = cols.zip(bounds).map { case (c, (lo, hi)) =>
@@ -57,6 +58,16 @@ object ZOrder {
     }
     interleave(ranks, bits)
   }
+
+  /** Numeric view of a curve column: dates → days since epoch, timestamps →
+    * epoch seconds (Spark's ANSI cast rules forbid date→double directly),
+    * everything else passes through for the double cast in [[zvalue]]. */
+  private def asNumeric(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType => unix_date(col(c))
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _ => col(c)
+    }
 
   /** Cluster `df` on the Z-curve of `cols`: rows come back range-
     * partitioned and sorted by z-value, ready for a partition-per-file
@@ -72,12 +83,13 @@ object ZOrder {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism
+    val nums = cols.map(c => asNumeric(df, c))
     val stats = df.agg(
-      min(col(cols.head).cast("double")).as("mn0"),
-      cols.tail.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"mn_$c"),
-        max(col(c).cast("double")).as(s"mx_$c"))) :+
-        max(col(cols.head).cast("double")).as("mx0"): _*).head()
+      min(nums.head.cast("double")).as("mn0"),
+      cols.tail.zip(nums.tail).flatMap { case (c, n) => Seq(
+        min(n.cast("double")).as(s"mn_$c"),
+        max(n.cast("double")).as(s"mx_$c")) } :+
+        max(nums.head.cast("double")).as("mx0"): _*).head()
     if (stats.isNullAt(0)) return df // empty input: nothing to cluster
     val bounds = cols.zipWithIndex.map { case (c, i) =>
       val (lo, hi) =
@@ -85,7 +97,7 @@ object ZOrder {
         else (stats.getAs[Double](s"mn_$c"), stats.getAs[Double](s"mx_$c"))
       (lo, hi)
     }
-    val z = zvalue(cols.map(col), bounds, bits)
+    val z = zvalue(nums, bounds, bits)
     df.withColumn("__z", z)
       .repartitionByRange(parts, col("__z"))
       .sortWithinPartitions(col("__z"))

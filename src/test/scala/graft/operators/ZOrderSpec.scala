@@ -42,6 +42,16 @@ class ZOrderSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("clusterBy handles date and timestamp curve columns (ANSI-safe)") {
+    val df = (1 to 500).map { i =>
+      (i.toLong, java.sql.Date.valueOf(s"2024-0${1 + i % 9}-0${1 + i % 9}"),
+        java.sql.Timestamp.valueOf(f"2024-01-01 0${i % 10}%01d:00:00"))
+    }.toDF("id", "d", "ts")
+    val out = ZOrder.clusterBy(df, Seq("d", "ts"), numPartitions = 4)
+    assert(out.count() == 500)
+    assert(out.columns.toSeq == Seq("id", "d", "ts"))
+  }
+
   // mean per-file min/max span of `c`, as a fraction of the global span —
   // the quantity footer-stats file skipping is driven by
   private def meanSpan(written: DataFrame, c: String): Double = {
