@@ -93,4 +93,27 @@ class PqSpec extends SparkSpec {
     assert(approx.contains(0L), "query vector itself must be found")
     assert(recall >= 0.3, s"recall $recall too low even for uniform data")
   }
+
+  test("IVF+PQ index at rest: cluster partitions prune, stored ≡ in-memory top-k") {
+    import org.apache.spark.sql.functions._
+    val ivf = Ivf.train(emb, "embedding", k = 8, iters = 2)
+    val pq = Pq.train(emb, "embedding", dim = 64, m = 8, k = 16, iters = 2)
+    val index = Pq.ivfPqIndex(emb, "vec_id", "embedding", ivf, pq)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    index.write.partitionBy("cluster").mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val q = emb.filter($"vec_id" === 0).head().getSeq[Float](1)
+    val probes = ivf.nearest(q.map(_.toDouble).toArray, 3)
+    val probed = stored.filter($"cluster".isin(probes.map(Integer.valueOf): _*))
+    assert(probed.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    val filesRead = probed.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(filesRead.nonEmpty &&
+      filesRead.forall(f => probes.exists(p => f.contains(s"cluster=$p"))))
+    val viaStored = Pq.ivfPqTopK(stored, ivf, pq, q, 10, nprobe = 3)
+      .as[(Long, Double)].collect().toSeq
+    val viaMem = Pq.ivfPqTopK(index, ivf, pq, q, 10, nprobe = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaStored == viaMem)
+  }
 }
