@@ -442,6 +442,18 @@ object SparkEntry {
       // the testdata's similarity regime; real near-dup corpora use ~0.95)
       Dedup.embeddingPairsExact(TestTables.embeddings(s, dir), "vec_id",
         "embedding", threshold = 0.45)),
+    "q67_salted_agg" -> ((s, dir) => {
+      // skew-safe two-level aggregation through the driver gate: the salted
+      // path must be value-identical to the plain group-by the oracle runs —
+      // the exactness contract that lets it replace a hot-key aggregation
+      // without changing results (sums in decimal for cross-engine parity)
+      val e = TestTables.events(s, dir)
+        .select(col("event_type"), col("value").cast("decimal(18,6)").as("value"))
+      graft.operators.Skew.saltedSum(e, Seq("event_type"), Seq("value"), salts = 8)
+        .select(col("event_type"),
+          col("sum_value").cast("double").as("sum_value"), col("n_rows"))
+        .orderBy(col("event_type"))
+    }),
     "q66_editdist_pairs" -> ((s, dir) =>
       // short-string dedup: Levenshtein ≤ 3 over 40-char title prefixes,
       // char-trigram blocked (operators/Dedup.editDistancePairs) — trigram
@@ -1125,6 +1137,11 @@ object SparkEntry {
          |FROM dp JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
          |WHERE na.n > 0 AND nb.n > 0
          |  AND round(d / (na.n * nb.n), 6) >= 0.45""").stripMargin,
+    "q67_salted_agg" ->
+      ("""SELECT event_type,
+         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+         | CAST(count(*) AS BIGINT) AS n_rows
+         |FROM events GROUP BY event_type ORDER BY event_type""").stripMargin,
     "q66_editdist_pairs" ->
       ("""WITH t AS (
          |  SELECT doc_id AS id, substring(trim(lower(text)), 1, 40) AS s
