@@ -115,6 +115,31 @@ object EventStreams {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Stream-stream interval join — click→purchase attribution: each click
+    * pairs with every purchase by the same user inside the attribution
+    * window after it. Both sides carry watermarks and the join condition
+    * bounds event time in BOTH directions, so each side's buffered state is
+    * watermark + window deep — the canonical bounded-state stream-stream
+    * join. Works identically on batch frames (the interval join is a plain
+    * theta join there) — parity-tested.
+    *
+    * Returns (click_id, purchase_id, user_id, click_ts, purchase_ts, value). */
+  def attributeStream(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      attributionWindow: String = "10 minutes",
+      watermark: String = "20 minutes"
+  ): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    wm(clicks).as("c").join(wm(purchases).as("p"),
+        expr(s"""c.user_id = p.user_id AND
+                 p.ts >= c.ts AND p.ts <= c.ts + INTERVAL $attributionWindow"""))
+      .select(col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"),
+        col("c.user_id").as("user_id"), col("c.ts").as("click_ts"),
+        col("p.ts").as("purchase_ts"), col("p.value").as("value"))
+  }
+
   case class DocSig(doc_id: Long, sig: Long, bucket: Long)
   case class NearDupVerdict(doc_id: Long, is_dup: Boolean, dup_of: Long)
   case class BucketState(sigs: List[(Long, Long)])

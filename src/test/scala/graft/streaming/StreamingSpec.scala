@@ -164,6 +164,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._1 == 100L) && !streamed.exists(_._1 == 102L))
   }
 
+  test("stream-stream interval join: purchases attribute to preceding clicks, batch parity") {
+    val clicks = Seq(
+      Event(10, ts(0), 1, "click", 0.0),
+      Event(11, ts(5), 1, "click", 0.0),
+      Event(12, ts(0), 2, "click", 0.0))
+    val purchases = Seq(
+      Event(20, ts(3), 1, "purchase", 9.0),   // within 10 min of clicks 10 and 11? 10 yes (3<10), 11 no (before it)
+      Event(21, ts(14), 1, "purchase", 7.0),  // within 10 min of click 11 only
+      Event(22, ts(40), 2, "purchase", 5.0))  // 40 min after click 12 — outside
+    val batch = EventStreams.attributeStream(clicks.toDF(), purchases.toDF())
+      .select($"click_id", $"purchase_id", $"value").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(batch == Set((10L, 20L, 9.0), (11L, 21L, 7.0)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val memC = MemoryStream[Event]; val memP = MemoryStream[Event]
+    val q = EventStreams.attributeStream(memC.toDF(), memP.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    memC.addData(clicks: _*)
+    memP.addData(purchases: _*)
+    // advance both watermarks far past every event so all joins emit
+    memC.addData(Event(99, ts(59), 9, "click", 0.0))
+    memP.addData(Event(98, ts(59), 9, "purchase", 0.0))
+    val qq = q.start()
+    qq.awaitTermination(60000)
+    val streamed = spark.table("attrib")
+      .select($"click_id", $"purchase_id", $"value").as[(Long, Long, Double)]
+      .collect().toSet
+    // the watermark-advancing sentinel events join each other (user 9, 0 gap)
+    assert(streamed - ((99L, 98L, 0.0)) == batch, s"streamed=$streamed")
+  }
+
   test("streaming near-dup filter: dups flagged against admitted docs, batch parity") {
     // 1 and 2 share all but one word (near-identical simhash); 3 is distinct;
     // 4 arrives later and duplicates 1 exactly
