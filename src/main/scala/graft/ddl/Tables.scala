@@ -109,4 +109,24 @@ object Tables {
     * partition column). */
   def read(spark: SparkSession, path: String, format: String = "PARQUET"): DataFrame =
     spark.read.format(format.toLowerCase).option("basePath", path).load(path)
+
+  /** Snapshot read "as of batch N" — the plain-Parquet-tree analogue of
+    * Iceberg time travel: because loads commit one `batch=N` directory per
+    * checkpointed batch (append-only, never rewritten until an explicit
+    * optimize), the table's state after batch N is exactly the union of
+    * directories 0..N. The filter is on the `batch` partition column, so
+    * the scan PRUNES later directories — no data from the future is read,
+    * not just discarded. After a compaction (which collapses to batch=0)
+    * earlier snapshots are gone, same as expiring Iceberg snapshots. */
+  def readAsOfBatch(spark: SparkSession, path: String, batch: Int,
+      format: String = "PARQUET"): DataFrame =
+    read(spark, path, format)
+      .filter(org.apache.spark.sql.functions.col("batch") <= batch)
+
+  /** Schema-evolved read: merges the footer schemas of every batch
+    * directory, so batches written after a column was added surface it and
+    * earlier batches read it as NULL — additive schema evolution on the
+    * plain tree (Parquet only; ORC has no merge option). */
+  def readMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").option("basePath", path).parquet(path)
 }

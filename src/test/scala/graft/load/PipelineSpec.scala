@@ -194,6 +194,31 @@ class PipelineSpec extends SparkSpec {
     assert(!new java.io.File(path + ".compact.tmp").exists())
   }
 
+  test("batch-snapshot reads prune later batches; merged-schema reads evolve additively") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_wh_tt").toString
+    // two committed batches, the second carrying an extra column
+    val p = s"$wh/t"
+    spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2)
+      .write.parquet(s"$p/batch=0")
+    spark.range(100, 250).toDF("id").withColumn("v", col("id") * 2)
+      .withColumn("extra", lit("new"))
+      .write.parquet(s"$p/batch=1")
+    // snapshot as of batch 0: only the first 100 rows, and the plan prunes
+    // the batch=1 directory (partition filter, not a post-scan discard)
+    val snap = Tables.readAsOfBatch(spark, p, 0)
+    assert(snap.count() == 100 && snap.agg(max(col("id"))).head().getLong(0) == 99)
+    val plan = snap.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("batch"),
+      s"batch filter must prune partitions:\n$plan")
+    // merged-schema read: the evolved column appears, old rows read NULL
+    val merged = Tables.readMergedSchema(spark, p)
+    assert(merged.columns.contains("extra"))
+    assert(merged.filter(col("batch") === 0 && col("extra").isNull).count() == 100)
+    assert(merged.filter(col("extra") === "new").count() == 150)
+    assert(merged.count() == 250)
+  }
+
   test("optimize with zorderCols rewrites to Morton-clustered files, rows intact") {
     import org.apache.spark.sql.functions._
     val wh = Files.createTempDirectory("graft_wh_z").toString
