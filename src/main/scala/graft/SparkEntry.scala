@@ -442,6 +442,22 @@ object SparkEntry {
       // the testdata's similarity regime; real near-dup corpora use ~0.95)
       Dedup.embeddingPairsExact(TestTables.embeddings(s, dir), "vec_id",
         "embedding", threshold = 0.45)),
+    "q68_weighted_sample" -> ((s, dir) => {
+      // importance-weighted sampling — keep probability ∝ quality score
+      // (the mixture-reweighting op: upsample high-quality strata without
+      // a shuffle). The uniform draw is a content hash, so the subset is
+      // reproducible on any engine; compare u < q·rate in exact doubles
+      val d = TestTables.documents(s, dir)
+      val u = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long").cast("double") / 4294967296.0
+      d.select(col("doc_id"), col("lang"),
+          TextOps.qualityScore(col("text")).as("quality"), u.as("u"))
+        .filter(col("u") < col("quality") * 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(moneySum(col("quality")) / count(lit(1)), 4).as("mean_quality"))
+        .orderBy(col("lang"))
+    }),
     "q67_salted_agg" -> ((s, dir) => {
       // skew-safe two-level aggregation through the driver gate: the salted
       // path must be value-identical to the plain group-by the oracle runs —
@@ -1137,6 +1153,21 @@ object SparkEntry {
          |FROM dp JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
          |WHERE na.n > 0 AND nb.n > 0
          |  AND round(d / (na.n * nb.n), 6) >= 0.45""").stripMargin,
+    "q68_weighted_sample" ->
+      (s"""WITH scored AS (
+         | SELECT doc_id, lang,
+         |  round(least(length(text) / 500.0, 1.0) * 0.5 +
+         |   (CASE WHEN round(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+         |      / CAST(greatest(length(text), 1) AS DOUBLE), 4) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |   (CASE WHEN round(CAST(len(list_filter($tokensSql, t -> list_contains($stopList, t))) AS DOUBLE)
+         |      / greatest(len($tokensSql), 1), 4) > 0.01 THEN 1.0 ELSE 0.6 END) * 0.25, 4) AS quality,
+         |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |    / 4294967296.0 AS u
+         | FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         | round(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS mean_quality
+         |FROM scored WHERE u < quality * 0.5
+         |GROUP BY lang ORDER BY lang""").stripMargin,
     "q67_salted_agg" ->
       ("""SELECT event_type,
          | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
