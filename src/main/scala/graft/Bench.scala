@@ -70,8 +70,17 @@ object Bench {
     val qsMean = obj(ts => f"${ts.sum / ts.length}%.4f")
     val qsIters = obj(_.map(t => f"$t%.4f").mkString("[", ",", "]"))
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
-    println(
-      f"""{"metric":"headline_total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_mean":$qsMean,"queries_iters":$qsIters,"sf":"$sfDir","warmup":$warmup,"iters":$iters,"estimator":"min"}""")
+    val line =
+      f"""{"metric":"headline_total","value":$total%.4f,"unit":"sec","queries":$qs,"queries_mean":$qsMean,"queries_iters":$qsIters,"sf":"$sfDir","warmup":$warmup,"iters":$iters,"estimator":"min"}"""
+    println(line)
+    // The stdout line arrives in the driver's log wrapped in sbt's "[info] "
+    // prefix, which defeats a line-is-JSON parse — so the metric object also
+    // lands in a dedicated file (BENCH_OUT, default repo-root
+    // bench_metric.json) that survives any log mangling.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("BENCH_OUT", "bench_metric.json"))
+    if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.writeString(outPath, line + "\n")
     spark.stop()
   }
 }

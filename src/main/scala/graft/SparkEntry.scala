@@ -201,6 +201,15 @@ object SparkEntry {
       // path stays covered by OperatorsSpec recall/estimate assertions
       Dedup.portableMinhashLsh(TestTables.documents(s, dir), "doc_id", "text",
         numHashes = 32, bands = 16, threshold = 0.5)),
+    "q69_hyperplane_portable" -> ((s, dir) =>
+      // portable md5-sign hyperplane LSH (operators/Dedup) so the bucket →
+      // candidate → cosine pipeline of the hyperplane family (q25's index
+      // machinery) is DuckDB-reproducible and oracle-checked; the native
+      // Gaussian-plane q25 path stays covered by SimilaritySpec recall
+      // assertions. Integer-quantized projections: the bit decision is
+      // exact cross-engine, no float-ordering hazard.
+      Dedup.portableEmbeddingNearDups(TestTables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.45, planes = 4, tables = 4, dims = 64)),
     "q23_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccard(TestTables.documents(s, dir), "doc_id", "text", threshold = 0.3)),
     "q24_cosine_topk" -> ((s, dir) => {
@@ -474,7 +483,9 @@ object SparkEntry {
       // short-string dedup: Levenshtein ≤ 3 over 40-char title prefixes,
       // char-trigram blocked (operators/Dedup.editDistancePairs) — trigram
       // hashes block identically to the oracle's trigram strings barring
-      // ~1e-13 xxhash64 collisions, every candidate exact-verified
+      // ~1e-13 xxhash64 collisions, every candidate exact-verified; the
+      // df ∈ [2, 1000] gate appears in both pipelines (at sf0.01's 500 docs
+      // the upper bound cannot bite, so the gate is exercised, not lossy)
       Dedup.editDistancePairs(TestTables.documents(s, dir), "doc_id", "text",
         maxDist = 3, maxLen = 40)),
     "q64_shuffle_order" -> ((s, dir) =>
@@ -769,6 +780,51 @@ object SparkEntry {
        |WHERE round(($agree) / $n.0, 6) >= 0.5""".stripMargin
   }
 
+  /** DuckDB replica of q69: md5-parity ±1 plane signs × integer-quantized
+    * components → per-(table, plane) sign of an exact bigint dot product →
+    * plane-ordered bit-string bucket keys → bucket-equality candidates →
+    * exact cosine ≥ threshold. Generated programmatically to match
+    * [[graft.operators.Dedup.portableEmbeddingNearDups]] value-for-value
+    * (tables = 4, planes = 4, dims = 64, threshold = 0.45). */
+  private val hyperplanePairsSql: String = {
+    val tables = 4; val planes = 4; val dims = 64
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |nrm AS (
+       |  SELECT id, sqrt(sum(x * x)) AS n FROM v GROUP BY id),
+       |keep AS (SELECT id FROM nrm WHERE n > 0),
+       |signs AS (
+       |  SELECT t.t AS tbl, p.p AS plane, i.i AS dim,
+       |    CASE WHEN CAST(('0x' || substring(
+       |        md5('hp-' || t.t || '-' || p.p || '-' || i.i), 1, 8)) AS BIGINT) % 2 = 0
+       |      THEN 1 ELSE -1 END AS sgn
+       |  FROM (SELECT unnest(range(0, $tables)) AS t) t,
+       |       (SELECT unnest(range(0, $planes)) AS p) p,
+       |       (SELECT unnest(range(1, ${dims + 1})) AS i) i),
+       |bits AS (
+       |  SELECT id, tbl, plane,
+       |    CASE WHEN sum(sgn * xq) >= 0 THEN '1' ELSE '0' END AS bit
+       |  FROM v JOIN keep USING (id) JOIN signs USING (dim)
+       |  GROUP BY id, tbl, plane),
+       |banded AS (
+       |  SELECT id, tbl, string_agg(bit, '' ORDER BY plane) AS key
+       |  FROM bits GROUP BY id, tbl),
+       |cand AS (
+       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM banded l JOIN banded r
+       |    ON l.tbl = r.tbl AND l.key = r.key AND l.id < r.id),
+       |dp AS (
+       |  SELECT id_a, id_b, sum(a.x * b.x) AS d
+       |  FROM cand JOIN v a ON a.id = id_a JOIN v b ON b.id = id_b AND a.dim = b.dim
+       |  GROUP BY id_a, id_b)
+       |SELECT id_a, id_b, round(d / (na.n * nb.n), 6) AS cosine
+       |FROM dp JOIN nrm na ON na.id = id_a JOIN nrm nb ON nb.id = id_b
+       |WHERE round(d / (na.n * nb.n), 6) >= 0.45""".stripMargin
+  }
+
   /** Transitive closure over the exact q23 pair list (tiny at sf0.01), then
     * min reachable id per node — the declarative mirror of the min-label /
     * star-contraction fixpoint; shared by q46 and q59. */
@@ -788,6 +844,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q22_simhash_pairs" -> simhashPairsSql,
     "q54_minhash_portable" -> minhashPairsSql,
+    "q69_hyperplane_portable" -> hyperplanePairsSql,
     "q55_knn_brute" ->
       ("""WITH v AS (
          |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
@@ -1180,9 +1237,12 @@ object SparkEntry {
          |g AS (
          |  SELECT DISTINCT id, substring(s, i, 3) AS g
          |  FROM (SELECT id, s, unnest(range(1, length(s) - 1)) AS i FROM t)),
+         |keep AS (
+         |  SELECT g FROM g GROUP BY g HAVING count(*) >= 2 AND count(*) <= 1000),
+         |gk AS (SELECT g.id, g.g FROM g JOIN keep ON g.g = keep.g),
          |cand AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM g a JOIN g b ON a.g = b.g AND a.id < b.id)
+         |  FROM gk a JOIN gk b ON a.g = b.g AND a.id < b.id)
          |SELECT id_a, id_b, CAST(levenshtein(ta.s, tb.s) AS BIGINT) AS dist
          |FROM cand JOIN t ta ON ta.id = id_a JOIN t tb ON tb.id = id_b
          |WHERE abs(length(ta.s) - length(tb.s)) <= 3

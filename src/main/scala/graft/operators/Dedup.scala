@@ -419,27 +419,33 @@ object Dedup {
     * string payload. Levenshtein is O(len²) per pair — `maxLen` caps the
     * compared prefix so verification cost is bounded by construction.
     *
+    * Trigram document frequency is Zipf-skewed (short strings share stock
+    * prefixes — "the", "re:", log-line headers), and a trigram present in
+    * f·N docs contributes ~(fN)²/2 candidate pairs before the distinct — the
+    * quadratic hazard of every inverted-index blocker. `maxTrigramFreq`
+    * gates the index with the same aggregate+join shape as
+    * [[ngramJaccardJoin]]: only trigrams whose df lies in
+    * [2, maxTrigramFreq] block (singletons cannot form a pair; hotter
+    * trigrams are the quadratic guard), so per-trigram candidate volume is
+    * bounded by maxTrigramFreq²/2 regardless of corpus size. Pairs whose
+    * ONLY shared trigrams are hot are missed — the standard recall/cost
+    * dial; true near-dups at maxDist ≤ 3 share nearly all of their ≤ maxLen
+    * trigrams, so losing the stock-prefix head costs essentially no recall.
+    *
     * Returns (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist. */
   def editDistancePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxDist: Int = 3,
-      maxLen: Int = 40
+      maxLen: Int = 40,
+      maxTrigramFreq: Int = 1000
   ): DataFrame = {
     val t = Stage.ensureWide(
         df.select(col(idCol).as("id"),
           substring(trim(lower(col(textCol))), 1, maxLen).as("s")))
       .filter(length(col("s")) >= 3)
-    // array_remove strips the empty tail Java's split("") can append, so
-    // trigram windows match an external engine's substring(s, i, 3) exactly
-    val grams = t.select(col("id"),
-      explode(graft.functions.HashExpressions.shingle_hashes(
-        array_remove(split(col("s"), ""), ""), 3)).as("g"))
-    val candidates = grams.as("a")
-      .join(grams.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val candidates = editDistanceCandidates(t, maxTrigramFreq)
     val attach = Stage.attachSide(t)
     candidates
       .join(attach.as("ta"), col("id_a") === col("ta.id"))
@@ -448,6 +454,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("ta.s"), col("tb.s")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
+  }
+
+  /** Blocking stage of [[editDistancePairs]], exposed so benchmarks can
+    * measure candidate volume directly. Input must be (id, s); returns
+    * distinct (id_a, id_b) with id_a < id_b sharing at least one trigram
+    * whose document frequency lies in [2, maxTrigramFreq].
+    *
+    * One explicit hash shuffle of the exploded (id, g) stream feeds BOTH the
+    * df aggregate and the join sides — the exchange is canonically identical
+    * in all branches, so the explode+hash pipeline computes once and the
+    * self-join reads the ReusedExchange, already clustered on g (the same
+    * plan shape as [[ngramJaccardJoin]]'s gate at the `freqs` join). */
+  private[graft] def editDistanceCandidates(
+      t: DataFrame,
+      maxTrigramFreq: Int
+  ): DataFrame = {
+    // array_remove strips the empty tail Java's split("") can append, so
+    // trigram windows match an external engine's substring(s, i, 3) exactly
+    val grams = t.select(col("id"),
+        explode(graft.functions.HashExpressions.shingle_hashes(
+          array_remove(split(col("s"), ""), ""), 3)).as("g"))
+      .repartition(col("g"))
+    val keep = grams.groupBy(col("g")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 2 && col("freq") <= maxTrigramFreq)
+      .select(col("g"))
+    val blocked = grams.join(keep, "g")
+    blocked.as("a")
+      .join(blocked.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 
   /** Exact all-pairs cosine near-pair mining — the oracle-able baseline
@@ -502,6 +538,86 @@ object Dedup {
     candidates
       .join(baseAttach.as("ba"), col("id_a") === col("ba.id"))
       .join(baseAttach.as("bb"), col("id_b") === col("bb.id"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dot(col("ba.v"), col("bb.v")) / (col("ba.norm") * col("bb.norm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Portable random-hyperplane LSH near-duplicate pairs — the oracle
+    * vehicle for the hyperplane bucket family ([[embeddingNearDups]] and
+    * the ANN index behind it), in the same spirit as [[portableMinhashLsh]]:
+    * every stage is expressible in ANSI SQL, so an external engine can
+    * replay bucket assignment, candidate generation, and cosine verification
+    * value-for-value.
+    *
+    * Two portability choices replace the native path's xxhash64-derived
+    * Gaussian planes:
+    *   - plane components are ±1 signs derived from
+    *     `md5("hp-<table>-<plane>-<dim>")` (first 8 hex chars, parity) —
+    *     sign-random projections are a standard SimHash-style hyperplane
+    *     family, and md5 is available everywhere;
+    *   - the projection is an exact INTEGER dot product over quantized
+    *     components `round(v[i]·1e6)::bigint`, so the `dot ≥ 0` bit decision
+    *     involves no floating-point accumulation order at all — the one
+    *     place a float sum could differ between engines at the bit boundary.
+    * The only remaining cross-engine hazards are the shared ~1e-13 classes
+    * (md5 prefix parity is exact; a value landing exactly on a .5 quantizer
+    * tie). The final cosine is float, rounded to 6 dp like [[embeddingPairsExact]].
+    *
+    * Plan shape matches [[embeddingNearDups]]: the (tiny, tables·planes·dims
+    * row) sign table broadcasts onto the exploded vector stream, buckets
+    * reduce by (id, table), the self-join ships only (id, table, key), and
+    * vectors attach to DISTINCT candidate pairs afterwards. */
+  def portableEmbeddingNearDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.45,
+      planes: Int = 4,
+      tables: Int = 4,
+      dims: Int = 64
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.map(b => f"$b%02x").mkString
+    }
+    val signRows = for {
+      t <- 0 until tables; p <- 0 until planes; i <- 1 to dims
+    } yield (t, p, i,
+      if (java.lang.Long.parseLong(md5hex(s"hp-$t-$p-$i").substring(0, 8), 16) % 2 == 0) 1
+      else -1)
+    val signDf = signRows.toDF("tbl", "plane", "dim", "sgn")
+    val base = Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .withColumn("norm", Similarity.l2norm(col("v")))
+      .filter(col("norm") > 0)
+    val ve = base
+      .select(col("id"), posexplode(col("v")))
+      .select(col("id"), (col("pos") + 1).as("dim"),
+        round(col("col").cast("double") * 1e6).cast("long").as("xq"))
+    val bits = ve.join(broadcast(signDf), "dim")
+      .groupBy(col("id"), col("tbl"), col("plane"))
+      .agg(sum(col("sgn") * col("xq")).as("dot"))
+      .select(col("id"), col("tbl"), col("plane"),
+        when(col("dot") >= 0, lit("1")).otherwise(lit("0")).as("bit"))
+    val banded = bits.groupBy(col("id"), col("tbl"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("plane"), col("bit")))),
+          s => s.getField("bit")), "").as("key"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val candidates = l
+      .join(r, col("l.tbl") === col("r.tbl") && col("l.key") === col("r.key"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val attach = Stage.attachSide(base)
+    candidates
+      .join(attach.as("ba"), col("id_a") === col("ba.id"))
+      .join(attach.as("bb"), col("id_b") === col("bb.id"))
       .select(col("id_a"), col("id_b"),
         round(Similarity.dot(col("ba.v"), col("bb.v")) / (col("ba.norm") * col("bb.norm")), 6)
           .as("cosine"))

@@ -107,6 +107,56 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.keySet.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("editDistancePairs: df gate bounds candidate volume under a hot trigram") {
+    // 20 docs share a stock prefix (every prefix trigram df = 20) but end in
+    // pairwise-distant tails — the planted quadratic hazard: they block
+    // C(20,2) = 190 candidate pairs through the hot trigrams alone, and none
+    // survives Levenshtein verification. One genuine near-dup pair (101, 102)
+    // shares only rare (df = 2) trigrams.
+    val hot = (0 until 20).map { i =>
+      (i.toLong, "send help now " + ("abcdefghijklmnopqrst" (i).toString * 6))
+    }
+    val rare = Seq((101L, "unique zebra waltz one"), (102L, "unique zebra waltz two"))
+    val rows = (hot ++ rare).toDF("doc_id", "text")
+    val t = rows.select(col("doc_id").as("id"),
+      substring(trim(lower(col("text"))), 1, 40).as("s"))
+    val uncapped = Dedup.editDistanceCandidates(t, Int.MaxValue).count()
+    val capped = Dedup.editDistanceCandidates(t, 5).count()
+    assert(uncapped == 191L, s"uncapped candidates: $uncapped") // 190 hot + 1 rare
+    assert(capped == 1L, s"capped candidates: $capped")         // the rare pair only
+    // and the gate costs no recall here: verified output matches brute force
+    val got = Dedup.editDistancePairs(rows, "doc_id", "text",
+        maxDist = 3, maxTrigramFreq = 5)
+      .as[(Long, Long, Long)].collect().map { case (a, b, d) => (a, b) -> d }.toMap
+    assert(got == Map((101L, 102L) -> 3L), s"got=$got")
+  }
+
+  test("portableEmbeddingNearDups: identical vectors always pair, exact cosine") {
+    val vecs = Seq(
+      (1L, Array.tabulate(8)(i => (i + 1).toFloat)),
+      (2L, Array.tabulate(8)(i => (i + 1).toFloat)), // identical to #1
+      (3L, Array.tabulate(8)(i => ((i % 2) * 2 - 1).toFloat * (8 - i)))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.portableEmbeddingNearDups(vecs, "vec_id", "embedding",
+        threshold = 0.99, planes = 4, tables = 2, dims = 8)
+      .as[(Long, Long, Double)].collect()
+    // identical vectors share every bucket bit in every table — guaranteed found
+    assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 2L)), got.mkString(","))
+    assert(got.head._3 == 1.0)
+  }
+
+  test("portableEmbeddingNearDups: output is a subset of exact pairs, scores equal") {
+    val emb = sf(dir, "embeddings")
+    val exact = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", 0.45)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val port = Dedup.portableEmbeddingNearDups(emb, "vec_id", "embedding",
+        threshold = 0.45, planes = 4, tables = 4, dims = 64)
+      .as[(Long, Long, Double)].collect()
+    assert(port.nonEmpty, "portable LSH found no pairs at all")
+    port.foreach { case (a, b, c) =>
+      assert(exact.get((a, b)).contains(c), s"pair ($a,$b,$c) not in exact set") }
+  }
+
   test("portableMinhashLsh: high-Jaccard pairs found, estimates track truth") {
     val got = Dedup.portableMinhashLsh(docs, "doc_id", "text", numHashes = 32,
         bands = 16, threshold = 0.5)
