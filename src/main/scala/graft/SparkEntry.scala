@@ -481,13 +481,22 @@ object SparkEntry {
     }),
     "q66_editdist_pairs" -> ((s, dir) =>
       // short-string dedup: Levenshtein ≤ 3 over 40-char title prefixes,
-      // char-trigram blocked (operators/Dedup.editDistancePairs) — trigram
-      // hashes block identically to the oracle's trigram strings barring
-      // ~1e-13 xxhash64 collisions, every candidate exact-verified; the
-      // df ∈ [2, 1000] gate appears in both pipelines (at sf0.01's 500 docs
-      // the upper bound cannot bite, so the gate is exercised, not lossy)
+      // blocked on char-trigram SUBSTRINGS (operators/Dedup.editDistance-
+      // Pairs) — the identical windows the oracle builds, so the blocking
+      // sets match exactly (no hash-family caveat); every candidate is
+      // exact-verified, and the df ∈ [2, 1000] gate appears in both
+      // pipelines (at sf0.01's 500 docs the upper bound cannot bite, so
+      // the gate is exercised, not lossy)
       Dedup.editDistancePairs(TestTables.documents(s, dir), "doc_id", "text",
         maxDist = 3, maxLen = 40)),
+    "q70_editdist_rarest" -> ((s, dir) =>
+      // q66's pipeline under the per-string guard: each string blocks only
+      // on its 4 globally-rarest gated trigrams — the configuration that
+      // keeps candidate volume ~linear when mid-frequency trigram mass
+      // defeats the df gate alone. The (freq, trigram) tie-break compares
+      // UTF-8 bytes, so the oracle's row_number window replays it exactly
+      Dedup.editDistancePairs(TestTables.documents(s, dir), "doc_id", "text",
+        maxDist = 3, maxLen = 40, rarestK = 4)),
     "q64_shuffle_order" -> ((s, dir) =>
       // deterministic corpus shuffle — the pre-training reorder: sort by
       // content hash, reproducible on any engine/run. At scale this is a
@@ -1240,6 +1249,29 @@ object SparkEntry {
          |keep AS (
          |  SELECT g FROM g GROUP BY g HAVING count(*) >= 2 AND count(*) <= 1000),
          |gk AS (SELECT g.id, g.g FROM g JOIN keep ON g.g = keep.g),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM gk a JOIN gk b ON a.g = b.g AND a.id < b.id)
+         |SELECT id_a, id_b, CAST(levenshtein(ta.s, tb.s) AS BIGINT) AS dist
+         |FROM cand JOIN t ta ON ta.id = id_a JOIN t tb ON tb.id = id_b
+         |WHERE abs(length(ta.s) - length(tb.s)) <= 3
+         |  AND levenshtein(ta.s, tb.s) <= 3""").stripMargin,
+    "q70_editdist_rarest" ->
+      ("""WITH t AS (
+         |  SELECT doc_id AS id, substring(trim(lower(text)), 1, 40) AS s
+         |  FROM documents WHERE length(substring(trim(lower(text)), 1, 40)) >= 3),
+         |g AS (
+         |  SELECT DISTINCT id, substring(s, i, 3) AS g
+         |  FROM (SELECT id, s, unnest(range(1, length(s) - 1)) AS i FROM t)),
+         |f AS (
+         |  SELECT g, count(*) AS freq FROM g GROUP BY g
+         |  HAVING count(*) >= 2 AND count(*) <= 1000),
+         |gk AS (
+         |  SELECT id, g FROM (
+         |    SELECT g.id, g.g,
+         |           row_number() OVER (PARTITION BY g.id ORDER BY f.freq, g.g) AS rk
+         |    FROM g JOIN f ON g.g = f.g)
+         |  WHERE rk <= 4),
          |cand AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM gk a JOIN gk b ON a.g = b.g AND a.id < b.id)

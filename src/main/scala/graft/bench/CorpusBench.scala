@@ -8,7 +8,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ConnectedComponents, Contamination, Dedup, Similarity}
+import graft.operators.{ConnectedComponents, Contamination, Dedup, Rank, Similarity, ZOrder}
 
 /** Corpus-scale benchmark for the LLM-pipeline operators (minhash, ngram
   * Jaccard, dedup clustering, decontamination) at 10×–100× the sf0.1
@@ -33,7 +33,9 @@ import graft.operators.{ConnectedComponents, Contamination, Dedup, Similarity}
   * behavior better than local wall-clock.
   *
   * Env: CORPUS_DOCS="50000,500000" (doc counts), CORPUS_DIR (parquet
-  * staging), CORPUS_OUT (JSONL artifact path), BENCH_WARMUP/BENCH_ITERS.
+  * staging), CORPUS_OUT (JSONL artifact path), BENCH_WARMUP/BENCH_ITERS,
+  * CORPUS_OPS (comma-separated op-name filter; default all — lets a changed
+  * operator re-record its rows without re-running the whole grid).
   *
   * Run at the DEFAULT fork heap (8 GB): a 48 GB heap measured 3-6× slower
   * on every operator here (G1 with an oversized heap and 32 local tasks) —
@@ -95,6 +97,39 @@ object CorpusBench {
       .select(col("vec_id"), vec.as("embedding"))
   }
 
+  /** Short-string corpus for the edit-distance family: ~21–33-char
+    * letter-alphabet pseudo-titles — the operator's actual domain (titles /
+    * names / headers), where the trigram space is rich enough to block on.
+    * (The 40-char prefixes of [[corpus]] are measured to be DEGENERATE for
+    * char-trigram blocking at 500k: their alphabet is `w`+digits+space, ~2.2k
+    * possible trigrams, so every trigram's df crosses the [2, cap] gate and
+    * recall collapses to zero — that measurement stays in the grid as the
+    * documented alphabet-floor failure mode.)
+    *
+    * Planted structure at every scale: positions 0,1 of each 20-id block
+    * share a title with ONE substituted char (edit distance 1 — the
+    * recall-measurable positives, N/20 pairs); ~30% of titles carry the
+    * stock prefix "re: " (the hot-trigram mass the df gate must drop). */
+  def titleCorpus(spark: SparkSession, nDocs: Long): DataFrame = {
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      (nDocs / 100000L).toInt)
+    val groupPos = pmod(col("doc_id"), lit(20L))
+    val base = when(groupPos < 2, col("doc_id") - groupPos).otherwise(col("doc_id"))
+    val len = (pmod(xxhash64(base, lit("len")), lit(13L)) + lit(21L)).cast("int")
+    val body = transform(sequence(lit(1), len), i => {
+      val h = pmod(xxhash64(base, lit("c"), i), lit(31L))
+      // position 3 of the second replica flips to a digit — never a letter
+      // or space, so the planted pair's distance is exactly 1
+      when(col("doc_id") =!= base && i === 3, lit("0"))
+        .otherwise(when(h < 26, chr(lit(97) + h)).otherwise(lit(" ")))
+    })
+    val hot = pmod(xxhash64(base, lit("hot")), lit(10L)) < 3
+    spark.range(0, nDocs, 1, parts).toDF("doc_id")
+      .select(col("doc_id"),
+        concat(when(hot, lit("re: ")).otherwise(lit("")),
+          array_join(body, "")).as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sizes = sys.env.getOrElse("CORPUS_DOCS", "50000").split(",").map(_.trim.toLong)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -133,13 +168,16 @@ object CorpusBench {
         embCorpus(spark, n).write.mode("overwrite").parquet(embPath)
       val embs = spark.read.parquet(embPath)
 
-      def benchOn(op: String, input: DataFrame, f: DataFrame => DataFrame): Unit = {
+      val opFilter = sys.env.get("CORPUS_OPS").map(_.split(",").map(_.trim).toSet)
+
+      def benchAct(op: String, act: () => Long): Unit = {
+        if (opFilter.exists(!_.contains(op))) return
         try {
-          (1 to warmup).foreach(_ => f(input).count())
+          (1 to warmup).foreach(_ => act())
           val runs = (1 to iters).map { _ =>
             val w0 = tally.written.get; val s0 = tally.spilled.get
             val t0 = System.nanoTime()
-            val rows = f(input).count()
+            val rows = act()
             val sec = (System.nanoTime() - t0) / 1e9
             (sec, rows, tally.written.get - w0, tally.spilled.get - s0)
           }
@@ -153,6 +191,8 @@ object CorpusBench {
             System.err.println(s"[corpusbench] $op@$n failed: ${e.getMessage}")
         }
       }
+      def benchOn(op: String, input: DataFrame, f: DataFrame => DataFrame): Unit =
+        benchAct(op, () => f(input).count())
       def bench(op: String, f: DataFrame => DataFrame): Unit = benchOn(op, docs, f)
 
       bench("minhash_pairs",
@@ -187,6 +227,80 @@ object CorpusBench {
       benchOn("knn_join_topk", embs, e =>
         Similarity.knnJoinTopK(e, "vec_id", "embedding", k = 5,
           planes = planes, tables = 4))
+
+      // Edit-distance dedup over the 40-char doc prefixes. This corpus is
+      // the planted-hot-trigram hazard by construction: the u³-warped Zipf
+      // draw makes head words ("w0", "w1") appear in nearly every prefix, so
+      // their trigrams have df ≈ N — exactly the blow-up the [2,
+      // maxTrigramFreq] df gate exists to bound. The candidates row records
+      // the post-gate candidate volume (rows column) so the grid shows it
+      // growing ~linearly with N, not quadratically; the pairs row is the
+      // full operator (candidates + Levenshtein verify).
+      bench("editdist_candidates", d => {
+        val t = d.select(col("doc_id").as("id"),
+            substring(trim(lower(col("text"))), 1, 40).as("s"))
+          .filter(length(col("s")) >= 3)
+        Dedup.editDistanceCandidates(t, maxTrigramFreq = 1000)
+      })
+      bench("editdist_pairs", d =>
+        Dedup.editDistancePairs(d, "doc_id", "text",
+          maxDist = 3, maxLen = 40, maxTrigramFreq = 1000))
+      // per-string rarest-k guard on top of the df gate — the scale path:
+      // each string joins ≤ 4 posting lists, so the mid-frequency trigram
+      // mass that defeats the df gate alone (98.7M candidates at 50k above)
+      // collapses while planted replicas stay 100%-recalled
+      bench("editdist_rarest_candidates", d => {
+        val t = d.select(col("doc_id").as("id"),
+            substring(trim(lower(col("text"))), 1, 40).as("s"))
+          .filter(length(col("s")) >= 3)
+        Dedup.editDistanceCandidates(t, maxTrigramFreq = 1000, rarestK = 4)
+      })
+      bench("editdist_rarest_pairs", d =>
+        Dedup.editDistancePairs(d, "doc_id", "text",
+          maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, rarestK = 4))
+
+      // the same family over the letter-alphabet title corpus — the
+      // operator's real domain; df-gate-only vs rarest-k side by side.
+      // Planted recall target: N/20 dist-1 pairs (the `rows` column).
+      val titlePath = s"$stageDir/titles_$n"
+      if (!Files.exists(Paths.get(titlePath)))
+        titleCorpus(spark, n).write.mode("overwrite").parquet(titlePath)
+      val titles = spark.read.parquet(titlePath)
+      def titleT(d: DataFrame) =
+        d.select(col("doc_id").as("id"),
+            substring(trim(lower(col("text"))), 1, 40).as("s"))
+          .filter(length(col("s")) >= 3)
+      benchOn("editdist_title_candidates", titles, d =>
+        Dedup.editDistanceCandidates(titleT(d), maxTrigramFreq = 1000))
+      benchOn("editdist_title_pairs", titles, d =>
+        Dedup.editDistancePairs(d, "doc_id", "text",
+          maxDist = 3, maxLen = 40, maxTrigramFreq = 1000))
+      benchOn("editdist_title_rarest_candidates", titles, d =>
+        Dedup.editDistanceCandidates(titleT(d), maxTrigramFreq = 1000, rarestK = 4))
+      benchOn("editdist_title_rarest_pairs", titles, d =>
+        Dedup.editDistancePairs(d, "doc_id", "text",
+          maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, rarestK = 4))
+
+      // Exact global NTILE over (len(text), doc_id) — the window-free rank
+      // path; the groupBy keeps the tile computation alive under the count.
+      bench("rank_ntile", d =>
+        Rank.exactNtile(d, Seq(length(col("text")), col("doc_id")), n = 100)
+          .groupBy(col("tile")).count())
+
+      // Z-order layout rewrites are write-path ops — EliminateSorts would
+      // drop their sortWithinPartitions under a bare count(), so the action
+      // is a real parquet write of the clustered layout.
+      val zdocs = docs.withColumn("len", length(col("text")))
+      benchAct("zorder_cluster", () => {
+        ZOrder.clusterBy(zdocs, Seq("doc_id", "len"))
+          .write.mode("overwrite").parquet(s"$stageDir/zorder_$n")
+        n
+      })
+      benchAct("zorder_equidepth", () => {
+        ZOrder.clusterByEquiDepth(zdocs, Seq("doc_id", "len"))
+          .write.mode("overwrite").parquet(s"$stageDir/zorder_eq_$n")
+        n
+      })
     }
     spark.stop()
   }

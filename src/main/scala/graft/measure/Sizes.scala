@@ -19,19 +19,23 @@ import graft.model.{CodecSpec, SizeRow}
   */
 object Sizes {
 
-  /** Recursive data-file byte count (skips `_`/`.`-prefixed bookkeeping
-    * files) — the plain-filesystem `$files` aggregate, exposed for
-    * [[graft.ddl.HadoopPathFormat]]. */
+  /** Recursive data-file byte count — the plain-filesystem `$files`
+    * aggregate, exposed for [[graft.ddl.HadoopPathFormat]]. Skips
+    * `_`/`.`-prefixed bookkeeping files AND everything under `_`/`.`-
+    * prefixed directories (`_SUCCESS`, `_manifests/…`) — the same hidden-
+    * path rule Spark's file index applies when reading. */
   private[graft] def listDataBytes(spark: SparkSession, dir: String): Long = {
     val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val p = new Path(dir)
     if (!fs.exists(p)) return 0L
+    val root = p.toUri.getPath.stripSuffix("/") + "/"
     var total = 0L
     val it: RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
+      val rel = f.getPath.toUri.getPath.stripPrefix(root)
+      val hidden = rel.split("/").exists(c => c.startsWith("_") || c.startsWith("."))
+      if (!hidden) total += f.getLen
     }
     total
   }

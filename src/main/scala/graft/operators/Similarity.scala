@@ -86,11 +86,24 @@ object Similarity {
     * Exchange-slimmed like [[graft.operators.Dedup.minhashLsh]]: the bucket
     * join ships (id, table, bucket) only — shipping vectors would multiply
     * the exchange payload by tables × (planes+1) probe rows on the left
-    * side alone. Candidate id pairs dedupe across tables/probes while
-    * skinny (a pair can meet in several buckets), then both vectors attach
-    * via two id-keyed joins over the one canonical (id, v, norm) frame
-    * (canonically identical exchanges → ReusedExchange) and each pair's
-    * cosine computes exactly once.
+    * side alone. Both vectors attach via two id-keyed joins over the one
+    * canonical (id, v, norm) frame (canonically identical exchanges →
+    * ReusedExchange).
+    *
+    * Cross-table/probe duplicate pairs are NOT removed by a global
+    * `distinct()`: with `planes ≈ log2(n)` the measured duplicate rate is
+    * ~0.5% (87.24M → 86.75M pairs at 500k×64d), yet the distinct cost two
+    * full hash aggregates with ~14 GB of spill and an extra 87M-row
+    * exchange — the dominant cost of the whole operator. Instead duplicates
+    * die inside the top-k sort itself: cosine is a deterministic function of
+    * the pair, so duplicates carry identical (cosine, id_b) sort keys and
+    * land ADJACENT in the rank ordering — a `lag(id_b)` equality filter over
+    * the same window removes them for free, and `row_number` reuses the very
+    * same exchange+sort (Catalyst collapses the second Window's sort because
+    * the filter preserves child ordering). Net: ONE skinny exchange after
+    * candidate generation instead of two, and zero aggregate spill. Measured
+    * at 500k×64d/planes=19: 25.4 GB total spill → under 10 GB, identical
+    * output (docs/corpusbench_local32.jsonl knn_join rows).
     *
     * Returns (id_a, id_b, cosine, rank) with rank 1..k per id_a. */
   def knnJoin(
@@ -100,16 +113,31 @@ object Similarity {
       k: Int,
       planes: Int = 6,
       tables: Int = 8
-  ): DataFrame = topKStageWindow(scoredCandidates(df, idCol, vecCol, planes, tables), k)
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoredCandidates(df, idCol, vecCol, planes, tables, dedupe = false)
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
+    scored
+      .withColumn("dup", coalesce(lag(col("id_b"), 1).over(w) === col("id_b"), lit(false)))
+      .filter(!col("dup")).drop("dup")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 
   /** The shared candidate pipeline: LSH buckets → skinny multi-probe bucket
-    * join → distinct pairs → vector attach → exact cosine per pair. */
+    * join → (optionally) distinct pairs → vector attach → exact cosine per
+    * pair. `dedupe = true` pays the global distinct — required by consumers
+    * that aggregate the pair stream directly (the bounded-heap
+    * [[knnJoinTopK]], where a duplicate would enter the heap twice);
+    * [[knnJoin]] passes `false` and removes duplicates inside its rank sort
+    * instead (see there for the measured rationale). */
   private def scoredCandidates(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       planes: Int,
-      tables: Int
+      tables: Int,
+      dedupe: Boolean = true
   ): DataFrame = {
     val base = Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("norm", l2norm(col("v")))
@@ -121,12 +149,17 @@ object Similarity {
     val probed = buckets.select(col("id"), col("table"),
       explode(array(col("bucket") +:
         (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
-    val candidates = probed.select(col("table"), col("bucket"), col("id").as("id_a"))
-      .join(buckets.select(col("table"), col("bucket"), col("id").as("id_b")),
+    // SHUFFLE_HASH on the bucket side: the build side is the unexploded
+    // (id, table, bucket) index (n·tables rows); the 20×-larger probe stream
+    // streams through unsorted — a sort-merge join here sorted 40M probe
+    // rows (2.7 GB task peak) for no benefit at 500k×64d.
+    val joined = probed.select(col("table"), col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("table"), col("bucket"), col("id").as("id_b"))
+          .hint("SHUFFLE_HASH"),
         Seq("table", "bucket"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .distinct()
+    val candidates = if (dedupe) joined.distinct() else joined
     // Attach strategy (Stage.attachSide): broadcast the vector table when
     // its size estimate fits an executor — the candidate stream then never
     // re-shuffles with a vector attached, the decisive term when pairs ≫
@@ -153,9 +186,13 @@ object Similarity {
     * compresses nothing — the exchange payload is the same, plus queue-
     * buffer serialization; and above the 128-group threshold
     * ObjectHashAggregate falls back to sorting the exploded stream anyway
-    * (the same load-bearing fallback the q23 measurements hit). The 24 GB
-    * spill at 500k lives in the SHUFFLE_HASH vector-attach join, which no
-    * top-k formulation touches. Retained for shapes where one partition
+    * (the same load-bearing fallback the q23 measurements hit). Plan-node
+    * metrics later located the 500k spill precisely: ~14 GB in the global
+    * pair `distinct()` hash aggregates plus ~11 GB in the rank sorts — not
+    * in the vector attach (a 272 MB broadcast at this scale). [[knnJoin]]
+    * now removes both by skipping the distinct and deduping inside its one
+    * rank sort; this aggregate path keeps the distinct because a duplicate
+    * pair would enter the heap twice. Retained for shapes where one partition
     * holds many candidates per group (c ≫ k locally) — there the heap
     * genuinely shrinks the exchange. */
   private[graft] def topKStage(scored: DataFrame, k: Int): DataFrame =

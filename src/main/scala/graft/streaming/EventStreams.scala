@@ -196,6 +196,78 @@ object EventStreams {
       }
   }
 
+  case class DocSigT(doc_id: Long, sig: Long, bucket: Long, ts_ms: Long)
+  case class BucketStateT(sigs: List[(Long, Long, Long)], maxTsMs: Long)
+
+  /** [[nearDupFilterStream]] with an EVENT-TIME TTL on admitted signatures:
+    * an admitted doc blocks near-dups only while it is younger than `ttlMs`
+    * relative to the newest event time its bucket has seen. Without a TTL
+    * the filter's state is bounded (`maxPerBucket`) but PERMANENT — a
+    * long-running ingest never reclaims buckets last touched months ago;
+    * with one, cold entries age out and an empty bucket's state row is
+    * removed entirely, so steady-state memory tracks the ACTIVE corpus
+    * window, not corpus history.
+    *
+    * Eviction contract (the parity-spec'd semantics): entries are evicted
+    * exactly when `entry.ts < horizon`, where the horizon is the bucket's
+    * running max event time minus `ttlMs`, advanced row by row in (ts, id)
+    * order. Consequences, both asserted by the spec: (a) a duplicate
+    * arriving WITHIN `ttlMs` of its admitted original is still flagged —
+    * eviction never forgets a doc younger than the horizon; (b) a duplicate
+    * arriving LATER than `ttlMs` after its original is re-admitted as new
+    * (and becomes the bucket's blocking entry). That re-admission is the
+    * deliberate trade: the batch dedup passes downstream remain the exact
+    * ground truth; this pass only needs the recent window to keep obvious
+    * dups from being written at ingest.
+    *
+    * Rows process in ascending (ts, doc_id) within each micro-batch —
+    * deterministic replay, batch ≡ stream on in-order input (same contract
+    * as [[nearDupFilterStream]]'s doc-id order, refined by event time).
+    *
+    * Emits (doc_id, is_dup, dup_of = admitting id or −1). */
+  def nearDupFilterStreamTtl(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      ttlMs: Long = 24 * 3600 * 1000L,
+      maxHamming: Int = 8,
+      maxPerBucket: Int = 1024
+  ): Dataset[NearDupVerdict] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.HashExpressions
+    require(ttlMs > 0, "ttlMs must be positive; use nearDupFilterStream for no TTL")
+    val sigs = docs.select(col(idCol).cast("long").as("doc_id"),
+        HashExpressions.simhash64(split(trim(lower(col(textCol))), "\\s+")).as("sig"),
+        (col(tsCol).cast("double") * 1000).cast("long").as("ts_ms"))
+      .withColumn("bucket", shiftrightunsigned(col("sig"), 48))
+      .as[DocSigT]
+    sigs.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketStateT, NearDupVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
+        var seen = state.getOption.map(_.sigs).getOrElse(Nil)
+        var maxTs = state.getOption.map(_.maxTsMs).getOrElse(Long.MinValue)
+        val out = List.newBuilder[NearDupVerdict]
+        it.toSeq.sortBy(d => (d.ts_ms, d.doc_id)).foreach { d =>
+          maxTs = math.max(maxTs, d.ts_ms)
+          seen = seen.filter { case (_, _, ts) => ts >= maxTs - ttlMs }
+          seen.find { case (s, _, _) =>
+            java.lang.Long.bitCount(s ^ d.sig) <= maxHamming
+          } match {
+            case Some((_, admittedId, _)) =>
+              out += NearDupVerdict(d.doc_id, is_dup = true, dup_of = admittedId)
+            case None =>
+              out += NearDupVerdict(d.doc_id, is_dup = false, dup_of = -1L)
+              seen = (d.sig, d.doc_id, d.ts_ms) :: seen
+              if (seen.length > maxPerBucket) seen = seen.take(maxPerBucket)
+          }
+        }
+        if (seen.isEmpty) state.remove()
+        else state.update(BucketStateT(seen, maxTs))
+        out.result().iterator
+      }
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
       value: Double)
   case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)

@@ -114,6 +114,54 @@ class PipelineSpec extends SparkSpec {
     assert(viaDefault.manifest_bytes.contains(0L))
   }
 
+  test("ManifestSidecarFormat: load→measure→report through a REAL manifest-" +
+      "writing format; manifests are load-bearing for reads and byte counts") {
+    import graft.ddl.ManifestSidecarFormat
+    val wh = Files.createTempDirectory("graft_mseam").toString
+    val cp = Files.createTempDirectory("graft_mseam_cp").toString
+    val cfg = Schemas.narrowOrders
+    val codec = CodecSpec("zstd", 3)
+    val path = Tables.variantPath(wh, cfg, codec)
+    val plan = LoadPlan(totalRows = 3000, batchRows = 1000, startId = 1,
+      concurrency = 2, checkpointDir = cp)
+    val n = Loader.loadTable(spark, cfg, plan, codec, path, quiet = true,
+      tableFormat = ManifestSidecarFormat)
+    assert(n == 3)
+    // one manifest per batch commit, with real bytes
+    val mdir = new java.io.File(s"$path/_manifests")
+    assert(mdir.listFiles().count(_.getName.endsWith(".json")) == 3)
+    val measured = Sizes.measure(spark, "mseam_t", path, codec, cfg.format,
+      includeManifestBytes = true, tableFormat = ManifestSidecarFormat)
+    assert(measured.rows == 3000)
+    assert(measured.manifest_bytes.exists(_ > 0L), "manifest bytes must be real")
+    assert(measured.total_bytes.contains(
+      measured.data_bytes + measured.manifest_bytes.get))
+    // manifest-derived data bytes agree with a recursive listing of the tree
+    val listed = Sizes.measure(spark, "mseam_t", path, codec, cfg.format,
+      includeManifestBytes = true)
+    assert(measured.data_bytes == listed.data_bytes && listed.rows == 3000)
+    // read isolation: a torn write (file on disk, in no manifest) is
+    // invisible to both the row count and the $files aggregate
+    val batch0 = new java.io.File(s"$path/batch=0")
+    val stray = batch0.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(stray.toPath,
+      new java.io.File(batch0, "part-stray-torn-write.parquet").toPath)
+    val after = Sizes.measure(spark, "mseam_t", path, codec, cfg.format,
+      includeManifestBytes = true, tableFormat = ManifestSidecarFormat)
+    assert(after.rows == 3000 && after.data_bytes == measured.data_bytes,
+      "unmanifested files must be invisible")
+    assert(Sizes.measure(spark, "mseam_t", path, codec, cfg.format)
+      .data_bytes > measured.data_bytes,
+      "sanity: the listing-based default DOES see the stray file")
+    // report leg: the measured row survives the CSV roundtrip (bytes_per_row
+    // is written at the CSV's 2-dp precision)
+    val csv = Files.createTempDirectory("graft_mseam_csv").resolve("sizes.csv").toString
+    Report.writeCsv(Seq(measured), csv)
+    val rt = Report.readCsv(csv)
+    assert(rt.map(_.copy(bytes_per_row = 0.0)) == Seq(measured.copy(bytes_per_row = 0.0)))
+    assert(math.abs(rt.head.bytes_per_row - measured.bytes_per_row) < 0.01)
+  }
+
   test("zstd level plumb-through: level 9 compresses tighter than level 1") {
     val wh = Files.createTempDirectory("graft_lvl").toString
     val cfg = Schemas.narrowOrders

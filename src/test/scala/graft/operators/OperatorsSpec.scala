@@ -131,6 +131,37 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map((101L, 102L) -> 3L), s"got=$got")
   }
 
+  test("editDistancePairs rarest-k: verified pairs preserved, candidates cut") {
+    // 12 near-dup pairs whose shared bodies are unique per group (their
+    // trigrams have df = 2 → both members' rarest-k sets coincide), the
+    // differing tail char's trigrams have df = 1 (gated out either way);
+    // 20 filler strings share a stock prefix whose mid-frequency trigrams
+    // are exactly the mass the df gate alone lets through.
+    val words = Seq("apple", "banana", "cherry", "damson", "elderb", "figfig",
+      "grapes", "honeyd", "icaco", "jambul", "kiwana", "lemons")
+    val groups = words.zipWithIndex.flatMap { case (w, gi) =>
+      val body = s"$w stable suffix $w"
+      Seq((100L + 2 * gi, body + " x"), (101L + 2 * gi, body + " y"))
+    }
+    val fillers = (0 until 20).map(i => (i.toLong, s"common stock header line $i$i$i"))
+    val rows = (groups ++ fillers).toDF("doc_id", "text")
+    val expected = words.indices.map(gi => (100L + 2 * gi, 101L + 2 * gi) -> 1L).toMap
+
+    def pairs(rarestK: Int) = Dedup.editDistancePairs(rows, "doc_id", "text",
+        maxDist = 2, rarestK = rarestK)
+      .as[(Long, Long, Long)].collect().map { case (a, b, d) => (a, b) -> d }.toMap
+    assert(pairs(0) == expected, s"df-gate-only pairs: ${pairs(0)}")
+    assert(pairs(4) == expected, s"rarest-4 pairs: ${pairs(4)}")
+
+    val t = rows.select(col("doc_id").as("id"),
+      substring(trim(lower(col("text"))), 1, 40).as("s"))
+    val candAll = Dedup.editDistanceCandidates(t, 1000).count()
+    val candRk = Dedup.editDistanceCandidates(t, 1000, rarestK = 4).count()
+    assert(candRk < candAll,
+      s"rarest-k must cut candidate volume: $candRk vs $candAll")
+    assert(candRk >= 12L, "every planted pair must still be a candidate")
+  }
+
   test("portableEmbeddingNearDups: identical vectors always pair, exact cosine") {
     val vecs = Seq(
       (1L, Array.tabulate(8)(i => (i + 1).toFloat)),

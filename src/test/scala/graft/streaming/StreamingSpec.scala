@@ -248,6 +248,43 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("near-dup TTL: eviction forgets ONLY docs older than the horizon") {
+    // TTL = 10 min. doc 1 admitted at t=0; doc 2 (exact dup) at t=5min is
+    // INSIDE the horizon → flagged; doc 3 (exact dup) at t=20min is past it
+    // (horizon 20−10=10min > t(1)=0) → original evicted, 3 re-admitted as
+    // the bucket's new blocker; doc 4 at t=25min then flags against 3, not 1.
+    val dup = "the quick brown fox jumps over the lazy dog again and again today"
+    val b1 = Seq((1L, dup, ts(0)), (2L, dup, ts(5)),
+      (5L, "completely unrelated text about spark catalyst optimizer internals", ts(6)))
+    val b2 = Seq((3L, dup, ts(20)), (4L, dup, ts(25)))
+    val expected = Map(
+      1L -> ((false, -1L)), 2L -> ((true, 1L)), 5L -> ((false, -1L)),
+      3L -> ((false, -1L)), 4L -> ((true, 3L)))
+
+    def toDf(rows: Seq[(Long, String, Timestamp)]) =
+      rows.toDF("doc_id", "text", "ts")
+    val ttl = 10 * 60 * 1000L
+
+    val batch = EventStreams.nearDupFilterStreamTtl(toDf(b1 ++ b2), ttlMs = ttl)
+      .collect().map(v => v.doc_id -> ((v.is_dup, v.dup_of))).toMap
+    assert(batch == expected, s"batch=$batch")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.nearDupFilterStreamTtl(
+        mem.toDF().toDF("doc_id", "text", "ts"), ttlMs = ttl)
+      .writeStream.format("memory").queryName("neardup_ttl")
+      .outputMode("append").start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("neardup_ttl").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(streamed == expected, s"streamed=$streamed")
+  }
+
   test("file-source streaming reads the events table incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // testdata events carry NANOS timestamps — stage through our accessor
