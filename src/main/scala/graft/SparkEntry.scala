@@ -497,6 +497,35 @@ object SparkEntry {
       // UTF-8 bytes, so the oracle's row_number window replays it exactly
       Dedup.editDistancePairs(TestTables.documents(s, dir), "doc_id", "text",
         maxDist = 3, maxLen = 40, rarestK = 4)),
+    "q71_repeated_windows" -> ((s, dir) =>
+      // span-level dup analysis (Lee et al. 2022): 20-char windows at
+      // stride 5, corpus frequency ≥ 2 ⇒ duplicated; per-doc duplicated
+      // fraction. Windows key the shuffle as plain substrings, so the
+      // oracle rebuilds the identical window set
+      TextOps.repeatedWindowStats(TestTables.documents(s, dir), "doc_id", "text",
+          winLen = 20, stride = 5, minFreq = 2)
+        .select(col("id").as("doc_id"), col("n_windows"), col("n_dup"),
+          col("dup_ratio"))),
+    "q72_pii_scan" -> ((s, dir) =>
+      // PII scrub accounting: email/IPv4/phone counts + post-redaction
+      // length per doc. Regexes restricted to the Java∩RE2 subset so
+      // DuckDB matches byte-for-byte
+      TextOps.piiScan(TestTables.documents(s, dir), "doc_id", "text")),
+    "q73_ivf_portable" -> ((s, dir) =>
+      // oracle-checkable IVF twin: md5-sign ±1 centroids, integer-
+      // quantized assignment/probing (exact cross-engine), float cosine
+      // only on rescored survivors — makes the IVF family's pruning
+      // decisions themselves oracle-verified; the native k-means IVF
+      // (q34) stays covered by IvfSpec recall assertions
+      Similarity.portableIvfTopK(TestTables.embeddings(s, dir), "vec_id",
+        "embedding", queryId = 0L, nLists = 8, nprobe = 2, k = 10)),
+    "q74_pq_portable" -> ((s, dir) =>
+      // oracle-checkable PQ twin: md5-lattice codebooks, bigint encode +
+      // ADC end-to-end (no float anywhere), so the oracle replays the
+      // whole index → encode → ADC → top-k pipeline; native PQ (q40/q41)
+      // keeps its recall specs
+      graft.operators.Pq.portablePqTopK(TestTables.embeddings(s, dir), "vec_id",
+        "embedding", queryId = 0L, m = 8, ks = 16, k = 10)),
     "q64_shuffle_order" -> ((s, dir) =>
       // deterministic corpus shuffle — the pre-training reorder: sort by
       // content hash, reproducible on any engine/run. At scale this is a
@@ -854,6 +883,104 @@ object SparkEntry {
     "q22_simhash_pairs" -> simhashPairsSql,
     "q54_minhash_portable" -> minhashPairsSql,
     "q69_hyperplane_portable" -> hyperplanePairsSql,
+    "q71_repeated_windows" ->
+      ("""WITH t AS (
+         |  SELECT doc_id, text AS s FROM documents WHERE length(text) >= 20),
+         |w AS (
+         |  SELECT doc_id, substring(s, i, 20) AS w
+         |  FROM (SELECT doc_id, s, unnest(range(1, length(s) - 18, 5)) AS i FROM t)),
+         |dup AS (
+         |  SELECT w FROM w GROUP BY w HAVING count(*) >= 2),
+         |d AS (
+         |  SELECT w.doc_id, count(*) AS n_dup
+         |  FROM w JOIN dup ON w.w = dup.w GROUP BY w.doc_id)
+         |SELECT t.doc_id,
+         |  CAST(floor((length(t.s) - 20) / 5) + 1 AS BIGINT) AS n_windows,
+         |  CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup,
+         |  round(CAST(coalesce(d.n_dup, 0) AS DOUBLE)
+         |    / (floor((length(t.s) - 20) / 5) + 1), 4) AS dup_ratio
+         |FROM t LEFT JOIN d ON t.doc_id = d.doc_id""").stripMargin,
+    "q72_pii_scan" ->
+      ("""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text,
+         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(text,
+         |    '\+\d[\d -]{7,}\d')) AS BIGINT) AS n_phone,
+         |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g'),
+         |    '\+\d[\d -]{7,}\d', '[PII]', 'g')) AS BIGINT) AS redacted_len
+         |FROM documents""").stripMargin,
+    "q73_ivf_portable" ->
+      ("""WITH v AS (
+         |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |nrm AS (SELECT id, sqrt(sum(x * x)) AS n FROM v GROUP BY id),
+         |keep AS (SELECT id FROM nrm WHERE n > 0),
+         |signs AS (
+         |  SELECT c.c AS c, i.i AS dim,
+         |    CASE WHEN CAST(('0x' || substring(
+         |        md5('ivf-' || c.c || '-' || i.i), 1, 8)) AS BIGINT) % 2 = 0
+         |      THEN 1 ELSE -1 END AS sgn
+         |  FROM (SELECT unnest(range(0, 8)) AS c) c,
+         |       (SELECT unnest(range(1, 65)) AS i) i),
+         |dots AS (
+         |  SELECT id, c, sum(sgn * xq) AS dot
+         |  FROM v JOIN keep USING (id) JOIN signs USING (dim)
+         |  GROUP BY id, c),
+         |ranked AS (
+         |  SELECT id, c,
+         |    row_number() OVER (PARTITION BY id ORDER BY dot DESC, c ASC) AS rk
+         |  FROM dots),
+         |assigned AS (SELECT id, c FROM ranked WHERE rk = 1),
+         |probed AS (SELECT c FROM ranked WHERE id = 0 AND rk <= 2),
+         |cands AS (
+         |  SELECT a.id FROM assigned a JOIN probed p ON a.c = p.c WHERE a.id <> 0),
+         |dp AS (
+         |  SELECT b.id AS vec_id, sum(q.x * b.x) AS d
+         |  FROM v q JOIN v b ON q.dim = b.dim JOIN cands cd ON b.id = cd.id
+         |  WHERE q.id = 0
+         |  GROUP BY b.id)
+         |SELECT vec_id, round(d / (nq.n * nb.n), 6) AS cosine
+         |FROM dp
+         |CROSS JOIN (SELECT n FROM nrm WHERE id = 0) nq
+         |JOIN nrm nb ON nb.id = vec_id
+         |ORDER BY cosine DESC, vec_id ASC
+         |LIMIT 10""").stripMargin,
+    "q74_pq_portable" ->
+      ("""WITH v AS (
+         |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq
+         |  FROM embeddings),
+         |cb AS (
+         |  SELECT s.s AS sub, c.c AS code, s.s * 8 + j.j AS dim,
+         |    (CAST(('0x' || substring(
+         |        md5('pq-' || s.s || '-' || c.c || '-' || j.j), 1, 8)) AS BIGINT)
+         |      % 2001 - 1000) * 1000 AS cq
+         |  FROM (SELECT unnest(range(0, 8)) AS s) s,
+         |       (SELECT unnest(range(0, 16)) AS c) c,
+         |       (SELECT unnest(range(1, 9)) AS j) j),
+         |dists AS (
+         |  SELECT id, sub, code, sum((xq - cq) * (xq - cq)) AS d2
+         |  FROM v JOIN cb USING (dim)
+         |  GROUP BY id, sub, code),
+         |codes AS (
+         |  SELECT id, sub, code FROM (
+         |    SELECT id, sub, code,
+         |      row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rk
+         |    FROM dists)
+         |  WHERE rk = 1),
+         |qd AS (SELECT sub, code, d2 AS qd FROM dists WHERE id = 0)
+         |SELECT c.id AS vec_id, CAST(sum(q.qd) AS BIGINT) AS adc
+         |FROM codes c JOIN qd q ON c.sub = q.sub AND c.code = q.code
+         |WHERE c.id <> 0
+         |GROUP BY c.id
+         |ORDER BY adc ASC, vec_id ASC
+         |LIMIT 10""").stripMargin,
     "q55_knn_brute" ->
       ("""WITH v AS (
          |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i

@@ -8,7 +8,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ConnectedComponents, Contamination, Dedup, Rank, Similarity, ZOrder}
+import graft.operators.{ConnectedComponents, Contamination, Dedup, Rank, Similarity, TextOps, ZOrder}
 
 /** Corpus-scale benchmark for the LLM-pipeline operators (minhash, ngram
   * Jaccard, dedup clustering, decontamination) at 10×–100× the sf0.1
@@ -214,6 +214,13 @@ object CorpusBench {
           d.filter(col("doc_id") >= 1000), "doc_id", "text",
           d.filter(col("doc_id") < 1000), "doc_id", "text",
           shingleLen = 3, minShared = 2))
+      // span-level dup stats: one window-keyed exchange feeding freq agg +
+      // join back (ReusedExchange) — the grid should show shuffle volume
+      // ~linear in corpus bytes (windows/doc is corpus-constant)
+      bench("repeated_windows", d =>
+        TextOps.repeatedWindowStats(d, "doc_id", "text", winLen = 20, stride = 5))
+      // PII scan is scan-local (zero shuffles) — its row is the evidence
+      bench("pii_scan", d => TextOps.piiScan(d, "doc_id", "text"))
       // similarity family over the embedding corpus: planes grow with
       // log2(n) so bucket occupancy — which bounds the candidate count —
       // stays O(1) at any scale

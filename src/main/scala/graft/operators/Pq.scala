@@ -119,4 +119,68 @@ object Pq {
       .orderBy(col("adc_dist").asc, col("id").asc)
       .limit(k)
   }
+
+  /** Engine-portable PQ top-k — the oracle-checkable twin of this family,
+    * completing the portable-twin set (MinHash q54, SimHash q22, hyperplane
+    * q69, IVF q73). The native codebooks are k-means-trained floats; here
+    * centroid components derive from md5 — component j of code c in
+    * sub-space s is `(md5int("pq-s-c-j") mod 2001 − 1000) / 1000`, i.e. a
+    * lattice point in [−1, 1] at 10⁻³ resolution — and EVERYTHING is exact
+    * bigint arithmetic at the 10⁶ quantization scale: encode (per-sub-space
+    * argmin of Σ(xq − cq)², ties to the lower code), the query's ADC tables,
+    * and the final Σ-of-lookups score. No float appears anywhere, so the
+    * oracle replays the entire index → encode → ADC → top-k pipeline
+    * value-for-value; the native path (q40/q41) keeps its recall specs.
+    *
+    * Same scale shape as the native encode: the codebook is a 1024-row
+    * broadcast, encoding is one partial-agg shuffle keyed (id, sub-space,
+    * code) — at rest the m code ints per vector are the stored index.
+    * Returns (vec_id, adc), the k smallest ADC scores among non-query
+    * vectors, (adc asc, id asc)-ordered; `adc` is the exact bigint score at
+    * quantization scale (10⁻¹² of squared L2 in original units). */
+  def portablePqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long = 0L,
+      m: Int = 8,
+      ks: Int = 16,
+      k: Int = 10,
+      dims: Int = 64
+  ): DataFrame = {
+    require(dims % m == 0, s"dim $dims must divide into m=$m sub-spaces")
+    val subDim = dims / m
+    val spark = df.sparkSession
+    import spark.implicits._
+    def md5hex(str: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.map(b => f"$b%02x").mkString
+    }
+    // cq at the same 10⁶ scale as xq: lattice value ∈ [−1000, 1000] × 10³
+    val cbDf = (for { s <- 0 until m; c <- 0 until ks; j <- 1 to subDim } yield
+        (s, c, s * subDim + j,
+          (java.lang.Long.parseLong(md5hex(s"pq-$s-$c-$j").substring(0, 8), 16) % 2001
+            - 1000) * 1000L))
+      .toDF("sub", "code", "dim", "cq")
+    val ve = Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .select(col("id"), posexplode(col("v")))
+      .select(col("id"), (col("pos") + 1).as("dim"),
+        round(col("col").cast("double") * 1e6).cast("long").as("xq"))
+    val dists = ve.join(broadcast(cbDf), "dim")
+      .groupBy(col("id"), col("sub"), col("code"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("sub")).orderBy(col("d2").asc, col("code").asc)
+    val codes = dists.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).select(col("id"), col("sub"), col("code"))
+    val qdist = dists.filter(col("id") === queryId)
+      .select(col("sub"), col("code"), col("d2").as("qd"))
+    codes.filter(col("id") =!= queryId)
+      .join(broadcast(qdist), Seq("sub", "code"))
+      .groupBy(col("id")).agg(sum(col("qd")).as("adc"))
+      .select(col("id").as("vec_id"), col("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(k)
+  }
 }

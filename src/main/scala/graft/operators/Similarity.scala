@@ -294,4 +294,71 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }
+
+  /** Engine-portable IVF top-k — the oracle-checkable twin of the IVF
+    * family ([[graft.operators.Ivf]]), the same move
+    * [[graft.operators.Dedup.portableMinhashLsh]] /
+    * `portableEmbeddingNearDups` made for the MinHash and hyperplane
+    * families. The native IVF's k-means centroids are float-iterative and
+    * engine-specific; here the `nLists` coarse centroids are ±1-component
+    * vectors derived from md5 parity (component i of centroid c is +1 iff
+    * the first 8 hex chars of md5("ivf-c-i") are even), so ANSI SQL
+    * reproduces them exactly. Every PRUNING decision — list assignment
+    * (argmax over centroid dot products, ties to the lower centroid id)
+    * and query probing (the `nprobe` best lists) — is computed on
+    * integer-quantized components (round(x·10⁶), exact bigint arithmetic
+    * cross-engine); only the final rescore of survivors uses float cosine,
+    * the step q55 already proved replays exactly.
+    *
+    * Same at-rest story as the native IVF: assignment is one broadcast
+    * join + one partial-agg shuffle keyed (id, c); at scale the list id
+    * becomes a partition column and probing prunes to nprobe/nLists of the
+    * files. Returns (vec_id, cosine), the k nearest to `queryId`'s vector
+    * among vectors in probed lists, (cosine desc, id asc)-ordered. */
+  def portableIvfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long = 0L,
+      nLists: Int = 8,
+      nprobe: Int = 2,
+      k: Int = 10,
+      dims: Int = 64
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.map(b => f"$b%02x").mkString
+    }
+    val signDf = (for { c <- 0 until nLists; i <- 1 to dims } yield (c, i,
+        if (java.lang.Long.parseLong(md5hex(s"ivf-$c-$i").substring(0, 8), 16) % 2 == 0) 1
+        else -1))
+      .toDF("c", "dim", "sgn")
+    val base = Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .withColumn("norm", l2norm(col("v")))
+      .filter(col("norm") > 0)
+    val ve = base.select(col("id"), posexplode(col("v")))
+      .select(col("id"), (col("pos") + 1).as("dim"),
+        round(col("col").cast("double") * 1e6).cast("long").as("xq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("dot").desc, col("c").asc)
+    val ranked = ve.join(broadcast(signDf), "dim")
+      .groupBy(col("id"), col("c")).agg(sum(col("sgn") * col("xq")).as("dot"))
+      .withColumn("rk", row_number().over(w))
+    val assigned = ranked.filter(col("rk") === 1).select(col("id"), col("c"))
+    val probed = ranked
+      .filter(col("id") === queryId && col("rk") <= nprobe).select(col("c"))
+    val cands = assigned.join(broadcast(probed), "c")
+      .filter(col("id") =!= queryId).select(col("id"))
+    val qRow = base.filter(col("id") === queryId)
+      .select(col("v").as("qv"), col("norm").as("qn"))
+    cands.join(Stage.attachSide(base), "id")
+      .crossJoin(broadcast(qRow))
+      .select(col("id").as("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

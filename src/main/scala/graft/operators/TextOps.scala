@@ -157,6 +157,81 @@ object TextOps {
       .withColumn("bin", floor((col("cum") - col("n_tokens")) / capacity).cast("long"))
   }
 
+  /** Exact repeated-substring statistics — the window-level twin of
+    * document-level dedup (the technique of "Deduplicating Training Data
+    * Makes Language Models Better", Lee et al. 2022: corpus-duplicated
+    * SPANS, not just duplicated documents, drive memorization). Each
+    * document emits its length-`winLen` character windows at `stride`
+    * spacing; a window is "duplicated" when it occurs at least `minFreq`
+    * times across the corpus (within-document repeats count — boilerplate
+    * repeated inside one page is exactly what this flags). Output per
+    * document: window count, duplicated-window count, and the duplicated
+    * fraction — the per-doc signal a cleaning pipeline thresholds on.
+    *
+    * Scale shape (the [[graft.operators.Dedup.editDistanceCandidates]]
+    * gate shape): one explicit hash shuffle of the exploded (id, window)
+    * stream feeds both the corpus-frequency aggregate and the join back
+    * (ReusedExchange), the duplicated-window set is the small join side,
+    * and `n_windows` is CLOSED-FORM from the document length — no second
+    * pass over the window stream. Windows key the exchange as plain
+    * substrings (winLen bytes, engine-portable byte equality), so the
+    * whole pipeline replays in the ANSI oracle. Stride trades recall for
+    * volume the standard way: stride s detects any duplicated span of
+    * length ≥ winLen + s − 1 via at least one shared window. */
+  def repeatedWindowStats(df: DataFrame, idCol: String, textCol: String,
+      winLen: Int = 20, stride: Int = 5, minFreq: Long = 2): DataFrame = {
+    require(winLen >= 1 && stride >= 1, "need winLen >= 1 and stride >= 1")
+    val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
+      .filter(length(col("s")) >= winLen)
+    val wins = Stage.ensureWide(t)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), length(col("s")) - (winLen - 1), lit(stride)),
+        i => col("s").substr(i, lit(winLen)))).as("w"))
+      .repartition(col("w"))
+    val dup = wins.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .select(col("w"))
+    val perDoc = wins.join(dup, "w")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
+    t.select(col("id"),
+        (floor((length(col("s")) - winLen) / stride) + 1).cast("long").as("n_windows"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"), 4)
+          .as("dup_ratio"))
+  }
+
+  /** PII-bearing patterns for [[piiScan]]. Deliberately restricted to the
+    * regex subset Java and RE2 evaluate identically (character classes,
+    * bounded repetition, `\b` word boundaries — no lookaround, no
+    * backreferences), so the scan replays exactly in the ANSI oracle. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+\\d[\\d -]{7,}\\d"
+
+  /** PII detection + redaction accounting — the scrub step of a
+    * training-data pipeline. Per document: match counts for email / IPv4 /
+    * international-phone patterns and the length of the text after all
+    * three are replaced with a fixed `[PII]` token (replacement order
+    * email → ip → phone, mirrored in the oracle). Counts rather than the
+    * redacted strings keep the output skinny; the redaction itself is the
+    * same `regexp_replace` chain a writer would apply in place. Scan-local
+    * and codegen'd — zero shuffles, linear in corpus bytes, trivially
+    * partition-parallel at 100 TB. */
+  def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(regexp_replace(t, emailRe, "[PII]"), ipv4Re, "[PII]"),
+      phoneRe, "[PII]")
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(emailRe), lit(0))).cast("long").as("n_email"),
+      size(regexp_extract_all(t, lit(ipv4Re), lit(0))).cast("long").as("n_ipv4"),
+      size(regexp_extract_all(t, lit(phoneRe), lit(0))).cast("long").as("n_phone"),
+      length(redacted).cast("long").as("redacted_len"))
+  }
+
   /** Full per-document profile. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

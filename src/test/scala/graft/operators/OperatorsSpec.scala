@@ -525,4 +525,79 @@ class OperatorsSpec extends SparkSpec {
     assert(approx.contains(0L), "query vector itself must be found")
     assert(recall >= 0.5, s"recall $recall too low")
   }
+
+  test("repeatedWindowStats: shared and internal spans flagged, unique text not") {
+    val boiler = "SUBSCRIBE-TO-OUR-NEWSLETTER-TODAY" // 33 chars
+    val df = Seq(
+      // docs 1/2 share the boilerplate at stride-aligned offsets (doc 2's
+      // head is exactly 20 chars, so both emit the same boiler windows)
+      (1L, boiler + " unique tail one xxxxxxxx"),
+      (2L, "different head yyyy " + boiler),
+      (3L, "abcdefghijklmnopqrstuvwxyz0123456789 qqq"),
+      // internal repeat: window at 1 == window at 21, stride-aligned
+      (4L, "ABCDEFGHIJKLMNOPQRST" * 2)
+    ).toDF("id", "text")
+    val out = TextOps.repeatedWindowStats(df, "id", "text",
+        winLen = 20, stride = 5, minFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // n_windows = floor((len - 20) / 5) + 1, closed form
+    assert(out(3L) == ((5L, 0L, 0.0)), s"unique doc flagged: ${out(3L)}")
+    assert(out(1L)._2 >= 3, s"doc 1 boiler windows not flagged: ${out(1L)}")
+    assert(out(2L)._2 >= 3, s"doc 2 boiler windows not flagged: ${out(2L)}")
+    assert(out(4L) == ((5L, 2L, 0.4)), s"internal repeat miscounted: ${out(4L)}")
+  }
+
+  test("piiScan: planted emails, IPs, and phones counted and redacted") {
+    val df = Seq(
+      (1L, "contact john.doe@example.com or admin@sub.domain.org today"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255, call +1 555 123 4567"),
+      (3L, "no pii here at all")
+    ).toDF("id", "text")
+    val out = TextOps.piiScan(df, "id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 0 && out(1L)._3 == 0, s"${out(1L)}")
+    assert(out(2L)._1 == 0 && out(2L)._2 == 2 && out(2L)._3 == 1, s"${out(2L)}")
+    assert(out(2L)._4 ==
+      "server at [PII] and [PII], call [PII]".length, s"${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0L, 18L)), s"clean doc touched: ${out(3L)}")
+  }
+
+  test("portableIvfTopK: cosines exact, descending, disjoint from query") {
+    val emb = sf(dir, "embeddings").cache()
+    val q = emb.filter($"vec_id" === 0).head().getSeq[Float](1)
+    // exact cosine for EVERY vector — ground truth the IVF scores must match
+    val exactAll = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 500)
+      .as[(Long, Double)].collect().toMap
+    val got = Similarity.portableIvfTopK(emb, "vec_id", "embedding",
+      queryId = 0L, nLists = 8, nprobe = 2, k = 10).as[(Long, Double)].collect()
+    assert(got.length == 10, s"expected 10 rows, got ${got.length}")
+    assert(!got.map(_._1).contains(0L), "query must be excluded")
+    assert(got.map(_._2).sliding(2).forall(p => p.head >= p.last), "not descending")
+    got.foreach { case (id, c) =>
+      assert(exactAll.get(id).contains(c), s"IVF cosine for $id is $c, exact ${exactAll.get(id)}") }
+    val exactTop = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 11)
+      .as[(Long, Double)].collect().map(_._1).filter(_ != 0L).take(10).toSet
+    val recall = (exactTop & got.map(_._1).toSet).size / 10.0
+    info(s"portable IVF recall@10 = $recall (nprobe 2 of 8 lists)")
+  }
+
+  test("portablePqTopK: exact copy of the query ranks first with minimal ADC") {
+    // deterministic 64-d vectors; id 1 is an exact copy of the query (id 0),
+    // so it encodes to the query's own codes and its ADC — Σ over sub-spaces
+    // of the query's distance to its own nearest centroid — is the minimum
+    // any vector can score
+    def vec(seed: Long): Seq[Float] =
+      (0 until 64).map(i => (((seed * 31 + i) % 997).toFloat / 997f) * 2f - 1f)
+    val rows = (0L, vec(7L)) :: (1L, vec(7L)) ::
+      (2L to 31L).map(i => (i, vec(i * 131 + 11))).toList
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Pq.portablePqTopK(df, "vec_id", "embedding",
+      queryId = 0L, m = 8, ks = 16, k = 5).as[(Long, Long)].collect()
+    assert(got.length == 5 && !got.map(_._1).contains(0L))
+    assert(got.head._1 == 1L, s"copy not rank 1: ${got.toSeq}")
+    assert(got.map(_._2).sliding(2).forall(p => p.head <= p.last), "not ascending")
+    assert(got.forall(_._2 >= got.head._2), "copy ADC must be minimal")
+  }
 }
