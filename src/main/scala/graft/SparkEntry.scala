@@ -506,6 +506,19 @@ object SparkEntry {
           winLen = 20, stride = 5, minFreq = 2)
         .select(col("id").as("doc_id"), col("n_windows"), col("n_dup"),
           col("dup_ratio"))),
+    "q75_dedup_spans" -> ((s, dir) =>
+      // the removal half of span-level dedup: duplicated windows merged
+      // into maximal intervals (gaps-and-islands, per-doc window sort
+      // only) — what a cleaning pass would actually cut
+      TextOps.dupSpanStats(TestTables.documents(s, dir), "doc_id", "text",
+          winLen = 20, stride = 5, minFreq = 2)
+        .select(col("id").as("doc_id"), col("n_chars"), col("n_spans"),
+          col("removed_chars"), col("kept_ratio"))),
+    "q76_top_ngrams" -> ((s, dir) =>
+      // boilerplate miner: corpus-wide top-20 token trigrams; partial-agg
+      // shuffle on the ngram + TakeOrdered, lexicographic tie-break
+      TextOps.topNgrams(TestTables.documents(s, dir), "doc_id", "text",
+        n = 3, k = 20)),
     "q72_pii_scan" -> ((s, dir) =>
       // PII scrub accounting: email/IPv4/phone counts + post-redaction
       // length per doc. Regexes restricted to the Java∩RE2 subset so
@@ -900,6 +913,49 @@ object SparkEntry {
          |  round(CAST(coalesce(d.n_dup, 0) AS DOUBLE)
          |    / (floor((length(t.s) - 20) / 5) + 1), 4) AS dup_ratio
          |FROM t LEFT JOIN d ON t.doc_id = d.doc_id""").stripMargin,
+    "q75_dedup_spans" ->
+      ("""WITH t AS (
+         |  SELECT doc_id, text AS s FROM documents WHERE length(text) >= 20),
+         |w AS (
+         |  SELECT doc_id, i AS s0, i + 19 AS e0, substring(s, i, 20) AS win
+         |  FROM (SELECT doc_id, s, unnest(range(1, length(s) - 18, 5)) AS i FROM t)),
+         |f AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+         |d AS (SELECT w.doc_id, w.s0, w.e0 FROM w JOIN f ON w.win = f.win),
+         |m AS (
+         |  SELECT doc_id, s0, e0,
+         |    CASE WHEN max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |      OR s0 > max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    THEN 1 ELSE 0 END AS isnew
+         |  FROM d),
+         |g AS (
+         |  SELECT doc_id, s0, e0,
+         |    sum(isnew) OVER (PARTITION BY doc_id ORDER BY s0
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM m),
+         |isl AS (
+         |  SELECT doc_id, grp, min(s0) AS ms, max(e0) AS me
+         |  FROM g GROUP BY doc_id, grp),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_spans, sum(me - ms + 1) AS removed
+         |  FROM isl GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(length(t.s) AS BIGINT) AS n_chars,
+         |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(a.removed, 0) AS BIGINT) AS removed_chars,
+         |  round((length(t.s) - coalesce(a.removed, 0))
+         |    / CAST(length(t.s) AS DOUBLE), 4) AS kept_ratio
+         |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id""").stripMargin,
+    "q76_top_ngrams" ->
+      (s"""WITH tk AS (
+         |  SELECT doc_id, $tokensSql AS ts FROM documents),
+         |g AS (
+         |  SELECT concat_ws(' ', ts[i], ts[i+1], ts[i+2]) AS ngram
+         |  FROM (SELECT doc_id, ts,
+         |          unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i
+         |        FROM tk))
+         |SELECT ngram, CAST(count(*) AS BIGINT) AS freq
+         |FROM g GROUP BY ngram ORDER BY freq DESC, ngram ASC LIMIT 20""").stripMargin,
     "q72_pii_scan" ->
       ("""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text,

@@ -216,11 +216,25 @@ object CorpusBench {
           shingleLen = 3, minShared = 2))
       // span-level dup stats: one window-keyed exchange feeding freq agg +
       // join back (ReusedExchange) — the grid should show shuffle volume
-      // ~linear in corpus bytes (windows/doc is corpus-constant)
-      bench("repeated_windows", d =>
-        TextOps.repeatedWindowStats(d, "doc_id", "text", winLen = 20, stride = 5))
-      // PII scan is scan-local (zero shuffles) — its row is the evidence
-      bench("pii_scan", d => TextOps.piiScan(d, "doc_id", "text"))
+      // ~linear in corpus bytes (windows/doc is corpus-constant). The action
+      // SUMS a computed column: a bare count() lets Catalyst eliminate the
+      // unique-key left join (and with it the whole dup pipeline) and
+      // measures a parquet row-count instead.
+      benchAct("repeated_windows", () => {
+        TextOps.repeatedWindowStats(docs, "doc_id", "text", winLen = 20, stride = 5)
+          .agg(sum(col("n_dup"))).head().getLong(0)
+      })
+      benchAct("dup_spans", () => {
+        TextOps.dupSpanStats(docs, "doc_id", "text", winLen = 20, stride = 5)
+          .agg(sum(col("removed_chars"))).head().getLong(0)
+      })
+      // PII scan is scan-local (zero shuffles) — its row is the evidence;
+      // same sum-the-outputs action so the regex columns can't be pruned
+      benchAct("pii_scan", () => {
+        TextOps.piiScan(docs, "doc_id", "text")
+          .agg(sum(col("n_email") + col("n_ipv4") + col("n_phone")
+            + col("redacted_len"))).head().getLong(0)
+      })
       // similarity family over the embedding corpus: planes grow with
       // log2(n) so bucket occupancy — which bounds the candidate count —
       // stays O(1) at any scale

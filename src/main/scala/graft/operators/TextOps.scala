@@ -168,16 +168,18 @@ object TextOps {
     * document: window count, duplicated-window count, and the duplicated
     * fraction — the per-doc signal a cleaning pipeline thresholds on.
     *
-    * Scale shape (the [[graft.operators.Dedup.editDistanceCandidates]]
-    * gate shape): one explicit hash shuffle of the exploded (id, window)
-    * stream feeds both the corpus-frequency aggregate and the join back
-    * (ReusedExchange), the duplicated-window set is the small join side,
-    * and `n_windows` is CLOSED-FORM from the document length — no second
-    * pass over the window stream. Windows key the exchange as plain
-    * substrings (winLen bytes, engine-portable byte equality), so the
-    * whole pipeline replays in the ANSI oracle. Stride trades recall for
-    * volume the standard way: stride s detects any duplicated span of
-    * length ≥ winLen + s − 1 via at least one shared window. */
+    * Scale shape: the corpus-frequency aggregate gets MAP-SIDE partial
+    * combine (no explicit pre-shuffle — the agg branch prunes to the bare
+    * window column, so it can never share an exchange with the (id, window)
+    * probe side anyway), the already-aggregated dup set is the hash-build
+    * side of a SHUFFLE_HASH join (a sort-merge join would sort the full
+    * window stream — measured 23 GB of sort spill at 500k docs), and
+    * `n_windows` is CLOSED-FORM from the document length — no second pass
+    * over the window stream. Windows key the shuffle as plain substrings
+    * (winLen bytes, engine-portable byte equality), so the whole pipeline
+    * replays in the ANSI oracle. Stride trades recall for volume the
+    * standard way: stride s detects any duplicated span of length
+    * ≥ winLen + s − 1 via at least one shared window. */
   def repeatedWindowStats(df: DataFrame, idCol: String, textCol: String,
       winLen: Int = 20, stride: Int = 5, minFreq: Long = 2): DataFrame = {
     require(winLen >= 1 && stride >= 1, "need winLen >= 1 and stride >= 1")
@@ -187,10 +189,9 @@ object TextOps {
       .select(col("id"), explode(transform(
         sequence(lit(1), length(col("s")) - (winLen - 1), lit(stride)),
         i => col("s").substr(i, lit(winLen)))).as("w"))
-      .repartition(col("w"))
     val dup = wins.groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)
-      .select(col("w"))
+      .select(col("w")).hint("SHUFFLE_HASH")
     val perDoc = wins.join(dup, "w")
       .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
     t.select(col("id"),
@@ -200,6 +201,80 @@ object TextOps {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"), 4)
           .as("dup_ratio"))
+  }
+
+  /** The removal half of span-level dedup: merge each document's
+    * corpus-duplicated windows (the [[repeatedWindowStats]] detection) into
+    * maximal character intervals — classic gaps-and-islands over (start,
+    * end) pairs — and report what a cleaning pass would cut. Two stacked
+    * windows per doc (previous-rows running max of `end` marks island
+    * starts; a running sum numbers the islands), then one aggregate per
+    * island; both engines evaluate the identical frame spec, so the oracle
+    * replays the merge exactly. Output per document: char count, merged
+    * duplicated-span count, chars those spans cover, and the kept fraction
+    * — the numbers a pipeline thresholds on before the (engine-local)
+    * splice that actually cuts the text.
+    *
+    * Scale: the interval merge runs per document over at most
+    * len/stride rows — the window sort is within-doc, so the shuffle is one
+    * hash exchange on doc id; no global sort anywhere. */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      winLen: Int = 20, stride: Int = 5, minFreq: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
+      .filter(length(col("s")) >= winLen)
+    val wins = Stage.ensureWide(t)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), length(col("s")) - (winLen - 1), lit(stride)),
+        i => col("s").substr(i, lit(winLen)))))
+      .select(col("id"), (col("pos") * stride + 1).as("start"), col("col").as("w"))
+    // same map-side-combine + SHUFFLE_HASH shape as [[repeatedWindowStats]]:
+    // never sort the full window stream just to probe the dup set
+    val dup = wins.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .select(col("w")).hint("SHUFFLE_HASH")
+    val spans = wins.join(dup, "w")
+      .select(col("id"), col("start"), (col("start") + (winLen - 1)).as("end"))
+    val prevW = Window.partitionBy(col("id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val runW = Window.partitionBy(col("id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = spans.withColumn("prev_max", max(col("end")).over(prevW))
+      .withColumn("isnew",
+        when(col("prev_max").isNull || col("start") > col("prev_max"), 1L).otherwise(0L))
+    val islands = marked.withColumn("grp", sum(col("isnew")).over(runW))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("start")).as("s0"), max(col("end")).as("e0"))
+    val perDoc = islands.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e0") - col("s0") + 1).as("removed"))
+    t.select(col("id"), length(col("s")).cast("long").as("n_chars"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed"), lit(0L)).cast("long").as("removed_chars"),
+        round((col("n_chars") - coalesce(col("removed"), lit(0L)))
+          / col("n_chars").cast("double"), 4).as("kept_ratio"))
+  }
+
+  /** Top-k most frequent token n-grams across the corpus — the boilerplate
+    * / contamination-list miner (the lists [[repeatedWindowStats]]-style
+    * cleaning and benchmark decontamination consume). One explode, one
+    * partial-agg shuffle keyed by the n-gram, and a TakeOrdered top-k —
+    * no global sort; ties break lexicographically so the result is
+    * deterministic cross-engine. */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 20): DataFrame = {
+    val tk = tokens(trim(lower(col(textCol))))
+    // when() guard, not greatest(.., 0): Spark's sequence(1, 0) generates
+    // DESCENDING [1, 0] and would fabricate n-grams for short docs
+    df.select(explode(when(size(tk) >= n, transform(
+        sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array())).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("ngram").asc)
+      .limit(k)
   }
 
   /** PII-bearing patterns for [[piiScan]]. Deliberately restricted to the

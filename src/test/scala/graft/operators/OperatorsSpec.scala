@@ -583,6 +583,35 @@ class OperatorsSpec extends SparkSpec {
     info(s"portable IVF recall@10 = $recall (nprobe 2 of 8 lists)")
   }
 
+  test("dupSpanStats: overlapping windows merge, adjacent spans stay separate") {
+    val boiler = "SUBSCRIBE-TO-OUR-NEWSLETTER-TODAY" // 33 chars
+    val df = Seq(
+      (1L, boiler + " unique tail one xxxxxxxx"),        // dup starts 1,6,11
+      (2L, "different head yyyy " + boiler),             // dup starts 21,26,31
+      (3L, "abcdefghijklmnopqrstuvwxyz0123456789 qqq"),  // nothing duplicated
+      (4L, "ABCDEFGHIJKLMNOPQRST" * 2)                   // dup starts 1,21: ADJACENT
+    ).toDF("id", "text")
+    val out = TextOps.dupSpanStats(df, "id", "text", winLen = 20, stride = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // docs 1/2: starts {1,6,11} / {21,26,31} overlap pairwise → ONE merged
+    // 30-char span each
+    assert(out(1L) == ((58L, 1L, 30L, 0.4828)), s"${out(1L)}")
+    assert(out(2L) == ((53L, 1L, 30L, 0.434)), s"${out(2L)}")
+    assert(out(3L) == ((40L, 0L, 0L, 1.0)), s"${out(3L)}")
+    // [1,20] and [21,40] touch but do not overlap → TWO spans, all removed
+    assert(out(4L) == ((40L, 2L, 40L, 0.0)), s"${out(4L)}")
+  }
+
+  test("topNgrams: exact counts, lexicographic tie-break, short docs ignored") {
+    val df = Seq(
+      (1L, "a b c a b c"), (2L, "x y z w"), (3L, "one two")
+    ).toDF("id", "text")
+    val got = TextOps.topNgrams(df, "id", "text", n = 3, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b c", 2L), ("b c a", 1L), ("c a b", 1L)), s"$got")
+  }
+
   test("portablePqTopK: exact copy of the query ranks first with minimal ADC") {
     // deterministic 64-d vectors; id 1 is an exact copy of the query (id 0),
     // so it encodes to the query's own codes and its ADC — Σ over sub-spaces

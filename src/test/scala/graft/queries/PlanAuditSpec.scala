@@ -107,6 +107,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("window-dedup text ops: hash-probed dup set, no sort of the window stream") {
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ops = Seq(
+      "repeatedWindowStats" -> graft.operators.TextOps.repeatedWindowStats(
+        docs, "doc_id", "text"),
+      "dupSpanStats" -> graft.operators.TextOps.dupSpanStats(docs, "doc_id", "text"))
+    ops.foreach { case (name, q) =>
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      // the dup-set probe must be a hash join — a sort-merge join sorts the
+      // full window stream (measured 23 GB of spill at 500k docs)
+      assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+        s"$name dup-set probe is not a hash join:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name sorts the window stream:\n$p")
+      // the corpus-frequency aggregate must partially combine map-side
+      assert(p.contains("partial_count"), s"$name lost map-side combine:\n$p")
+    }
+  }
+
   test("ngram jaccard: one corpus scan, no joins — posting lists carry the pairs") {
     spark.catalog.clearCache()
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
