@@ -514,6 +514,13 @@ object SparkEntry {
           winLen = 20, stride = 5, minFreq = 2)
         .select(col("id").as("doc_id"), col("n_chars"), col("n_spans"),
           col("removed_chars"), col("kept_ratio"))),
+    "q77_dedup_span_removal" -> ((s, dir) =>
+      // the splice q75 accounts for: duplicated spans cut out of the text
+      // by one aggregate() fold over the merged intervals — string results
+      // hash-compared against the oracle's complement-interval string_agg
+      TextOps.removeDupSpans(TestTables.documents(s, dir), "doc_id", "text",
+          winLen = 20, stride = 5, minFreq = 2)
+        .select(col("id").as("doc_id"), col("clean_text"))),
     "q76_top_ngrams" -> ((s, dir) =>
       // boilerplate miner: corpus-wide top-20 token trigrams; partial-agg
       // shuffle on the ngram + TakeOrdered, lexicographic tie-break
@@ -946,6 +953,46 @@ object SparkEntry {
          |  round((length(t.s) - coalesce(a.removed, 0))
          |    / CAST(length(t.s) AS DOUBLE), 4) AS kept_ratio
          |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id""").stripMargin,
+    "q77_dedup_span_removal" ->
+      ("""WITH t AS (SELECT doc_id, text AS s FROM documents),
+         |te AS (SELECT doc_id, s FROM t WHERE length(s) >= 20),
+         |w AS (
+         |  SELECT doc_id, i AS s0, i + 19 AS e0, substring(s, i, 20) AS win
+         |  FROM (SELECT doc_id, s, unnest(range(1, length(s) - 18, 5)) AS i FROM te)),
+         |f AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+         |d AS (SELECT w.doc_id, w.s0, w.e0 FROM w JOIN f ON w.win = f.win),
+         |m AS (
+         |  SELECT doc_id, s0, e0,
+         |    CASE WHEN max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |      OR s0 > max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    THEN 1 ELSE 0 END AS isnew
+         |  FROM d),
+         |g AS (
+         |  SELECT doc_id, s0, e0,
+         |    sum(isnew) OVER (PARTITION BY doc_id ORDER BY s0
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM m),
+         |isl AS (
+         |  SELECT doc_id, grp, min(s0) AS ms, max(e0) AS me
+         |  FROM g GROUP BY doc_id, grp),
+         |segs AS (
+         |  SELECT doc_id,
+         |    coalesce(lag(me) OVER (PARTITION BY doc_id ORDER BY ms), 0) + 1 AS ks,
+         |    ms - 1 AS ke, ms AS ord
+         |  FROM isl
+         |  UNION ALL
+         |  SELECT doc_id, max(me) + 1 AS ks, 2147483647 AS ke, 2147483647 AS ord
+         |  FROM isl GROUP BY doc_id),
+         |clean AS (
+         |  SELECT segs.doc_id,
+         |    string_agg(substring(te.s, ks,
+         |      greatest(least(ke, length(te.s)) - ks + 1, 0)), '' ORDER BY ord) AS ct
+         |  FROM segs JOIN te ON segs.doc_id = te.doc_id
+         |  GROUP BY segs.doc_id)
+         |SELECT t.doc_id, CASE WHEN c.ct IS NULL THEN t.s ELSE c.ct END AS clean_text
+         |FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id""").stripMargin,
     "q76_top_ngrams" ->
       (s"""WITH tk AS (
          |  SELECT doc_id, $tokensSql AS ts FROM documents),

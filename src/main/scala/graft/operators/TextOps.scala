@@ -220,9 +220,28 @@ object TextOps {
     * hash exchange on doc id; no global sort anywhere. */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
       winLen: Int = 20, stride: Int = 5, minFreq: Long = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
       .filter(length(col("s")) >= winLen)
+    val islands = mergedDupSpans(t, winLen, stride, minFreq)
+    val perDoc = islands.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e0") - col("s0") + 1).as("removed"))
+    t.select(col("id"), length(col("s")).cast("long").as("n_chars"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed"), lit(0L)).cast("long").as("removed_chars"),
+        round((col("n_chars") - coalesce(col("removed"), lit(0L)))
+          / col("n_chars").cast("double"), 4).as("kept_ratio"))
+  }
+
+  /** Shared core of [[dupSpanStats]] / [[removeDupSpans]]: each document's
+    * corpus-duplicated windows merged into maximal disjoint intervals.
+    * Input must be (id, s) with length(s) ≥ winLen; returns (id, s0, e0),
+    * 1-indexed inclusive character bounds, disjoint and ascending per id. */
+  private def mergedDupSpans(t: DataFrame, winLen: Int, stride: Int,
+      minFreq: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wins = Stage.ensureWide(t)
       .select(col("id"), posexplode(transform(
         sequence(lit(1), length(col("s")) - (winLen - 1), lit(stride)),
@@ -239,22 +258,43 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     val runW = Window.partitionBy(col("id")).orderBy(col("start"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val marked = spans.withColumn("prev_max", max(col("end")).over(prevW))
+    spans.withColumn("prev_max", max(col("end")).over(prevW))
       .withColumn("isnew",
         when(col("prev_max").isNull || col("start") > col("prev_max"), 1L).otherwise(0L))
-    val islands = marked.withColumn("grp", sum(col("isnew")).over(runW))
+      .withColumn("grp", sum(col("isnew")).over(runW))
       .groupBy(col("id"), col("grp"))
       .agg(min(col("start")).as("s0"), max(col("end")).as("e0"))
-    val perDoc = islands.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("e0") - col("s0") + 1).as("removed"))
-    t.select(col("id"), length(col("s")).cast("long").as("n_chars"))
-      .join(perDoc, Seq("id"), "left")
-      .select(col("id"), col("n_chars"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("removed"), lit(0L)).cast("long").as("removed_chars"),
-        round((col("n_chars") - coalesce(col("removed"), lit(0L)))
-          / col("n_chars").cast("double"), 4).as("kept_ratio"))
+      .select(col("id"), col("s0"), col("e0"))
+  }
+
+  /** The splice that [[dupSpanStats]] accounts for: cut every merged
+    * duplicated span out of the text. Intervals gather per doc as one
+    * sorted struct array (sort_array orders by s0 — islands are disjoint,
+    * so that is the full order), and a single `aggregate` fold emits the
+    * kept segments — no per-row UDF, no driver round-trip. Documents
+    * shorter than `winLen` carry no windows and pass through unchanged.
+    * Returns (id, clean_text). */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      winLen: Int = 20, stride: Int = 5, minFreq: Long = 2): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
+    val eligible = t.filter(length(col("s")) >= winLen)
+    val ivs = mergedDupSpans(eligible, winLen, stride, minFreq)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("s0"), col("e0")))).as("ivs"))
+    t.join(ivs, Seq("id"), "left")
+      .select(col("id"),
+        aggregate(
+          coalesce(col("ivs"), array().cast("array<struct<s0:int,e0:int>>")),
+          struct(lit(1).cast("int").as("p"), lit("").as("acc")),
+          (acc, iv) => struct(
+            (iv.getField("e0") + 1).cast("int").as("p"),
+            concat(acc.getField("acc"),
+              col("s").substr(acc.getField("p"),
+                (iv.getField("s0") - acc.getField("p")).cast("int"))).as("acc")),
+          acc => concat(acc.getField("acc"),
+            col("s").substr(acc.getField("p"),
+              (length(col("s")) - acc.getField("p") + 1).cast("int")))
+        ).as("clean_text"))
   }
 
   /** Top-k most frequent token n-grams across the corpus — the boilerplate

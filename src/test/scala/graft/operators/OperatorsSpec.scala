@@ -603,6 +603,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) == ((40L, 2L, 40L, 0.0)), s"${out(4L)}")
   }
 
+  test("removeDupSpans: splices exactly the merged spans, short docs pass through") {
+    val boiler = "SUBSCRIBE-TO-OUR-NEWSLETTER-TODAY"
+    val df = Seq(
+      (1L, boiler + " unique tail one xxxxxxxx"),  // merged span [1,30]
+      (2L, "different head yyyy " + boiler),       // merged span [21,50]
+      (3L, "abcdefghijklmnopqrstuvwxyz0123456789 qqq"),
+      (4L, "ABCDEFGHIJKLMNOPQRST" * 2),            // spans [1,20],[21,40]: all cut
+      (5L, "short doc")                            // < winLen: untouched
+    ).toDF("id", "text")
+    val out = TextOps.removeDupSpans(df, "id", "text", winLen = 20, stride = 5)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "DAY unique tail one xxxxxxxx", s"'${out(1L)}'")
+    assert(out(2L) == "different head yyyy " + boiler.drop(30), s"'${out(2L)}'")
+    assert(out(3L) == "abcdefghijklmnopqrstuvwxyz0123456789 qqq")
+    assert(out(4L) == "", s"'${out(4L)}'")
+    assert(out(5L) == "short doc")
+    // invariant vs dupSpanStats: length(clean) == n_chars - removed_chars
+    val stats = TextOps.dupSpanStats(df, "id", "text", winLen = 20, stride = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    stats.foreach { case (id, (n, rem)) =>
+      assert(out(id).length == n - rem, s"doc $id: ${out(id).length} != $n - $rem") }
+  }
+
   test("topNgrams: exact counts, lexicographic tie-break, short docs ignored") {
     val df = Seq(
       (1L, "a b c a b c"), (2L, "x y z w"), (3L, "one two")
