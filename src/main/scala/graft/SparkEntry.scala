@@ -521,6 +521,25 @@ object SparkEntry {
       TextOps.removeDupSpans(TestTables.documents(s, dir), "doc_id", "text",
           winLen = 20, stride = 5, minFreq = 2)
         .select(col("id").as("doc_id"), col("clean_text"))),
+    "q78_clean_pipeline" -> ((s, dir) => {
+      // the cleaning pipeline end-to-end, composed from this round's
+      // operators: PII-redact every doc, splice out corpus-duplicated
+      // spans (windows computed over the REDACTED text — redaction can
+      // itself create duplicates), then per-language corpus accounting.
+      // Every stage is oracle-expressible, so the whole composition is
+      // hash-checked, not just its parts
+      val d = TestTables.documents(s, dir)
+      val redacted = d.select(col("doc_id"), col("lang"),
+        TextOps.piiRedact(col("text")).as("text"))
+      val clean = TextOps.removeDupSpans(redacted, "doc_id", "text",
+        winLen = 20, stride = 5, minFreq = 2)
+      redacted.join(clean.select(col("id").as("doc_id"), col("clean_text")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("bigint").as("redacted_chars"),
+          sum(length(col("clean_text"))).cast("bigint").as("clean_chars"))
+        .orderBy(col("lang"))
+    }),
     "q76_top_ngrams" -> ((s, dir) =>
       // boilerplate miner: corpus-wide top-20 token trigrams; partial-agg
       // shuffle on the ngram + TakeOrdered, lexicographic tie-break
@@ -993,6 +1012,58 @@ object SparkEntry {
          |  GROUP BY segs.doc_id)
          |SELECT t.doc_id, CASE WHEN c.ct IS NULL THEN t.s ELSE c.ct END AS clean_text
          |FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id""").stripMargin,
+    "q78_clean_pipeline" ->
+      ("""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g'),
+         |      '\+\d[\d -]{7,}\d', '[PII]', 'g') AS s
+         |  FROM documents),
+         |te AS (SELECT doc_id, s FROM t WHERE length(s) >= 20),
+         |w AS (
+         |  SELECT doc_id, i AS s0, i + 19 AS e0, substring(s, i, 20) AS win
+         |  FROM (SELECT doc_id, s, unnest(range(1, length(s) - 18, 5)) AS i FROM te)),
+         |f AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+         |d AS (SELECT w.doc_id, w.s0, w.e0 FROM w JOIN f ON w.win = f.win),
+         |m AS (
+         |  SELECT doc_id, s0, e0,
+         |    CASE WHEN max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |      OR s0 > max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    THEN 1 ELSE 0 END AS isnew
+         |  FROM d),
+         |g AS (
+         |  SELECT doc_id, s0, e0,
+         |    sum(isnew) OVER (PARTITION BY doc_id ORDER BY s0
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM m),
+         |isl AS (
+         |  SELECT doc_id, grp, min(s0) AS ms, max(e0) AS me
+         |  FROM g GROUP BY doc_id, grp),
+         |segs AS (
+         |  SELECT doc_id,
+         |    coalesce(lag(me) OVER (PARTITION BY doc_id ORDER BY ms), 0) + 1 AS ks,
+         |    ms - 1 AS ke, ms AS ord
+         |  FROM isl
+         |  UNION ALL
+         |  SELECT doc_id, max(me) + 1 AS ks, 2147483647 AS ke, 2147483647 AS ord
+         |  FROM isl GROUP BY doc_id),
+         |cl AS (
+         |  SELECT segs.doc_id,
+         |    string_agg(substring(te.s, ks,
+         |      greatest(least(ke, length(te.s)) - ks + 1, 0)), '' ORDER BY ord) AS ct
+         |  FROM segs JOIN te ON segs.doc_id = te.doc_id
+         |  GROUP BY segs.doc_id),
+         |clean AS (
+         |  SELECT t.doc_id, t.lang, t.s,
+         |    CASE WHEN c.ct IS NULL THEN t.s ELSE c.ct END AS clean_text
+         |  FROM t LEFT JOIN cl c ON t.doc_id = c.doc_id)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(length(s)) AS BIGINT) AS redacted_chars,
+         |  CAST(sum(length(clean_text)) AS BIGINT) AS clean_chars
+         |FROM clean GROUP BY lang ORDER BY lang""").stripMargin,
     "q76_top_ngrams" ->
       (s"""WITH tk AS (
          |  SELECT doc_id, $tokensSql AS ts FROM documents),

@@ -334,11 +334,17 @@ object TextOps {
     * same `regexp_replace` chain a writer would apply in place. Scan-local
     * and codegen'd — zero shuffles, linear in corpus bytes, trivially
     * partition-parallel at 100 TB. */
-  def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val redacted = regexp_replace(
+  /** The redaction [[piiScan]] accounts for: all three PII patterns
+    * replaced with a fixed token, email → ip → phone order (mirrored in
+    * every oracle that composes it). */
+  def piiRedact(t: Column): Column =
+    regexp_replace(
       regexp_replace(regexp_replace(t, emailRe, "[PII]"), ipv4Re, "[PII]"),
       phoneRe, "[PII]")
+
+  def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = piiRedact(t)
     df.select(
       col(idCol),
       size(regexp_extract_all(t, lit(emailRe), lit(0))).cast("long").as("n_email"),
