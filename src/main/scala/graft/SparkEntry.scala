@@ -521,6 +521,13 @@ object SparkEntry {
       TextOps.removeDupSpans(TestTables.documents(s, dir), "doc_id", "text",
           winLen = 20, stride = 5, minFreq = 2)
         .select(col("id").as("doc_id"), col("clean_text"))),
+    "q79_bigram_lm" -> ((s, dir) =>
+      // corpus-self-trained bigram LM quality scoring (the n-gram flavor
+      // of the CCNet LM filter): mean ln P(w2|w1) per doc under the
+      // corpus's own bigram MLE. The count tables are DataFrames — the
+      // "model" is written once and reused at scale
+      TextOps.bigramLmScore(TestTables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"))),
     "q78_clean_pipeline" -> ((s, dir) => {
       // the cleaning pipeline end-to-end, composed from this round's
       // operators: PII-redact every doc, splice out corpus-duplicated
@@ -1012,6 +1019,20 @@ object SparkEntry {
          |  GROUP BY segs.doc_id)
          |SELECT t.doc_id, CASE WHEN c.ct IS NULL THEN t.s ELSE c.ct END AS clean_text
          |FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id""").stripMargin,
+    "q79_bigram_lm" ->
+      (s"""WITH tk AS (
+         |  SELECT doc_id, $tokensSql AS ts FROM documents),
+         |big AS (
+         |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+         |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+         |        FROM tk WHERE len(ts) >= 2)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1)
+         |SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(avg(ln(CAST(c12.c12 AS DOUBLE) / c1.c1)), 4) AS avg_logp
+         |FROM big JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
+         |JOIN c1 ON big.w1 = c1.w1
+         |GROUP BY big.doc_id""").stripMargin,
     "q78_clean_pipeline" ->
       ("""WITH t AS (
          |  SELECT doc_id, lang,

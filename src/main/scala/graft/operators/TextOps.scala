@@ -317,6 +317,39 @@ object TextOps {
       .limit(k)
   }
 
+  /** Corpus-self-trained bigram language-model scoring — the n-gram flavor
+    * of the CCNet/Gopher LM-quality filter: documents whose token
+    * transitions are improbable under the corpus's own bigram MLE score
+    * low (gibberish, boilerplate soup, wrong-language fragments). For each
+    * document: mean over its bigrams of ln P(w2|w1), with
+    * P(w2|w1) = c(w1,w2) / c(w1·) and c(w1·) the count of bigrams starting
+    * with w1 — so P ≤ 1 and the score is ≤ 0; higher is more fluent.
+    * Documents with fewer than two tokens carry no bigrams and are
+    * excluded (same rule in the oracle).
+    *
+    * Scale shape: one explode of the zipped bigram stream, two partial-agg
+    * shuffles for the count tables (bigram + first-token marginal — the
+    * second rolls up from the first, reusing its exchange), then the doc
+    * stream joins the count tables keyed by bigram. The model IS a
+    * DataFrame — at 100 TB the count tables are written once and reused
+    * across scoring runs. Returns (id, n_bigrams, avg_logp ROUND 4). */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = tokens(trim(lower(col(textCol))))
+    val big = df.select(col(idCol).as("id"), tk.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("id"), explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1))).as("p"))
+      .select(col("id"), col("p").getField("0").as("w1"),
+        col("p").getField("1").as("w2"))
+    val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c12").cast("double") / col("c1"))), 4).as("avg_logp"))
+  }
+
   /** PII-bearing patterns for [[piiScan]]. Deliberately restricted to the
     * regex subset Java and RE2 evaluate identically (character classes,
     * bounded repetition, `\b` word boundaries — no lookaround, no

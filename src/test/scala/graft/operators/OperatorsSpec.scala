@@ -626,6 +626,66 @@ class OperatorsSpec extends SparkSpec {
       assert(out(id).length == n - rem, s"doc $id: ${out(id).length} != $n - $rem") }
   }
 
+  test("bigramLmScore: hand-computed MLE log-probs, short docs excluded") {
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("id", "text")
+    // c12: (a,b)=2 (b,a)=1 (a,c)=1; c1: a=3 b=1
+    val out = TextOps.bigramLmScore(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L), s"short doc not excluded: ${out.keySet}")
+    val d1 = (2 * math.log(2.0 / 3) + math.log(1.0)) / 3
+    assert(out(1L) == ((3L, BigDecimal(d1).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)), s"${out(1L)} vs $d1")
+    assert(out(2L)._1 == 1L && out(2L)._2 == -1.0986, s"${out(2L)}")
+  }
+
+  test("span dedup family: randomized corpora agree with a brute-force reference") {
+    val winLen = 8; val stride = 3
+    val rng = new scala.util.Random(42)
+    (1 to 3).foreach { round =>
+      // small alphabet + short docs → plenty of genuine cross-doc repeats
+      val corpus = (0L until 40L).map { id =>
+        val len = 5 + rng.nextInt(40)
+        id -> (0 until len).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+      }
+      // brute force: stride windows, corpus instance-frequency, merged spans
+      val freq = scala.collection.mutable.Map.empty[String, Int]
+      val winsOf = corpus.toMap.map { case (id, s) =>
+        id -> (1 to (s.length - winLen + 1) by stride).map(i =>
+          (i, s.substring(i - 1, i + winLen - 1)))
+      }
+      winsOf.values.flatten.foreach { case (_, w) => freq(w) = freq.getOrElse(w, 0) + 1 }
+      val expected = corpus.toMap.map { case (id, s) =>
+        if (s.length < winLen) id -> ((s.length, 0, 0, s))
+        else {
+          val spans = winsOf(id).collect { case (i, w) if freq(w) >= 2 => (i, i + winLen - 1) }
+          val merged = spans.foldLeft(List.empty[(Int, Int)]) {
+            case (acc @ ((s0, e0) :: rest), (s1, e1)) =>
+              if (s1 <= e0) (s0, math.max(e0, e1)) :: rest else (s1, e1) :: acc
+            case (Nil, iv) => iv :: Nil
+          }.reverse
+          val removed = merged.map { case (a, b) => b - a + 1 }.sum
+          val clean = merged.reverse.foldLeft(s) { case (t, (a, b)) =>
+            t.substring(0, a - 1) + t.substring(b) }
+          id -> ((s.length, merged.size, removed, clean))
+        }
+      }
+      val df = corpus.toDF("id", "text")
+      val stats = TextOps.dupSpanStats(df, "id", "text", winLen, stride)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(3).toInt))).toMap
+      val clean = TextOps.removeDupSpans(df, "id", "text", winLen, stride)
+        .as[(Long, String)].collect().toMap
+      expected.foreach { case (id, (n, spans, removed, cl)) =>
+        if (n >= winLen)
+          assert(stats(id) == ((n, spans, removed)),
+            s"round $round doc $id stats ${stats(id)} != ($n,$spans,$removed)")
+        else assert(!stats.contains(id), s"round $round short doc $id in stats")
+        assert(clean(id) == cl,
+          s"round $round doc $id clean '${clean(id)}' != '$cl'")
+      }
+    }
+  }
+
   test("topNgrams: exact counts, lexicographic tie-break, short docs ignored") {
     val df = Seq(
       (1L, "a b c a b c"), (2L, "x y z w"), (3L, "one two")
