@@ -521,6 +521,16 @@ object SparkEntry {
       TextOps.removeDupSpans(TestTables.documents(s, dir), "doc_id", "text",
           winLen = 20, stride = 5, minFreq = 2)
         .select(col("id").as("doc_id"), col("clean_text"))),
+    "q80_dedup_spans_cdc" -> ((s, dir) =>
+      // alignment-free span dedup: content-defined window selection (all
+      // stride-1 windows, keep md5-head ≡ 0 mod 5 — the mod-p flavor of
+      // winnowing). Unlike q75's stride grid, misaligned cross-doc
+      // duplicates are detected; md5 keeps the selection rule replayable
+      // in the oracle
+      TextOps.dupSpanStats(TestTables.documents(s, dir), "doc_id", "text",
+          winLen = 20, stride = 5, minFreq = 2, modP = 5)
+        .select(col("id").as("doc_id"), col("n_chars"), col("n_spans"),
+          col("removed_chars"), col("kept_ratio"))),
     "q79_bigram_lm" -> ((s, dir) =>
       // corpus-self-trained bigram LM quality scoring (the n-gram flavor
       // of the CCNet LM filter): mean ln P(w2|w1) per doc under the
@@ -1019,6 +1029,41 @@ object SparkEntry {
          |  GROUP BY segs.doc_id)
          |SELECT t.doc_id, CASE WHEN c.ct IS NULL THEN t.s ELSE c.ct END AS clean_text
          |FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id""").stripMargin,
+    "q80_dedup_spans_cdc" ->
+      ("""WITH t AS (
+         |  SELECT doc_id, text AS s FROM documents WHERE length(text) >= 20),
+         |w AS (
+         |  SELECT doc_id, i AS s0, i + 19 AS e0, substring(s, i, 20) AS win
+         |  FROM (SELECT doc_id, s, unnest(range(1, length(s) - 18)) AS i FROM t)
+         |  WHERE CAST(('0x' || substring(md5(substring(s, i, 20)), 1, 8)) AS BIGINT)
+         |    % 5 = 0),
+         |f AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+         |d AS (SELECT w.doc_id, w.s0, w.e0 FROM w JOIN f ON w.win = f.win),
+         |m AS (
+         |  SELECT doc_id, s0, e0,
+         |    CASE WHEN max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |      OR s0 > max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    THEN 1 ELSE 0 END AS isnew
+         |  FROM d),
+         |g AS (
+         |  SELECT doc_id, s0, e0,
+         |    sum(isnew) OVER (PARTITION BY doc_id ORDER BY s0
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM m),
+         |isl AS (
+         |  SELECT doc_id, grp, min(s0) AS ms, max(e0) AS me
+         |  FROM g GROUP BY doc_id, grp),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_spans, sum(me - ms + 1) AS removed
+         |  FROM isl GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(length(t.s) AS BIGINT) AS n_chars,
+         |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(a.removed, 0) AS BIGINT) AS removed_chars,
+         |  round((length(t.s) - coalesce(a.removed, 0))
+         |    / CAST(length(t.s) AS DOUBLE), 4) AS kept_ratio
+         |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id""").stripMargin,
     "q79_bigram_lm" ->
       (s"""WITH tk AS (
          |  SELECT doc_id, $tokensSql AS ts FROM documents),

@@ -177,29 +177,36 @@ object TextOps {
     * `n_windows` is CLOSED-FORM from the document length — no second pass
     * over the window stream. Windows key the shuffle as plain substrings
     * (winLen bytes, engine-portable byte equality), so the whole pipeline
-    * replays in the ANSI oracle. Stride trades recall for volume the
-    * standard way: stride s detects any duplicated span of length
-    * ≥ winLen + s − 1 via at least one shared window. */
+    * replays in the ANSI oracle. The stride grid is ALIGNMENT-SENSITIVE
+    * (see [[spanWindows]]) — misaligned cross-doc duplicates can be
+    * missed; `modP > 0` switches to content-defined mod-p window
+    * selection, which detects duplicated spans at ANY alignment for the
+    * same expected volume (p ≈ stride). */
   def repeatedWindowStats(df: DataFrame, idCol: String, textCol: String,
-      winLen: Int = 20, stride: Int = 5, minFreq: Long = 2): DataFrame = {
+      winLen: Int = 20, stride: Int = 5, minFreq: Long = 2,
+      modP: Int = 0): DataFrame = {
     require(winLen >= 1 && stride >= 1, "need winLen >= 1 and stride >= 1")
     val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
       .filter(length(col("s")) >= winLen)
-    val wins = Stage.ensureWide(t)
-      .select(col("id"), explode(transform(
-        sequence(lit(1), length(col("s")) - (winLen - 1), lit(stride)),
-        i => col("s").substr(i, lit(winLen)))).as("w"))
+    val wins = spanWindows(t, winLen, stride, modP).select(col("id"), col("w"))
     val dup = wins.groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)
       .select(col("w")).hint("SHUFFLE_HASH")
     val perDoc = wins.join(dup, "w")
       .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
-    t.select(col("id"),
+    // stride grid: window count is CLOSED-FORM from doc length (no second
+    // pass); mod-p selection is content-dependent, so count the stream
+    val nwin =
+      if (modP <= 0) t.select(col("id"),
         (floor((length(col("s")) - winLen) / stride) + 1).cast("long").as("n_windows"))
-      .join(perDoc, Seq("id"), "left")
+      else t.select(col("id"))
+        .join(wins.groupBy(col("id")).agg(count(lit(1)).as("nw")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("nw"), lit(0L)).as("n_windows"))
+    nwin.join(perDoc, Seq("id"), "left")
       .select(col("id"), col("n_windows"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"), 4)
+        when(col("n_windows") === 0, lit(0.0)).otherwise(
+          round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"), 4))
           .as("dup_ratio"))
   }
 
@@ -219,10 +226,11 @@ object TextOps {
     * len/stride rows — the window sort is within-doc, so the shuffle is one
     * hash exchange on doc id; no global sort anywhere. */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
-      winLen: Int = 20, stride: Int = 5, minFreq: Long = 2): DataFrame = {
+      winLen: Int = 20, stride: Int = 5, minFreq: Long = 2,
+      modP: Int = 0): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
       .filter(length(col("s")) >= winLen)
-    val islands = mergedDupSpans(t, winLen, stride, minFreq)
+    val islands = mergedDupSpans(t, winLen, stride, minFreq, modP)
     val perDoc = islands.groupBy(col("id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e0") - col("s0") + 1).as("removed"))
@@ -235,18 +243,48 @@ object TextOps {
           / col("n_chars").cast("double"), 4).as("kept_ratio"))
   }
 
+  /** The (id, start, window) stream every span operator builds on.
+    *
+    * Two selection modes. `modP = 0` (default): fixed-stride grid — fast
+    * (len/stride windows/doc) but ALIGNMENT-SENSITIVE: two occurrences of
+    * the same span only share a window string when their offsets agree
+    * modulo the stride, so cross-document duplicates at arbitrary offsets
+    * can be missed entirely (each occurrence's grid hits one residue class
+    * of span-relative positions). Right for templated corpora (shared
+    * prefixes/suffixes, whole-doc dups, aligned tandem repeats) and for
+    * the exact accounting the oracles replay. `modP = p > 0`:
+    * CONTENT-DEFINED selection — all stride-1 windows, keep those whose
+    * md5 head ≡ 0 (mod p), the mod-p flavor of winnowing fingerprint
+    * selection. Both occurrences of a span select the same span-relative
+    * windows REGARDLESS of alignment (selection depends only on window
+    * content), expected volume len/p per doc, and md5 keeps the rule
+    * replayable in the ANSI oracle. A span of length L ≥ winLen contains
+    * L − winLen + 1 windows, each selected with rate 1/p, so a duplicated
+    * span of length ≥ winLen + a few·p is detected with near-certainty at
+    * any alignment. */
+  private[operators] def spanWindows(t: DataFrame, winLen: Int, stride: Int,
+      modP: Int): DataFrame = {
+    val step = if (modP > 0) 1 else stride
+    val base = Stage.ensureWide(t)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), length(col("s")) - (winLen - 1), lit(step)),
+        i => col("s").substr(i, lit(winLen)))))
+      .select(col("id"), (col("pos") * step + 1).as("start"), col("col").as("w"))
+    if (modP > 0)
+      base.filter(
+        conv(substring(md5(to_binary(col("w"), lit("utf-8"))), 1, 8), 16, 10)
+          .cast("long") % modP === 0)
+    else base
+  }
+
   /** Shared core of [[dupSpanStats]] / [[removeDupSpans]]: each document's
     * corpus-duplicated windows merged into maximal disjoint intervals.
     * Input must be (id, s) with length(s) ≥ winLen; returns (id, s0, e0),
     * 1-indexed inclusive character bounds, disjoint and ascending per id. */
   private def mergedDupSpans(t: DataFrame, winLen: Int, stride: Int,
-      minFreq: Long): DataFrame = {
+      minFreq: Long, modP: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = Stage.ensureWide(t)
-      .select(col("id"), posexplode(transform(
-        sequence(lit(1), length(col("s")) - (winLen - 1), lit(stride)),
-        i => col("s").substr(i, lit(winLen)))))
-      .select(col("id"), (col("pos") * stride + 1).as("start"), col("col").as("w"))
+    val wins = spanWindows(t, winLen, stride, modP)
     // same map-side-combine + SHUFFLE_HASH shape as [[repeatedWindowStats]]:
     // never sort the full window stream just to probe the dup set
     val dup = wins.groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -275,10 +313,11 @@ object TextOps {
     * shorter than `winLen` carry no windows and pass through unchanged.
     * Returns (id, clean_text). */
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
-      winLen: Int = 20, stride: Int = 5, minFreq: Long = 2): DataFrame = {
+      winLen: Int = 20, stride: Int = 5, minFreq: Long = 2,
+      modP: Int = 0): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
     val eligible = t.filter(length(col("s")) >= winLen)
-    val ivs = mergedDupSpans(eligible, winLen, stride, minFreq)
+    val ivs = mergedDupSpans(eligible, winLen, stride, minFreq, modP)
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("s0"), col("e0")))).as("ivs"))
     t.join(ivs, Seq("id"), "left")
@@ -295,6 +334,21 @@ object TextOps {
             col("s").substr(acc.getField("p"),
               (length(col("s")) - acc.getField("p") + 1).cast("int")))
         ).as("clean_text"))
+  }
+
+  /** The blocklist half of [[repeatedWindowStats]], exposed for reuse:
+    * character windows whose corpus instance-frequency is ≥ `minFreq`,
+    * with counts — the mined boilerplate set a streaming ingest filter
+    * ([[graft.streaming.EventStreams.boilerplateFilterStream]]) or a later
+    * cleaning pass consumes. Returns (w, freq). */
+  def hotWindows(df: DataFrame, idCol: String, textCol: String,
+      winLen: Int = 20, stride: Int = 5, minFreq: Long = 2,
+      modP: Int = 0): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
+      .filter(length(col("s")) >= winLen)
+    spanWindows(t, winLen, stride, modP)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
   }
 
   /** Top-k most frequent token n-grams across the corpus — the boilerplate

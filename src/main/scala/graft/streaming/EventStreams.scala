@@ -77,6 +77,36 @@ object EventStreams {
       TextOps.fingerprint(col("text")).as("fingerprint"))
   }
 
+  /** Stream-side boilerplate filter — the batch-mine → stream-apply
+    * pattern: a blocklist of hot character windows mined offline
+    * ([[graft.operators.TextOps.hotWindows]], the detection half of
+    * span-level dedup) is applied STATELESS to every arriving document.
+    * The blocklist collapses to a one-row array broadcast with the
+    * stream-static cross join, and the membership test is one
+    * `arrays_overlap` over ALL of the arriving doc's stride-1 windows —
+    * testing every offset makes the check alignment-free regardless of how
+    * the blocklist was mined (mine it with `modP > 0` so the CORPUS side
+    * is alignment-free too; non-selected windows are simply never in the
+    * blocklist, so the superset test changes no verdict). No per-doc
+    * state, no shuffle on the stream side — ingest throughput is
+    * scan-bound at any scale (the blocklist is top-of-the-Zipf-head by
+    * construction, small by the same argument as the q23 posting cap).
+    * Docs shorter than one window carry no windows and are never flagged.
+    * Works identically on a batch frame — parity-tested. Returns the
+    * input plus a `flagged` boolean. */
+  def boilerplateFilterStream(docs: DataFrame, blocklist: DataFrame,
+      winLen: Int = 20): DataFrame = {
+    val bl = broadcast(blocklist.agg(collect_list(col("w")).as("bl")))
+    docs.crossJoin(bl)
+      .withColumn("flagged", arrays_overlap(
+        when(length(col("text")) >= winLen, transform(
+            sequence(lit(1), length(col("text")) - (winLen - 1)),
+            i => col("text").substr(i, lit(winLen))))
+          .otherwise(array().cast("array<string>")),
+        col("bl")))
+      .drop("bl")
+  }
+
   /** Streaming decontamination — the on-ingest face of
     * [[graft.operators.Contamination.overlap]]: every arriving training doc
     * is checked for n-gram overlap against a STATIC benchmark corpus before

@@ -686,6 +686,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("mod-p window selection finds MISALIGNED duplicates the stride grid misses") {
+    // 60-char shared span at offsets 1 and 3 (offset delta 2, not a stride
+    // multiple): every stride-5 window of doc 1 inside the span sits at a
+    // different span-relative position than doc 2's, so the grids share no
+    // window string — content-defined selection depends only on content
+    val span = "THE-QUICK-BROWN-FOX-JUMPS-OVER-THE-LAZY-DOG-AGAIN-AND-AGAIN!"
+    val df = Seq(
+      (1L, span + " tail padding here"),
+      (2L, "ab" + span + " other ending text")
+    ).toDF("id", "text")
+    val stride = TextOps.dupSpanStats(df, "id", "text",
+        winLen = 20, stride = 5, minFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(stride.values.forall(_ == 0L),
+      s"stride grid unexpectedly matched misaligned dups: $stride")
+    val cdc = TextOps.dupSpanStats(df, "id", "text",
+        winLen = 20, stride = 5, minFreq = 2, modP = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(cdc(1L)._1 >= 1 && cdc(2L)._1 >= 1,
+      s"content-defined selection missed the shared span: $cdc")
+    // the same windows are selected in both docs, so removal is symmetric
+    assert(cdc(1L)._2 == cdc(2L)._2, s"asymmetric removal: $cdc")
+  }
+
   test("topNgrams: exact counts, lexicographic tie-break, short docs ignored") {
     val df = Seq(
       (1L, "a b c a b c"), (2L, "x y z w"), (3L, "one two")

@@ -128,6 +128,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists { case (id, _, lang, _) => id == 2L && lang == "fr" })
   }
 
+  test("boilerplate filter: batch-mined blocklist flags the stream identically") {
+    val boiler = "SUBSCRIBE-TO-OUR-NEWSLETTER-TODAY"
+    // offline corpus mines the blocklist; docs 10/11 share the boilerplate
+    val mined = Seq(
+      (10L, boiler + " some page body here"),
+      (11L, "other page text " + boiler + "!"),
+      (12L, "completely original body with no repeats at all")
+    ).toDF("doc_id", "text")
+    // mod-p mining: the two boiler occurrences sit at MISALIGNED offsets
+    // (1 and 17), which a stride grid cannot pair — content-defined
+    // selection pairs them at any alignment
+    val blocklist = graft.operators.TextOps.hotWindows(
+      mined, "doc_id", "text", winLen = 20, stride = 5, minFreq = 2, modP = 5)
+    assert(blocklist.count() >= 1, "blocklist should contain boiler windows")
+    // arriving docs: 1 carries the boilerplate, 2 is clean, 3 is short
+    val arrivals = Seq(
+      (1L, "fresh article " + boiler + " trailing content"),
+      (2L, "a genuinely novel document body with new words"),
+      (3L, "tiny"))
+    val batch = EventStreams.boilerplateFilterStream(
+        arrivals.toDF("doc_id", "text"), blocklist)
+      .select($"doc_id", $"flagged").as[(Long, Boolean)].collect().toMap
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(arrivals: _*)
+    val q = EventStreams.boilerplateFilterStream(
+        mem.toDF().toDF("doc_id", "text"), blocklist)
+      .select($"doc_id", $"flagged")
+      .writeStream.format("memory").queryName("boilerflag")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("boilerflag").as[(Long, Boolean)].collect().toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(batch == Map(1L -> true, 2L -> false, 3L -> false), s"$batch")
+  }
+
   test("streaming decontamination: stream-static shingle join matches batch overlap") {
     val evalDocs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
