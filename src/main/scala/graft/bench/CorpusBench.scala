@@ -228,6 +228,21 @@ object CorpusBench {
         TextOps.dupSpanStats(docs, "doc_id", "text", winLen = 20, stride = 5)
           .agg(sum(col("removed_chars"))).head().getLong(0)
       })
+      // the alignment-free variant: stride-1 windows + md5 mod-p selection
+      // — ~5x the window generation and one md5 per window; this row is
+      // the measured price of content-defined selection vs the grid
+      benchAct("dup_spans_cdc", () => {
+        TextOps.dupSpanStats(docs, "doc_id", "text", winLen = 20, stride = 5,
+            modP = 5)
+          .agg(sum(col("removed_chars"))).head().getLong(0)
+      })
+      // same selection math under the native xxhash64 hash — the fast path
+      // when oracle portability isn't needed
+      benchAct("dup_spans_cdc_native", () => {
+        TextOps.dupSpanStats(docs, "doc_id", "text", winLen = 20, stride = 5,
+            modP = 5, portableSel = false)
+          .agg(sum(col("removed_chars"))).head().getLong(0)
+      })
       // PII scan is scan-local (zero shuffles) — its row is the evidence;
       // same sum-the-outputs action so the regex columns can't be pruned
       benchAct("pii_scan", () => {
