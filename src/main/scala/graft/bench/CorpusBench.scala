@@ -137,10 +137,17 @@ object CorpusBench {
     val outPath = sys.env.getOrElse("CORPUS_OUT", "docs/corpusbench_local32.jsonl")
     val warmup = sys.env.getOrElse("BENCH_WARMUP", "1").toInt
     val iters = sys.env.getOrElse("BENCH_ITERS", "2").toInt
+    // SHUFFLE_PARTS: override the shuffle partition count (default = cpus).
+    // Measured caveat: the window-aggregate spill does NOT shrink with more
+    // local partitions (dup_spans@500k: 16.7 GB at 32 parts, 19.0 GB at
+    // 256) — the state sits in the map-side PARTIAL aggregate, whose
+    // total per-JVM size is cardinality-bound; on a real cluster that
+    // state divides across executors, not partitions
+    val shuffleParts = sys.env.getOrElse("SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-corpusbench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

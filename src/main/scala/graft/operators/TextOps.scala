@@ -175,7 +175,11 @@ object TextOps {
     * side of a SHUFFLE_HASH join (a sort-merge join would sort the full
     * window stream — measured 23 GB of sort spill at 500k docs), and
     * `n_windows` is CLOSED-FORM from the document length — no second pass
-    * over the window stream. Windows key the shuffle as plain substrings
+    * over the window stream. The residual spill at 500k/local32 (~17 GB)
+    * is the exact-count aggregate's distinct-key state (~125M 20-byte
+    * keys vs one 8 GB JVM) — measured invariant to the shuffle partition
+    * count because it sits in the map-side partial agg; on a real cluster
+    * that state divides across executors. Windows key the shuffle as plain substrings
     * (winLen bytes, engine-portable byte equality), so the whole pipeline
     * replays in the ANSI oracle. The stride grid is ALIGNMENT-SENSITIVE
     * (see [[spanWindows]]) — misaligned cross-doc duplicates can be
