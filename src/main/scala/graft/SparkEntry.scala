@@ -521,6 +521,19 @@ object SparkEntry {
       TextOps.removeDupSpans(TestTables.documents(s, dir), "doc_id", "text",
           winLen = 20, stride = 5, minFreq = 2)
         .select(col("id").as("doc_id"), col("clean_text"))),
+    "q81_decontaminate_spans" -> ((s, dir) => {
+      // span-level decontamination: any window of a TRAIN doc that occurs
+      // anywhere in the EVAL slice marks a contaminated interval (content-
+      // defined selection — a leaked span is caught at any offset); the
+      // substring counterpart of q47's doc-level shingle overlap
+      val d = TestTables.documents(s, dir)
+      TextOps.decontaminateSpans(
+          d.filter(col("doc_id") >= 25), "doc_id", "text",
+          d.filter(col("doc_id") < 25), "doc_id", "text",
+          winLen = 20, stride = 5, modP = 5)
+        .select(col("id").as("doc_id"), col("n_chars"), col("n_spans"),
+          col("removed_chars"), col("kept_ratio"))
+    }),
     "q80_dedup_spans_cdc" -> ((s, dir) =>
       // alignment-free span dedup: content-defined window selection (all
       // stride-1 windows, keep md5-head ≡ 0 mod 5 — the mod-p flavor of
@@ -1029,6 +1042,49 @@ object SparkEntry {
          |  GROUP BY segs.doc_id)
          |SELECT t.doc_id, CASE WHEN c.ct IS NULL THEN t.s ELSE c.ct END AS clean_text
          |FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id""").stripMargin,
+    "q81_decontaminate_spans" ->
+      ("""WITH tr AS (
+         |  SELECT doc_id, text AS s FROM documents
+         |  WHERE doc_id >= 25 AND length(text) >= 20),
+         |ev AS (
+         |  SELECT doc_id, text AS s FROM documents
+         |  WHERE doc_id < 25 AND length(text) >= 20),
+         |tw AS (
+         |  SELECT doc_id, i AS s0, i + 19 AS e0, substring(s, i, 20) AS win
+         |  FROM (SELECT doc_id, s, unnest(range(1, length(s) - 18)) AS i FROM tr)
+         |  WHERE CAST(('0x' || substring(md5(substring(s, i, 20)), 1, 8)) AS BIGINT)
+         |    % 5 = 0),
+         |ew AS (
+         |  SELECT DISTINCT substring(s, i, 20) AS win
+         |  FROM (SELECT s, unnest(range(1, length(s) - 18)) AS i FROM ev)
+         |  WHERE CAST(('0x' || substring(md5(substring(s, i, 20)), 1, 8)) AS BIGINT)
+         |    % 5 = 0),
+         |d AS (SELECT tw.doc_id, tw.s0, tw.e0 FROM tw JOIN ew ON tw.win = ew.win),
+         |m AS (
+         |  SELECT doc_id, s0, e0,
+         |    CASE WHEN max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |      OR s0 > max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    THEN 1 ELSE 0 END AS isnew
+         |  FROM d),
+         |g AS (
+         |  SELECT doc_id, s0, e0,
+         |    sum(isnew) OVER (PARTITION BY doc_id ORDER BY s0
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM m),
+         |isl AS (
+         |  SELECT doc_id, grp, min(s0) AS ms, max(e0) AS me
+         |  FROM g GROUP BY doc_id, grp),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_spans, sum(me - ms + 1) AS removed
+         |  FROM isl GROUP BY doc_id)
+         |SELECT tr.doc_id, CAST(length(tr.s) AS BIGINT) AS n_chars,
+         |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(a.removed, 0) AS BIGINT) AS removed_chars,
+         |  round((length(tr.s) - coalesce(a.removed, 0))
+         |    / CAST(length(tr.s) AS DOUBLE), 4) AS kept_ratio
+         |FROM tr LEFT JOIN agg a ON tr.doc_id = a.doc_id""").stripMargin,
     "q80_dedup_spans_cdc" ->
       ("""WITH t AS (
          |  SELECT doc_id, text AS s FROM documents WHERE length(text) >= 20),

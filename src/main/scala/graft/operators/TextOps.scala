@@ -295,15 +295,21 @@ object TextOps {
     * 1-indexed inclusive character bounds, disjoint and ascending per id. */
   private def mergedDupSpans(t: DataFrame, winLen: Int, stride: Int,
       minFreq: Long, modP: Int, portableSel: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val wins = spanWindows(t, winLen, stride, modP, portableSel)
     // same map-side-combine + SHUFFLE_HASH shape as [[repeatedWindowStats]]:
     // never sort the full window stream just to probe the dup set
     val dup = wins.groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)
       .select(col("w")).hint("SHUFFLE_HASH")
-    val spans = wins.join(dup, "w")
-      .select(col("id"), col("start"), (col("start") + (winLen - 1)).as("end"))
+    mergeIslands(wins.join(dup, "w")
+      .select(col("id"), col("start"), (col("start") + (winLen - 1)).as("end")))
+  }
+
+  /** Gaps-and-islands merge of per-doc (start, end) intervals into maximal
+    * disjoint spans — shared by same-corpus dedup and cross-corpus
+    * decontamination. Returns (id, s0, e0), disjoint, ascending per id. */
+  private def mergeIslands(spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val prevW = Window.partitionBy(col("id")).orderBy(col("start"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val runW = Window.partitionBy(col("id")).orderBy(col("start"))
@@ -315,6 +321,42 @@ object TextOps {
       .groupBy(col("id"), col("grp"))
       .agg(min(col("start")).as("s0"), max(col("end")).as("e0"))
       .select(col("id"), col("s0"), col("e0"))
+  }
+
+  /** Span-level decontamination — the substring counterpart of the
+    * doc-level shingle-overlap check ([[Contamination]]): any window of a
+    * TRAIN document that also occurs anywhere in the EVAL benchmark marks
+    * a contaminated interval, intervals merge per doc, and the output
+    * accounts what a scrub pass would cut (same columns as
+    * [[dupSpanStats]]). Default `modP = 5`: decontamination must catch the
+    * leaked span at ANY offset, so content-defined selection is the right
+    * default — both corpora select the same span-relative windows
+    * regardless of alignment. The eval window set is distinct (a benchmark
+    * is small next to the training corpus) and probes as the hash-build
+    * side; the train stream never sorts. */
+  def decontaminateSpans(train: DataFrame, trainId: String, trainText: String,
+      eval: DataFrame, evalId: String, evalText: String,
+      winLen: Int = 20, stride: Int = 5, modP: Int = 5,
+      portableSel: Boolean = true): DataFrame = {
+    val t = train.select(col(trainId).as("id"), col(trainText).as("s"))
+      .filter(length(col("s")) >= winLen)
+    val e = eval.select(col(evalId).as("id"), col(evalText).as("s"))
+      .filter(length(col("s")) >= winLen)
+    val evalWins = spanWindows(e, winLen, stride, modP, portableSel)
+      .select(col("w")).distinct().hint("SHUFFLE_HASH")
+    val trainWins = spanWindows(t, winLen, stride, modP, portableSel)
+    val islands = mergeIslands(trainWins.join(evalWins, "w")
+      .select(col("id"), col("start"), (col("start") + (winLen - 1)).as("end")))
+    val perDoc = islands.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e0") - col("s0") + 1).as("removed"))
+    t.select(col("id"), length(col("s")).cast("long").as("n_chars"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed"), lit(0L)).cast("long").as("removed_chars"),
+        round((col("n_chars") - coalesce(col("removed"), lit(0L)))
+          / col("n_chars").cast("double"), 4).as("kept_ratio"))
   }
 
   /** The splice that [[dupSpanStats]] accounts for: cut every merged

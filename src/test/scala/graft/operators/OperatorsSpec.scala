@@ -711,6 +711,22 @@ class OperatorsSpec extends SparkSpec {
     assert(cdc(1L)._2 == cdc(2L)._2, s"asymmetric removal: $cdc")
   }
 
+  test("decontaminateSpans: planted eval leak flagged at a misaligned offset") {
+    val evalSent = "WHAT-IS-THE-CAPITAL-OF-FRANCE-PARIS-IS-THE-ANSWER-HERE!"
+    val eval = Seq((900L, evalSent + " plus benchmark framing text")).toDF("id", "text")
+    val train = Seq(
+      // leak at offset 4 — no alignment with the eval doc's offset 1
+      (1L, "xy. " + evalSent + " and some training prose after"),
+      (2L, "a completely independent training document with its own words")
+    ).toDF("id", "text")
+    val out = TextOps.decontaminateSpans(train, "id", "text", eval, "id", "text",
+        winLen = 20, stride = 5, modP = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 >= 1 && out(1L)._2 >= 20,
+      s"planted leak not flagged: ${out(1L)}")
+    assert(out(2L) == ((0L, 0L)), s"clean doc flagged: ${out(2L)}")
+  }
+
   test("topNgrams: exact counts, lexicographic tie-break, short docs ignored") {
     val df = Seq(
       (1L, "a b c a b c"), (2L, "x y z w"), (3L, "one two")
