@@ -107,6 +107,65 @@ object EventStreams {
       .drop("bl")
   }
 
+  /** On-ingest SPAN decontamination — the streaming face of
+    * [[graft.operators.TextOps.decontaminateSpans]]: every arriving train
+    * document is checked against a STATIC eval-benchmark window set, and
+    * the contaminated-interval merge runs ENTIRELY INSIDE THE ROW — the
+    * matching window starts come back ascending from one higher-order
+    * `filter` over the position sequence, so a single `aggregate` fold
+    * merges them into disjoint spans with four scalars of state (count,
+    * removed, current span start/end). No stream-side state store, no
+    * shuffle, no watermark: ingest throughput is scan-bound, and the
+    * verdict is available the moment the row is. Selection mirrors the
+    * batch operator (`modP` content-defined, md5) so stream and batch
+    * agree doc-for-doc — parity-tested. `evalWindows` is the
+    * mod-p-selected distinct window set of the benchmark ((w) rows, e.g.
+    * `TextOps.hotWindows(eval…, minFreq = 1, modP = 5)`), collapsed to a
+    * one-row broadcast array.
+    *
+    * Returns the input plus (n_spans, removed_chars, flagged). */
+  def decontaminateSpansStream(docs: DataFrame, evalWindows: DataFrame,
+      winLen: Int = 20, modP: Int = 5): DataFrame = {
+    val bl = broadcast(evalWindows.agg(collect_list(col("w")).as("bl")))
+    val starts = when(length(col("text")) >= winLen,
+        filter(
+          sequence(lit(1), length(col("text")) - (winLen - 1)),
+          i => {
+            val w = col("text").substr(i, lit(winLen))
+            val sel =
+              if (modP > 0)
+                conv(substring(md5(to_binary(w, lit("utf-8"))), 1, 8), 16, 10)
+                  .cast("long") % modP === 0
+              else lit(true)
+            sel && array_contains(col("bl"), w)
+          }))
+      .otherwise(array().cast("array<int>"))
+    val zero = struct(lit(0L).as("n"), lit(0L).as("rm"),
+      lit(0).as("cs"), lit(0).as("ce"))
+    val acc = aggregate(starts, zero,
+      (a, i) => {
+        val e = i + (winLen - 1)
+        when(a.getField("cs") === 0,
+          struct(lit(1L).as("n"), lit(0L).as("rm"), i.as("cs"), e.as("ce")))
+        .when(i <= a.getField("ce"),
+          struct(a.getField("n").as("n"), a.getField("rm").as("rm"),
+            a.getField("cs").as("cs"), e.as("ce")))
+        .otherwise(struct((a.getField("n") + 1).as("n"),
+          (a.getField("rm") + a.getField("ce") - a.getField("cs") + 1).as("rm"),
+          i.as("cs"), e.as("ce")))
+      },
+      a => struct(a.getField("n").as("n"),
+        when(a.getField("cs") === 0, a.getField("rm"))
+          .otherwise(a.getField("rm") + a.getField("ce") - a.getField("cs") + 1)
+          .as("rm")))
+    docs.crossJoin(bl)
+      .withColumn("acc", acc)
+      .withColumn("n_spans", col("acc").getField("n"))
+      .withColumn("removed_chars", col("acc").getField("rm").cast("long"))
+      .withColumn("flagged", col("n_spans") > 0)
+      .drop("bl", "acc")
+  }
+
   /** Streaming decontamination — the on-ingest face of
     * [[graft.operators.Contamination.overlap]]: every arriving training doc
     * is checked for n-gram overlap against a STATIC benchmark corpus before

@@ -164,6 +164,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Map(1L -> true, 2L -> false, 3L -> false), s"$batch")
   }
 
+  test("streaming span decontamination: in-row interval merge matches batch") {
+    val evalSent = "WHAT-IS-THE-CAPITAL-OF-FRANCE-PARIS-IS-THE-ANSWER-HERE!"
+    val evalDf = Seq((900L, evalSent + " benchmark framing")).toDF("doc_id", "text")
+    val trains = Seq(
+      (1L, "xy. " + evalSent + " and training prose"),    // misaligned leak
+      (2L, "an independent training document with its own clean words"),
+      (3L, "tiny"),                                        // shorter than winLen
+      (4L, evalSent + "abc" + evalSent))                   // two merged-or-split spans
+    val evalW = graft.operators.TextOps.hotWindows(
+      evalDf, "doc_id", "text", winLen = 20, stride = 5, minFreq = 1, modP = 5)
+    val batch = graft.operators.TextOps.decontaminateSpans(
+        trains.toDF("doc_id", "text"), "doc_id", "text",
+        evalDf, "doc_id", "text", winLen = 20, stride = 5, modP = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(trains: _*)
+    val q = EventStreams.decontaminateSpansStream(
+        mem.toDF().toDF("doc_id", "text"), evalW, winLen = 20, modP = 5)
+      .select($"doc_id", $"n_spans", $"removed_chars")
+      .writeStream.format("memory").queryName("spandecon")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("spandecon").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // batch drops sub-window docs; the stream passes them through unflagged
+    assert(streamed(3L) == ((0L, 0L)), s"short doc flagged: ${streamed(3L)}")
+    batch.foreach { case (id, exp) =>
+      assert(streamed(id) == exp, s"doc $id: stream ${streamed(id)} != batch $exp") }
+    assert(batch(1L)._1 >= 1, s"planted leak not flagged in batch: ${batch(1L)}")
+  }
+
   test("streaming decontamination: stream-static shingle join matches batch overlap") {
     val evalDocs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
