@@ -736,6 +736,31 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(("a b c", 2L), ("b c a", 1L), ("c a b", 1L)), s"$got")
   }
 
+  test("bigramLmScore: randomized corpora agree with a brute-force reference") {
+    val rng = new scala.util.Random(7)
+    val corpus = (0L until 30L).map { id =>
+      val len = 2 + rng.nextInt(30)
+      id -> (0 until len).map(_ => "w" + rng.nextInt(8)).mkString(" ")
+    }
+    val toks = corpus.toMap.map { case (id, s) =>
+      id -> s.trim.toLowerCase.split("\\s+").toSeq }
+    val bigrams = toks.values.flatMap(ts => ts.zip(ts.tail))
+    val c12 = bigrams.groupBy(identity).map { case (k, v) => k -> v.size }
+    val c1 = bigrams.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val expected = toks.map { case (id, ts) =>
+      val bs = ts.zip(ts.tail)
+      id -> ((bs.size.toLong,
+        bs.map(b => math.log(c12(b).toDouble / c1(b._1))).sum / bs.size))
+    }
+    val got = TextOps.bigramLmScore(corpus.toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (n, lp)) =>
+      assert(got(id)._1 == n, s"doc $id n_bigrams ${got(id)._1} != $n")
+      assert(math.abs(got(id)._2 - lp) <= 1e-4,
+        s"doc $id avg_logp ${got(id)._2} != $lp") }
+  }
+
   test("portablePqTopK: exact copy of the query ranks first with minimal ADC") {
     // deterministic 64-d vectors; id 1 is an exact copy of the query (id 0),
     // so it encodes to the query's own codes and its ADC — Σ over sub-spaces
