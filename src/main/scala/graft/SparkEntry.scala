@@ -521,6 +521,16 @@ object SparkEntry {
       TextOps.removeDupSpans(TestTables.documents(s, dir), "doc_id", "text",
           winLen = 20, stride = 5, minFreq = 2)
         .select(col("id").as("doc_id"), col("clean_text"))),
+    "q82_dedup_spans_winnow" -> ((s, dir) =>
+      // TRUE winnowing selection (Schleimer et al. 2003): every frame of
+      // k=5 consecutive windows fingerprints its min-hash window —
+      // alignment-free like q80's mod-p AND density-guaranteed (no span
+      // of length >= winLen+k-1 escapes); leftmost tie-break replays in
+      // the oracle via first-occurrence list_position
+      TextOps.dupSpanStats(TestTables.documents(s, dir), "doc_id", "text",
+          winLen = 20, minFreq = 2, winnowK = 5)
+        .select(col("id").as("doc_id"), col("n_chars"), col("n_spans"),
+          col("removed_chars"), col("kept_ratio"))),
     "q81_decontaminate_spans" -> ((s, dir) => {
       // span-level decontamination: any window of a TRAIN doc that occurs
       // anywhere in the EVAL slice marks a contaminated interval (content-
@@ -1042,6 +1052,48 @@ object SparkEntry {
          |  GROUP BY segs.doc_id)
          |SELECT t.doc_id, CASE WHEN c.ct IS NULL THEN t.s ELSE c.ct END AS clean_text
          |FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id""").stripMargin,
+    "q82_dedup_spans_winnow" ->
+      ("""WITH t AS (
+         |  SELECT doc_id, text AS s FROM documents WHERE length(text) >= 20),
+         |h AS (
+         |  SELECT doc_id, s, length(s) - 19 AS n,
+         |    list_transform(range(1, length(s) - 19 + 1),
+         |      i -> CAST(('0x' || substring(md5(substring(s, i, 20)), 1, 8)) AS BIGINT)) AS hs
+         |  FROM t),
+         |sel AS (
+         |  SELECT doc_id, s,
+         |    unnest(list_distinct(list_transform(range(1, greatest(n - 4, 1) + 1),
+         |      j -> j + list_position(hs[j:j+4], list_min(hs[j:j+4])) - 1))) AS i
+         |  FROM h),
+         |w AS (
+         |  SELECT doc_id, i AS s0, i + 19 AS e0, substring(s, i, 20) AS win FROM sel),
+         |f AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+         |d AS (SELECT w.doc_id, w.s0, w.e0 FROM w JOIN f ON w.win = f.win),
+         |m AS (
+         |  SELECT doc_id, s0, e0,
+         |    CASE WHEN max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |      OR s0 > max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    THEN 1 ELSE 0 END AS isnew
+         |  FROM d),
+         |g AS (
+         |  SELECT doc_id, s0, e0,
+         |    sum(isnew) OVER (PARTITION BY doc_id ORDER BY s0
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM m),
+         |isl AS (
+         |  SELECT doc_id, grp, min(s0) AS ms, max(e0) AS me
+         |  FROM g GROUP BY doc_id, grp),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_spans, sum(me - ms + 1) AS removed
+         |  FROM isl GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(length(t.s) AS BIGINT) AS n_chars,
+         |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(a.removed, 0) AS BIGINT) AS removed_chars,
+         |  round((length(t.s) - coalesce(a.removed, 0))
+         |    / CAST(length(t.s) AS DOUBLE), 4) AS kept_ratio
+         |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id""").stripMargin,
     "q81_decontaminate_spans" ->
       ("""WITH tr AS (
          |  SELECT doc_id, text AS s FROM documents

@@ -243,6 +243,14 @@ object CorpusBench {
             modP = 5)
           .agg(sum(col("removed_chars"))).head().getLong(0)
       })
+      // true winnowing (frame-min fingerprints, density-guaranteed):
+      // selection runs in-row over the hash array, only selected windows
+      // explode
+      benchAct("dup_spans_winnow", () => {
+        TextOps.dupSpanStats(docs, "doc_id", "text", winLen = 20,
+            winnowK = 5)
+          .agg(sum(col("removed_chars"))).head().getLong(0)
+      })
       // same selection math under the native xxhash64 hash — the fast path
       // when oracle portability isn't needed
       benchAct("dup_spans_cdc_native", () => {

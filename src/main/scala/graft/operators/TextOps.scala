@@ -231,10 +231,12 @@ object TextOps {
     * hash exchange on doc id; no global sort anywhere. */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
       winLen: Int = 20, stride: Int = 5, minFreq: Long = 2,
-      modP: Int = 0, portableSel: Boolean = true): DataFrame = {
+      modP: Int = 0, portableSel: Boolean = true,
+      winnowK: Int = 0): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
       .filter(length(col("s")) >= winLen)
-    val islands = mergedDupSpans(t, winLen, stride, minFreq, modP, portableSel)
+    val islands =
+      mergedDupSpans(t, winLen, stride, minFreq, modP, portableSel, winnowK)
     val perDoc = islands.groupBy(col("id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e0") - col("s0") + 1).as("removed"))
@@ -289,13 +291,48 @@ object TextOps {
     else base
   }
 
+  /** TRUE winnowing (Schleimer et al. 2003, the MOSS fingerprinting
+    * algorithm): every frame of `k` consecutive stride-1 windows selects
+    * its minimum-hash window (leftmost on ties — `array_position` is
+    * first-occurrence in both engines, so the oracle replays the
+    * tie-break). Strictly stronger than mod-p selection: still
+    * content-defined (alignment-free), but with a DENSITY GUARANTEE — one
+    * selected window in every k consecutive positions, so no duplicated
+    * span of length ≥ winLen + k − 1 can escape (mod-p only detects with
+    * probability 1 − (1 − 1/p)^spanWindows). Expected density ≈ 2/(k+1).
+    *
+    * Computed ENTIRELY IN-ROW: the hash array, the per-frame argmins, and
+    * the distinct selected positions are higher-order expressions over one
+    * row's arrays — no shuffle, no per-doc window sort; only the selected
+    * windows explode. Returns the same (id, start, w) contract as
+    * [[spanWindows]]. */
+  private[operators] def winnowWindows(t: DataFrame, winLen: Int,
+      k: Int): DataFrame = {
+    val n = length(col("s")) - (winLen - 1)
+    val hs = transform(sequence(lit(1), n),
+      i => conv(substring(md5(to_binary(col("s").substr(i, lit(winLen)),
+        lit("utf-8"))), 1, 8), 16, 10).cast("long"))
+    Stage.ensureWide(t)
+      .select(col("id"), col("s"), hs.as("hs"))
+      .select(col("id"), col("s"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(n - (k - 1), lit(1))),
+          j => j + array_position(slice(col("hs"), j, lit(k)),
+            array_min(slice(col("hs"), j, lit(k)))) - 1))).as("i"))
+      .select(col("id"), col("i").cast("int").as("start"),
+        col("s").substr(col("i").cast("int"), lit(winLen)).as("w"))
+  }
+
   /** Shared core of [[dupSpanStats]] / [[removeDupSpans]]: each document's
     * corpus-duplicated windows merged into maximal disjoint intervals.
     * Input must be (id, s) with length(s) ≥ winLen; returns (id, s0, e0),
     * 1-indexed inclusive character bounds, disjoint and ascending per id. */
   private def mergedDupSpans(t: DataFrame, winLen: Int, stride: Int,
-      minFreq: Long, modP: Int, portableSel: Boolean = true): DataFrame = {
-    val wins = spanWindows(t, winLen, stride, modP, portableSel)
+      minFreq: Long, modP: Int, portableSel: Boolean = true,
+      winnowK: Int = 0): DataFrame = {
+    val wins =
+      if (winnowK > 0) winnowWindows(t, winLen, winnowK)
+      else spanWindows(t, winLen, stride, modP, portableSel)
     // same map-side-combine + SHUFFLE_HASH shape as [[repeatedWindowStats]]:
     // never sort the full window stream just to probe the dup set
     val dup = wins.groupBy(col("w")).agg(count(lit(1)).as("freq"))

@@ -727,6 +727,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L)), s"clean doc flagged: ${out(2L)}")
   }
 
+  test("winnowing: misaligned dups found AND the density guarantee holds") {
+    val span = "THE-QUICK-BROWN-FOX-JUMPS-OVER-THE-LAZY-DOG-AGAIN-AND-AGAIN!"
+    val df = Seq(
+      (1L, span + " tail padding here"),
+      (2L, "ab" + span + " other ending text"),   // offset delta 2: misaligned
+      (3L, "abcdefghijklmnopqrstuvwxyz0123456789 and completely novel stuff")
+    ).toDF("id", "text")
+    val out = TextOps.dupSpanStats(df, "id", "text",
+        winLen = 20, minFreq = 2, winnowK = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 >= 1 && out(2L)._1 >= 1, s"misaligned span missed: $out")
+    assert(out(1L)._2 == out(2L)._2, s"asymmetric removal: $out")
+    assert(out(3L) == ((0L, 0L)), s"unique doc flagged: ${out(3L)}")
+    // density guarantee: every frame of k consecutive window positions
+    // contains a selected one, so consecutive selected starts gap <= k
+    val t = df.select(col("id"), col("text").as("s"))
+      .filter(length(col("s")) >= 20)
+    val sel = TextOps.winnowWindows(t, 20, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    sel.foreach { case (id, starts) =>
+      assert(starts.head <= 5, s"doc $id first selection late: ${starts.head}")
+      starts.sliding(2).foreach { p =>
+        if (p.length == 2) assert(p(1) - p(0) <= 5,
+          s"doc $id gap ${p(1) - p(0)} > k between ${p(0)} and ${p(1)}") }
+    }
+  }
+
   test("topNgrams: exact counts, lexicographic tie-break, short docs ignored") {
     val df = Seq(
       (1L, "a b c a b c"), (2L, "x y z w"), (3L, "one two")
