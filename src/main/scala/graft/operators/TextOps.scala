@@ -269,26 +269,41 @@ object TextOps {
     * span of length ≥ winLen + a few·p is detected with near-certainty at
     * any alignment. */
   private[operators] def spanWindows(t: DataFrame, winLen: Int, stride: Int,
-      modP: Int, portableSel: Boolean = true): DataFrame = {
-    val step = if (modP > 0) 1 else stride
-    val base = Stage.ensureWide(t)
-      .select(col("id"), posexplode(transform(
-        sequence(lit(1), length(col("s")) - (winLen - 1), lit(step)),
-        i => col("s").substr(i, lit(winLen)))))
-      .select(col("id"), (col("pos") * step + 1).as("start"), col("col").as("w"))
+      modP: Int, portableSel: Boolean = true,
+      useNative: Boolean = true): DataFrame = {
+    val wide = Stage.ensureWide(t)
     // selection hash: md5 replays in the ANSI oracle (the default the
-    // oracled queries pin); xxhash64 is the native fast path — identical
-    // recall math (selection is content-defined either way). Measured at
-    // 500k docs: 86 s (md5) vs 65 s (xxhash64) vs 20 s (stride grid) —
-    // most of the mod-p premium is the stride-1 window GENERATION itself,
-    // not the hash, so the portable default costs little extra
-    if (modP > 0 && portableSel)
-      base.filter(
-        conv(substring(md5(to_binary(col("w"), lit("utf-8"))), 1, 8), 16, 10)
-          .cast("long") % modP === 0)
-    else if (modP > 0)
-      base.filter(pmod(xxhash64(col("w")), lit(modP.toLong)) === 0)
-    else base
+    // oracled queries pin); xxhash64 is an alternative hash family with
+    // identical recall math (selection is content-defined either way).
+    // The md5 default runs through the native ModPStarts expression — one
+    // O(n) in-row pass, only the ~n/p SELECTED starts ever explode,
+    // bit-identical to the HOF filter (which posexplodes ALL ~135M
+    // stride-1 window strings at 500k docs before filtering — the
+    // measured bulk of the mod-p premium). `useNative = false` keeps the
+    // HOF formulation as the executable spec the cross-check test pins
+    // the expression against.
+    if (modP > 0 && portableSel && useNative)
+      wide
+        .select(col("id"), col("s"),
+          explode(graft.functions.HashExpressions.mod_p_starts(
+            col("s"), winLen, modP)).as("start"))
+        .select(col("id"), col("start"),
+          col("s").substr(col("start"), lit(winLen)).as("w"))
+    else {
+      val step = if (modP > 0) 1 else stride
+      val base = wide
+        .select(col("id"), posexplode(transform(
+          sequence(lit(1), length(col("s")) - (winLen - 1), lit(step)),
+          i => col("s").substr(i, lit(winLen)))))
+        .select(col("id"), (col("pos") * step + 1).as("start"), col("col").as("w"))
+      if (modP > 0 && portableSel)
+        base.filter(
+          conv(substring(md5(to_binary(col("w"), lit("utf-8"))), 1, 8), 16, 10)
+            .cast("long") % modP === 0)
+      else if (modP > 0)
+        base.filter(pmod(xxhash64(col("w")), lit(modP.toLong)) === 0)
+      else base
+    }
   }
 
   /** TRUE winnowing (Schleimer et al. 2003, the MOSS fingerprinting
@@ -301,26 +316,41 @@ object TextOps {
     * span of length ≥ winLen + k − 1 can escape (mod-p only detects with
     * probability 1 − (1 − 1/p)^spanWindows). Expected density ≈ 2/(k+1).
     *
-    * Computed ENTIRELY IN-ROW: the hash array, the per-frame argmins, and
-    * the distinct selected positions are higher-order expressions over one
-    * row's arrays — no shuffle, no per-doc window sort; only the selected
-    * windows explode. Returns the same (id, start, w) contract as
-    * [[spanWindows]]. */
+    * Computed ENTIRELY IN-ROW — no shuffle, no per-doc window sort; only
+    * the selected windows explode. The default path is the native
+    * [[graft.functions.HashExpressions.WinnowStarts]] expression: one O(n)
+    * monotonic-deque pass per document, BIT-IDENTICAL in hash (md5 head)
+    * and tie-break (leftmost) to the higher-order-function formulation the
+    * q82 oracle replays in ANSI SQL — so the fast path IS the portable
+    * path. `useNative = false` keeps the O(n·k) HOF formulation
+    * (slice + array_min + array_position per frame) as the executable spec
+    * the cross-check test pins the native expression against. Returns the
+    * same (id, start, w) contract as [[spanWindows]]. */
   private[operators] def winnowWindows(t: DataFrame, winLen: Int,
-      k: Int): DataFrame = {
-    val n = length(col("s")) - (winLen - 1)
-    val hs = transform(sequence(lit(1), n),
-      i => conv(substring(md5(to_binary(col("s").substr(i, lit(winLen)),
-        lit("utf-8"))), 1, 8), 16, 10).cast("long"))
-    Stage.ensureWide(t)
-      .select(col("id"), col("s"), hs.as("hs"))
-      .select(col("id"), col("s"),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(n - (k - 1), lit(1))),
-          j => j + array_position(slice(col("hs"), j, lit(k)),
-            array_min(slice(col("hs"), j, lit(k)))) - 1))).as("i"))
-      .select(col("id"), col("i").cast("int").as("start"),
-        col("s").substr(col("i").cast("int"), lit(winLen)).as("w"))
+      k: Int, useNative: Boolean = true): DataFrame = {
+    val wide = Stage.ensureWide(t)
+    if (useNative)
+      wide
+        .select(col("id"), col("s"),
+          explode(graft.functions.HashExpressions.winnow_starts(
+            col("s"), winLen, k)).as("start"))
+        .select(col("id"), col("start"),
+          col("s").substr(col("start"), lit(winLen)).as("w"))
+    else {
+      val n = length(col("s")) - (winLen - 1)
+      val hs = transform(sequence(lit(1), n),
+        i => conv(substring(md5(to_binary(col("s").substr(i, lit(winLen)),
+          lit("utf-8"))), 1, 8), 16, 10).cast("long"))
+      wide
+        .select(col("id"), col("s"), hs.as("hs"))
+        .select(col("id"), col("s"),
+          explode(array_distinct(transform(
+            sequence(lit(1), greatest(n - (k - 1), lit(1))),
+            j => j + array_position(slice(col("hs"), j, lit(k)),
+              array_min(slice(col("hs"), j, lit(k)))) - 1))).as("i"))
+        .select(col("id"), col("i").cast("int").as("start"),
+          col("s").substr(col("i").cast("int"), lit(winLen)).as("w"))
+    }
   }
 
   /** Shared core of [[dupSpanStats]] / [[removeDupSpans]]: each document's

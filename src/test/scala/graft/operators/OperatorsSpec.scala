@@ -755,6 +755,51 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("native winnow selection is bit-identical to the HOF formulation") {
+    // small alphabet → repeated windows → equal md5 hashes inside one frame,
+    // exercising the leftmost tie-break; the multi-byte doc exercises the
+    // char-vs-byte offset walk; short/boundary lengths hit the n<k frame
+    val rnd = new scala.util.Random(4207)
+    val alpha = "abc d"
+    val docs = (1L to 60L).map { id =>
+      val len = 20 + rnd.nextInt(120)
+      (id, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    } ++ Seq(
+      (900L, "héllo wörld ünïcode — spän dedup over multi-byte çhars here"),
+      (901L, "exactly-twenty-chars"),          // n = 1 < k: one frame
+      (902L, "twenty-three-chars-long"))       // n = 4 < k: one frame
+    val t = docs.toDF("id", "text")
+      .select(col("id"), col("text").as("s")).filter(length(col("s")) >= 20)
+    def starts(native: Boolean): Map[Long, Seq[Int]] =
+      TextOps.winnowWindows(t, 20, 5, useNative = native)
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val nat = starts(true)
+    val hof = starts(false)
+    assert(nat == hof,
+      s"native/HOF diverge: ${nat.keySet.union(hof.keySet).filter(k => nat.get(k) != hof.get(k))
+        .map(k => s"$k: nat=${nat.get(k)} hof=${hof.get(k)}").mkString("; ")}")
+  }
+
+  test("native mod-p selection is bit-identical to the HOF formulation") {
+    val rnd = new scala.util.Random(9313)
+    val alpha = "abc d"
+    val docs = (1L to 60L).map { id =>
+      val len = 20 + rnd.nextInt(120)
+      (id, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    } ++ Seq(
+      (900L, "héllo wörld ünïcode — spän dedup over multi-byte çhars here"),
+      (901L, "exactly-twenty-chars"))
+    val t = docs.toDF("id", "text")
+      .select(col("id"), col("text").as("s")).filter(length(col("s")) >= 20)
+    def wins(native: Boolean): Set[(Long, Int, String)] =
+      TextOps.spanWindows(t, 20, 5, modP = 5, useNative = native)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val nat = wins(true)
+    val hof = wins(false)
+    assert(nat == hof, s"native/HOF diverge: ${(nat diff hof) ++ (hof diff nat)}")
+  }
+
   test("topNgrams: exact counts, lexicographic tie-break, short docs ignored") {
     val df = Seq(
       (1L, "a b c a b c"), (2L, "x y z w"), (3L, "one two")
