@@ -605,6 +605,15 @@ object SparkEntry {
       // keeps its recall specs
       graft.operators.Pq.portablePqTopK(TestTables.embeddings(s, dir), "vec_id",
         "embedding", queryId = 0L, m = 8, ks = 16, k = 10)),
+    "q83_semantic_dedup" -> ((s, dir) =>
+      // SemDeDup: portable-IVF cluster assignment (in-row integer math, no
+      // dim explode), then drop any vector with an earlier near-neighbor
+      // (rounded cosine ≥ τ) in its cluster — greedy leader, per-pair
+      // EXISTS, not transitive closure. τ from the testdata's similarity
+      // regime (q63); the oracle replays assignment, pairing, and the
+      // cosine gate value-for-value
+      Similarity.semanticDedup(TestTables.embeddings(s, dir), "vec_id",
+        "embedding", nLists = 8, tau = 0.45)),
     "q64_shuffle_order" -> ((s, dir) =>
       // deterministic corpus shuffle — the pre-training reorder: sort by
       // content hash, reproducible on any engine/run. At scale this is a
@@ -1299,6 +1308,49 @@ object SparkEntry {
          |JOIN nrm nb ON nb.id = vec_id
          |ORDER BY cosine DESC, vec_id ASC
          |LIMIT 10""").stripMargin,
+    "q83_semantic_dedup" ->
+      ("""WITH v AS (
+         |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |nrm AS (SELECT id, sqrt(sum(x * x)) AS n FROM v GROUP BY id),
+         |keep AS (SELECT id FROM nrm WHERE n > 0),
+         |signs AS (
+         |  SELECT c.c AS c, i.i AS dim,
+         |    CASE WHEN CAST(('0x' || substring(
+         |        md5('ivf-' || c.c || '-' || i.i), 1, 8)) AS BIGINT) % 2 = 0
+         |      THEN 1 ELSE -1 END AS sgn
+         |  FROM (SELECT unnest(range(0, 8)) AS c) c,
+         |       (SELECT unnest(range(1, 65)) AS i) i),
+         |dots AS (
+         |  SELECT id, c, sum(sgn * xq) AS dot
+         |  FROM v JOIN keep USING (id) JOIN signs USING (dim)
+         |  GROUP BY id, c),
+         |assigned AS (
+         |  SELECT id, c FROM (
+         |    SELECT id, c,
+         |      row_number() OVER (PARTITION BY id ORDER BY dot DESC, c ASC) AS rk
+         |    FROM dots)
+         |  WHERE rk = 1),
+         |pairs AS (
+         |  SELECT a.id AS ia, b.id AS ib
+         |  FROM assigned a JOIN assigned b ON a.c = b.c AND a.id < b.id),
+         |dp AS (
+         |  SELECT p.ia, p.ib, sum(va.x * vb.x) AS d
+         |  FROM pairs p
+         |  JOIN v va ON va.id = p.ia
+         |  JOIN v vb ON vb.id = p.ib AND vb.dim = va.dim
+         |  GROUP BY p.ia, p.ib),
+         |dropped AS (
+         |  SELECT DISTINCT dp.ib AS id
+         |  FROM dp
+         |  JOIN nrm na ON na.id = dp.ia
+         |  JOIN nrm nb ON nb.id = dp.ib
+         |  WHERE round(d / (na.n * nb.n), 6) >= 0.45)
+         |SELECT a.id AS vec_id, a.c AS cluster,
+         |  CAST(CASE WHEN dr.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM assigned a LEFT JOIN dropped dr ON a.id = dr.id""").stripMargin,
     "q74_pq_portable" ->
       ("""WITH v AS (
          |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,

@@ -279,6 +279,16 @@ object CorpusBench {
       benchOn("knn_join_topk", embs, e =>
         Similarity.knnJoinTopK(e, "vec_id", "embedding", k = 5,
           planes = planes, tables = 4))
+      // SemDeDup: nLists grows with n so expected cluster size stays ~256
+      // and within-cluster pair volume is ~n·128, linear in n; assignment
+      // is the in-row O(nLists·dims) portable expression (no dim explode).
+      // Sum over BOTH output columns: a bare count() lets the optimizer
+      // drop the distinct-keyed dropped-join and prune the assignment
+      benchAct("semantic_dedup", () => {
+        Similarity.semanticDedup(embs, "vec_id", "embedding",
+            nLists = math.max(8, (n / 256).toInt), tau = 0.95)
+          .agg(sum(col("cluster") + col("kept"))).head().getLong(0)
+      })
 
       // Edit-distance dedup over the 40-char doc prefixes. This corpus is
       // the planted-hot-trigram hazard by construction: the u³-warped Zipf

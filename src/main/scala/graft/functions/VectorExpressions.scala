@@ -209,6 +209,101 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Portable IVF coarse assignment: index of the md5-sign ±1 centroid with
+    * the highest QUANTIZED-INTEGER dot product (lowest index wins ties) —
+    * the same centroid family and `round(v[i]·1e6)::bigint` integer
+    * projection as [[graft.operators.Similarity.portableIvfTopK]] (q73), so
+    * the assignment is bit-reproducible in ANSI SQL: no floating-point
+    * accumulation order anywhere in the decision.
+    *
+    * The join formulation of the same rule explodes |V|·dims rows and
+    * shuffles them through a (id, c) aggregate; this is one O(nLists·dims)
+    * in-row pass — the signs are derived once per instance from
+    * `md5("ivf-<c>-<i>")` parity (a few KB; nLists beyond ~4096 should be a
+    * join, not an expression). Quantization matches Spark/DuckDB `round`
+    * half-away-from-zero; sums stay well inside long range. */
+  case class PortableIvfAssign(child: Expression, nLists: Int, dims: Int)
+      extends UnaryExpression with Serializable {
+    require(nLists > 0, "need positive nLists")
+    require(dims > 0, "need positive dims")
+
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"portable_ivf_assign expects array<float|double>, got $other")
+      }
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+
+    @transient private lazy val signs: Array[Array[Byte]] =
+      Array.tabulate(nLists)(c => Array.tabulate(dims)(i =>
+        VectorExpressions.md5SignIvf(c, i + 1)))
+
+    def compute(a: ArrayData): Int = {
+      val n = math.min(a.numElements(), dims)
+      val xq = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val v = (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)) * 1e6
+        // round half-away-from-zero, matching Spark round() / DuckDB round()
+        xq(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+        i += 1
+      }
+      var best = 0
+      var bestDot = Long.MinValue
+      var c = 0
+      while (c < nLists) {
+        val sg = signs(c)
+        var dot = 0L
+        var j = 0
+        while (j < n) { dot += sg(j) * xq(j); j += 1 }
+        if (dot > bestDot) { bestDot = dot; best = c } // strict > keeps lowest c on ties
+        c += 1
+      }
+      best
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("portableIvfAssign", this, classOf[PortableIvfAssign].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** The q73 sign rule: +1 iff the first 8 hex chars of md5("ivf-<c>-<i>")
+    * parse to an even value — shared by [[PortableIvfAssign]] and the
+    * driver-side spec mirror. */
+  private[graft] def md5SignIvf(c: Int, i: Int): Byte = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ivf-$c-$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val head = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    if (head % 2 == 0) 1 else -1
+  }
+
+  /** Driver-side mirror of [[PortableIvfAssign]] for specs. */
+  private[graft] def portableIvfAssignLocal(v: Seq[Double], nLists: Int): Int = {
+    val xq = v.map(x => (if (x >= 0) math.floor(x * 1e6 + 0.5)
+                         else math.ceil(x * 1e6 - 0.5)).toLong)
+    (0 until nLists).map { c =>
+      val dot = xq.indices.map(j => md5SignIvf(c, j + 1) * xq(j)).sum
+      (dot, c)
+    }.maxBy { case (dot, c) => (dot, -c) }._2
+  }
+
   /** Asymmetric-distance lookup for product-quantized codes: the sum over
     * sub-spaces of `tables(s)(code(s))`, where `tables` are the query's
     * precomputed per-centroid squared distances. `m` array lookups per row —
@@ -259,6 +354,8 @@ object VectorExpressions {
     GraftBridge.toColumn(AdcDistance(GraftBridge.toExpression(code), tables))
   def nearest_centroid(v: Column, centroids: Array[Array[Double]]): Column =
     GraftBridge.toColumn(NearestCentroid(GraftBridge.toExpression(v), centroids))
+  def portable_ivf_assign(v: Column, nLists: Int, dims: Int): Column =
+    GraftBridge.toColumn(PortableIvfAssign(GraftBridge.toExpression(v), nLists, dims))
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.toColumn(DotProduct(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
   def l2_norm(v: Column): Column =

@@ -315,6 +315,55 @@ object Similarity {
     * becomes a partition column and probing prunes to nprobe/nLists of the
     * files. Returns (vec_id, cosine), the k nearest to `queryId`'s vector
     * among vectors in probed lists, (cosine desc, id asc)-ordered. */
+  /** SemDeDup-style semantic dedup: cluster embeddings with the portable
+    * md5-sign IVF coarse quantizer, then inside each cluster drop every
+    * vector that has an EARLIER (smaller-id) neighbor with cosine ≥ `tau`.
+    * Returns (vec_id, cluster, kept 1|0) for every non-zero-norm vector.
+    *
+    * The leader rule is "no earlier near-duplicate", decided per PAIR — a
+    * vector whose only near-neighbor was itself dropped still drops
+    * (deterministic, one EXISTS per vector; NOT the transitive-closure
+    * clustering [[graft.operators.ConnectedComponents]] provides when whole
+    * dup-groups must collapse to one representative). Every stage is
+    * ANSI-SQL-replayable: assignment is exact integer math over quantized
+    * components (same family as [[portableIvfTopK]]/q73), and the cosine
+    * gate compares ROUNDED values like q63.
+    *
+    * Scale shape: assignment is one in-row O(nLists·dims) expression (no
+    * dim explode, no shuffle); the candidate join ships only (id, cluster)
+    * and vectors attach to pairs by id afterwards ([[Stage.attachSide]],
+    * one wire crossing per embedding); the only O(·²) term is within-
+    * cluster pair volume, bounded by growing nLists with corpus size so
+    * expected cluster size stays fixed (SemDeDup's own regime: k ~ N/L). */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int = 8,
+      tau: Double = 0.45,
+      dims: Int = 64
+  ): DataFrame = {
+    val base = Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .withColumn("norm", l2norm(col("v")))
+      .filter(col("norm") > 0)
+    val assigned = base.select(col("id"),
+      graft.functions.VectorExpressions.portable_ivf_assign(col("v"), nLists, dims).as("c"))
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"), col("a.c") === col("b.c") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val attach = Stage.attachSide(base)
+    val dropped = pairs
+      .join(attach.as("pa"), col("id_a") === col("pa.id"))
+      .join(attach.as("pb"), col("id_b") === col("pb.id"))
+      .filter(round(dot(col("pa.v"), col("pb.v")) / (col("pa.norm") * col("pb.norm")), 6)
+        >= tau)
+      .select(col("id_b").as("id")).distinct()
+    assigned
+      .join(dropped.withColumn("dropped", lit(1)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("c").cast("long").as("cluster"),
+        when(col("dropped").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
   def portableIvfTopK(
       df: DataFrame,
       idCol: String,

@@ -55,6 +55,20 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.agg(sum($"d")).head().getDouble(0) > 0)
   }
 
+  test("portable IVF assignment matches the driver mirror on real embeddings") {
+    val rows = vecs.select($"vec_id", $"embedding",
+      portable_ivf_assign($"embedding", 8, 64).as("c")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      assert(r.getInt(2) == VectorExpressions.portableIvfAssignLocal(v, 8),
+        s"assignment mismatch for vec ${r.getLong(0)}")
+    }
+    // every list index is reachable under the sign family (sanity that the
+    // md5 parity rule isn't degenerate on this data)
+    assert(rows.map(_.getInt(2)).distinct.length > 1)
+  }
+
   test("SQL registration: dot_product / l2_norm callable from SQL") {
     VectorExpressions.register(spark)
     vecs.createOrReplaceTempView("emb")

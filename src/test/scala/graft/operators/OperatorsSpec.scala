@@ -800,6 +800,28 @@ class OperatorsSpec extends SparkSpec {
     assert(nat == hof, s"native/HOF diverge: ${(nat diff hof) ++ (hof diff nat)}")
   }
 
+  test("semanticDedup: earlier near-dup drops later vectors, distinct content survives") {
+    val a = Array.fill(64)(0.1f)
+    val aNear = a.clone(); aNear(0) = 0.11f          // cosine ≈ 0.99997 to a
+    val ortho = Array.fill(64)(0.0f); ortho(1) = 1.0f // cosine 0.125 to a
+    val zero = Array.fill(64)(0.0f)                   // excluded (zero norm)
+    val df = Seq(
+      (1L, a.toSeq), (2L, a.toSeq), (3L, aNear.toSeq),
+      (4L, ortho.toSeq), (5L, zero.toSeq)
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .semanticDedup(df, "vec_id", "embedding", nLists = 4, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!out.contains(5L), s"zero-norm vector not excluded: $out")
+    assert(out(1L)._2 == 1L, s"leader dropped: $out")
+    assert(out(2L)._2 == 0L, s"identical later vector kept: $out")
+    assert(out(3L)._2 == 0L, s"near-dup later vector kept: $out")
+    assert(out(4L)._2 == 1L, s"distinct vector dropped: $out")
+    // near-parallel vectors must share a cluster or the pair is never seen
+    assert(out(1L)._1 == out(2L)._1 && out(1L)._1 == out(3L)._1,
+      s"near-dups split across clusters: $out")
+  }
+
   test("topNgrams: exact counts, lexicographic tie-break, short docs ignored") {
     val df = Seq(
       (1L, "a b c a b c"), (2L, "x y z w"), (3L, "one two")
