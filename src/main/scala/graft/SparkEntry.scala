@@ -544,6 +544,20 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_chars"), col("n_spans"),
           col("removed_chars"), col("kept_ratio"))
     }),
+    "q84_decontaminate_winnow" -> ((s, dir) => {
+      // density-guaranteed decontamination: winnowing selection on BOTH
+      // corpora — a leaked span of length >= winLen + k - 1 contains a
+      // frame fully interior to it in both docs, whose leftmost-min
+      // depends only on span content, so it is caught with CERTAINTY at
+      // any offset (the MOSS guarantee; q81's mod-p is probabilistic)
+      val d = TestTables.documents(s, dir)
+      TextOps.decontaminateSpans(
+          d.filter(col("doc_id") >= 25), "doc_id", "text",
+          d.filter(col("doc_id") < 25), "doc_id", "text",
+          winLen = 20, winnowK = 5)
+        .select(col("id").as("doc_id"), col("n_chars"), col("n_spans"),
+          col("removed_chars"), col("kept_ratio"))
+    }),
     "q80_dedup_spans_cdc" -> ((s, dir) =>
       // alignment-free span dedup: content-defined window selection (all
       // stride-1 windows, keep md5-head ≡ 0 mod 5 — the mod-p flavor of
@@ -1103,6 +1117,62 @@ object SparkEntry {
          |  round((length(t.s) - coalesce(a.removed, 0))
          |    / CAST(length(t.s) AS DOUBLE), 4) AS kept_ratio
          |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id""").stripMargin,
+    "q84_decontaminate_winnow" ->
+      ("""WITH tr AS (
+         |  SELECT doc_id, text AS s FROM documents
+         |  WHERE doc_id >= 25 AND length(text) >= 20),
+         |ev AS (
+         |  SELECT doc_id, text AS s FROM documents
+         |  WHERE doc_id < 25 AND length(text) >= 20),
+         |th AS (
+         |  SELECT doc_id, s, length(s) - 19 AS n,
+         |    list_transform(range(1, length(s) - 19 + 1),
+         |      i -> CAST(('0x' || substring(md5(substring(s, i, 20)), 1, 8)) AS BIGINT)) AS hs
+         |  FROM tr),
+         |tsel AS (
+         |  SELECT doc_id, s,
+         |    unnest(list_distinct(list_transform(range(1, greatest(n - 4, 1) + 1),
+         |      j -> j + list_position(hs[j:j+4], list_min(hs[j:j+4])) - 1))) AS i
+         |  FROM th),
+         |tw AS (
+         |  SELECT doc_id, i AS s0, i + 19 AS e0, substring(s, i, 20) AS win FROM tsel),
+         |eh AS (
+         |  SELECT s, length(s) - 19 AS n,
+         |    list_transform(range(1, length(s) - 19 + 1),
+         |      i -> CAST(('0x' || substring(md5(substring(s, i, 20)), 1, 8)) AS BIGINT)) AS hs
+         |  FROM ev),
+         |esel AS (
+         |  SELECT s,
+         |    unnest(list_distinct(list_transform(range(1, greatest(n - 4, 1) + 1),
+         |      j -> j + list_position(hs[j:j+4], list_min(hs[j:j+4])) - 1))) AS i
+         |  FROM eh),
+         |ew AS (SELECT DISTINCT substring(s, i, 20) AS win FROM esel),
+         |d AS (SELECT tw.doc_id, tw.s0, tw.e0 FROM tw JOIN ew ON tw.win = ew.win),
+         |m AS (
+         |  SELECT doc_id, s0, e0,
+         |    CASE WHEN max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |      OR s0 > max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    THEN 1 ELSE 0 END AS isnew
+         |  FROM d),
+         |g AS (
+         |  SELECT doc_id, s0, e0,
+         |    sum(isnew) OVER (PARTITION BY doc_id ORDER BY s0
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM m),
+         |isl AS (
+         |  SELECT doc_id, grp, min(s0) AS ms, max(e0) AS me
+         |  FROM g GROUP BY doc_id, grp),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_spans, sum(me - ms + 1) AS removed
+         |  FROM isl GROUP BY doc_id)
+         |SELECT tr.doc_id, CAST(length(tr.s) AS BIGINT) AS n_chars,
+         |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(a.removed, 0) AS BIGINT) AS removed_chars,
+         |  round((length(tr.s) - coalesce(a.removed, 0))
+         |    / CAST(length(tr.s) AS DOUBLE), 4) AS kept_ratio
+         |FROM tr LEFT JOIN agg a ON tr.doc_id = a.doc_id""").stripMargin,
     "q81_decontaminate_spans" ->
       ("""WITH tr AS (
          |  SELECT doc_id, text AS s FROM documents

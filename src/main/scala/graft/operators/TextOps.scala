@@ -400,18 +400,30 @@ object TextOps {
     * default — both corpora select the same span-relative windows
     * regardless of alignment. The eval window set is distinct (a benchmark
     * is small next to the training corpus) and probes as the hash-build
-    * side; the train stream never sorts. */
+    * side; the train stream never sorts.
+    *
+    * `winnowK > 0` switches both corpora to TRUE winnowing selection
+    * ([[winnowWindows]]): frames are chosen from each document's local
+    * context, but any substring the two corpora SHARE of length ≥
+    * winLen + k − 1 contains a frame fully interior to it in both, and an
+    * interior frame's leftmost-min depends only on span content — so a
+    * leaked span that long is caught with CERTAINTY at any offset (the
+    * MOSS matching guarantee), where mod-p catches it with probability
+    * 1 − (1 − 1/p)^spanWindows. */
   def decontaminateSpans(train: DataFrame, trainId: String, trainText: String,
       eval: DataFrame, evalId: String, evalText: String,
       winLen: Int = 20, stride: Int = 5, modP: Int = 5,
-      portableSel: Boolean = true): DataFrame = {
+      portableSel: Boolean = true, winnowK: Int = 0): DataFrame = {
     val t = train.select(col(trainId).as("id"), col(trainText).as("s"))
       .filter(length(col("s")) >= winLen)
     val e = eval.select(col(evalId).as("id"), col(evalText).as("s"))
       .filter(length(col("s")) >= winLen)
-    val evalWins = spanWindows(e, winLen, stride, modP, portableSel)
+    def wins(df: DataFrame): DataFrame =
+      if (winnowK > 0) winnowWindows(df, winLen, winnowK)
+      else spanWindows(df, winLen, stride, modP, portableSel)
+    val evalWins = wins(e)
       .select(col("w")).distinct().hint("SHUFFLE_HASH")
-    val trainWins = spanWindows(t, winLen, stride, modP, portableSel)
+    val trainWins = wins(t)
     val islands = mergeIslands(trainWins.join(evalWins, "w")
       .select(col("id"), col("start"), (col("start") + (winLen - 1)).as("end")))
     val perDoc = islands.groupBy(col("id"))

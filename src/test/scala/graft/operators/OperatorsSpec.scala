@@ -727,6 +727,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L)), s"clean doc flagged: ${out(2L)}")
   }
 
+  test("winnow decontamination: a minimal-length leak is caught with certainty") {
+    // the MOSS guarantee: a shared span of winLen + k - 1 = 24 chars
+    // contains one fully-interior frame in BOTH docs, so detection is
+    // certain regardless of alignment (mod-p would catch a span this
+    // short only with probability ~1-(1-1/5)^5)
+    val leak = "SHARED-EVAL-SPAN-24-CHAR" // exactly 24 chars
+    assert(leak.length == 24)
+    val eval = Seq((900L, "eval framing " + leak + " more eval text here")).toDF("id", "text")
+    val train = Seq(
+      (1L, "abcdefg " + leak + " unrelated training prose follows"), // misaligned
+      (2L, "a completely independent training document with its own words")
+    ).toDF("id", "text")
+    val out = TextOps.decontaminateSpans(train, "id", "text", eval, "id", "text",
+        winLen = 20, winnowK = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 >= 1 && out(1L)._2 >= 20, s"guaranteed leak missed: ${out(1L)}")
+    assert(out(2L) == ((0L, 0L)), s"clean doc flagged: ${out(2L)}")
+  }
+
   test("winnowing: misaligned dups found AND the density guarantee holds") {
     val span = "THE-QUICK-BROWN-FOX-JUMPS-OVER-THE-LAZY-DOG-AGAIN-AND-AGAIN!"
     val df = Seq(
