@@ -467,6 +467,35 @@ object SparkEntry {
           round(moneySum(col("quality")) / count(lit(1)), 4).as("mean_quality"))
         .orderBy(col("lang"))
     }),
+    "q85_mixture_balance" -> ((s, dir) => {
+      // mixture balancing — the data-MIXING op: given target proportions
+      // per stratum, the largest total T respecting availability is
+      // min_s(avail_s/target_s); each stratum keeps rate_s = T·target_s/
+      // avail_s of its docs (the binding stratum keeps everything, the
+      // rest downsample). Rates come from one map-side-combined count
+      // aggregate (5 rows) broadcast back onto the scan; the keep draw is
+      // the q68 content hash, so the subset replays on any engine.
+      // Rate arithmetic is left-to-right IEEE (min_ratio·target/avail)
+      // in BOTH engines, so the u < rate boundary is bit-identical
+      val d = TestTables.documents(s, dir)
+      val targets = Seq(("en", 0.3), ("zh", 0.2), ("es", 0.2),
+        ("de", 0.15), ("fr", 0.15))
+      val tdf = s.createDataFrame(targets).toDF("lang", "target")
+      val avail = d.groupBy(col("lang")).agg(count(lit(1)).as("avail"))
+        .join(broadcast(tdf), "lang")
+      val minR = avail
+        .agg(min(col("avail").cast("double") / col("target")).as("min_ratio"))
+      val rates = avail.crossJoin(broadcast(minR))
+        .select(col("lang"),
+          (col("min_ratio") * col("target") / col("avail").cast("double")).as("rate"))
+      val u = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long").cast("double") / 4294967296.0
+      d.join(broadcast(rates), "lang")
+        .filter(u < col("rate"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), round(min(col("rate")), 6).as("rate"))
+        .orderBy(col("lang"))
+    }),
     "q67_salted_agg" -> ((s, dir) => {
       // skew-safe two-level aggregation through the driver gate: the salted
       // path must be value-identical to the plain group-by the oracle runs —
@@ -1816,6 +1845,26 @@ object SparkEntry {
          |FROM dp JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
          |WHERE na.n > 0 AND nb.n > 0
          |  AND round(d / (na.n * nb.n), 6) >= 0.45""").stripMargin,
+    "q85_mixture_balance" ->
+      ("""WITH targets(lang, target) AS (
+         |  VALUES ('en', 0.3), ('zh', 0.2), ('es', 0.2), ('de', 0.15), ('fr', 0.15)),
+         |avail AS (SELECT lang, count(*) AS avail FROM documents GROUP BY lang),
+         |a AS (
+         |  SELECT t.lang, CAST(t.target AS DOUBLE) AS target, avail.avail
+         |  FROM targets t JOIN avail ON t.lang = avail.lang),
+         |mr AS (SELECT min(CAST(avail AS DOUBLE) / target) AS min_ratio FROM a),
+         |rates AS (
+         |  SELECT lang, mr.min_ratio * target / CAST(avail AS DOUBLE) AS rate
+         |  FROM a CROSS JOIN mr),
+         |kept AS (
+         |  SELECT d.lang, r.rate
+         |  FROM documents d JOIN rates r ON d.lang = r.lang
+         |  WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |    / 4294967296.0 < r.rate)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |  round(min(rate), 6) AS rate
+         |FROM kept GROUP BY lang
+         |ORDER BY lang""").stripMargin,
     "q68_weighted_sample" ->
       (s"""WITH scored AS (
          | SELECT doc_id, lang,
