@@ -349,7 +349,8 @@ object Similarity {
     val assigned = base.select(col("id"),
       graft.functions.VectorExpressions.portable_ivf_assign(col("v"), nLists, dims).as("c"))
     val pairs = assigned.as("a")
-      .join(assigned.as("b"), col("a.c") === col("b.c") && col("a.id") < col("b.id"))
+      .join(assigned.as("b").hint("SHUFFLE_HASH"),
+        col("a.c") === col("b.c") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val attach = Stage.attachSide(base)
     val dropped = pairs
@@ -359,7 +360,8 @@ object Similarity {
         >= tau)
       .select(col("id_b").as("id")).distinct()
     assigned
-      .join(dropped.withColumn("dropped", lit(1)), Seq("id"), "left")
+      .join(dropped.withColumn("dropped", lit(1)).hint("SHUFFLE_HASH"),
+        Seq("id"), "left")
       .select(col("id").as("vec_id"), col("c").cast("long").as("cluster"),
         when(col("dropped").isNull, 1L).otherwise(0L).as("kept"))
   }

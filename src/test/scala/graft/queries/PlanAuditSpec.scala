@@ -127,6 +127,56 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("winnow/mod-p selection runs native: no posexplode of the window stream") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ops = Seq(
+      "winnow" -> graft.operators.TextOps.dupSpanStats(docs, "doc_id", "text",
+        winLen = 20, minFreq = 2, winnowK = 5),
+      "mod-p" -> graft.operators.TextOps.dupSpanStats(docs, "doc_id", "text",
+        winLen = 20, stride = 5, minFreq = 2, modP = 5))
+    ops.foreach { case (name, q) =>
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      // selection must be the native expression over the raw string — ONE
+      // generator over the selected starts, not posexplode of all ~n
+      // stride-1 window strings followed by a filter
+      assert(!p.contains("posexplode"),
+        s"$name materializes the full window stream:\n$p")
+      assert(p.toLowerCase.contains("winnowstarts")
+          || p.toLowerCase.contains("modpstarts"),
+        s"$name native selection missing:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name sorts the window stream:\n$p")
+    }
+  }
+
+  test("semantic dedup: in-row assignment, skinny pair join, no dim explode") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = graft.operators.Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      nLists = 8, tau = 0.45)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    // assignment is a scalar expression — the plan must contain NO explode
+    // of the embedding dims (the join formulation ships |V|·dims rows)
+    assert(!p.toLowerCase.contains("posexplode"),
+      s"semanticDedup explodes embedding dims:\n$p")
+    // no global sort anywhere; the only wide ops are the cluster-keyed
+    // pair join and the distinct over dropped ids
+    assert(!p.contains("SortMergeJoin"), s"vector payloads sort-merge:\n$p")
+  }
+
+  test("mixture balance: rates broadcast back, fact side never shuffles on lang") {
+    val q = graft.SparkEntry.queries("q85_mixture_balance")(spark, dir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    // both the 5-row rates table and the 1-row min-ratio must broadcast;
+    // the documents scan must not hash-exchange before the keep filter
+    assert(p.contains("BroadcastHashJoin"), s"rates not broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+        || p.contains("BroadcastExchange"),
+      s"min-ratio stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact-side shuffle join:\n$p")
+  }
+
   test("ngram jaccard: one corpus scan, no joins — posting lists carry the pairs") {
     spark.catalog.clearCache()
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
