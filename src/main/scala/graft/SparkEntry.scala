@@ -550,6 +550,14 @@ object SparkEntry {
       TextOps.removeDupSpans(TestTables.documents(s, dir), "doc_id", "text",
           winLen = 20, stride = 5, minFreq = 2)
         .select(col("id").as("doc_id"), col("clean_text"))),
+    "q86_remove_spans_winnow" -> ((s, dir) =>
+      // the cleaning splice under TRUE winnowing selection — q77's cut
+      // with q82's alignment-free density-guaranteed window choice; the
+      // full cleaned STRINGS hash-match the oracle's complement-interval
+      // string_agg rebuild
+      TextOps.removeDupSpans(TestTables.documents(s, dir), "doc_id", "text",
+          winLen = 20, minFreq = 2, winnowK = 5)
+        .select(col("id").as("doc_id"), col("clean_text"))),
     "q82_dedup_spans_winnow" -> ((s, dir) =>
       // TRUE winnowing selection (Schleimer et al. 2003): every frame of
       // k=5 consecutive windows fingerprints its min-hash window —
@@ -1070,6 +1078,55 @@ object SparkEntry {
          |w AS (
          |  SELECT doc_id, i AS s0, i + 19 AS e0, substring(s, i, 20) AS win
          |  FROM (SELECT doc_id, s, unnest(range(1, length(s) - 18, 5)) AS i FROM te)),
+         |f AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+         |d AS (SELECT w.doc_id, w.s0, w.e0 FROM w JOIN f ON w.win = f.win),
+         |m AS (
+         |  SELECT doc_id, s0, e0,
+         |    CASE WHEN max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |      OR s0 > max(e0) OVER (PARTITION BY doc_id ORDER BY s0
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    THEN 1 ELSE 0 END AS isnew
+         |  FROM d),
+         |g AS (
+         |  SELECT doc_id, s0, e0,
+         |    sum(isnew) OVER (PARTITION BY doc_id ORDER BY s0
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM m),
+         |isl AS (
+         |  SELECT doc_id, grp, min(s0) AS ms, max(e0) AS me
+         |  FROM g GROUP BY doc_id, grp),
+         |segs AS (
+         |  SELECT doc_id,
+         |    coalesce(lag(me) OVER (PARTITION BY doc_id ORDER BY ms), 0) + 1 AS ks,
+         |    ms - 1 AS ke, ms AS ord
+         |  FROM isl
+         |  UNION ALL
+         |  SELECT doc_id, max(me) + 1 AS ks, 2147483647 AS ke, 2147483647 AS ord
+         |  FROM isl GROUP BY doc_id),
+         |clean AS (
+         |  SELECT segs.doc_id,
+         |    string_agg(substring(te.s, ks,
+         |      greatest(least(ke, length(te.s)) - ks + 1, 0)), '' ORDER BY ord) AS ct
+         |  FROM segs JOIN te ON segs.doc_id = te.doc_id
+         |  GROUP BY segs.doc_id)
+         |SELECT t.doc_id, CASE WHEN c.ct IS NULL THEN t.s ELSE c.ct END AS clean_text
+         |FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id""").stripMargin,
+    "q86_remove_spans_winnow" ->
+      ("""WITH t AS (SELECT doc_id, text AS s FROM documents),
+         |te AS (SELECT doc_id, s FROM t WHERE length(s) >= 20),
+         |h AS (
+         |  SELECT doc_id, s, length(s) - 19 AS n,
+         |    list_transform(range(1, length(s) - 19 + 1),
+         |      i -> CAST(('0x' || substring(md5(substring(s, i, 20)), 1, 8)) AS BIGINT)) AS hs
+         |  FROM te),
+         |sel AS (
+         |  SELECT doc_id, s,
+         |    unnest(list_distinct(list_transform(range(1, greatest(n - 4, 1) + 1),
+         |      j -> j + list_position(hs[j:j+4], list_min(hs[j:j+4])) - 1))) AS i
+         |  FROM h),
+         |w AS (
+         |  SELECT doc_id, i AS s0, i + 19 AS e0, substring(s, i, 20) AS win FROM sel),
          |f AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
          |d AS (SELECT w.doc_id, w.s0, w.e0 FROM w JOIN f ON w.win = f.win),
          |m AS (

@@ -447,10 +447,12 @@ object TextOps {
     * Returns (id, clean_text). */
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
       winLen: Int = 20, stride: Int = 5, minFreq: Long = 2,
-      modP: Int = 0, portableSel: Boolean = true): DataFrame = {
+      modP: Int = 0, portableSel: Boolean = true,
+      winnowK: Int = 0): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
     val eligible = t.filter(length(col("s")) >= winLen)
-    val ivs = mergedDupSpans(eligible, winLen, stride, minFreq, modP, portableSel)
+    val ivs =
+      mergedDupSpans(eligible, winLen, stride, minFreq, modP, portableSel, winnowK)
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("s0"), col("e0")))).as("ivs"))
     t.join(ivs, Seq("id"), "left")

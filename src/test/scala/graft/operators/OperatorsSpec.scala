@@ -841,6 +841,28 @@ class OperatorsSpec extends SparkSpec {
       s"near-dups split across clusters: $out")
   }
 
+  test("winnow removal splices exactly what winnow stats account") {
+    val rnd = new scala.util.Random(7719)
+    val alpha = "abcd "
+    val docs = (1L to 40L).map { id =>
+      val len = 15 + rnd.nextInt(150)
+      (id, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val df = docs.toDF("id", "text")
+    val removed = TextOps.dupSpanStats(df, "id", "text",
+        winLen = 20, minFreq = 2, winnowK = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val clean = TextOps.removeDupSpans(df, "id", "text",
+        winLen = 20, minFreq = 2, winnowK = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, s) =>
+      val cut = removed.getOrElse(id, 0L) // short docs absent from stats
+      assert(s.length - clean(id).length == cut,
+        s"doc $id: stats removed $cut chars, splice cut ${s.length - clean(id).length}")
+      if (s.length < 20) assert(clean(id) == s, s"short doc $id altered")
+    }
+  }
+
   test("topNgrams: exact counts, lexicographic tie-break, short docs ignored") {
     val df = Seq(
       (1L, "a b c a b c"), (2L, "x y z w"), (3L, "one two")
