@@ -357,6 +357,85 @@ object EventStreams {
       }
   }
 
+  case class VecRow(vec_id: Long, v: Seq[Float], c: Int)
+  case class SemanticVerdict(vec_id: Long, cluster: Int, is_dup: Boolean, dup_of: Long)
+  case class ClusterReps(reps: List[(Long, Double, Seq[Float])])
+
+  /** Streaming SEMANTIC near-dup filter — the ingest-time face of
+    * [[graft.operators.Similarity.semanticDedup]] (q83): each arriving
+    * embedding is assigned to its portable-IVF cluster by the stateless
+    * in-row `PortableIvfAssign` expression (no state, no shuffle beyond
+    * the cluster grouping), then compared against that cluster's ADMITTED
+    * representatives; rounded cosine ≥ `tau` against any of them → flagged
+    * with the admitting vector's id, else admitted into state.
+    *
+    * This is classic ONLINE LEADER CLUSTERING, and its semantics differ
+    * from the batch op by design: the batch rule drops a vector if ANY
+    * earlier vector is within `tau` (a dropped vector still blocks later
+    * ones); the stream compares only against admitted LEADERS, so a
+    * chain a~b~c with cos(a,c) < tau keeps c in the stream but drops it
+    * in batch. On chain-free inputs the two agree exactly (the parity the
+    * spec pins alongside a chain counter-example); the batch operator
+    * remains the exact ground truth, same contract as
+    * [[nearDupFilterStream]] vs the batch dedup passes. State is bounded:
+    * ≤ `maxPerCluster` reps per cluster, newest kept; zero-norm vectors
+    * are dropped (never emitted), matching the batch op's norm > 0 gate.
+    * Rows process in ascending vec_id within each micro-batch —
+    * deterministic replay; works on a batch frame through the same
+    * `flatMapGroupsWithState`.
+    *
+    * Emits (vec_id, cluster, is_dup, dup_of = admitting id or −1). */
+  def semanticDedupFilterStream(
+      vecs: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nLists: Int = 64,
+      tau: Double = 0.95,
+      dims: Int = 64,
+      maxPerCluster: Int = 1024
+  ): Dataset[SemanticVerdict] = {
+    import vecs.sparkSession.implicits._
+    // Spark round(x, 6): BigDecimal HALF_UP — the batch op's cosine gate
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val assigned = vecs.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("v"),
+        graft.functions.VectorExpressions
+          .portable_ivf_assign(col(vecCol), nLists, dims).as("c"))
+      .as[VecRow]
+    assigned.groupByKey(_.c)
+      .flatMapGroupsWithState[ClusterReps, SemanticVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (c, it, state) =>
+        var reps = state.getOption.map(_.reps).getOrElse(Nil)
+        val out = List.newBuilder[SemanticVerdict]
+        it.toSeq.sortBy(_.vec_id).foreach { d =>
+          var nAcc = 0.0d
+          var i = 0
+          while (i < d.v.length) { val x = d.v(i).toDouble; nAcc += x * x; i += 1 }
+          val norm = math.sqrt(nAcc)
+          if (norm > 0) {
+            reps.find { case (_, rNorm, rv) =>
+              var dot = 0.0d
+              var j = 0
+              val n = math.min(rv.length, d.v.length)
+              while (j < n) { dot += rv(j).toDouble * d.v(j).toDouble; j += 1 }
+              round6(dot / (rNorm * norm)) >= tau
+            } match {
+              case Some((admittedId, _, _)) =>
+                out += SemanticVerdict(d.vec_id, c, is_dup = true, dup_of = admittedId)
+              case None =>
+                out += SemanticVerdict(d.vec_id, c, is_dup = false, dup_of = -1L)
+                reps = (d.vec_id, norm, d.v) :: reps
+                if (reps.length > maxPerCluster) reps = reps.take(maxPerCluster)
+            }
+          }
+        }
+        state.update(ClusterReps(reps))
+        out.result().iterator
+      }
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
       value: Double)
   case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)

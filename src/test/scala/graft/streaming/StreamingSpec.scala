@@ -316,6 +316,58 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("streaming semantic filter: leader dedup at ingest, chain divergence from batch") {
+    // u + k·δ·e1: collinear points — a~b and b~c within tau, a~c outside it;
+    // all three land in portable-IVF cluster 3 (asserted below)
+    val u = Seq.fill(64)(0.1f)
+    val a = u
+    val b = (u.head + 0.235f) +: u.tail
+    val c = (u.head + 0.470f) +: u.tail
+    val ortho = 0.0f +: 1.0f +: Seq.fill(62)(0.0f)
+    val zero = Seq.fill(64)(0.0f)
+    Seq(a, b, c).foreach { v =>
+      assert(graft.functions.VectorExpressions
+        .portableIvfAssignLocal(v.map(_.toDouble), 4) == 3, "chain split across clusters")
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.semanticDedupFilterStream(
+        mem.toDF().toDF("vec_id", "embedding"), nLists = 4, tau = 0.95)
+      .writeStream.format("memory").queryName("semdedup")
+      .outputMode("append").start()
+    mem.addData((1L, a), (2L, b), (3L, c), (4L, ortho), (9L, zero))
+    q.processAllAvailable()
+    mem.addData((5L, a)) // exact dup of 1, next micro-batch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("semdedup").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+    assert(!got.contains(9L), s"zero-norm vector emitted: $got")
+    assert(got(1L) == ((false, -1L)), s"leader not admitted: $got")
+    assert(got(2L) == ((true, 1L)), s"near-dup of leader not flagged: $got")
+    // the documented leader-vs-batch divergence: c is outside tau of the
+    // only ADMITTED rep (a), so the stream admits it...
+    assert(got(3L) == ((false, -1L)), s"chain tail not admitted by stream: $got")
+    assert(got(4L) == ((false, -1L)), s"distinct vector flagged: $got")
+    assert(got(5L) == ((true, 1L)), s"cross-batch exact dup not flagged: $got")
+    // ...while the batch rule drops c through the dropped-but-earlier b
+    val batch = graft.operators.Similarity.semanticDedup(
+        Seq((1L, a), (2L, b), (3L, c), (4L, ortho)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nLists = 4, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(batch(3L) == 0L, s"batch should drop the chain tail: $batch")
+    // chain-free parity: on {a, its dup, ortho} stream admitted == batch kept
+    val chainFree = Seq((1L, a), (2L, a), (4L, ortho))
+    val streamed = EventStreams.semanticDedupFilterStream(
+        chainFree.toDF("vec_id", "embedding"), nLists = 4, tau = 0.95)
+      .collect().filter(!_.is_dup).map(_.vec_id).toSet
+    val batchKept = graft.operators.Similarity.semanticDedup(
+        chainFree.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        nLists = 4, tau = 0.95)
+      .collect().filter(_.getLong(2) == 1L).map(_.getLong(0)).toSet
+    assert(streamed == batchKept, s"stream=$streamed batch=$batchKept")
+  }
+
   test("near-dup TTL: eviction forgets ONLY docs older than the horizon") {
     // TTL = 10 min. doc 1 admitted at t=0; doc 2 (exact dup) at t=5min is
     // INSIDE the horizon → flagged; doc 3 (exact dup) at t=20min is past it
