@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema contract, partition sizing, batched
   * iteration, deterministic outputs — is real and tested. IMAGE decode is
   * real too: [[imageDecode]] uses the JDK's own `javax.imageio` codecs
-  * (PNG/JPEG/GIF/BMP), no external libraries. AUDIO/VIDEO byte-level decode
-  * remains A STUB (no such codecs ship in this environment): `decodeStub`
+  * (PNG/JPEG/GIF/BMP), and [[audioDecode]] the JDK's `javax.sound.sampled`
+  * (WAV/AIFF/AU) — no external libraries. VIDEO byte-level decode remains
+  * A STUB (no such codec ships in this environment): `decodeStub`
   * derives deterministic fake features from the bytes' hash. A real decoder
   * (JNI/FFI or an Arrow-batched python worker — the Scala analogue of a
   * Pandas UDF over `mapInPandas`) drops in behind `FeatureExtractor`
@@ -112,6 +113,92 @@ object Multimodal {
         case None => decodeStub(Seq(r)).head
       }
     }
+
+  /** 64-bit difference hash (dHash) of an image: decode, sample a 9×8
+    * luminance grid (nearest-pixel on a uniform lattice, bounded cost at
+    * any resolution), and emit one bit per horizontal neighbor pair —
+    * bit = left brighter than right. Gradient-based, so it is invariant
+    * to uniform brightness/contrast shifts (the classic re-encode /
+    * thumbnail near-dup signal) while random content differs in ~32 bits.
+    * None for non-images or bytes no JDK codec accepts. Deterministic per
+    * bytes. */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val lum = Array.ofDim[Double](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          val x = if (w == 1) 0 else (gx * (w - 1)) / 8
+          val y = if (h == 1) 0 else (gy * (h - 1)) / 7
+          val rgb = im.getRGB(x, y)
+          lum(gy)(gx) = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      var bit = 0
+      gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (lum(gy)(gx) > lum(gy)(gx + 1)) hash |= (1L << bit)
+          bit += 1
+          gx += 1
+        }
+        gy += 1
+      }
+      hash
+    }
+  }
+
+  /** Image near-duplicate pairs by banded dHash — the multimodal face of
+    * the SimHash text pipeline: hash every image (decode happens ONCE, in
+    * the scan projection), split the 64 bits into `bands` equal slices,
+    * self-join on (band, slice) so only hash-sharing candidates ever pair,
+    * then verify full Hamming distance ≤ `maxHamming`. With the default
+    * 4×16-bit bands, any pair within Hamming 3 shares at least one intact
+    * band (pigeonhole), so candidate generation is EXACT for maxHamming ≤
+    * bands − 1 and documented-approximate beyond. The join ships only
+    * (media_id, hash, band, bits) — image bytes never cross the exchange.
+    * Returns (id_a, id_b, hamming), id_a < id_b. */
+  def imageNearDups(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      bands: Int = 4
+  ): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val width = 64 / bands
+    val hashes = media
+      .flatMap(r => if (r.media_type == "image") dHash64(r.bytes).map(h => (r.media_id, h))
+                    else None)
+      .toDF("id", "hash")
+    val banded = hashes.select(col("id"), col("hash"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bits",
+        expr(s"shiftrightunsigned(hash, band * $width) & ${(1L << width) - 1}"))
+    val candidates = banded.as("l")
+      .join(banded.as("r").hint("SHUFFLE_HASH"),
+        col("l.band") === col("r.band") && col("l.bits") === col("r.bits")
+          && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.hash").as("hash_a"), col("r.hash").as("hash_b"))
+      .distinct()
+    candidates
+      .withColumn("hamming",
+        bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 
   /** REAL audio decode via the JDK's built-in `javax.sound.sampled` codecs
     * (WAV/AIFF/AU PCM — no external libraries). The stream is converted to

@@ -62,6 +62,44 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).features(0) != 0f || got(3L).features(1) != 0f) // stub values, not geometry
   }
 
+  test("imageNearDups: brightness-shifted copy pairs, distinct content does not") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // seeded per-pixel pattern; `lift` adds uniform brightness (clip-free
+    // range) — dHash compares neighbor gradients, so the lifted copy must
+    // hash identically while a different seed flips ~half the bits
+    def pattern(seed: Int, lift: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val im = new BufferedImage(40, 30, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 30; x <- 0 until 40) {
+        val v = 40 + rnd.nextInt(150) + lift // ≤ 235 + 20 < 256: no clipping
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(im, "png", bos))
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "image", pattern(11, 0), Some(40), Some(30), None),
+      MediaRow(2L, "image", pattern(11, 20), Some(40), Some(30), None), // near-dup of 1
+      MediaRow(3L, "image", pattern(99, 0), Some(40), Some(30), None),  // distinct
+      MediaRow(4L, "audio", Array[Byte](9, 9), None, None, Some(100L)), // ignored
+      MediaRow(5L, "image", Array[Byte](1, 2, 3), None, None, None))    // undecodable
+    val ds = spark.createDataset(rows)(org.apache.spark.sql.Encoders.product[MediaRow])
+    val pairs = imageNearDups(ds, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"brightness-shifted copy not paired: $pairs")
+    assert(pairs((1L, 2L)) == 0, s"gradient hash changed under uniform lift: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"distinct content paired: $pairs")
+    // hamming-0 identity: same bytes twice → the hashes agree exactly
+    val h1 = Multimodal.dHash64(pattern(11, 0)).get
+    assert(Multimodal.dHash64(pattern(11, 20)).get == h1, "lift changed dHash")
+    assert(java.lang.Long.bitCount(Multimodal.dHash64(pattern(99, 0)).get ^ h1) > 10,
+      "distinct pattern unexpectedly close in hash space")
+  }
+
   test("audioDecode: real WAV bytes decode to rate, duration, RMS, ZCR") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // fixture: 0.5 s of a 440 Hz sine at amplitude 0.8, 16-bit mono 8 kHz
