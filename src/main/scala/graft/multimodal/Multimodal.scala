@@ -159,29 +159,19 @@ object Multimodal {
     }
   }
 
-  /** Image near-duplicate pairs by banded dHash — the multimodal face of
-    * the SimHash text pipeline: hash every image (decode happens ONCE, in
-    * the scan projection), split the 64 bits into `bands` equal slices,
-    * self-join on (band, slice) so only hash-sharing candidates ever pair,
-    * then verify full Hamming distance ≤ `maxHamming`. With the default
-    * 4×16-bit bands, any pair within Hamming 3 shares at least one intact
-    * band (pigeonhole), so candidate generation is EXACT for maxHamming ≤
-    * bands − 1 and documented-approximate beyond. The join ships only
-    * (media_id, hash, band, bits) — image bytes never cross the exchange.
-    * Returns (id_a, id_b, hamming), id_a < id_b. */
-  def imageNearDups(
-      media: Dataset[MediaRow],
-      maxHamming: Int = 3,
-      bands: Int = 4
-  ): DataFrame = {
+  /** Shared banded near-dup machinery over any 64-bit perceptual hash:
+    * split the hash into `bands` equal slices, self-join on (band, slice)
+    * so only hash-sharing candidates ever pair, verify full Hamming ≤
+    * `maxHamming`. Any pair within Hamming `bands − 1` shares at least one
+    * intact band (pigeonhole), so candidate generation is EXACT for
+    * maxHamming ≤ bands − 1 and documented-approximate beyond. The join
+    * ships only (id, hash, band, bits) — media bytes never cross the
+    * exchange. Input (id, hash); returns (id_a, id_b, hamming), id_a <
+    * id_b. */
+  private def bandedHashPairs(hashes: DataFrame, maxHamming: Int,
+      bands: Int): DataFrame = {
     require(bands > 0 && 64 % bands == 0, "bands must divide 64")
-    val spark = media.sparkSession
-    import spark.implicits._
     val width = 64 / bands
-    val hashes = media
-      .flatMap(r => if (r.media_type == "image") dHash64(r.bytes).map(h => (r.media_id, h))
-                    else None)
-      .toDF("id", "hash")
     val banded = hashes.select(col("id"), col("hash"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bits",
@@ -198,6 +188,71 @@ object Multimodal {
         bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Image near-duplicate pairs by banded dHash — the multimodal face of
+    * the SimHash text pipeline. Decode happens ONCE, in the scan
+    * projection; see [[bandedHashPairs]] for the join shape and the
+    * exactness bound. */
+  def imageNearDups(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      bands: Int = 4
+  ): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    bandedHashPairs(media
+      .flatMap(r => if (r.media_type == "image") dHash64(r.bytes).map(h => (r.media_id, h))
+                    else None)
+      .toDF("id", "hash"), maxHamming, bands)
+  }
+
+  /** 64-bit audio envelope hash: decode to mono PCM, split into 65 equal
+    * time segments, one bit per adjacent segment pair — bit = energy
+    * rising. Gradient-based like [[dHash64]], so it is invariant to
+    * uniform GAIN (volume scales every segment energy by g², preserving
+    * every comparison) — the re-encode/normalize near-dup signal — while
+    * different material differs in ~32 bits. None for non-audio bytes. */
+  def aHash64(bytes: Array[Byte]): Option[Long] =
+    decodePcmMono(bytes).map { case (data, frames, frameBytes, channels, _) =>
+      val seg = new Array[Double](65)
+      val step = math.max(1, frames / 65536)
+      var i = 0
+      while (i < frames) {
+        var c = 0
+        var acc = 0.0
+        while (c < channels) {
+          val off = i * frameBytes + 2 * c
+          val s = ((data(off + 1).toInt << 8) | (data(off) & 0xff)).toShort
+          acc += s / 32768.0
+          c += 1
+        }
+        val x = acc / channels
+        seg(math.min(64, i * 65L / frames).toInt) += x * x
+        i += step
+      }
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        if (seg(b + 1) > seg(b)) hash |= (1L << b)
+        b += 1
+      }
+      hash
+    }
+
+  /** Audio near-duplicate pairs by banded envelope hash — same join shape
+    * and exactness bound as [[imageNearDups]]. */
+  def audioNearDups(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      bands: Int = 4
+  ): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    bandedHashPairs(media
+      .flatMap(r => if (r.media_type == "audio") aHash64(r.bytes).map(h => (r.media_id, h))
+                    else None)
+      .toDF("id", "hash"), maxHamming, bands)
   }
 
   /** REAL audio decode via the JDK's built-in `javax.sound.sampled` codecs
@@ -220,7 +275,11 @@ object Multimodal {
       }
     }
 
-  private def decodeWavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+  /** Decode any JDK-supported audio container to 16-bit little-endian PCM:
+    * (data, frames, frameBytes, channels, sampleRate). None when no codec
+    * accepts the bytes or the clip is empty. */
+  private def decodePcmMono(
+      bytes: Array[Byte]): Option[(Array[Byte], Int, Int, Int, Float)] =
     try {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
       val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
@@ -234,8 +293,14 @@ object Multimodal {
       val data = pcm.readAllBytes()
       pcm.close(); in.close()
       val frames = data.length / frameBytes
-      if (frames == 0) None else Some(wavStats(data, frames, frameBytes, channels, fmt.getSampleRate))
+      if (frames == 0) None
+      else Some((data, frames, frameBytes, channels, fmt.getSampleRate))
     } catch { case _: Exception => None }
+
+  private def decodeWavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    decodePcmMono(bytes).map { case (data, frames, frameBytes, channels, rate) =>
+      wavStats(data, frames, frameBytes, channels, rate)
+    }
 
   private def wavStats(data: Array[Byte], frames: Int, frameBytes: Int,
       channels: Int, sampleRate: Float): Array[Float] = {

@@ -100,6 +100,47 @@ class MultimodalSpec extends SparkSpec {
       "distinct pattern unexpectedly close in hash space")
   }
 
+  test("audioNearDups: gain-scaled copy pairs at Hamming 0, different material does not") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val rate = 8000f
+    def wav(seed: Int, gain: Double): Array[Byte] = {
+      // seeded amplitude envelope over a tone: segment energies trace the
+      // envelope; gain scales every energy by gain² so the rising/falling
+      // comparisons — the hash bits — are untouched
+      val rnd = new scala.util.Random(seed)
+      val env = Array.fill(66)(0.1 + rnd.nextDouble() * 0.8)
+      val nFrames = (rate * 0.5).toInt
+      val pcm = new Array[Byte](nFrames * 2)
+      (0 until nFrames).foreach { i =>
+        val e = env(i * 66 / nFrames)
+        val s = (math.sin(2 * math.Pi * 440 * i / rate) * e * gain * 32767).toInt.toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm),
+          new AudioFormat(rate, 16, 1, true, false), nFrames.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "audio", wav(7, 1.0), None, None, Some(500L)),
+      MediaRow(2L, "audio", wav(7, 0.5), None, None, Some(500L)), // gain-scaled copy
+      MediaRow(3L, "audio", wav(55, 1.0), None, None, Some(500L)), // different envelope
+      MediaRow(4L, "image", Array[Byte](1), None, None, None))     // ignored
+    val ds = spark.createDataset(rows)(org.apache.spark.sql.Encoders.product[MediaRow])
+    val pairs = audioNearDups(ds, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0), s"gain-scaled copy not at Hamming 0: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"different material paired: $pairs")
+    val h1 = Multimodal.aHash64(wav(7, 1.0)).get
+    assert(Multimodal.aHash64(wav(7, 0.25)).get == h1, "gain changed the envelope hash")
+    assert(java.lang.Long.bitCount(Multimodal.aHash64(wav(55, 1.0)).get ^ h1) > 10,
+      "different envelope unexpectedly close in hash space")
+  }
+
   test("audioDecode: real WAV bytes decode to rate, duration, RMS, ZCR") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // fixture: 0.5 s of a 440 Hz sine at amplitude 0.8, 16-bit mono 8 kHz

@@ -863,6 +863,54 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: randomized corpora agree with a brute-force reference") {
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val rnd = new scala.util.Random(20260813)
+    for (trial <- 1 to 3) {
+      val n = 30 + rnd.nextInt(30)
+      val base = Array.fill(8)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+      val vecs = (1L to n.toLong).map { id =>
+        // half the corpus clusters tightly around 8 anchors (near-dups),
+        // half is fresh noise; occasional zero vector exercises the gate
+        val v =
+          if (id % 13 == 0) Array.fill(64)(0.0f)
+          else if (rnd.nextBoolean()) {
+            val b = base(rnd.nextInt(8))
+            b.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+          } else Array.fill(64)(rnd.nextFloat() * 2 - 1)
+        (id, v.toSeq)
+      }
+      val got = graft.operators.Similarity
+        .semanticDedup(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          nLists = 4, tau = 0.9)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // brute-force reference: same assignment (driver mirror), same
+      // left-to-right double accumulation, same rounded-cosine gate
+      val withMeta = vecs.flatMap { case (id, v) =>
+        val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+        if (norm > 0)
+          Some((id, v, norm, graft.functions.VectorExpressions
+            .portableIvfAssignLocal(v.map(_.toDouble), 4)))
+        else None
+      }
+      val expected = withMeta.map { case (id, v, norm, c) =>
+        val dropped = withMeta.exists { case (id2, v2, norm2, c2) =>
+          id2 < id && c2 == c && {
+            var dot = 0.0
+            var i = 0
+            while (i < 64) { dot += v2(i).toDouble * v(i).toDouble; i += 1 }
+            round6(dot / (norm2 * norm)) >= 0.9
+          }
+        }
+        id -> ((c.toLong, if (dropped) 0L else 1L))
+      }.toMap
+      assert(got == expected,
+        s"trial $trial (n=$n): ${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
+    }
+  }
+
   test("topNgrams: exact counts, lexicographic tie-break, short docs ignored") {
     val df = Seq(
       (1L, "a b c a b c"), (2L, "x y z w"), (3L, "one two")
