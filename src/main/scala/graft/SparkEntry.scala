@@ -201,6 +201,17 @@ object SparkEntry {
       // path stays covered by OperatorsSpec recall/estimate assertions
       Dedup.portableMinhashLsh(TestTables.documents(s, dir), "doc_id", "text",
         numHashes = 32, bands = 16, threshold = 0.5)),
+    "q87_incremental_dedup" -> ((s, dir) => {
+      // incremental-ingest dedup: the NEW batch (doc_id >= 400) classified
+      // against the admitted OLD corpus and against earlier new docs —
+      // work is |new|-driven (old docs never pair with each other), the
+      // production shape for a daily delta against a 100 TB index; the
+      // q54 portable pipeline makes every verdict DuckDB-replayable
+      val d = TestTables.documents(s, dir)
+      Dedup.incrementalMinhashDedup(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+        "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
+    }),
     "q69_hyperplane_portable" -> ((s, dir) =>
       // portable md5-sign hyperplane LSH (operators/Dedup) so the bucket →
       // candidate → cosine pipeline of the hyperplane family (q25's index
@@ -957,6 +968,72 @@ object SparkEntry {
        |WHERE round(($agree) / $n.0, 6) >= 0.5""".stripMargin
   }
 
+  /** DuckDB replica of q87: the q54 signature/band CTEs over the full
+    * table, candidates restricted to new-vs-old and new-vs-earlier-new at
+    * the doc_id 400 split, per-new-doc min matching ids, kept iff none —
+    * value-for-value against [[graft.operators.Dedup.incrementalMinhashDedup]]
+    * (the signature formula is per-doc independent, so computing it over
+    * the union equals the operator's per-corpus computation). */
+  private val incrementalDedupSql: String = {
+    val n = 32; val bands = 16; val rpb = n / bands; val p = 2147483647L
+    val split = 400
+    val slots = (0 until n)
+      .map(i => s"MIN((h * ${2 * i + 3} + ${5 * i + 7}) % $p) AS m$i")
+      .mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rpb)
+        .map(j => s"CAST(m${b * rpb + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT id, $b AS band, $key AS key FROM sigs"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until n)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id AS id, shingle FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+       |           ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+       |    FROM (SELECT doc_id, tk,
+       |            unnest(range(1, greatest(len(tk) - 1, 2))) AS i
+       |          FROM toks))),
+       |hashed AS (
+       |  SELECT id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % $p AS h
+       |  FROM sh),
+       |sigs AS (SELECT id, $slots FROM hashed GROUP BY id),
+       |bands AS ($bandSelects),
+       |cand_old AS (
+       |  SELECT DISTINCT r.id AS nid, l.id AS oid
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+       |  WHERE l.id < $split AND r.id >= $split),
+       |cand_new AS (
+       |  SELECT DISTINCT r.id AS nid, l.id AS eid
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+       |  WHERE l.id >= $split AND r.id >= $split AND l.id < r.id),
+       |vold AS (
+       |  SELECT nid, min(oid) AS min_oid
+       |  FROM cand_old JOIN sigs b ON nid = b.id JOIN sigs a ON oid = a.id
+       |  WHERE round(($agree) / $n.0, 6) >= 0.5
+       |  GROUP BY nid),
+       |vnew AS (
+       |  SELECT nid, min(eid) AS min_eid
+       |  FROM cand_new JOIN sigs b ON nid = b.id JOIN sigs a ON eid = a.id
+       |  WHERE round(($agree) / $n.0, 6) >= 0.5
+       |  GROUP BY nid)
+       |SELECT s.id AS doc_id,
+       |  CAST(coalesce(v1.min_oid, -1) AS BIGINT) AS dup_of_old,
+       |  CAST(coalesce(v2.min_eid, -1) AS BIGINT) AS dup_of_new,
+       |  CAST(CASE WHEN v1.nid IS NULL AND v2.nid IS NULL THEN 1 ELSE 0 END
+       |    AS BIGINT) AS kept
+       |FROM sigs s
+       |LEFT JOIN vold v1 ON s.id = v1.nid
+       |LEFT JOIN vnew v2 ON s.id = v2.nid
+       |WHERE s.id >= $split""".stripMargin
+  }
+
   /** DuckDB replica of q69: md5-parity ±1 plane signs × integer-quantized
     * components → per-(table, plane) sign of an exact bigint dot product →
     * plane-ordered bit-string bucket keys → bucket-equality candidates →
@@ -1021,6 +1098,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q22_simhash_pairs" -> simhashPairsSql,
     "q54_minhash_portable" -> minhashPairsSql,
+    "q87_incremental_dedup" -> incrementalDedupSql,
     "q69_hyperplane_portable" -> hyperplanePairsSql,
     "q71_repeated_windows" ->
       ("""WITH t AS (

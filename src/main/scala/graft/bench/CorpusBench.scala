@@ -221,6 +221,23 @@ object CorpusBench {
           d.filter(col("doc_id") >= 1000), "doc_id", "text",
           d.filter(col("doc_id") < 1000), "doc_id", "text",
           shingleLen = 3, minShared = 2))
+      // span-level decontamination, 1% of the corpus as the eval slice —
+      // mod-p (probabilistic) vs winnow (density-guaranteed) selection on
+      // the same split; sum the accounting so the whole pipeline runs
+      benchAct("decontaminate_spans", () => {
+        TextOps.decontaminateSpans(
+            docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+            winLen = 20, stride = 5, modP = 5)
+          .agg(sum(col("removed_chars"))).head().getLong(0)
+      })
+      benchAct("decontaminate_spans_winnow", () => {
+        TextOps.decontaminateSpans(
+            docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+            winLen = 20, winnowK = 5)
+          .agg(sum(col("removed_chars"))).head().getLong(0)
+      })
       // span-level dup stats: one window-keyed exchange feeding freq agg +
       // join back (ReusedExchange) — the grid should show shuffle volume
       // ~linear in corpus bytes (windows/doc is corpus-constant). The action

@@ -233,15 +233,12 @@ object Dedup {
     *
     * Returns (id_a, id_b, est_jaccard = agreeing-slot fraction) with
     * id_a < id_b, est_jaccard ≥ threshold. */
-  def portableMinhashLsh(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      numHashes: Int = 32,
-      bands: Int = 16,
-      threshold: Double = 0.5,
-      shingleLen: Int = 3
-  ): DataFrame = {
+  /** The q54 portable signature pipeline, shared by [[portableMinhashLsh]]
+    * and [[incrementalMinhashDedup]]: md5-derived shingle hashes, affine
+    * per-slot min-hashes mod P (all-long math, ANSI-replayable), and the
+    * banded (id, band, key) stream. Returns (sigs, banded). */
+  private def portableSigBands(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleLen: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rpb = numHashes / bands
     val P = 2147483647L // 2^31 − 1, prime; a_i·h < 2^38 keeps all math in longs
@@ -259,6 +256,20 @@ object Dedup {
         col(s"m${b * rpb + j}").cast("string")): _*)): _*)
     val banded = sigs.select(col("id"), posexplode(bandKeys))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    (sigs, banded)
+  }
+
+  def portableMinhashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      shingleLen: Int = 3
+  ): DataFrame = {
+    val (sigs, banded) =
+      portableSigBands(df, idCol, textCol, numHashes, bands, shingleLen)
     val l = banded.as("l")
     val r = banded.as("r")
     val candidates = l
@@ -275,6 +286,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(agree.cast("double") / numHashes, 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Incremental-ingest dedup — the production shape at 100 TB: the OLD
+    * corpus is already admitted (its signatures/bands in practice
+    * precomputed and stored; the formula is per-doc independent, so
+    * recomputing here is value-identical), and only the NEW batch is
+    * classified. Each new doc reports its smallest-id near-duplicate in
+    * the old corpus and among EARLIER new docs (per-pair EXISTS, the q83
+    * rule: a matched new doc still blocks later ones), and is kept iff
+    * neither exists. The candidate joins ship only (id, band, key) and
+    * never pair old docs with each other — the work is |new|-driven, not
+    * |old|²: the point of incremental over re-running the full pairwise
+    * pass. Every stage is the q54 portable pipeline, so the whole verdict
+    * replays in ANSI SQL.
+    *
+    * Returns (doc_id, dup_of_old, dup_of_new, kept) for every new doc
+    * with at least one shingle; −1 marks no match. */
+  def incrementalMinhashDedup(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      shingleLen: Int = 3
+  ): DataFrame = {
+    val (sigsOld, bandedOld) =
+      portableSigBands(oldDocs, idCol, textCol, numHashes, bands, shingleLen)
+    val (sigsNew, bandedNew) =
+      portableSigBands(newDocs, idCol, textCol, numHashes, bands, shingleLen)
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0)).reduce(_ + _)
+    val est = round(agree.cast("double") / numHashes, 6)
+    def verified(cands: DataFrame, otherSigs: DataFrame,
+        otherCol: String): DataFrame =
+      cands
+        .join(Stage.attachSide(sigsNew).as("sa"), col("nid") === col("sa.id"))
+        .join(Stage.attachSide(otherSigs).as("sb"), col(otherCol) === col("sb.id"))
+        .filter(est >= threshold)
+        .groupBy(col("nid")).agg(min(col(otherCol)).as(s"min_$otherCol"))
+    val vsOld = bandedNew.as("l")
+      .join(bandedOld.as("r").hint("SHUFFLE_HASH"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .select(col("l.id").as("nid"), col("r.id").as("oid")).distinct()
+    val vsNew = bandedNew.as("l")
+      .join(bandedNew.as("r").hint("SHUFFLE_HASH"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key")
+          && col("l.id") < col("r.id"))
+      .select(col("r.id").as("nid"), col("l.id").as("eid")).distinct()
+    val oldMatch = verified(vsOld, sigsOld, "oid")
+    val newMatch = verified(vsNew, sigsNew, "eid")
+    sigsNew.select(col("id"))
+      .join(oldMatch.hint("SHUFFLE_HASH"), col("id") === oldMatch("nid"), "left")
+      .drop("nid")
+      .join(newMatch.hint("SHUFFLE_HASH"), col("id") === newMatch("nid"), "left")
+      .drop("nid")
+      .select(col("id").as("doc_id"),
+        coalesce(col("min_oid"), lit(-1L)).as("dup_of_old"),
+        coalesce(col("min_eid"), lit(-1L)).as("dup_of_new"),
+        when(col("min_oid").isNull && col("min_eid").isNull, 1L).otherwise(0L)
+          .as("kept"))
   }
 
   /** Exact n-gram Jaccard similarity — the DEFAULT, zero-join posting-list

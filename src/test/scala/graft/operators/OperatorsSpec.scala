@@ -911,6 +911,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalMinhashDedup: new docs classify against old corpus and earlier new docs") {
+    val body = "the quick brown fox jumps over the lazy dog while autumn " +
+      "leaves drift slowly down the quiet river valley this very day"
+    val novel = "entirely novel content never seen before in any corpus " +
+      "with many unique words and surprising phrases in it"
+    val old = Seq(
+      (10L, body + " alpha"),
+      (11L, "completely different material about catalyst planning and " +
+        "shuffle exchanges in spark engines at corpus scale"))
+    val nw = Seq(
+      (400L, body + " beta"),   // near-dup of OLD doc 10
+      (401L, novel),            // fresh — kept
+      (402L, novel + " too"))   // near-dup of EARLIER NEW doc 401
+    val out = graft.operators.Dedup.incrementalMinhashDedup(
+        old.toDF("id", "text"), nw.toDF("id", "text"), "id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(400L) == ((10L, -1L, 0L)), s"old-dup misclassified: $out")
+    assert(out(401L) == ((-1L, -1L, 1L)), s"fresh doc not kept: $out")
+    assert(out(402L) == ((-1L, 401L, 0L)), s"new-dup misclassified: $out")
+    assert(out.size == 3, s"old docs leaked into the output: $out")
+  }
+
   test("topNgrams: exact counts, lexicographic tie-break, short docs ignored") {
     val df = Seq(
       (1L, "a b c a b c"), (2L, "x y z w"), (3L, "one two")
