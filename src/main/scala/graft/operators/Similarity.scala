@@ -343,11 +343,49 @@ object Similarity {
       tau: Double = 0.45,
       dims: Int = 64
   ): DataFrame = {
-    val base = Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
-      .withColumn("norm", l2norm(col("v")))
-      .filter(col("norm") > 0)
+    val base = semanticBase(df, idCol, vecCol)
     val assigned = base.select(col("id"),
       graft.functions.VectorExpressions.portable_ivf_assign(col("v"), nLists, dims).as("c"))
+    leaderDedup(base, assigned, tau)
+  }
+
+  /** [[semanticDedup]] with a LEARNED k-means coarse quantizer
+    * ([[Ivf.train]]) — true SemDeDup: clusters are semantic regions of the
+    * embedding space, so near-duplicates co-locate by CONTENT, where the
+    * md5-sign projection co-locates them only up to random-projection
+    * luck. Same leader rule, same rounded-cosine gate, same plan shape
+    * (in-row `NearestCentroid` assignment, skinny pair join). Iterative
+    * float k-means is not ANSI-replayable, so like the native IVF/PQ
+    * paths this variant is spec-gated — against the same brute-force
+    * leader reference, with the portable q83 twin as the oracle anchor. */
+  def semanticDedupKmeans(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 16,
+      iters: Int = 5,
+      tau: Double = 0.45,
+      seed: Long = 1L
+  ): DataFrame = {
+    val codebook = Ivf.train(df.select(col(vecCol)), vecCol, k, iters, seed)
+    val base = semanticBase(df, idCol, vecCol)
+    val assigned = base.select(col("id"),
+      graft.functions.VectorExpressions
+        .nearest_centroid(col("v"), codebook.centroids).as("c"))
+    leaderDedup(base, assigned, tau)
+  }
+
+  private def semanticBase(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+      .withColumn("norm", l2norm(col("v")))
+      .filter(col("norm") > 0)
+
+  /** The shared leader pass: within each cluster of `assigned` (id, c),
+    * drop every id with an EARLIER same-cluster neighbor at rounded
+    * cosine ≥ tau. Pair join ships only (id, c); vectors attach to pairs
+    * by id; every join hash-built. */
+  private def leaderDedup(base: DataFrame, assigned: DataFrame,
+      tau: Double): DataFrame = {
     val pairs = assigned.as("a")
       .join(assigned.as("b").hint("SHUFFLE_HASH"),
         col("a.c") === col("b.c") && col("a.id") < col("b.id"))

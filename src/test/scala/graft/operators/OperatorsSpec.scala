@@ -935,6 +935,54 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 3, s"old docs leaked into the output: $out")
   }
 
+  test("semanticDedupKmeans: learned clusters, brute-force leader parity") {
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val rnd = new scala.util.Random(991)
+    val anchors = Array.fill(4)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val vecs = (1L to 40L).map { id =>
+      val v =
+        if (id <= 32) anchors(((id - 1) % 4).toInt)
+          .map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+        else Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      (id, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .semanticDedupKmeans(df, "vec_id", "embedding", k = 4, iters = 5, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reference: retrain the (deterministic) codebook, replay assignment
+    // via Codebook.nearest and the leader rule with the rounded gate
+    val cb = graft.operators.Ivf.train(df.select(col("embedding")), "embedding",
+      k = 4, iters = 5, seed = 1L)
+    val withMeta = vecs.map { case (id, v) =>
+      val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      (id, v, norm, cb.nearest(v.map(_.toDouble).toArray, 1).head)
+    }
+    val expected = withMeta.map { case (id, v, norm, c) =>
+      val dropped = withMeta.exists { case (id2, v2, norm2, c2) =>
+        id2 < id && c2 == c && {
+          var dot = 0.0
+          var i = 0
+          while (i < 64) { dot += v2(i).toDouble * v(i).toDouble; i += 1 }
+          round6(dot / (norm2 * norm)) >= 0.9
+        }
+      }
+      id -> ((c.toLong, if (dropped) 0L else 1L))
+    }.toMap
+    assert(got == expected,
+      s"${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
+    // each anchor family's smallest id has no earlier near-dup → always kept
+    (0 until 4).foreach { g =>
+      assert(got(g + 1L)._2 == 1L, s"family $g leader dropped: ${got(g + 1L)}")
+    }
+    // learned clusters co-locate by content: the 32 anchored vectors
+    // collapse to a handful of representatives
+    val keptAnchored = (1L to 32L).count(id => got(id)._2 == 1L)
+    assert(keptAnchored <= 8, s"anchored corpus barely deduped: $keptAnchored kept")
+  }
+
   test("topNgrams: exact counts, lexicographic tie-break, short docs ignored") {
     val df = Seq(
       (1L, "a b c a b c"), (2L, "x y z w"), (3L, "one two")
