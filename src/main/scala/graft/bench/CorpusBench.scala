@@ -231,6 +231,17 @@ object CorpusBench {
             winLen = 20, stride = 5, modP = 5)
           .agg(sum(col("removed_chars"))).head().getLong(0)
       })
+      // the q78 cleaning pipeline end-to-end at corpus scale: PII-redact →
+      // splice corpus-duplicated spans (windows over the REDACTED text) →
+      // per-doc accounting; the composition's shuffle/spill is the number
+      // a nightly cleaning job planner actually needs
+      benchAct("clean_pipeline", () => {
+        val redacted = docs.select(col("doc_id"),
+          TextOps.piiRedact(col("text")).as("text"))
+        TextOps.removeDupSpans(redacted, "doc_id", "text",
+            winLen = 20, stride = 5, minFreq = 2)
+          .agg(sum(length(col("clean_text")))).head().getLong(0)
+      })
       benchAct("decontaminate_spans_winnow", () => {
         TextOps.decontaminateSpans(
             docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",

@@ -738,6 +738,66 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** DEFLATE size of a string's UTF-8 bytes (level 6, default strategy) —
+    * the compression-ratio quality signal: highly repetitive text (the
+    * boilerplate/spam regime) compresses far below natural prose, so
+    * `deflate_bytes / n_bytes` is a cheap scan-local filter feature
+    * (standard in pretraining pipelines). Returns
+    * struct(n_bytes, deflate_bytes); NULL for the empty string. Not
+    * ANSI-replayable (no zlib in SQL) — spec-gated, like the native
+    * approximate paths. One Deflater per row, ended deterministically;
+    * cost is bounded by document bytes. */
+  case class DeflateStats(child: Expression)
+      extends UnaryExpression with Serializable {
+
+    override def nullable: Boolean = true
+    override def dataType: DataType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_bytes",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("deflate_bytes",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"deflate_stats expects string, got $other")
+      }
+
+    def compute(v: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.sql.catalyst.InternalRow = {
+      val bytes = v.getBytes
+      if (bytes.isEmpty) return null
+      val d = new java.util.zip.Deflater(6)
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](1024)
+        var total = 0
+        while (!d.finished()) total += d.deflate(buf)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](bytes.length, total))
+      } finally d.end()
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("deflateStats", this, classOf[DeflateStats].getName)
+      val ir = classOf[org.apache.spark.sql.catalyst.InternalRow].getName
+      nullSafeCodeGen(ctx, ev, s => {
+        s"""
+           |$ir ${ev.value}_r = $self.compute($s);
+           |if (${ev.value}_r == null) { ${ev.isNull} = true; } else { ${ev.value} = ${ev.value}_r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Driver-side mirror of [[HyperplaneBuckets]] for one table — used to turn
     * a literal query vector into literal probe bucket ids (bit-identical to
     * the bucket ids the expression assigns to stored vectors). */
@@ -779,6 +839,8 @@ object HashExpressions {
     GraftBridge.toColumn(WinnowStarts(GraftBridge.toExpression(s), winLen, k))
   def mod_p_starts(s: Column, winLen: Int, p: Int): Column =
     GraftBridge.toColumn(ModPStarts(GraftBridge.toExpression(s), winLen, p))
+  def deflate_stats(s: Column): Column =
+    GraftBridge.toColumn(DeflateStats(GraftBridge.toExpression(s)))
 
   /** Register as SQL functions. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

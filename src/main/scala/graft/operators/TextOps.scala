@@ -26,6 +26,21 @@ object TextOps {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Compression-ratio quality signal (per doc): deflate_bytes / n_bytes
+    * at zlib level 6 — highly repetitive text (boilerplate, spam, tag
+    * soup) compresses far below natural prose, a standard cheap
+    * pretraining filter feature. Scan-local, zero shuffle; the one
+    * spec-gated TextOps member (no zlib in ANSI SQL), ratio NULL for
+    * empty docs. Returns (id, n_bytes, deflate_bytes, ratio). */
+  def compressionSignal(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.HashExpressions.deflate_stats(col(textCol)).as("ds"))
+      .select(col("id"),
+        col("ds.n_bytes").cast("long").as("n_bytes"),
+        col("ds.deflate_bytes").cast("long").as("deflate_bytes"),
+        round(col("ds.deflate_bytes").cast("double") / col("ds.n_bytes"), 4)
+          .as("ratio"))
+
   /** Ratio of punctuation chars to all chars, 4 decimals. */
   def punctRatio(text: Column): Column =
     round(length(regexp_replace(text, "[^.,;:!?'\"()-]", "")) /

@@ -983,6 +983,21 @@ class OperatorsSpec extends SparkSpec {
     assert(keptAnchored <= 8, s"anchored corpus barely deduped: $keptAnchored kept")
   }
 
+  test("compressionSignal: repetitive text compresses far below high-entropy text") {
+    val rnd = new scala.util.Random(31337)
+    val repetitive = "click here to buy now best price " * 40
+    val entropic = (0 until 1200).map(_ => rnd.nextPrintableChar()).mkString
+    val df = Seq((1L, repetitive), (2L, entropic), (3L, "")).toDF("id", "text")
+    val out = TextOps.compressionSignal(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) < 0.2,
+      s"boilerplate barely compressed: ${out(1L).getDouble(3)}")
+    assert(out(2L).getDouble(3) > 0.6,
+      s"high-entropy text over-compressed: ${out(2L).getDouble(3)}")
+    assert(out(1L).getLong(1) == repetitive.getBytes("UTF-8").length.toLong)
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(3), "empty doc should be NULL")
+  }
+
   test("topNgrams: exact counts, lexicographic tie-break, short docs ignored") {
     val df = Seq(
       (1L, "a b c a b c"), (2L, "x y z w"), (3L, "one two")
