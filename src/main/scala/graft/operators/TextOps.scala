@@ -493,10 +493,14 @@ object TextOps {
     * cleaning pass consumes. Returns (w, freq). */
   def hotWindows(df: DataFrame, idCol: String, textCol: String,
       winLen: Int = 20, stride: Int = 5, minFreq: Long = 2,
-      modP: Int = 0, portableSel: Boolean = true): DataFrame = {
+      modP: Int = 0, portableSel: Boolean = true,
+      winnowK: Int = 0): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
       .filter(length(col("s")) >= winLen)
-    spanWindows(t, winLen, stride, modP, portableSel)
+    val wins =
+      if (winnowK > 0) winnowWindows(t, winLen, winnowK)
+      else spanWindows(t, winLen, stride, modP, portableSel)
+    wins
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)
   }

@@ -196,6 +196,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch(1L)._1 >= 1, s"planted leak not flagged in batch: ${batch(1L)}")
   }
 
+  test("winnow-mined blocklist + all-window stream probe keeps the certainty guarantee") {
+    // eval side mines winnow-SELECTED windows; arriving docs probe ALL
+    // stride-1 windows (modP = 0) — any leaked span >= winLen + k - 1
+    // contains an eval-selected window, so detection stays certain at any
+    // alignment (the stream-side analogue of q84)
+    val leak = "SHARED-EVAL-SPAN-24-CHAR" // winLen + k - 1 = 24 exactly
+    val evalDf = Seq((900L, "eval framing " + leak + " more eval text here"))
+      .toDF("doc_id", "text")
+    val evalW = graft.operators.TextOps.hotWindows(
+      evalDf, "doc_id", "text", winLen = 20, minFreq = 1, winnowK = 5)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, "abcdefg " + leak + " unrelated training prose follows"), // misaligned
+      (2L, "an independent training document with its own clean words"))
+    val q = EventStreams.decontaminateSpansStream(
+        mem.toDF().toDF("doc_id", "text"), evalW, winLen = 20, modP = 0)
+      .select($"doc_id", $"n_spans", $"removed_chars")
+      .writeStream.format("memory").queryName("winnowdecon")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("winnowdecon").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L)._1 >= 1 && got(1L)._2 >= 20, s"guaranteed leak missed: ${got(1L)}")
+    assert(got(2L) == ((0L, 0L)), s"clean doc flagged: ${got(2L)}")
+  }
+
   test("streaming decontamination: stream-static shingle join matches batch overlap") {
     val evalDocs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
