@@ -204,6 +204,27 @@ object CorpusBench {
 
       bench("minhash_pairs",
         d => Dedup.minhashLsh(d, "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.5))
+      // incremental ingest: a 10% delta classified against the other 90% —
+      // candidate work is |new|-driven (old docs never pair together); sum
+      // all outputs so no stage prunes away
+      benchAct("incremental_dedup", () => {
+        Dedup.incrementalMinhashDedup(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
+          .agg(sum(col("kept") + col("dup_of_old") + col("dup_of_new")))
+          .head().getLong(0)
+      })
+      // same delta pass on the native q21 signature family — the
+      // production path; the gap to the row above is the md5 oracle tax
+      benchAct("incremental_dedup_native", () => {
+        Dedup.incrementalMinhashDedupNative(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.5)
+          .agg(sum(col("kept") + col("dup_of_old") + col("dup_of_new")))
+          .head().getLong(0)
+      })
       bench("ngram_posting", d => Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3))
       bench("ngram_join", d => Dedup.ngramJaccardJoin(d, "doc_id", "text", threshold = 0.3))
       bench("dedup_clusters", d =>

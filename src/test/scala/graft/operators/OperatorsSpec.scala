@@ -933,6 +933,13 @@ class OperatorsSpec extends SparkSpec {
     assert(out(401L) == ((-1L, -1L, 1L)), s"fresh doc not kept: $out")
     assert(out(402L) == ((-1L, 401L, 0L)), s"new-dup misclassified: $out")
     assert(out.size == 3, s"old docs leaked into the output: $out")
+    // the native signature family classifies the same planted scenario
+    val native = graft.operators.Dedup.incrementalMinhashDedupNative(
+        old.toDF("id", "text"), nw.toDF("id", "text"), "id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(native == out, s"native/portable verdicts diverge: $native vs $out")
   }
 
   test("semanticDedupKmeans: learned clusters, brute-force leader parity") {
