@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.gen.Generator
 import graft.config.Schemas
-import graft.operators.{Dedup, Similarity, Stage, TextOps}
+import graft.operators.{Dedup, Rank, Similarity, Stage, TextOps}
 import graft.queries.Workload
 import graft.sources.TestTables
 
@@ -211,6 +211,70 @@ object SparkEntry {
       Dedup.incrementalMinhashDedup(
         d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
         "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
+    }),
+    "q88_quality_topp" -> ((s, dir) => {
+      // per-language top-20% quality filter — the curation step that keeps
+      // each language's best slice instead of imposing one global cutoff
+      // (a global threshold empties low-resource languages). Ranking runs
+      // window-free through Rank.withGroupRank: Window.partitionBy(lang)
+      // would collapse each language onto ONE task — five tasks for a
+      // 100 TB five-language corpus — while the grouped range-rank spreads
+      // a hot language over as many partitions as its volume needs and
+      // stitches rank offsets across the boundaries (O(parts) driver
+      // state). Per-language totals ride back on a broadcast join.
+      val scored = TestTables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val ranked = Rank.withGroupRank(scored, Seq(col("lang")),
+        Seq(col("quality").desc, col("doc_id").asc), rankCol = "rk")
+      val counts = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      ranked.join(broadcast(counts), "lang")
+        .filter(col("rk") <= ceil(col("n_lang") * lit(0.2)))
+        .select(col("doc_id"), col("lang"), col("quality"), col("rk"))
+    }),
+    "q89_vocab_stats" -> ((s, dir) => {
+      // per-language corpus vocabulary profile: exact distinct-token counts
+      // via the two-level aggregate — groupBy(lang, token) then
+      // groupBy(lang) — so the wide shuffle runs on the high-cardinality
+      // (lang, token) key and the final exchange carries one row per
+      // (lang, token) group; no count(DISTINCT) expansion, no per-lang
+      // window, nothing skewed by a hot language
+      val d = TestTables.documents(s, dir)
+      val tf = d.select(col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
+      val vocab = tf.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_types"),
+        sum(col("tf")).cast("bigint").as("n_tokens"),
+        max(col("tf")).cast("bigint").as("max_tf"))
+      val docs = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      vocab.join(docs, "lang")
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_types"),
+          col("max_tf"),
+          round(col("n_types") / col("n_tokens"), 6).as("type_token_ratio"))
+    }),
+    "q90_dedup_e2e" -> ((s, dir) => {
+      // the whole dedup pipeline as ONE oracle-checked composition:
+      // portable minhash LSH pairs (q54) → connected components (q46) →
+      // canonical-representative keep list → per-language corpus
+      // accounting. Each stage is individually oracled; this row proves
+      // the hand-off seams (pair orientation, left-join keep semantics)
+      // with a DuckDB replay of the entire chain
+      val d = TestTables.documents(s, dir)
+      val pairs = Dedup.portableMinhashLsh(d, "doc_id", "text",
+          numHashes = 32, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val comps = graft.operators.ConnectedComponents
+        .components(pairs, "id_a", "id_b")
+      d.join(comps.hint("SHUFFLE_HASH"), d("doc_id") === comps("id"), "left")
+        .select(col("lang"),
+          when(col("rep").isNull || col("rep") === col("doc_id"), 1L)
+            .otherwise(0L).as("kept"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept")).cast("bigint").as("n_kept"),
+          (count(lit(1)) - sum(col("kept"))).cast("bigint").as("n_dropped"))
     }),
     "q69_hyperplane_portable" -> ((s, dir) =>
       // portable md5-sign hyperplane LSH (operators/Dedup) so the bucket →
@@ -1095,7 +1159,66 @@ object SparkEntry {
        |SELECT src AS id, CAST(least(src, min(dst)) AS BIGINT) AS rep
        |FROM reach GROUP BY src""".stripMargin
 
+  /** q90: the q54 pair list → recursive-CTE components → left-join keep
+    * verdict → per-language accounting, all in one replayable statement. */
+  private val dedupE2eSql: String =
+    "WITH RECURSIVE pairs AS (\n  SELECT id_a, id_b FROM (\n" + minhashPairsSql +
+      "\n  ) mp\n),\n" +
+      """edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |rep AS (
+       |  SELECT src AS id, CAST(least(src, min(dst)) AS BIGINT) AS rep
+       |  FROM reach GROUP BY src)
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN rep.rep IS NULL OR rep.rep = d.doc_id
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN rep.rep IS NOT NULL AND rep.rep <> d.doc_id
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM documents d LEFT JOIN rep ON d.doc_id = rep.id
+       |GROUP BY d.lang""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q88_quality_topp" ->
+      (s"""WITH t AS (
+         | SELECT doc_id, lang,
+         |  CAST(len(list_filter($tokensSql, t -> list_contains($stopList, t))) AS DOUBLE)
+         |    / greatest(len($tokensSql), 1) AS swr,
+         |  length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+         |    / CAST(greatest(length(text), 1) AS DOUBLE) AS pr,
+         |  text
+         | FROM documents),
+         |scored AS (
+         | SELECT doc_id, lang,
+         |  round(least(length(text) / 500.0, 1.0) * 0.5 +
+         |   (CASE WHEN round(pr, 4) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |   (CASE WHEN round(swr, 4) > 0.01 THEN 1.0 ELSE 0.6 END) * 0.25, 4) AS quality
+         | FROM t),
+         |r AS (
+         | SELECT doc_id, lang, quality,
+         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS BIGINT) AS rk,
+         |  count(*) OVER (PARTITION BY lang) AS n_lang
+         | FROM scored)
+         |SELECT doc_id, lang, quality, rk FROM r WHERE rk <= ceil(n_lang * 0.2)""").stripMargin,
+    "q89_vocab_stats" ->
+      (s"""WITH tok AS (
+         |  SELECT lang, unnest($tokensSql) AS tok FROM documents),
+         |tf AS (
+         |  SELECT lang, tok, count(*) AS tf FROM tok WHERE tok <> '' GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(tf) AS BIGINT) AS n_tokens, CAST(max(tf) AS BIGINT) AS max_tf
+         |  FROM tf GROUP BY lang),
+         |d AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+         |SELECT d.lang, d.n_docs, vocab.n_tokens, vocab.n_types, vocab.max_tf,
+         |  round(vocab.n_types / CAST(vocab.n_tokens AS DOUBLE), 6) AS type_token_ratio
+         |FROM vocab JOIN d ON vocab.lang = d.lang""").stripMargin,
+    "q90_dedup_e2e" -> dedupE2eSql,
     "q22_simhash_pairs" -> simhashPairsSql,
     "q54_minhash_portable" -> minhashPairsSql,
     "q87_incremental_dedup" -> incrementalDedupSql,

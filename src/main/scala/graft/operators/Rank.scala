@@ -67,6 +67,113 @@ object Rank {
     ranked.withColumn(tileCol, tile.cast("long")).drop("__rank")
   }
 
+  /** Append a 1-based per-group `row_number`-style rank ordered by
+    * `sortCols` within each `groupCols` key — the window-free grouped
+    * counterpart of [[withGlobalRank]].
+    *
+    * `Window.partitionBy(lang).orderBy(score)` plans one task per distinct
+    * group: fine when groups are plentiful, a scale-killer when a 100 TB
+    * corpus has five languages — each language's entire row set lands on a
+    * single task. Here the data is range-partitioned on
+    * (groupCols ++ sortCols), so a hot group SPANS as many partitions as
+    * its volume needs, and ranks are stitched across the boundary:
+    *
+    *   1. one `repartitionByRange` + `sortWithinPartitions` on
+    *      (group, sort) — groups are contiguous runs inside and across
+    *      partitions;
+    *   2. a counting job returns, per partition, ONLY its first/last group
+    *      key and their row counts — interior groups are fully contained
+    *      and need no cross-partition offset, so driver state is
+    *      O(numPartitions), independent of group cardinality;
+    *   3. a left-to-right scan over those boundary summaries accumulates
+    *      each partition's starting offset for its first group (the only
+    *      group that can continue from earlier partitions);
+    *   4. ranks are stamped in one `mapPartitionsWithIndex` pass — local
+    *      position within the current group, plus the broadcast offset if
+    *      (and only if) the row belongs to the partition's first group.
+    *
+    * Ties follow the caller's sort columns (`row_number` contract: add a
+    * unique tiebreaker for determinism). The range shuffle is written once
+    * and re-read by the stamping job, exactly as in [[withGlobalRank]]. */
+  def withGroupRank(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      sortCols: Seq[Column],
+      rankCol: String = "rank",
+      numPartitions: Int = 0
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "grouped rank needs at least one group column")
+    require(sortCols.nonEmpty, "grouped rank needs at least one sort column")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    // The group key travels with the row as one struct column so the
+    // row-level passes compare a single value instead of re-extracting
+    // every group column (struct Rows compare by value).
+    val keyed = df.withColumn("__gkey", struct(groupCols: _*))
+    val all = col("__gkey") +: sortCols
+    val ranged = keyed
+      .repartitionByRange(parts, all: _*)
+      .sortWithinPartitions(all: _*)
+    val rdd = ranged.rdd
+    val gIdx = ranged.schema.fieldIndex("__gkey")
+    // Boundary summary per partition: (firstKey, firstCount, lastKey,
+    // lastCount) — None for empty partitions. Interior groups never cross a
+    // partition edge under a range partitioning on the group prefix.
+    val bounds: Array[Option[(Row, Long, Row, Long)]] =
+      spark.sparkContext.runJob(rdd, (it: Iterator[Row]) => {
+        if (!it.hasNext) None
+        else {
+          val first = it.next()
+          val firstKey = first.getStruct(gIdx)
+          var firstCount = 1L
+          var curKey = firstKey
+          var curCount = 1L
+          var sawSecondGroup = false
+          while (it.hasNext) {
+            val k = it.next().getStruct(gIdx)
+            if (k == curKey) curCount += 1
+            else { sawSecondGroup = true; curKey = k; curCount = 1L }
+            if (!sawSecondGroup) firstCount = curCount
+          }
+          Some((firstKey, firstCount, curKey, curCount))
+        }
+      })
+    // Left-to-right stitch: running (key, cumulative count) of the group
+    // open at each partition edge → starting offset of each partition's
+    // first group.
+    val offsets = new Array[Long](bounds.length)
+    var runKey: Row = null
+    var runCum = 0L
+    var i = 0
+    while (i < bounds.length) {
+      bounds(i) match {
+        case Some((fk, fc, lk, lc)) =>
+          val off = if (runKey != null && runKey == fk) runCum else 0L
+          offsets(i) = off
+          runCum = lc + (if (fk == lk) off else 0L)
+          runKey = lk
+        case None => offsets(i) = 0L
+      }
+      i += 1
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val outSchema = keyed.schema.add(rankCol, LongType, nullable = false)
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var curKey: Row = null
+      var r = 0L
+      it.map { row =>
+        val k = row.getStruct(gIdx)
+        if (curKey == null) { curKey = k; r = bOffsets.value(pid) }
+        else if (k != curKey) { curKey = k; r = 0L }
+        r += 1
+        Row.fromSeq(row.toSeq :+ r)
+      }
+    }
+    spark.createDataFrame(stamped, outSchema).drop("__gkey")
+  }
+
   private def rankAndCount(
       df: DataFrame,
       sortCols: Seq[Column],

@@ -63,4 +63,54 @@ class RankSpec extends SparkSpec {
     assert("exchange rangepartitioning".r
       .findAllIn(plan.toLowerCase).nonEmpty)
   }
+
+  // 3 hot groups over 997 rows at 7 partitions: every group spans several
+  // partition boundaries, so the offset stitch does real work
+  private lazy val grouped = new scala.util.Random(11)
+    .shuffle((1L to 997L).toList)
+    .map(i => (i, s"g${i % 3}", (i * 37) % 100))
+    .toDF("id", "grp", "score")
+
+  test("withGroupRank matches the per-group window row_number") {
+    val expected = grouped
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy($"grp").orderBy($"score".desc, $"id".asc))
+        .cast("long"))
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    val got = Rank.withGroupRank(grouped, Seq($"grp"),
+        Seq($"score".desc, $"id".asc), numPartitions = 7)
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("withGroupRank: more groups than partitions (interior groups rank locally)") {
+    val many = new scala.util.Random(13)
+      .shuffle((1L to 500L).toList)
+      .map(i => (i, i % 41, i % 17))
+      .toDF("id", "grp", "score")
+    val expected = many
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy($"grp").orderBy($"score".asc, $"id".asc))
+        .cast("long"))
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    val got = Rank.withGroupRank(many, Seq($"grp"), Seq($"score".asc, $"id".asc),
+        numPartitions = 5)
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("withGroupRank: single group degenerates to the global rank") {
+    val one = (1L to 200L).map(i => (i, "only", 200L - i)).toDF("id", "grp", "v")
+    val got = Rank.withGroupRank(one, Seq($"grp"), Seq($"v".asc), numPartitions = 6)
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    val expected = (1L to 200L).map(i => (i, 201L - i)).toMap
+    assert(got == expected)
+  }
+
+  test("withGroupRank on empty input keeps schema, drops no columns") {
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "grp", "v")
+    val got = Rank.withGroupRank(empty, Seq($"grp"), Seq($"v"), numPartitions = 3)
+    assert(got.columns.toSeq == Seq("id", "grp", "v", "rank"))
+    assert(got.count() == 0)
+  }
 }

@@ -311,6 +311,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan(windowed).contains("Window"))
   }
 
+  test("grouped quality filter (q88): window-free rank, broadcast totals") {
+    // Window.partitionBy(lang) would put each language on ONE task; the
+    // grouped range-rank must not plan a Window, and the per-language
+    // totals must ride a broadcast join (5 rows), not a shuffle
+    val q = graft.SparkEntry.queries("q88_quality_topp")(spark, dir)
+    val p = plan(q)
+    assert(!p.contains("Window"), s"q88 must not plan a window:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"per-lang totals should broadcast:\n$p")
+  }
+
   test("catalog introspection surface") {
     Catalog.registerTestTables(spark, dir)
     val tables = Catalog.showTables(spark).collect().map(_.getString(1)).toSet
