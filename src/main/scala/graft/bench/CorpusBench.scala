@@ -397,6 +397,14 @@ object CorpusBench {
       bench("rank_ntile", d =>
         Rank.exactNtile(d, Seq(length(col("text")), col("doc_id")), n = 100)
           .groupBy(col("tile")).count())
+      // Grouped rank with 5 HOT groups (the lang shape): the window-free
+      // path spreads each group over the range partitioning; a
+      // Window.partitionBy would run the whole corpus on 5 tasks.
+      bench("group_rank", d =>
+        Rank.withGroupRank(
+            d.withColumn("grp", pmod(xxhash64(col("doc_id"), lit("g")), lit(5L))),
+            Seq(col("grp")), Seq(length(col("text")).desc, col("doc_id").asc))
+          .groupBy(col("grp")).agg(max(col("rank"))))
 
       // Z-order layout rewrites are write-path ops — EliminateSorts would
       // drop their sortWithinPartitions under a bare count(), so the action
