@@ -276,6 +276,42 @@ object SparkEntry {
           sum(col("kept")).cast("bigint").as("n_kept"),
           (count(lit(1)) - sum(col("kept"))).cast("bigint").as("n_dropped"))
     }),
+    "q91_token_budget" -> ((s, dir) => {
+      // budgeted corpus selection: spend a fixed token budget on the
+      // best documents — order by quality, take docs while the running
+      // token total stays inside the budget. The prefix sum runs through
+      // Rank.withRunningTotal (range shuffle + per-partition sums +
+      // offset-seeded stamp); a sum().over(Window.orderBy) would drag
+      // the whole corpus onto one task. Long arithmetic end-to-end, so
+      // the cutoff replays exactly in the window oracle.
+      val scored = TestTables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Rank.withRunningTotal(scored,
+          Seq(col("quality").desc, col("doc_id").asc),
+          col("n_tokens"), totalCol = "running_tokens")
+        .filter(col("running_tokens") <= lit(20000L))
+        .select(col("doc_id"), col("quality"), col("n_tokens"),
+          col("running_tokens"))
+    }),
+    "q92_interleave" -> ((s, dir) => {
+      // language-interleaved training order: shuffle each language
+      // deterministically (md5 content-hash order), then emit documents
+      // round-robin across languages — the curriculum reorder that stops
+      // a lang-partitioned corpus from training in monolingual blocks.
+      // Both passes are window-free: per-lang position via
+      // Rank.withGroupRank, global position via Rank.withGlobalRank over
+      // (rk, lang) — each one range shuffle, no single-task stage.
+      val d = TestTables.documents(s, dir).select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      val perLang = Rank.withGroupRank(d, Seq(col("lang")),
+        Seq(col("h").asc, col("doc_id").asc), rankCol = "rk")
+      Rank.withGlobalRank(perLang,
+          Seq(col("rk").asc, col("lang").asc, col("doc_id").asc),
+          rankCol = "pos")
+        .select(col("doc_id"), col("lang"), col("rk"), col("pos"))
+    }),
     "q69_hyperplane_portable" -> ((s, dir) =>
       // portable md5-sign hyperplane LSH (operators/Dedup) so the bucket →
       // candidate → cosine pipeline of the hyperplane family (q25's index
@@ -1219,6 +1255,39 @@ object SparkEntry {
          |  round(vocab.n_types / CAST(vocab.n_tokens AS DOUBLE), 6) AS type_token_ratio
          |FROM vocab JOIN d ON vocab.lang = d.lang""").stripMargin,
     "q90_dedup_e2e" -> dedupE2eSql,
+    "q91_token_budget" ->
+      (s"""WITH t AS (
+         | SELECT doc_id,
+         |  CAST(len(list_filter($tokensSql, t -> list_contains($stopList, t))) AS DOUBLE)
+         |    / greatest(len($tokensSql), 1) AS swr,
+         |  length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+         |    / CAST(greatest(length(text), 1) AS DOUBLE) AS pr,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokensSql) END AS BIGINT) AS n_tokens,
+         |  text
+         | FROM documents),
+         |scored AS (
+         | SELECT doc_id, n_tokens,
+         |  round(least(length(text) / 500.0, 1.0) * 0.5 +
+         |   (CASE WHEN round(pr, 4) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |   (CASE WHEN round(swr, 4) > 0.01 THEN 1.0 ELSE 0.6 END) * 0.25, 4) AS quality
+         | FROM t),
+         |r AS (
+         | SELECT doc_id, quality, n_tokens,
+         |  CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens
+         | FROM scored)
+         |SELECT doc_id, quality, n_tokens, running_tokens
+         |FROM r WHERE running_tokens <= 20000""").stripMargin,
+    "q92_interleave" ->
+      ("""WITH h AS (
+         |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk
+         |  FROM h)
+         |SELECT doc_id, lang, rk,
+         |  CAST(row_number() OVER (ORDER BY rk, lang, doc_id) AS BIGINT) AS pos
+         |FROM r""").stripMargin,
     "q22_simhash_pairs" -> simhashPairsSql,
     "q54_minhash_portable" -> minhashPairsSql,
     "q87_incremental_dedup" -> incrementalDedupSql,

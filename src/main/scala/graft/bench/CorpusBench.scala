@@ -405,6 +405,13 @@ object CorpusBench {
             d.withColumn("grp", pmod(xxhash64(col("doc_id"), lit("g")), lit(5L))),
             Seq(col("grp")), Seq(length(col("text")).desc, col("doc_id").asc))
           .groupBy(col("grp")).agg(max(col("rank"))))
+      // Budgeted selection: global prefix sum over a quality order, cut at
+      // ~half the corpus mass — the withRunningTotal shape under load.
+      bench("token_budget", d =>
+        Rank.withRunningTotal(d, Seq(length(col("text")).desc, col("doc_id").asc),
+            length(col("text")))
+          .filter(col("running_total") <= lit(n * 75L))
+          .groupBy().count())
 
       // Z-order layout rewrites are write-path ops — EliminateSorts would
       // drop their sortWithinPartitions under a bare count(), so the action

@@ -174,6 +174,64 @@ object Rank {
     spark.createDataFrame(stamped, outSchema).drop("__gkey")
   }
 
+  /** Append an inclusive running total of `valueCol` over the global
+    * `sortCols` order — the distributed prefix sum behind budgeted corpus
+    * selection ("take the best documents until the token budget is spent"),
+    * CDF computation, and quota cutoffs.
+    *
+    * `sum(v).over(Window.orderBy(...))` plans a single-task window; here the
+    * plan is the [[withGlobalRank]] shape: one range shuffle + per-partition
+    * sort, a per-partition SUM job (one long per partition back to the
+    * driver), then a stamping pass that seeds each partition with the
+    * broadcast prefix of the partitions before it.
+    *
+    * `valueCol` must be integral (it is accumulated as a long): long
+    * arithmetic keeps the prefix sum exact and order-independent, so the
+    * result replays bit-for-bit in an ANSI window oracle. A double version
+    * would make every total depend on float summation order — that caveat,
+    * not implementation effort, is why this operator refuses doubles.
+    * NULL values count as 0, matching `sum`'s null-skipping. */
+  def withRunningTotal(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: Column,
+      totalCol: String = "running_total",
+      numPartitions: Int = 0
+  ): DataFrame = {
+    require(sortCols.nonEmpty, "running total needs at least one sort column")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val keyed = df.withColumn("__rtv", valueCol.cast(LongType))
+    val ranged = keyed
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val rdd = ranged.rdd
+    val vIdx = ranged.schema.fieldIndex("__rtv")
+    val sums: Array[Long] = spark.sparkContext.runJob(rdd,
+      (it: Iterator[Row]) => {
+        var s = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          if (!r.isNullAt(vIdx)) s += r.getLong(vIdx)
+        }
+        s
+      })
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = bOffsets.value(pid)
+      it.map { row =>
+        if (!row.isNullAt(vIdx)) s += row.getLong(vIdx)
+        Row.fromSeq(row.toSeq :+ s)
+      }
+    }
+    spark.createDataFrame(stamped,
+        keyed.schema.add(totalCol, LongType, nullable = false))
+      .drop("__rtv")
+  }
+
   private def rankAndCount(
       df: DataFrame,
       sortCols: Seq[Column],

@@ -113,4 +113,28 @@ class RankSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("id", "grp", "v", "rank"))
     assert(got.count() == 0)
   }
+
+  test("withRunningTotal matches the single-partition window prefix sum") {
+    val vals = new scala.util.Random(17)
+      .shuffle((1L to 997L).toList)
+      .map(i => (i, (i * 13) % 50))
+      .toDF("id", "w")
+    val expected = vals
+      .withColumn("rt", sum($"w").over(
+        Window.orderBy($"w".desc, $"id".asc).rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"id", $"rt").as[(Long, Long)].collect().toMap
+    val got = Rank.withRunningTotal(vals, Seq($"w".desc, $"id".asc), $"w",
+        totalCol = "rt", numPartitions = 7)
+      .select($"id", $"rt").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("withRunningTotal skips NULL values like window sum") {
+    val vals = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)), (4L, None), (5L, Some(1L)))
+      .toDF("id", "w")
+    val got = Rank.withRunningTotal(vals, Seq($"id"), $"w", totalCol = "rt",
+        numPartitions = 3)
+      .select($"id", $"rt").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 5L, 2L -> 5L, 3L -> 12L, 4L -> 12L, 5L -> 13L))
+  }
 }
