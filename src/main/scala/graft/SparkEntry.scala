@@ -312,6 +312,55 @@ object SparkEntry {
           rankCol = "pos")
         .select(col("doc_id"), col("lang"), col("rk"), col("pos"))
     }),
+    "q93_vocab_coverage" -> ((s, dir) => {
+      // token-mass coverage curve: what fraction of all corpus tokens the
+      // top-k vocabulary types cover — the vocab-size dial for tokenizer
+      // design. Rank and cumulative mass come out of ONE
+      // Rank.withRunningTotal pass over the (token → tf) aggregate (rank
+      // stamped in the same range shuffle); web-scale vocabularies are
+      // billions of types, so the coverage scan must not fall into a
+      // single-task window any more than the corpus ops do
+      val d = TestTables.documents(s, dir)
+      val tf = d.select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val curve = Rank.withRunningTotal(tf,
+        Seq(col("tf").desc, col("tok").asc), col("tf"),
+        totalCol = "cum_tf", rankCol = Some("k"))
+      val total = tf.agg(sum(col("tf")).cast("bigint").as("total_tf"))
+      curve.filter(col("k").isin(5L, 10L, 20L))
+        .join(broadcast(total))
+        .select(col("k"), col("cum_tf"),
+          round(col("cum_tf") / col("total_tf"), 6).as("coverage"))
+    }),
+    "q94_session_sequences" -> ((s, dir) => {
+      // sessionization materialized into training sequences: per-user
+      // 30-min-gap session ids (q20's assignment), then each session's
+      // ordered event-type path + span — the event-stream counterpart of
+      // document chunking. The per-user window partitions on the
+      // HIGH-cardinality user key (scale-safe, unlike a per-lang window);
+      // the path is rebuilt order-free with sort_array over
+      // (ts, event_id) structs, so the aggregate needs no ordered
+      // collect_list guarantee
+      val e = TestTables.events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = e
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull
+            || col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          (max(col("us")) - min(col("us"))).as("span_us"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("us").as("t"),
+              col("event_id").as("e"), col("event_type").as("et")))),
+            x => x.getField("et")), ">").as("path"))
+    }),
     "q69_hyperplane_portable" -> ((s, dir) =>
       // portable md5-sign hyperplane LSH (operators/Dedup) so the bucket →
       // candidate → cosine pipeline of the hyperplane family (q25's index
@@ -1288,6 +1337,38 @@ object SparkEntry {
          |SELECT doc_id, lang, rk,
          |  CAST(row_number() OVER (ORDER BY rk, lang, doc_id) AS BIGINT) AS pos
          |FROM r""").stripMargin,
+    "q93_vocab_coverage" ->
+      (s"""WITH tok AS (
+         |  SELECT unnest($tokensSql) AS tok FROM documents),
+         |tf AS (
+         |  SELECT tok, count(*) AS tf FROM tok WHERE tok <> '' GROUP BY tok),
+         |r AS (
+         |  SELECT tok, tf,
+         |    CAST(row_number() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS k,
+         |    CAST(sum(tf) OVER (ORDER BY tf DESC, tok
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tf
+         |  FROM tf),
+         |t AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tf FROM tf)
+         |SELECT k, cum_tf, round(cum_tf / CAST(total_tf AS DOUBLE), 6) AS coverage
+         |FROM r, t WHERE k IN (5, 10, 20)""").stripMargin,
+    "q94_session_sequences" ->
+      ("""WITH s AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |t AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+         |                 THEN 1 ELSE 0 END AS new_s
+         |  FROM s),
+         |u AS (
+         |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM t)
+         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(min(us) AS BIGINT) AS start_us,
+         |  CAST(max(us) - min(us) AS BIGINT) AS span_us,
+         |  string_agg(event_type, '>' ORDER BY us, event_id) AS path
+         |FROM u GROUP BY user_id, session_id""").stripMargin,
     "q22_simhash_pairs" -> simhashPairsSql,
     "q54_minhash_portable" -> minhashPairsSql,
     "q87_incremental_dedup" -> incrementalDedupSql,

@@ -190,13 +190,19 @@ object Rank {
     * result replays bit-for-bit in an ANSI window oracle. A double version
     * would make every total depend on float summation order — that caveat,
     * not implementation effort, is why this operator refuses doubles.
-    * NULL values count as 0, matching `sum`'s null-skipping. */
+    * NULL values count as 0, matching `sum`'s null-skipping.
+    *
+    * `rankCol`, when set, additionally stamps the global `row_number` in
+    * the SAME pass — rank and prefix sum share the shuffle, the counting
+    * job, and the stamp, so "coverage at rank k" style queries cost one
+    * range shuffle total. */
   def withRunningTotal(
       df: DataFrame,
       sortCols: Seq[Column],
       valueCol: Column,
       totalCol: String = "running_total",
-      numPartitions: Int = 0
+      numPartitions: Int = 0,
+      rankCol: Option[String] = None
   ): DataFrame = {
     require(sortCols.nonEmpty, "running total needs at least one sort column")
     val spark = df.sparkSession
@@ -209,27 +215,35 @@ object Rank {
       .sortWithinPartitions(sortCols: _*)
     val rdd = ranged.rdd
     val vIdx = ranged.schema.fieldIndex("__rtv")
-    val sums: Array[Long] = spark.sparkContext.runJob(rdd,
+    val sumCounts: Array[(Long, Long)] = spark.sparkContext.runJob(rdd,
       (it: Iterator[Row]) => {
         var s = 0L
+        var n = 0L
         while (it.hasNext) {
           val r = it.next()
           if (!r.isNullAt(vIdx)) s += r.getLong(vIdx)
+          n += 1
         }
-        s
+        (s, n)
       })
-    val offsets = sums.scanLeft(0L)(_ + _)
-    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val offsets = sumCounts.map(_._1).scanLeft(0L)(_ + _)
+    val rankOffsets = sumCounts.map(_._2).scanLeft(0L)(_ + _)
+    val bOffsets = spark.sparkContext.broadcast((offsets, rankOffsets))
+    val wantRank = rankCol.isDefined
     val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = bOffsets.value(pid)
+      var s = bOffsets.value._1(pid)
+      var rk = bOffsets.value._2(pid)
       it.map { row =>
         if (!row.isNullAt(vIdx)) s += row.getLong(vIdx)
-        Row.fromSeq(row.toSeq :+ s)
+        rk += 1
+        if (wantRank) Row.fromSeq(row.toSeq :+ s :+ rk)
+        else Row.fromSeq(row.toSeq :+ s)
       }
     }
-    spark.createDataFrame(stamped,
-        keyed.schema.add(totalCol, LongType, nullable = false))
-      .drop("__rtv")
+    val schema0 = keyed.schema.add(totalCol, LongType, nullable = false)
+    val schema =
+      rankCol.fold(schema0)(rc => schema0.add(rc, LongType, nullable = false))
+    spark.createDataFrame(stamped, schema).drop("__rtv")
   }
 
   private def rankAndCount(
