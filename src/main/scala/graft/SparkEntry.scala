@@ -361,6 +361,28 @@ object SparkEntry {
               col("event_id").as("e"), col("event_type").as("et")))),
             x => x.getField("et")), ">").as("path"))
     }),
+    "q95_retention" -> ((s, dir) => {
+      // cohort retention: users grouped by first-seen day, activity
+      // counted per (cohort, day-offset) — the engagement matrix behind
+      // every retention curve. Two aggregations + one equi-join on the
+      // HIGH-cardinality user key (AQE picks the join strategy); nothing
+      // windows, nothing single-task
+      val e = TestTables.events(s, dir)
+      val firstDay = e.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      val active = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      active.join(firstDay, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+    "q96_hard_negatives" -> ((s, dir) =>
+      // hard-negative mining: each anchor's top-3 most-similar vectors
+      // with a DIFFERENT label (operators/Similarity.hardNegatives) —
+      // exact all-pairs baseline, label predicate inside the join so
+      // mismatching pairs never reach the rank stage
+      Similarity.hardNegatives(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", "label", k = 3)),
     "q69_hyperplane_portable" -> ((s, dir) =>
       // portable md5-sign hyperplane LSH (operators/Dedup) so the bucket →
       // candidate → cosine pipeline of the hyperplane family (q25's index
@@ -1369,6 +1391,42 @@ object SparkEntry {
          |  CAST(max(us) - min(us) AS BIGINT) AS span_us,
          |  string_agg(event_type, '>' ORDER BY us, event_id) AS path
          |FROM u GROUP BY user_id, session_id""").stripMargin,
+    "q95_retention" ->
+      ("""WITH f AS (
+         |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+         |  FROM events GROUP BY user_id),
+         |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+         |SELECT f.cohort_day,
+         |  CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+         |  CAST(count(*) AS BIGINT) AS n_users
+         |FROM a JOIN f ON a.user_id = f.user_id
+         |GROUP BY 1, 2""").stripMargin,
+    "q96_hard_negatives" ->
+      ("""WITH v AS (
+         |  SELECT vec_id, label, unnest(embedding) AS x,
+         |         generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |nrm AS (
+         |  SELECT vec_id, any_value(label) AS label,
+         |         sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n
+         |  FROM v GROUP BY vec_id),
+         |dp AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS d
+         |  FROM v a JOIN v b ON a.i = b.i
+         |    AND a.vec_id <> b.vec_id AND a.label <> b.label
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT id_a, na.label AS label_a, id_b, nb.label AS label_b,
+         |         round(d / (na.n * nb.n), 6) AS cosine
+         |  FROM dp JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
+         |  WHERE na.n > 0 AND nb.n > 0),
+         |r AS (
+         |  SELECT id_a, label_a, id_b, label_b, cosine,
+         |         row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
+         |  FROM sc)
+         |SELECT id_a, label_a, id_b, label_b, cosine, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 3""").stripMargin,
     "q22_simhash_pairs" -> simhashPairsSql,
     "q54_minhash_portable" -> minhashPairsSql,
     "q87_incremental_dedup" -> incrementalDedupSql,

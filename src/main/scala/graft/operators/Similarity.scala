@@ -253,6 +253,36 @@ object Similarity {
     topKStageWindow(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: each anchor's top-k
+    * most-similar vectors carrying a DIFFERENT label — the examples a
+    * metric-learning objective learns the most from. Exact all-pairs
+    * baseline by construction (same O(N²) contract and attach shape as
+    * [[knnJoinExact]] — the oracle-able measurement tool; the scale path
+    * swaps the candidate generator for the LSH/IVF index and keeps the
+    * label-mismatch predicate + rank stage). Per-anchor ranking windows on
+    * the high-cardinality anchor id, so the top-k stage itself is
+    * scale-safe. Returns (id_a, label_a, id_b, label_b, cosine, rank). */
+  def hardNegatives(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int
+  ): DataFrame = {
+    val base = Stage.ensureWide(df.select(col(idCol).as("id"),
+        col(vecCol).as("v"), col(labelCol).as("lbl")))
+      .withColumn("norm", l2norm(col("v")))
+      .filter(col("norm") > 0)
+    val scored = base.as("a")
+      .join(Stage.attachSide(base).as("b"),
+        col("a.id") =!= col("b.id") && col("a.lbl") =!= col("b.lbl"))
+      .select(col("a.id").as("id_a"), col("a.lbl").as("label_a"),
+        col("b.id").as("id_b"), col("b.lbl").as("label_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cosine"))
+    topKStageWindow(scored, k)
+  }
+
   /** Precompute the LSH index: (id, v, table, bucket) — at scale this is
     * written once, clustered by (table, bucket). */
   def buildLshIndex(df: DataFrame, idCol: String, vecCol: String,
