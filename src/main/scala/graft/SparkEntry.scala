@@ -383,6 +383,44 @@ object SparkEntry {
       // mismatching pairs never reach the rank stage
       Similarity.hardNegatives(TestTables.embeddings(s, dir),
         "vec_id", "embedding", "label", k = 3)),
+    "q97_rolling_counts" -> ((s, dir) => {
+      // rolling 24-hour activity: per event, how many events the same
+      // user fired in the preceding day — RANGE frame on event-time
+      // micros over the HIGH-cardinality user partition (scale-safe;
+      // contrast the per-lang windows q88 exists to avoid). The
+      // rate-limiting / burst-detection feature of an event pipeline
+      val e = TestTables.events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-86400000000L, 0L)
+      e.select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("n_24h", count(lit(1)).over(w))
+    }),
+    "q98_funnel" -> ((s, dir) => {
+      // ordered funnel conversion per user: signup → first view AFTER
+      // signup → first purchase AFTER that view. min-timestamp per stage
+      // with an order constraint — three skinny aggregates stitched by
+      // user_id equi-joins; no per-user sort, no window, the
+      // match_recognize shape expressed as joins
+      val e = TestTables.events(s, dir)
+      def stageMin(t: String) = e.filter(col("event_type") === t)
+        .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as(s"${t}_us"))
+      val s1 = stageMin("signup")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("v_us"))
+      val s2 = s1.join(views, "user_id")
+        .filter(col("v_us") >= col("signup_us"))
+        .groupBy(col("user_id"), col("signup_us")).agg(min(col("v_us")).as("view_us"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      val s3 = s2.join(buys, "user_id")
+        .filter(col("p_us") >= col("view_us"))
+        .groupBy(col("user_id"), col("signup_us"), col("view_us"))
+        .agg(min(col("p_us")).as("purchase_us"))
+      s1.join(s2.select(col("user_id"), col("view_us")), Seq("user_id"), "left")
+        .join(s3.select(col("user_id"), col("purchase_us")), Seq("user_id"), "left")
+        .select(col("user_id"), col("signup_us"), col("view_us"), col("purchase_us"))
+    }),
     "q69_hyperplane_portable" -> ((s, dir) =>
       // portable md5-sign hyperplane LSH (operators/Dedup) so the bucket →
       // candidate → cosine pipeline of the hyperplane family (q25's index
@@ -1427,6 +1465,33 @@ object SparkEntry {
          |  FROM sc)
          |SELECT id_a, label_a, id_b, label_b, cosine, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 3""").stripMargin,
+    "q97_rolling_counts" ->
+      ("""SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+         |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_24h
+         |FROM events""").stripMargin,
+    "q98_funnel" ->
+      ("""WITH s1 AS (
+         |  SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS signup_us
+         |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         |v AS (
+         |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS v_us
+         |  FROM events WHERE event_type = 'view'),
+         |s2 AS (
+         |  SELECT s1.user_id, s1.signup_us, CAST(min(v.v_us) AS BIGINT) AS view_us
+         |  FROM s1 JOIN v ON s1.user_id = v.user_id AND v.v_us >= s1.signup_us
+         |  GROUP BY s1.user_id, s1.signup_us),
+         |p AS (
+         |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS p_us
+         |  FROM events WHERE event_type = 'purchase'),
+         |s3 AS (
+         |  SELECT s2.user_id, CAST(min(p.p_us) AS BIGINT) AS purchase_us
+         |  FROM s2 JOIN p ON s2.user_id = p.user_id AND p.p_us >= s2.view_us
+         |  GROUP BY s2.user_id)
+         |SELECT s1.user_id, s1.signup_us, s2.view_us, s3.purchase_us
+         |FROM s1
+         |LEFT JOIN s2 ON s1.user_id = s2.user_id
+         |LEFT JOIN s3 ON s1.user_id = s3.user_id""").stripMargin,
     "q22_simhash_pairs" -> simhashPairsSql,
     "q54_minhash_portable" -> minhashPairsSql,
     "q87_incremental_dedup" -> incrementalDedupSql,

@@ -311,6 +311,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan(windowed).contains("Window"))
   }
 
+  test("funnel (q98): expressed as joins + aggregates, no per-user sort window") {
+    val q = graft.SparkEntry.queries("q98_funnel")(spark, dir)
+    val p = plan(q)
+    assert(!p.contains("Window"), s"funnel must not plan a window:\n$p")
+  }
+
   test("grouped quality filter (q88): window-free rank, broadcast totals") {
     // Window.partitionBy(lang) would put each language on ONE task; the
     // grouped range-rank must not plan a Window, and the per-language
