@@ -129,6 +129,50 @@ class RankSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("withGroupRank randomized parity: sizes × group counts × partition counts") {
+    // boundary stitching is the risky code path — sweep shapes where
+    // partitions are empty, groups span many partitions, and groups are
+    // smaller than partitions, all against the window reference
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 6) {
+      val n = 1 + rng.nextInt(300)
+      val groups = 1 + rng.nextInt(10)
+      val parts = 1 + rng.nextInt(8)
+      val data = rng.shuffle((1L to n.toLong).toList)
+        .map(i => (i, (i % groups).toString, rng.nextInt(7)))
+        .toDF("id", "grp", "score")
+      val expected = data
+        .withColumn("rank", row_number()
+          .over(Window.partitionBy($"grp").orderBy($"score".asc, $"id".asc))
+          .cast("long"))
+        .select($"id", $"rank").as[(Long, Long)].collect().toMap
+      val got = Rank.withGroupRank(data, Seq($"grp"), Seq($"score".asc, $"id".asc),
+          numPartitions = parts)
+        .select($"id", $"rank").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: n=$n groups=$groups parts=$parts")
+    }
+  }
+
+  test("withRunningTotal randomized parity incl. rankCol") {
+    val rng = new scala.util.Random(29)
+    for (trial <- 1 to 4) {
+      val n = 1 + rng.nextInt(250)
+      val parts = 1 + rng.nextInt(8)
+      val data = rng.shuffle((1L to n.toLong).toList)
+        .map(i => (i, rng.nextInt(100).toLong))
+        .toDF("id", "w")
+      val win = Window.orderBy($"w".desc, $"id".asc)
+      val expected = data
+        .withColumn("rt", sum($"w").over(win.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rk", row_number().over(win).cast("long"))
+        .select($"id", $"rt", $"rk").as[(Long, Long, Long)].collect().toSet
+      val got = Rank.withRunningTotal(data, Seq($"w".desc, $"id".asc), $"w",
+          totalCol = "rt", numPartitions = parts, rankCol = Some("rk"))
+        .select($"id", $"rt", $"rk").as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"trial $trial: n=$n parts=$parts")
+    }
+  }
+
   test("withRunningTotal skips NULL values like window sum") {
     val vals = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)), (4L, None), (5L, Some(1L)))
       .toDF("id", "w")
