@@ -421,6 +421,39 @@ object SparkEntry {
         .join(s3.select(col("user_id"), col("purchase_us")), Seq("user_id"), "left")
         .select(col("user_id"), col("signup_us"), col("view_us"), col("purchase_us"))
     }),
+    "q99_dedup_keep_best" -> ((s, dir) => {
+      // quality-aware dedup policy: within each near-dup cluster keep the
+      // HIGHEST-quality member (min-id q90 keeps an arbitrary one) — the
+      // curation rule production pipelines actually want. Cluster key =
+      // component rep (doc_id for singletons via coalesce); the winner is
+      // picked by a per-cluster window on the high-cardinality rep key,
+      // tie-broken (quality, doc_id) so the verdict replays exactly
+      val d = TestTables.documents(s, dir)
+      val pairs = Dedup.portableMinhashLsh(d, "doc_id", "text",
+          numHashes = 32, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val comps = graft.operators.ConnectedComponents
+        .components(pairs, "id_a", "id_b")
+      val clustered = d.select(col("doc_id"), col("lang"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .join(comps.hint("SHUFFLE_HASH"), d("doc_id") === comps("id"), "left")
+        .select(col("doc_id"), col("lang"), col("quality"),
+          coalesce(col("rep"), col("doc_id")).as("cluster"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("quality").desc, col("doc_id").desc)
+      clustered.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id"), col("lang"), col("quality"))
+    }),
+    "q100_heavy_hitters" -> ((s, dir) =>
+      // approximate boilerplate miner: SpaceSaving top-20 token trigrams
+      // from a 256-slot mergeable summary — exchange is O(partitions ×
+      // counters) rows instead of one per distinct n-gram (q76's exact
+      // shuffle). Approximate by design → spec-gated (est/err sandwich +
+      // guaranteed-hitter presence vs exact counts), not oracled: DuckDB
+      // cannot replay eviction order
+      TextOps.topNgramsApprox(TestTables.documents(s, dir), "doc_id", "text",
+        n = 3, k = 20, counters = 256)),
     "q69_hyperplane_portable" -> ((s, dir) =>
       // portable md5-sign hyperplane LSH (operators/Dedup) so the bucket →
       // candidate → cosine pipeline of the hyperplane family (q25's index
@@ -1328,7 +1361,47 @@ object SparkEntry {
        |FROM documents d LEFT JOIN rep ON d.doc_id = rep.id
        |GROUP BY d.lang""".stripMargin
 
+  /** q99: q90's recursive-CTE components + the q17 quality expression,
+    * winner-per-cluster via QUALIFY — the whole keep-best policy in one
+    * replayable statement. */
+  private val dedupKeepBestSql: String =
+    "WITH RECURSIVE pairs AS (\n  SELECT id_a, id_b FROM (\n" + minhashPairsSql +
+      "\n  ) mp\n),\n" +
+      s"""edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |rep AS (
+       |  SELECT src AS id, CAST(least(src, min(dst)) AS BIGINT) AS rep
+       |  FROM reach GROUP BY src),
+       |t AS (
+       | SELECT doc_id, lang,
+       |  CAST(len(list_filter($tokensSql, t -> list_contains($stopList, t))) AS DOUBLE)
+       |    / greatest(len($tokensSql), 1) AS swr,
+       |  length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+       |    / CAST(greatest(length(text), 1) AS DOUBLE) AS pr,
+       |  text
+       | FROM documents),
+       |scored AS (
+       | SELECT doc_id, lang,
+       |  round(least(length(text) / 500.0, 1.0) * 0.5 +
+       |   (CASE WHEN round(pr, 4) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25 +
+       |   (CASE WHEN round(swr, 4) > 0.01 THEN 1.0 ELSE 0.6 END) * 0.25, 4) AS quality
+       | FROM t),
+       |clustered AS (
+       | SELECT s.doc_id, s.lang, s.quality,
+       |   coalesce(rep.rep, s.doc_id) AS cluster
+       | FROM scored s LEFT JOIN rep ON s.doc_id = rep.id)
+       |SELECT cluster, doc_id, lang, quality FROM clustered
+       |QUALIFY row_number() OVER (PARTITION BY cluster
+       |  ORDER BY quality DESC, doc_id DESC) = 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q99_dedup_keep_best" -> dedupKeepBestSql,
     "q88_quality_topp" ->
       (s"""WITH t AS (
          | SELECT doc_id, lang,

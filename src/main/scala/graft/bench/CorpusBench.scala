@@ -405,6 +405,13 @@ object CorpusBench {
             d.withColumn("grp", pmod(xxhash64(col("doc_id"), lit("g")), lit(5L))),
             Seq(col("grp")), Seq(length(col("text")).desc, col("doc_id").asc))
           .groupBy(col("grp")).agg(max(col("rank"))))
+      // Heavy hitters, exact vs SpaceSaving: the exact path shuffles one
+      // row per distinct trigram; the summary ships 256 slots/partition.
+      bench("top_ngrams_exact", d =>
+        graft.operators.TextOps.topNgrams(d, "doc_id", "text", n = 3, k = 20))
+      bench("top_ngrams_sketch", d =>
+        graft.operators.TextOps.topNgramsApprox(d, "doc_id", "text",
+          n = 3, k = 20, counters = 256))
       // Budgeted selection: global prefix sum over a quality order, cut at
       // ~half the corpus mass — the withRunningTotal shape under load.
       bench("token_budget", d =>

@@ -525,6 +525,29 @@ object TextOps {
       .limit(k)
   }
 
+  /** Approximate corpus heavy hitters via the SpaceSaving summary
+    * ([[graft.functions.SpaceSavingTopK]]) — the boilerplate miner when the
+    * exact [[topNgrams]] groupBy is no longer affordable. The exact path
+    * shuffles one row per DISTINCT n-gram (billions on a web corpus); this
+    * one aggregates to `counters` slots per partition and ships exactly
+    * those — exchange volume O(partitions × counters), independent of
+    * corpus size AND key cardinality. est ≥ true ≥ est − err per returned
+    * row; any n-gram with frequency > N/counters is guaranteed present.
+    * Returns (ngram, est, err) sorted by est desc. Spec-gated (eviction
+    * order is not ANSI-replayable), verified against exact counts. */
+  def topNgramsApprox(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 20, counters: Int = 256): DataFrame = {
+    val tk = tokens(trim(lower(col(textCol))))
+    df.select(explode(when(size(tk) >= n, transform(
+        sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array())).as("ngram"))
+      .agg(graft.functions.SpaceSavingTopK
+        .space_saving_topk(col("ngram"), counters, k).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.item").as("ngram"), col("t.est"), col("t.err"))
+  }
+
   /** Corpus-self-trained bigram language-model scoring — the n-gram flavor
     * of the CCNet/Gopher LM-quality filter: documents whose token
     * transitions are improbable under the corpus's own bigram MLE score

@@ -1014,6 +1014,52 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(("a b c", 2L), ("b c a", 1L), ("c a b", 1L)), s"$got")
   }
 
+  test("topNgramsApprox: SpaceSaving invariants against exact counts") {
+    // Zipf-ish corpus: token j drawn ∝ 1/(j+1) — heavy head, long tail
+    val rng = new scala.util.Random(31)
+    def draw(): String = { val u = rng.nextDouble(); "w" + math.floor(math.pow(40, u) - 1).toInt }
+    val corpus = (0L until 200L)
+      .map(id => (id, (0 until 30).map(_ => draw()).mkString(" ")))
+      .toDF("id", "text")
+    val counters = 64
+    // k = counters: presence is guaranteed in the SUMMARY, so the test
+    // must see all of it, not a top-20 prefix
+    val approx = TextOps.topNgramsApprox(corpus, "id", "text", n = 2, k = counters,
+        counters = counters)
+      .as[(String, Long, Long)].collect()
+    val exact = TextOps.topNgrams(corpus, "id", "text", n = 2, k = 100000)
+      .as[(String, Long)].collect().toMap
+    val totalN = exact.values.sum
+    // (a) est ≥ true ≥ est − err for every returned row
+    approx.foreach { case (g, est, err) =>
+      val truth = exact.getOrElse(g, 0L)
+      assert(est >= truth && truth >= est - err, s"$g est=$est err=$err true=$truth")
+    }
+    // (b) every GUARANTEED hitter (freq > N/counters) is in the summary —
+    // check within the returned top-k prefix that dominates the threshold
+    val guaranteed = exact.filter(_._2 > totalN / counters).keySet
+    val returned = approx.map(_._1).toSet
+    val missing = guaranteed -- returned
+    assert(guaranteed.nonEmpty && missing.isEmpty,
+      s"guaranteed hitters missing from summary: $missing")
+    // (c) output truncated to k, sorted by est desc
+    assert(approx.length <= counters)
+    assert(approx.map(-_._2).toSeq == approx.map(-_._2).toSeq.sorted)
+  }
+
+  test("topNgramsApprox with ample counters reproduces the exact top-k head") {
+    // counters ≫ distinct keys → no eviction ever happens, err = 0, and
+    // the head of the summary IS the exact ranking
+    val df = Seq((1L, "a b c a b c a b"), (2L, "b c a b c")).toDF("id", "text")
+    val approx = TextOps.topNgramsApprox(df, "id", "text", n = 2, k = 3,
+        counters = 1024)
+      .as[(String, Long, Long)].collect().toSeq
+    val exact = TextOps.topNgrams(df, "id", "text", n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(approx.map(t => (t._1, t._2)) == exact, s"$approx vs $exact")
+    assert(approx.forall(_._3 == 0L))
+  }
+
   test("bigramLmScore: randomized corpora agree with a brute-force reference") {
     val rng = new scala.util.Random(7)
     val corpus = (0L until 30L).map { id =>
