@@ -454,6 +454,20 @@ object SparkEntry {
       // cannot replay eviction order
       TextOps.topNgramsApprox(TestTables.documents(s, dir), "doc_id", "text",
         n = 3, k = 20, counters = 256)),
+    "q101_decontaminate_bloom" -> ((s, dir) => {
+      // q47's leakage check behind a Bloom prefilter: the eval shingle
+      // set's Bloom summary (built distributed, inlined as a literal into
+      // Spark's own might_contain expression) kills the cold train-side
+      // (id, hash) rows BEFORE the exchange; the exact equi-join on the
+      // survivors removes Bloom false positives, so output — and oracle —
+      // are identical to q47
+      val d = TestTables.documents(s, dir)
+      graft.operators.Contamination.overlapBloom(
+          d.filter(col("doc_id") >= 100), "doc_id", "text",
+          d.filter(col("doc_id") < 100), "doc_id", "text",
+          shingleLen = 3, minShared = 2)
+        .select(col("train_id"), col("n_shared"), col("n_eval_docs"))
+    }),
     "q69_hyperplane_portable" -> ((s, dir) =>
       // portable md5-sign hyperplane LSH (operators/Dedup) so the bucket →
       // candidate → cosine pipeline of the hyperplane family (q25's index
@@ -1399,6 +1413,27 @@ object SparkEntry {
        |SELECT cluster, doc_id, lang, quality FROM clustered
        |QUALIFY row_number() OVER (PARTITION BY cluster
        |  ORDER BY quality DESC, doc_id DESC) = 1""".stripMargin
+
+  /** q47 + q101 (the Bloom-prefiltered path returns identical rows). */
+  private val decontaminateSql: String =
+    ("""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+       |           ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+       |    FROM (SELECT doc_id, tk,
+       |            unnest(range(1, greatest(len(tk) - 1, 2))) AS i
+       |          FROM toks)))
+       |SELECT t.doc_id AS train_id,
+       |  CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_shared,
+       |  CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+       |FROM sh t JOIN sh e ON t.shingle = e.shingle
+       |WHERE t.doc_id >= 100 AND e.doc_id < 100
+       |GROUP BY t.doc_id
+       |HAVING count(DISTINCT t.shingle) >= 2""").stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q99_dedup_keep_best" -> dedupKeepBestSql,
@@ -2566,25 +2601,10 @@ object SparkEntry {
     "q59_dedup_clusters_star" -> clustersOracleSql,
     // string-shingle formulation of the hash-shingle overlap join; identical
     // counts barring 64-bit hash collisions (~1e-13 at this scale)
-    "q47_decontaminate" ->
-      ("""WITH toks AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
-         |  FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, shingle FROM (
-         |    SELECT doc_id,
-         |      CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
-         |           ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
-         |    FROM (SELECT doc_id, tk,
-         |            unnest(range(1, greatest(len(tk) - 1, 2))) AS i
-         |          FROM toks)))
-         |SELECT t.doc_id AS train_id,
-         |  CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_shared,
-         |  CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
-         |FROM sh t JOIN sh e ON t.shingle = e.shingle
-         |WHERE t.doc_id >= 100 AND e.doc_id < 100
-         |GROUP BY t.doc_id
-         |HAVING count(DISTINCT t.shingle) >= 2""").stripMargin,
+    "q47_decontaminate" -> decontaminateSql,
+    // bit-identical to q47 by design: the Bloom prefilter only prunes
+    // rows the exact join would discard, so the same oracle applies
+    "q101_decontaminate_bloom" -> decontaminateSql,
     "q48_repetition" ->
       ("""WITH toks AS (
          |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk

@@ -242,6 +242,13 @@ object CorpusBench {
           d.filter(col("doc_id") >= 1000), "doc_id", "text",
           d.filter(col("doc_id") < 1000), "doc_id", "text",
           shingleLen = 3, minShared = 2))
+      // same output through the Bloom prefilter: the train-side stream is
+      // pruned scan-side, so the exchange should carry only near-hits
+      bench("decontaminate_bloom", d =>
+        Contamination.overlapBloom(
+          d.filter(col("doc_id") >= 1000), "doc_id", "text",
+          d.filter(col("doc_id") < 1000), "doc_id", "text",
+          shingleLen = 3, minShared = 2))
       // span-level decontamination, 1% of the corpus as the eval slice —
       // mod-p (probabilistic) vs winnow (density-guaranteed) selection on
       // the same split; sum the accounting so the whole pipeline runs

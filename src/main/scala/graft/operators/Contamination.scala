@@ -24,6 +24,14 @@ object Contamination {
     * shingles with any eval doc. Output per flagged training doc:
     * `(train_id, n_shared, n_eval_docs)` — distinct overlapping shingles and
     * distinct eval documents hit. */
+  private def stream(df: DataFrame, idCol: String, textCol: String,
+      idAs: String, shingleLen: Int) =
+    Stage.ensureWide(df.select(col(idCol).as(idAs),
+        split(trim(lower(col(textCol))), "\\s+").as("tk")))
+      .select(col(idAs),
+        explode_outer(HashExpressions.shingle_hashes(col("tk"), shingleLen)).as("sh_h"))
+      .filter(col("sh_h").isNotNull)
+
   def overlap(
       train: DataFrame,
       trainIdCol: String,
@@ -34,16 +42,56 @@ object Contamination {
       shingleLen: Int = 3,
       minShared: Int = 1
   ): DataFrame = {
-    def stream(df: DataFrame, idCol: String, textCol: String, idAs: String) =
-      Stage.ensureWide(df.select(col(idCol).as(idAs),
-          split(trim(lower(col(textCol))), "\\s+").as("tk")))
-        .select(col(idAs),
-          explode_outer(HashExpressions.shingle_hashes(col("tk"), shingleLen)).as("sh_h"))
-        .filter(col("sh_h").isNotNull)
-
-    val t = stream(train, trainIdCol, trainTextCol, "train_id")
-    val e = stream(eval0, evalIdCol, evalTextCol, "eval_id")
+    val t = stream(train, trainIdCol, trainTextCol, "train_id", shingleLen)
+    val e = stream(eval0, evalIdCol, evalTextCol, "eval_id", shingleLen)
     t.join(e, "sh_h")
+      .groupBy(col("train_id"))
+      .agg(countDistinct(col("sh_h")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** [[overlap]] with a Bloom prefilter on the training side — the
+    * production shape when the eval set is too large to broadcast as an
+    * exact hash set but its Bloom summary still fits everywhere.
+    *
+    * A Bloom filter over the eval side's distinct shingle hashes (built
+    * distributed via `stat.bloomFilter`, sized from an exact distinct
+    * count — one driver action, bounded by the EVAL set) is inlined as a
+    * literal into a [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * predicate — the same expression Spark's own runtime row-group
+    * filtering injects — evaluated scan-side on the train stream. The
+    * overwhelming majority of a 100 TB corpus shares nothing with a
+    * benchmark, so its (id, hash) rows die BEFORE the exchange instead of
+    * shuffling to a join that discards them; the exact equi-join still
+    * runs on the survivors, so Bloom false positives are eliminated and
+    * the output is bit-identical to [[overlap]] (same oracle). `fpp` only
+    * tunes how much dead traffic survives to the join. */
+  def overlapBloom(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      eval0: DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      shingleLen: Int = 3,
+      minShared: Int = 1,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val t = stream(train, trainIdCol, trainTextCol, "train_id", shingleLen)
+    val e = stream(eval0, evalIdCol, evalTextCol, "eval_id", shingleLen)
+    val eHashes = e.select(col("sh_h")).distinct()
+    val nItems = math.max(eHashes.count(), 1L)
+    val bloom = eHashes.stat.bloomFilter("sh_h", nItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val pre = t.filter(org.apache.spark.sql.GraftBridge.toColumn(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bos.toByteArray,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftBridge.toExpression(col("sh_h")))))
+    pre.join(e, "sh_h")
       .groupBy(col("train_id"))
       .agg(countDistinct(col("sh_h")).as("n_shared"),
         countDistinct(col("eval_id")).as("n_eval_docs"))

@@ -457,6 +457,36 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.contains(101L), "clean doc flagged")
   }
 
+  test("bloom-prefiltered decontamination: identical output, prefilter in plan") {
+    import graft.operators.Contamination
+    // randomized corpus with planted leaks: bloom path must equal exact
+    // path bit-for-bit (FPs die in the join), at every tested fpp
+    val rng = new scala.util.Random(41)
+    def doc() = (0 until 12).map(_ => "t" + rng.nextInt(30)).mkString(" ")
+    val evalDocs = (0L until 10L).map(i => (i, doc()))
+    val trainDocs = (100L until 160L).map { i =>
+      // every 10th train doc embeds an eval doc's text (the leak)
+      if (i % 10 == 0) (i, evalDocs(((i - 100) / 10).toInt % 10)._2 + " extra tail")
+      else (i, doc())
+    }
+    val e = evalDocs.toDF("doc_id", "text")
+    val t = trainDocs.toDF("doc_id", "text")
+    for (fpp <- Seq(0.2, 0.01)) {
+      val exact = Contamination.overlap(t, "doc_id", "text", e, "doc_id", "text",
+          shingleLen = 3, minShared = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      val bloomed = Contamination.overlapBloom(t, "doc_id", "text", e, "doc_id", "text",
+          shingleLen = 3, minShared = 2, fpp = fpp)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(bloomed == exact, s"fpp=$fpp")
+      assert(exact.nonEmpty, "planted leaks not found")
+    }
+    val plan = Contamination.overlapBloom(t, "doc_id", "text", e, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from plan:\n$plan")
+  }
+
   test("shingle_dup_stats: counts, distincts, and max frequency match hand-computed") {
     import graft.functions.HashExpressions
     val df = Seq(
