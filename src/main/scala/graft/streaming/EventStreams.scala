@@ -77,6 +77,31 @@ object EventStreams {
       TextOps.fingerprint(col("text")).as("fingerprint"))
   }
 
+  /** Trending n-grams over a document stream — the SpaceSaving summary
+    * ([[graft.functions.SpaceSavingTopK]]) run as a streaming (complete
+    * mode) aggregation: each micro-batch's partial summaries merge into
+    * the running state through the aggregate's own mergeable-summaries
+    * rule, so state is a CONSTANT `counters` slots no matter how long the
+    * stream runs or how many distinct n-grams pass — the same bound that
+    * makes the batch exchange O(partitions × counters). est ≥ true ≥
+    * est − err and the guaranteed-hitter property hold over everything
+    * ingested so far (merge order across batches can shift est/err within
+    * those bounds — parity is asserted against the invariants, not
+    * bit-equality with a batch run). Returns one row per hitter:
+    * (ngram, est, err). */
+  def trendingNgramsStream(docs: DataFrame, n: Int = 3, k: Int = 20,
+      counters: Int = 256): DataFrame = {
+    val tk = split(trim(lower(col("text"))), "\\s+")
+    docs.select(explode(when(size(tk) >= n, transform(
+        sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array())).as("ngram"))
+      .agg(graft.functions.SpaceSavingTopK
+        .space_saving_topk(col("ngram"), counters, k).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.item").as("ngram"), col("t.est"), col("t.err"))
+  }
+
   /** Stream-side boilerplate filter — the batch-mine → stream-apply
     * pattern: a blocklist of hot character windows mined offline
     * ([[graft.operators.TextOps.hotWindows]], the detection half of

@@ -40,6 +40,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists { case (_, t, n, _) => t == "click" && n == 2 }) // first window
   }
 
+  test("trendingNgramsStream: SpaceSaving invariants over multi-batch ingest") {
+    // two micro-batches of a Zipf-ish doc stream; after the second trigger
+    // the complete-mode summary must satisfy the est/err sandwich and
+    // contain every guaranteed hitter over EVERYTHING ingested so far
+    val rng = new scala.util.Random(43)
+    def draw() = "w" + math.floor(math.pow(20, rng.nextDouble()) - 1).toInt
+    def doc(id: Long) = (id, (0 until 20).map(_ => draw()).mkString(" "))
+    val batch1 = (0L until 60L).map(doc)
+    val batch2 = (60L until 120L).map(doc)
+    val counters = 48
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // ONE query, two processed micro-batches: the second trigger merges
+    // its partials into the streaming state through the aggregate's
+    // merge rule — the cross-batch path under test
+    val q = EventStreams.trendingNgramsStream(
+        mem.toDF().toDF("doc_id", "text"), n = 2, k = counters, counters = counters)
+      .writeStream.format("memory").queryName("trending")
+      .outputMode("complete").start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+
+    val approx = spark.table("trending")
+      .as[(String, Long, Long)].collect()
+    val exact = graft.operators.TextOps.topNgrams(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text",
+        n = 2, k = 1000000)
+      .as[(String, Long)].collect().toMap
+    val totalN = exact.values.sum
+    approx.foreach { case (g, est, err) =>
+      val truth = exact.getOrElse(g, 0L)
+      assert(est >= truth && truth >= est - err, s"$g est=$est err=$err true=$truth")
+    }
+    val guaranteed = exact.filter(_._2 > totalN / counters).keySet
+    val missing = guaranteed -- approx.map(_._1).toSet
+    assert(guaranteed.nonEmpty && missing.isEmpty,
+      s"guaranteed hitters missing after second batch: $missing")
+  }
+
   test("sessionize (stateful stream) emits closed sessions matching batch semantics") {
     // user 1: events at 0,1 min then a >30min gap then 40 min → first session closes
     val events = Seq(
