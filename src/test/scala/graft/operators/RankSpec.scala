@@ -173,6 +173,22 @@ class RankSpec extends SparkSpec {
     }
   }
 
+  test("withGroupRank: NULL group keys and NULL sort values match the window") {
+    val data = Seq(
+      (1L, Some("a"), Some(3L)), (2L, None, Some(1L)), (3L, Some("a"), None),
+      (4L, None, None), (5L, Some("b"), Some(2L)), (6L, None, Some(1L)),
+      (7L, Some("a"), Some(3L)), (8L, None, Some(9L))
+    ).toDF("id", "grp", "v")
+    val expected = data
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy($"grp").orderBy($"v".asc, $"id".asc)).cast("long"))
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    val got = Rank.withGroupRank(data, Seq($"grp"), Seq($"v".asc, $"id".asc),
+        numPartitions = 3)
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("withRunningTotal skips NULL values like window sum") {
     val vals = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)), (4L, None), (5L, Some(1L)))
       .toDF("id", "w")
