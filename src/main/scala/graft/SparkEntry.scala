@@ -468,6 +468,22 @@ object SparkEntry {
           shingleLen = 3, minShared = 2)
         .select(col("train_id"), col("n_shared"), col("n_eval_docs"))
     }),
+    "q102_quality_pct" -> ((s, dir) => {
+      // within-language quality percentile — the normalization that makes
+      // quality scores comparable ACROSS corpora/languages before mixing
+      // (raw scores have per-language scales; percentiles don't). Same
+      // window-free grouped rank as q88, emitted as a transform
+      // (pct = rank/n) instead of a filter
+      val scored = TestTables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val ranked = Rank.withGroupRank(scored, Seq(col("lang")),
+        Seq(col("quality").desc, col("doc_id").asc), rankCol = "rk")
+      val counts = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      ranked.join(broadcast(counts), "lang")
+        .select(col("doc_id"), col("lang"), col("quality"),
+          round(col("rk") / col("n_lang"), 6).as("pct"))
+    }),
     "q69_hyperplane_portable" -> ((s, dir) =>
       // portable md5-sign hyperplane LSH (operators/Dedup) so the bucket →
       // candidate → cosine pipeline of the hyperplane family (q25's index
@@ -1600,6 +1616,25 @@ object SparkEntry {
          |FROM s1
          |LEFT JOIN s2 ON s1.user_id = s2.user_id
          |LEFT JOIN s3 ON s1.user_id = s3.user_id""").stripMargin,
+    "q102_quality_pct" ->
+      (s"""WITH t AS (
+         | SELECT doc_id, lang,
+         |  CAST(len(list_filter($tokensSql, t -> list_contains($stopList, t))) AS DOUBLE)
+         |    / greatest(len($tokensSql), 1) AS swr,
+         |  length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+         |    / CAST(greatest(length(text), 1) AS DOUBLE) AS pr,
+         |  text
+         | FROM documents),
+         |scored AS (
+         | SELECT doc_id, lang,
+         |  round(least(length(text) / 500.0, 1.0) * 0.5 +
+         |   (CASE WHEN round(pr, 4) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |   (CASE WHEN round(swr, 4) > 0.01 THEN 1.0 ELSE 0.6 END) * 0.25, 4) AS quality
+         | FROM t)
+         |SELECT doc_id, lang, quality,
+         |  round(CAST(row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS DOUBLE)
+         |    / count(*) OVER (PARTITION BY lang), 6) AS pct
+         |FROM scored""").stripMargin,
     "q22_simhash_pairs" -> simhashPairsSql,
     "q54_minhash_portable" -> minhashPairsSql,
     "q87_incremental_dedup" -> incrementalDedupSql,
