@@ -419,6 +419,16 @@ object CorpusBench {
       bench("top_ngrams_sketch", d =>
         graft.operators.TextOps.topNgramsApprox(d, "doc_id", "text",
           n = 3, k = 20, counters = 256))
+      // Vocabulary coverage: rank + prefix sum over the (token, tf)
+      // aggregate in one range shuffle — realistic ~30k-type vocabulary.
+      bench("vocab_coverage", d => {
+        val tf = d.select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        Rank.withRunningTotal(tf, Seq(col("tf").desc, col("tok").asc),
+            col("tf"), totalCol = "cum_tf", rankCol = Some("k"))
+          .filter(col("k").isin(100L, 1000L, 10000L))
+      })
       // Budgeted selection: global prefix sum over a quality order, cut at
       // ~half the corpus mass — the withRunningTotal shape under load.
       bench("token_budget", d =>
