@@ -82,5 +82,12 @@ object Bench {
     if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.writeString(outPath, line + "\n")
     spark.stop()
+    // Belt-and-braces for the driver's tail parser: repeat the metric as the
+    // very last stdout line, behind a stable greppable prefix (a bare JSON
+    // line gets sbt's "[info] " prepended, so "last line parses as JSON"
+    // never fires; a fixed prefix survives any log wrapper — strip
+    // everything up to and including "BENCH_METRIC_JSON " and parse the
+    // rest). Printed after spark.stop() so no shutdown logging follows it.
+    println("BENCH_METRIC_JSON " + line)
   }
 }

@@ -177,7 +177,10 @@ object CorpusBench {
 
       val opFilter = sys.env.get("CORPUS_OPS").map(_.split(",").map(_.trim).toSet)
 
-      def benchAct(op: String, act: () => Long): Unit = {
+      // `extra`: optional JSON fields (no braces) appended to the row —
+      // the config labels (variant, caps) that make a grid row
+      // self-describing instead of relying on op-name conventions
+      def benchAct(op: String, act: () => Long, extra: String = ""): Unit = {
         if (opFilter.exists(!_.contains(op))) return
         try {
           (1 to warmup).foreach(_ => act())
@@ -190,17 +193,20 @@ object CorpusBench {
           }
           val best = runs.minBy(_._1)
           val itersStr = runs.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
+          val extraStr = if (extra.isEmpty) "" else "," + extra
           record(
-            f"""{"op":"$op","n_docs":$n,"sec":${best._1}%.3f,"iters_sec":$itersStr,"rows":${best._2},"shuffle_mb":${best._3 / 1e6}%.1f,"spill_mb":${best._4 / 1e6}%.1f,"cpus":$cpus,"warmup":$warmup}""")
+            f"""{"op":"$op","n_docs":$n,"sec":${best._1}%.3f,"iters_sec":$itersStr,"rows":${best._2},"shuffle_mb":${best._3 / 1e6}%.1f,"spill_mb":${best._4 / 1e6}%.1f,"cpus":$cpus,"warmup":$warmup$extraStr}""")
         } catch {
           case e: Throwable =>
             record(s"""{"op":"$op","n_docs":$n,"error":"${e.getClass.getSimpleName}"}""")
             System.err.println(s"[corpusbench] $op@$n failed: ${e.getMessage}")
         }
       }
-      def benchOn(op: String, input: DataFrame, f: DataFrame => DataFrame): Unit =
-        benchAct(op, () => f(input).count())
-      def bench(op: String, f: DataFrame => DataFrame): Unit = benchOn(op, docs, f)
+      def benchOn(op: String, input: DataFrame, f: DataFrame => DataFrame,
+          extra: String = ""): Unit =
+        benchAct(op, () => f(input).count(), extra)
+      def bench(op: String, f: DataFrame => DataFrame, extra: String = ""): Unit =
+        benchOn(op, docs, f, extra)
 
       bench("minhash_pairs",
         d => Dedup.minhashLsh(d, "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.5))
@@ -332,9 +338,14 @@ object CorpusBench {
       benchOn("knn_join", embs, e =>
         Similarity.knnJoin(e, "vec_id", "embedding", k = 5,
           planes = planes, tables = 4))
+      // the bounded-heap comparison path (measured-and-rejected default;
+      // fenced out of the operators API — see Similarity.topKStage): its
+      // correctness needs the global pair distinct knnJoin eliminated, so
+      // the composition exists only here, as a measurement
       benchOn("knn_join_topk", embs, e =>
-        Similarity.knnJoinTopK(e, "vec_id", "embedding", k = 5,
-          planes = planes, tables = 4))
+        Similarity.topKStage(
+          Similarity.scoredCandidates(e, "vec_id", "embedding",
+            planes = planes, tables = 4), k = 5))
       // SemDeDup: nLists grows with n so expected cluster size stays ~256
       // and within-cluster pair volume is ~n·128, linear in n; assignment
       // is the in-row O(nLists·dims) portable expression (no dim explode).
@@ -354,15 +365,18 @@ object CorpusBench {
       // the post-gate candidate volume (rows column) so the grid shows it
       // growing ~linearly with N, not quadratically; the pairs row is the
       // full operator (candidates + Levenshtein verify).
+      val dfGate = """"variant":"df_gate","max_trigram_freq":1000"""
+      val rarest = """"variant":"rarest_k","max_trigram_freq":1000,"rarest_k":4"""
       bench("editdist_candidates", d => {
         val t = d.select(col("doc_id").as("id"),
             substring(trim(lower(col("text"))), 1, 40).as("s"))
           .filter(length(col("s")) >= 3)
         Dedup.editDistanceCandidates(t, maxTrigramFreq = 1000)
-      })
+      }, s"""$dfGate,"corpus":"zipf_prefix"""")
       bench("editdist_pairs", d =>
         Dedup.editDistancePairs(d, "doc_id", "text",
-          maxDist = 3, maxLen = 40, maxTrigramFreq = 1000))
+          maxDist = 3, maxLen = 40, maxTrigramFreq = 1000),
+        s"""$dfGate,"corpus":"zipf_prefix"""")
       // per-string rarest-k guard on top of the df gate — the scale path:
       // each string joins ≤ 4 posting lists, so the mid-frequency trigram
       // mass that defeats the df gate alone (98.7M candidates at 50k above)
@@ -372,14 +386,16 @@ object CorpusBench {
             substring(trim(lower(col("text"))), 1, 40).as("s"))
           .filter(length(col("s")) >= 3)
         Dedup.editDistanceCandidates(t, maxTrigramFreq = 1000, rarestK = 4)
-      })
+      }, s"""$rarest,"corpus":"zipf_prefix"""")
       bench("editdist_rarest_pairs", d =>
         Dedup.editDistancePairs(d, "doc_id", "text",
-          maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, rarestK = 4))
+          maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, rarestK = 4),
+        s"""$rarest,"corpus":"zipf_prefix"""")
 
       // the same family over the letter-alphabet title corpus — the
-      // operator's real domain; df-gate-only vs rarest-k side by side.
-      // Planted recall target: N/20 dist-1 pairs (the `rows` column).
+      // operator's real domain and the planted HOT-TRIGRAM hazard; df-gate
+      // -only vs rarest-k side by side. Planted recall target: N/20 dist-1
+      // pairs.
       val titlePath = s"$stageDir/titles_$n"
       if (!Files.exists(Paths.get(titlePath)))
         titleCorpus(spark, n).write.mode("overwrite").parquet(titlePath)
@@ -388,16 +404,50 @@ object CorpusBench {
         d.select(col("doc_id").as("id"),
             substring(trim(lower(col("text"))), 1, 40).as("s"))
           .filter(length(col("s")) >= 3)
-      benchOn("editdist_title_candidates", titles, d =>
-        Dedup.editDistanceCandidates(titleT(d), maxTrigramFreq = 1000))
-      benchOn("editdist_title_pairs", titles, d =>
-        Dedup.editDistancePairs(d, "doc_id", "text",
-          maxDist = 3, maxLen = 40, maxTrigramFreq = 1000))
+      // Pre-distinct candidate VOLUME (Σ_g C(df_g, 2) over the blocking
+      // stream — one aggregate, no pair join) for both variants: the row
+      // that shows the df gate's mid-frequency mass growing superlinearly
+      // (~N² / trigram-space once every df is inside the gate) while
+      // rarest-k holds it bounded — recordable at corpus sizes where
+      // MATERIALIZING the df-only pairs is precisely the demonstrated cost.
+      def blockedVolume(d: DataFrame, k: Int): Long =
+        Dedup.editDistanceBlocked(titleT(d), maxTrigramFreq = 1000, rarestK = k)
+          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
+          .head().getLong(0)
+      benchAct("editdist_title_volume", () => blockedVolume(titles, 0),
+        s"""$dfGate,"corpus":"titles_hot_trigram"""")
+      benchAct("editdist_title_volume_rarest", () => blockedVolume(titles, 4),
+        s"""$rarest,"corpus":"titles_hot_trigram"""")
+      // df-gate-only pair MATERIALIZATION stays capped at 50k: at 500k the
+      // volume row above prices it in the BILLIONS of candidate rows —
+      // running that join locally is the blow-up, not a measurement
+      if (n <= 50000) {
+        benchOn("editdist_title_candidates", titles, d =>
+          Dedup.editDistanceCandidates(titleT(d), maxTrigramFreq = 1000),
+          s"""$dfGate,"corpus":"titles_hot_trigram"""")
+        benchOn("editdist_title_pairs", titles, d =>
+          Dedup.editDistancePairs(d, "doc_id", "text",
+            maxDist = 3, maxLen = 40, maxTrigramFreq = 1000),
+          s"""$dfGate,"corpus":"titles_hot_trigram"""")
+      }
       benchOn("editdist_title_rarest_candidates", titles, d =>
-        Dedup.editDistanceCandidates(titleT(d), maxTrigramFreq = 1000, rarestK = 4))
+        Dedup.editDistanceCandidates(titleT(d), maxTrigramFreq = 1000, rarestK = 4),
+        s"""$rarest,"corpus":"titles_hot_trigram"""")
       benchOn("editdist_title_rarest_pairs", titles, d =>
         Dedup.editDistancePairs(d, "doc_id", "text",
-          maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, rarestK = 4))
+          maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, rarestK = 4),
+        s"""$rarest,"corpus":"titles_hot_trigram"""")
+      // recovered planted pairs (id_b = block base + 1, dist exactly 1):
+      // `rows` vs the N/20 planted target is the recall evidence at
+      // nonzero cost — the claim the r7 grid could not support
+      benchAct("editdist_title_rarest_recall", () =>
+        Dedup.editDistancePairs(titles, "doc_id", "text",
+            maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, rarestK = 4)
+          .filter(col("id_a") % 20 === 0 && col("id_b") === col("id_a") + 1
+            && col("dist") === 1)
+          .count(),
+        s"""$rarest,"corpus":"titles_hot_trigram","planted":${n / 20}""")
 
       // Exact global NTILE over (len(text), doc_id) — the window-free rank
       // path; the groupBy keeps the tile computation alive under the count.

@@ -114,7 +114,11 @@ case class SpaceSavingTopK(
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.m.size)
     buf.m.foreach { case (key, (c, e)) =>
-      out.writeUTF(key); out.writeLong(c); out.writeLong(e)
+      // length-prefixed UTF-8, not writeUTF: writeUTF throws on keys whose
+      // encoding exceeds 65535 bytes, and a tracked item is arbitrary text
+      val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb)
+      out.writeLong(c); out.writeLong(e)
     }
     out.flush()
     bos.toByteArray
@@ -126,7 +130,10 @@ case class SpaceSavingTopK(
     val m = mutable.HashMap.empty[String, (Long, Long)]
     var i = 0
     while (i < n) {
-      val key = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      val key = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+      val c = in.readLong(); val e = in.readLong()
       m(key) = (c, e)
       i += 1
     }

@@ -614,6 +614,24 @@ object Dedup {
       maxTrigramFreq: Int,
       rarestK: Int = 0
   ): DataFrame = {
+    val blocked = editDistanceBlocked(t, maxTrigramFreq, rarestK)
+    blocked.as("a")
+      .join(blocked.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** The (id, g) blocking stream of [[editDistanceCandidates]] BEFORE the
+    * pair join, exposed so benchmarks can price a configuration without
+    * paying for it: the pre-distinct candidate volume is exactly
+    * Σ_g C(count_g, 2) over this stream — one aggregate, no join — which
+    * is how the grid records the df-gate blow-up at corpus sizes where
+    * materializing the pairs is the very cost being demonstrated. */
+  private[graft] def editDistanceBlocked(
+      t: DataFrame,
+      maxTrigramFreq: Int,
+      rarestK: Int = 0
+  ): DataFrame = {
     // per-doc DISTINCT trigram windows, identical to SELECT DISTINCT
     // substring(s, i, 3) in the oracle (len < 3 guarded here too — a
     // descending `sequence(1, len-2)` would otherwise fabricate windows)
@@ -625,19 +643,14 @@ object Dedup {
     val freqs = grams.groupBy(col("g")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= 2 && col("freq") <= maxTrigramFreq)
     val gated = grams.join(freqs, "g")
-    val blocked =
-      if (rarestK <= 0) gated.select(col("id"), col("g"))
-      else {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("id")).orderBy(col("freq").asc, col("g").asc)
-        gated.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= rarestK)
-          .select(col("id"), col("g"))
-      }
-    blocked.as("a")
-      .join(blocked.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    if (rarestK <= 0) gated.select(col("id"), col("g"))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("id")).orderBy(col("freq").asc, col("g").asc)
+      gated.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= rarestK)
+        .select(col("id"), col("g"))
+    }
   }
 
   /** Exact all-pairs cosine near-pair mining — the oracle-able baseline

@@ -118,26 +118,26 @@ object Rank {
       .sortWithinPartitions(all: _*)
     val rdd = ranged.rdd
     val gIdx = ranged.schema.fieldIndex("__gkey")
-    // Boundary summary per partition: (firstKey, firstCount, lastKey,
-    // lastCount) — None for empty partitions. Interior groups never cross a
-    // partition edge under a range partitioning on the group prefix.
-    val bounds: Array[Option[(Row, Long, Row, Long)]] =
+    // Boundary summary per partition: (firstKey, lastKey, lastCount) — None
+    // for empty partitions. Interior groups never cross a partition edge
+    // under a range partitioning on the group prefix, and the stitch below
+    // only ever reads the LAST group's count (a first group that continues
+    // from an earlier partition takes its offset from the carried running
+    // count, never from a local count), so that is all the protocol ships.
+    val bounds: Array[Option[(Row, Row, Long)]] =
       spark.sparkContext.runJob(rdd, (it: Iterator[Row]) => {
         if (!it.hasNext) None
         else {
           val first = it.next()
           val firstKey = first.getStruct(gIdx)
-          var firstCount = 1L
           var curKey = firstKey
           var curCount = 1L
-          var sawSecondGroup = false
           while (it.hasNext) {
             val k = it.next().getStruct(gIdx)
             if (k == curKey) curCount += 1
-            else { sawSecondGroup = true; curKey = k; curCount = 1L }
-            if (!sawSecondGroup) firstCount = curCount
+            else { curKey = k; curCount = 1L }
           }
-          Some((firstKey, firstCount, curKey, curCount))
+          Some((firstKey, curKey, curCount))
         }
       })
     // Left-to-right stitch: running (key, cumulative count) of the group
@@ -149,7 +149,7 @@ object Rank {
     var i = 0
     while (i < bounds.length) {
       bounds(i) match {
-        case Some((fk, fc, lk, lc)) =>
+        case Some((fk, lk, lc)) =>
           val off = if (runKey != null && runKey == fk) runCum else 0L
           offsets(i) = off
           runCum = lc + (if (fk == lk) off else 0L)
@@ -205,6 +205,15 @@ object Rank {
       rankCol: Option[String] = None
   ): DataFrame = {
     require(sortCols.nonEmpty, "running total needs at least one sort column")
+    // enforce the documented contract instead of silently truncating: a
+    // double column cast per-row to long would yield wrong totals with no
+    // error, and float summation is order-dependent anyway
+    val vType = df.select(valueCol).schema.head.dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, LongType).contains(vType),
+      s"withRunningTotal requires an integral value column, got $vType — " +
+        "cast explicitly (with the rounding you intend) if that is really wanted")
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions

@@ -128,10 +128,10 @@ object Similarity {
     * join → (optionally) distinct pairs → vector attach → exact cosine per
     * pair. `dedupe = true` pays the global distinct — required by consumers
     * that aggregate the pair stream directly (the bounded-heap
-    * [[knnJoinTopK]], where a duplicate would enter the heap twice);
+    * [[topKStage]], where a duplicate would enter the heap twice);
     * [[knnJoin]] passes `false` and removes duplicates inside its rank sort
     * instead (see there for the measured rationale). */
-  private def scoredCandidates(
+  private[graft] def scoredCandidates(
       df: DataFrame,
       idCol: String,
       vecCol: String,
@@ -194,7 +194,14 @@ object Similarity {
     * rank sort; this aggregate path keeps the distinct because a duplicate
     * pair would enter the heap twice. Retained for shapes where one partition
     * holds many candidates per group (c ≫ k locally) — there the heap
-    * genuinely shrinks the exchange. */
+    * genuinely shrinks the exchange.
+    *
+    * NOT exported as an operator: the global pair `distinct()` its
+    * correctness requires (a duplicate pair would enter the heap twice and
+    * evict a legitimate neighbor) is exactly the ~22 GB-spill stage
+    * [[knnJoin]] eliminated, so the composition lives ONLY in the bench
+    * harness ([[graft.bench.CorpusBench]]'s knn_join_topk row) as the
+    * measured comparison — nobody reaches for it at scale by accident. */
   private[graft] def topKStage(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("id_a"))
       .agg(graft.functions.TopK.collect_top_k(
@@ -210,18 +217,6 @@ object Similarity {
     val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
-
-  /** [[knnJoin]] with the bounded-heap aggregate top-k — the measured
-    * (rejected-as-default) alternative; see [[topKStage]]. */
-  private[graft] def knnJoinTopK(
-      df: DataFrame,
-      idCol: String,
-      vecCol: String,
-      k: Int,
-      planes: Int = 6,
-      tables: Int = 8
-  ): DataFrame =
-    topKStage(scoredCandidates(df, idCol, vecCol, planes, tables), k)
 
   /** Exact brute-force k-NN join — every pair scored, window top-k per left
     * row. The correctness baseline for [[knnJoin]]: O(N²) comparisons by

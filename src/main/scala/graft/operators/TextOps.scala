@@ -183,19 +183,13 @@ object TextOps {
     * document: window count, duplicated-window count, and the duplicated
     * fraction — the per-doc signal a cleaning pipeline thresholds on.
     *
-    * Scale shape: the corpus-frequency aggregate gets MAP-SIDE partial
-    * combine (no explicit pre-shuffle — the agg branch prunes to the bare
-    * window column, so it can never share an exchange with the (id, window)
-    * probe side anyway), the already-aggregated dup set is the hash-build
-    * side of a SHUFFLE_HASH join (a sort-merge join would sort the full
-    * window stream — measured 23 GB of sort spill at 500k docs), and
-    * `n_windows` is CLOSED-FORM from the document length — no second pass
-    * over the window stream. The residual spill at 500k/local32 (~17 GB)
-    * is the exact-count aggregate's distinct-key state (~125M 20-byte
-    * keys vs one 8 GB JVM) — measured invariant to the shuffle partition
-    * count because it sits in the map-side partial agg; on a real cluster
-    * that state divides across executors. Windows key the shuffle as plain substrings
-    * (winLen bytes, engine-portable byte equality), so the whole pipeline
+    * Scale shape: window frequencies come from ONE window-count over a
+    * SIZED hash exchange on the window string ([[dupWindowInstances]] —
+    * the r8 rebuild that removed a measured 16.7 GB of aggregate spill at
+    * 500k docs; see there for the state math), and `n_windows` is
+    * CLOSED-FORM from the document length — no second pass over the
+    * window stream. Windows key the shuffle as plain substrings (winLen
+    * bytes, engine-portable byte equality), so the whole pipeline
     * replays in the ANSI oracle. The stride grid is ALIGNMENT-SENSITIVE
     * (see [[spanWindows]]) — misaligned cross-doc duplicates can be
     * missed; `modP > 0` switches to content-defined mod-p window
@@ -208,10 +202,8 @@ object TextOps {
     val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
       .filter(length(col("s")) >= winLen)
     val wins = spanWindows(t, winLen, stride, modP).select(col("id"), col("w"))
-    val dup = wins.groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= minFreq)
-      .select(col("w")).hint("SHUFFLE_HASH")
-    val perDoc = wins.join(dup, "w")
+    val perDoc = dupWindowInstances(wins, minFreq,
+        windowExpansion(winLen, stride, modP, winnowK = 0))
       .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
     // stride grid: window count is CLOSED-FORM from doc length (no second
     // pass); mod-p selection is content-dependent, so count the stream
@@ -232,36 +224,27 @@ object TextOps {
   /** The removal half of span-level dedup: merge each document's
     * corpus-duplicated windows (the [[repeatedWindowStats]] detection) into
     * maximal character intervals — classic gaps-and-islands over (start,
-    * end) pairs — and report what a cleaning pass would cut. Two stacked
-    * windows per doc (previous-rows running max of `end` marks island
-    * starts; a running sum numbers the islands), then one aggregate per
-    * island; both engines evaluate the identical frame spec, so the oracle
-    * replays the merge exactly. Output per document: char count, merged
-    * duplicated-span count, chars those spans cover, and the kept fraction
-    * — the numbers a pipeline thresholds on before the (engine-local)
-    * splice that actually cuts the text.
+    * end) pairs — and report what a cleaning pass would cut (the merge
+    * itself is the in-row fold of [[mergedSpanArrays]]; both engines
+    * produce the same merged intervals, so the oracle replays the merge
+    * exactly as a windowed gaps-and-islands). Output per document: char
+    * count, merged duplicated-span count, chars those spans cover, and the
+    * kept fraction — the numbers a pipeline thresholds on before the
+    * (engine-local) splice that actually cuts the text.
     *
-    * Scale: the interval merge runs per document over at most
-    * len/stride rows — the window sort is within-doc, so the shuffle is one
-    * hash exchange on doc id; no global sort anywhere. */
+    * Scale: frequency gating is the sized window-count of
+    * [[dupWindowInstances]] (zero aggregate state per JVM), and the merge
+    * + accounting run IN-ROW off one collect_list keyed by doc id — two
+    * hash exchanges total (window string, then doc id), no per-doc window
+    * frames over the exploded stream, no global sort anywhere. */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
       winLen: Int = 20, stride: Int = 5, minFreq: Long = 2,
       modP: Int = 0, portableSel: Boolean = true,
       winnowK: Int = 0): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
       .filter(length(col("s")) >= winLen)
-    val islands =
-      mergedDupSpans(t, winLen, stride, minFreq, modP, portableSel, winnowK)
-    val perDoc = islands.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("e0") - col("s0") + 1).as("removed"))
-    t.select(col("id"), length(col("s")).cast("long").as("n_chars"))
-      .join(perDoc, Seq("id"), "left")
-      .select(col("id"), col("n_chars"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("removed"), lit(0L)).cast("long").as("removed_chars"),
-        round((col("n_chars") - coalesce(col("removed"), lit(0L)))
-          / col("n_chars").cast("double"), 4).as("kept_ratio"))
+    spanAccounting(t,
+      mergedDupSpans(t, winLen, stride, minFreq, modP, portableSel, winnowK))
   }
 
   /** The (id, start, window) stream every span operator builds on.
@@ -368,41 +351,131 @@ object TextOps {
     }
   }
 
+  /** Hash-repartition `df` by `key` with the partition count sized from
+    * Catalyst's no-action size estimate (same stats source as
+    * [[Stage.attachSide]]) so each partition's downstream sort fits task
+    * memory (~48 MB in-memory per task) — never below the session's
+    * shuffle parallelism, capped at 65536 (a runaway-stats guard, not a
+    * scale ceiling). `spark.sql.shuffle.partitions` is a SESSION constant,
+    * but the window stream it has to carry grows with the corpus: pinning
+    * the exchange at the session count means per-task sort state grows
+    * linearly with data and eventually spills, while a size-derived count
+    * keeps per-task state constant at any scale.
+    *
+    * `expand` corrects the estimate for what stats cannot see: Catalyst's
+    * size-only visitor passes a `Generate` (explode) through at the CHILD's
+    * size, so a window stream inherits the compressed parquet scan bytes —
+    * measured 25× below its in-memory sort footprint at 500k docs (219 MB
+    * scan vs ~5.5 GB of window rows). Callers pass the algebraic expansion
+    * of their explode (rows-per-input-byte × bytes-per-row). */
+  private def sizedByKey(df: DataFrame, key: Column, expand: Double = 1.0,
+      bytesPerPart: Long = 48L << 20): DataFrame = {
+    val floor = df.sparkSession.sessionState.conf.numShufflePartitions
+    val est = BigDecimal(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes) * expand
+    val want = (est / BigDecimal(bytesPerPart)).toBigInt.min(BigInt(65536)).toInt
+    df.repartition(math.max(floor, want), key)
+  }
+
+  /** In-memory bytes of window-stream sort state per COMPRESSED input byte
+    * — the `expand` for [[sizedByKey]]: ×2 parquet→raw text, one window
+    * row per `stride` chars (or per `modP` chars under mod-p selection,
+    * density 2/(k+1) under winnowing), ~(winLen + 48) bytes per row
+    * (UnsafeRow header/offsets + the window string + sorter pointer). */
+  private def windowExpansion(winLen: Int, stride: Int, modP: Int,
+      winnowK: Int): Double = {
+    val perChar =
+      if (winnowK > 0) 2.0 / (winnowK + 1)
+      else if (modP > 0) 1.0 / modP
+      else 1.0 / stride
+    2.0 * (winLen + 48.0) * perChar
+  }
+
+  /** The shared corpus-frequency gate: window instances whose window string
+    * occurs ≥ `minFreq` times corpus-wide, computed as `count().over
+    * (Window.partitionBy(w))` on a [[sizedByKey]] exchange — NOT as a
+    * `groupBy(w).count` + join-back.
+    *
+    * Why (the r8 rebuild): the aggregate formulation keeps its frequency
+    * state in the MAP-SIDE partial aggregate — one hash-map entry per
+    * DISTINCT window seen per JVM, ~125M 20-char keys at 500k docs ≈
+    * 16.7 GB of measured spill on local32, invariant to the shuffle
+    * partition count because partial aggregation runs before the exchange.
+    * A window function keeps NO map-side state: all memory is the
+    * per-partition sort on `w`, which divides with the partition count —
+    * sized to ~48 MB per task it never spills at any corpus size — and the
+    * stream crosses the wire ONCE where the old shape shuffled it twice
+    * (partial-agged branch + join probe branch). Measured at 500k docs:
+    * dup_spans 16.7 GB spill → 0 (docs/corpusbench_local32.jsonl). The one
+    * structural hazard is a pathologically hot single window string:
+    * WindowExec buffers one w-group at a time (spilling gracefully past
+    * 4096 rows), where the aggregate held one counter — bounded by the
+    * corpus occurrence count of ONE winLen-char string, and the right
+    * trade against cardinality-bound map-side state. */
+  private def dupWindowInstances(wins: DataFrame, minFreq: Long,
+      expand: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sizedByKey(wins, col("w"), expand)
+      .withColumn("freq", count(lit(1)).over(Window.partitionBy(col("w"))))
+      .filter(col("freq") >= minFreq)
+  }
+
   /** Shared core of [[dupSpanStats]] / [[removeDupSpans]]: each document's
-    * corpus-duplicated windows merged into maximal disjoint intervals.
-    * Input must be (id, s) with length(s) ≥ winLen; returns (id, s0, e0),
-    * 1-indexed inclusive character bounds, disjoint and ascending per id. */
+    * corpus-duplicated windows merged into maximal disjoint intervals,
+    * returned as ONE sorted array column — (id, ivs:
+    * array<struct<s0,e0>>), 1-indexed inclusive bounds, disjoint and
+    * ascending. The merge is gaps-and-islands, but computed IN-ROW: the
+    * per-doc interval list gathers through one `collect_list` aggregate
+    * (interval count per doc is bounded by windows-per-doc ≈ len/stride,
+    * so the array is small by construction), `sort_array` orders it, and a
+    * single `aggregate` fold emits the merged spans — no per-doc window
+    * frames over the exploded stream, one hash aggregate keyed by id, and
+    * consumers read span count/coverage straight off the array without
+    * another shuffle. */
+  private def mergedSpanArrays(matched: DataFrame, winLen: Int): DataFrame =
+    matched
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("start").cast("int").as("s"),
+        (col("start") + (winLen - 1)).cast("int").as("e")))).as("raw"))
+      .select(col("id"),
+        aggregate(col("raw"),
+          array().cast("array<struct<s0:int,e0:int>>"),
+          (acc, iv) => when(size(acc) === 0 ||
+              iv.getField("s") > element_at(acc, -1).getField("e0"),
+            concat(acc, array(struct(iv.getField("s").as("s0"),
+              iv.getField("e").as("e0")))))
+            .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(element_at(acc, -1).getField("s0").as("s0"),
+                greatest(element_at(acc, -1).getField("e0"),
+                  iv.getField("e")).as("e0")))))
+        ).as("ivs"))
+
+  /** Per-doc accounting columns off a merged-interval array frame — shared
+    * tail of [[dupSpanStats]] / [[decontaminateSpans]]: span count and
+    * covered chars read IN-ROW from the array (size + one fold), no
+    * explode, no second aggregation. */
+  private def spanAccounting(t: DataFrame, ivsDf: DataFrame): DataFrame =
+    t.select(col("id"), length(col("s")).cast("long").as("n_chars"))
+      .join(ivsDf, Seq("id"), "left")
+      .select(col("id"), col("n_chars"),
+        coalesce(size(col("ivs")), lit(0)).cast("long").as("n_spans"),
+        coalesce(aggregate(col("ivs"), lit(0L),
+          (a, iv) => a + (iv.getField("e0") - iv.getField("s0") + 1)), lit(0L))
+          .as("removed_chars"),
+        round((col("n_chars") - coalesce(aggregate(col("ivs"), lit(0L),
+            (a, iv) => a + (iv.getField("e0") - iv.getField("s0") + 1)), lit(0L)))
+          / col("n_chars").cast("double"), 4).as("kept_ratio"))
+
   private def mergedDupSpans(t: DataFrame, winLen: Int, stride: Int,
       minFreq: Long, modP: Int, portableSel: Boolean = true,
       winnowK: Int = 0): DataFrame = {
     val wins =
       if (winnowK > 0) winnowWindows(t, winLen, winnowK)
       else spanWindows(t, winLen, stride, modP, portableSel)
-    // same map-side-combine + SHUFFLE_HASH shape as [[repeatedWindowStats]]:
-    // never sort the full window stream just to probe the dup set
-    val dup = wins.groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= minFreq)
-      .select(col("w")).hint("SHUFFLE_HASH")
-    mergeIslands(wins.join(dup, "w")
-      .select(col("id"), col("start"), (col("start") + (winLen - 1)).as("end")))
-  }
-
-  /** Gaps-and-islands merge of per-doc (start, end) intervals into maximal
-    * disjoint spans — shared by same-corpus dedup and cross-corpus
-    * decontamination. Returns (id, s0, e0), disjoint, ascending per id. */
-  private def mergeIslands(spans: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val prevW = Window.partitionBy(col("id")).orderBy(col("start"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val runW = Window.partitionBy(col("id")).orderBy(col("start"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spans.withColumn("prev_max", max(col("end")).over(prevW))
-      .withColumn("isnew",
-        when(col("prev_max").isNull || col("start") > col("prev_max"), 1L).otherwise(0L))
-      .withColumn("grp", sum(col("isnew")).over(runW))
-      .groupBy(col("id"), col("grp"))
-      .agg(min(col("start")).as("s0"), max(col("end")).as("e0"))
-      .select(col("id"), col("s0"), col("e0"))
+    mergedSpanArrays(
+      dupWindowInstances(wins.select(col("id"), col("start"), col("w")), minFreq,
+        windowExpansion(winLen, stride, modP, winnowK)),
+      winLen)
   }
 
   /** Span-level decontamination — the substring counterpart of the
@@ -439,27 +512,16 @@ object TextOps {
     val evalWins = wins(e)
       .select(col("w")).distinct().hint("SHUFFLE_HASH")
     val trainWins = wins(t)
-    val islands = mergeIslands(trainWins.join(evalWins, "w")
-      .select(col("id"), col("start"), (col("start") + (winLen - 1)).as("end")))
-    val perDoc = islands.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("e0") - col("s0") + 1).as("removed"))
-    t.select(col("id"), length(col("s")).cast("long").as("n_chars"))
-      .join(perDoc, Seq("id"), "left")
-      .select(col("id"), col("n_chars"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("removed"), lit(0L)).cast("long").as("removed_chars"),
-        round((col("n_chars") - coalesce(col("removed"), lit(0L)))
-          / col("n_chars").cast("double"), 4).as("kept_ratio"))
+    spanAccounting(t, mergedSpanArrays(
+      trainWins.join(evalWins, "w").select(col("id"), col("start")), winLen))
   }
 
   /** The splice that [[dupSpanStats]] accounts for: cut every merged
-    * duplicated span out of the text. Intervals gather per doc as one
-    * sorted struct array (sort_array orders by s0 — islands are disjoint,
-    * so that is the full order), and a single `aggregate` fold emits the
-    * kept segments — no per-row UDF, no driver round-trip. Documents
-    * shorter than `winLen` carry no windows and pass through unchanged.
-    * Returns (id, clean_text). */
+    * duplicated span out of the text. [[mergedDupSpans]] already delivers
+    * each document's intervals as one sorted disjoint array, and a single
+    * `aggregate` fold emits the kept segments — no per-row UDF, no driver
+    * round-trip. Documents shorter than `winLen` carry no windows and pass
+    * through unchanged. Returns (id, clean_text). */
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
       winLen: Int = 20, stride: Int = 5, minFreq: Long = 2,
       modP: Int = 0, portableSel: Boolean = true,
@@ -468,8 +530,6 @@ object TextOps {
     val eligible = t.filter(length(col("s")) >= winLen)
     val ivs =
       mergedDupSpans(eligible, winLen, stride, minFreq, modP, portableSel, winnowK)
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("s0"), col("e0")))).as("ivs"))
     t.join(ivs, Seq("id"), "left")
       .select(col("id"),
         aggregate(
@@ -500,9 +560,12 @@ object TextOps {
     val wins =
       if (winnowK > 0) winnowWindows(t, winLen, winnowK)
       else spanWindows(t, winLen, stride, modP, portableSel)
-    wins
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= minFreq)
+    // same zero-map-side-state frequency stage as [[dupWindowInstances]];
+    // the distinct collapses instances to one (w, freq) row per window and
+    // only ever sees the (small) gated stream
+    dupWindowInstances(wins.select(col("w")), minFreq,
+        windowExpansion(winLen, stride, modP, winnowK))
+      .select(col("w"), col("freq")).distinct()
   }
 
   /** Top-k most frequent token n-grams across the corpus — the boilerplate

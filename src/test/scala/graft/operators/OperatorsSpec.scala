@@ -537,7 +537,9 @@ class OperatorsSpec extends SparkSpec {
     val emb = sf(dir, "embeddings")
     val win = Similarity.knnJoin(emb, "vec_id", "embedding", k = 4)
       .as[(Long, Long, Double, Int)].collect().toSet
-    val agg = Similarity.knnJoinTopK(emb, "vec_id", "embedding", k = 4)
+    val agg = Similarity.topKStage(
+        Similarity.scoredCandidates(emb, "vec_id", "embedding",
+          planes = 6, tables = 8), k = 4)
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(agg == win,
       s"missing=${(win -- agg).take(5)} extra=${(agg -- win).take(5)}")
@@ -1088,6 +1090,21 @@ class OperatorsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(approx.map(t => (t._1, t._2)) == exact, s"$approx vs $exact")
     assert(approx.forall(_._3 == 0L))
+  }
+
+  test("topNgramsApprox survives items longer than writeUTF's 64 KB limit") {
+    // one token of 70k chars → the tracked key's UTF-8 encoding exceeds
+    // 65535 bytes; the summary must serialize across the exchange anyway
+    // (length-prefixed bytes, not DataOutputStream.writeUTF)
+    val giant = "x" * 70000
+    val df = Seq((1L, s"$giant $giant $giant"), (2L, "a b a b a b a b"))
+      .toDF("id", "text").repartition(4)
+    val approx = TextOps.topNgramsApprox(df, "id", "text", n = 2, k = 4,
+        counters = 64)
+      .as[(String, Long, Long)].collect()
+    assert(approx.exists(_._1 == s"$giant $giant"),
+      "the giant bigram must be tracked and survive serialization")
+    assert(approx.exists(_._1 == "a b"))
   }
 
   test("bigramLmScore: randomized corpora agree with a brute-force reference") {

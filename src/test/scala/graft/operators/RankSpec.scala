@@ -197,4 +197,13 @@ class RankSpec extends SparkSpec {
       .select($"id", $"rt").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 5L, 2L -> 5L, 3L -> 12L, 4L -> 12L, 5L -> 13L))
   }
+
+  test("withRunningTotal refuses a non-integral value column") {
+    val vals = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "w")
+    val e = intercept[IllegalArgumentException] {
+      Rank.withRunningTotal(vals, Seq($"id"), $"w")
+    }
+    assert(e.getMessage.contains("integral"),
+      s"expected the documented integral-contract error, got: ${e.getMessage}")
+  }
 }
