@@ -130,6 +130,29 @@ object CorpusBench {
           array_join(body, "")).as("text"))
   }
 
+  /** Deterministic synthetic event stream for the sessionization / rolling
+    * window grid rows: (event_id, user_id, us, event_type). Users own 50
+    * consecutive event ids each (n/50 users — high-cardinality partition
+    * key at every scale); within a user, event k fires at
+    * `k·20min + jitter(event_id) mod 20min`, so consecutive gaps are
+    * uniform in (0, 40) minutes and ~12.5% of them cross the 30-minute
+    * session boundary — multi-event sessions with real breaks at every
+    * scale. Event types draw from a 6-value enum. */
+  def eventCorpus(spark: SparkSession, nEvents: Long): DataFrame = {
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      (nEvents / 100000L).toInt)
+    val pos = pmod(col("event_id"), lit(50L))
+    val jitter = pmod(xxhash64(col("event_id"), lit("j")), lit(1200000000L))
+    val types = Seq("view", "click", "search", "cart", "buy", "share")
+    val typeIdx = pmod(xxhash64(col("event_id"), lit("t")), lit(types.size.toLong))
+    spark.range(0, nEvents, 1, parts).toDF("event_id")
+      .select(col("event_id"),
+        (col("event_id") / 50L).cast("long").as("user_id"),
+        (pos * 1200000000L + jitter).as("us"),
+        element_at(
+          array(types.map(lit): _*), (typeIdx + 1).cast("int")).as("event_type"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sizes = sys.env.getOrElse("CORPUS_DOCS", "50000").split(",").map(_.trim.toLong)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -275,7 +298,7 @@ object CorpusBench {
         TextOps.removeDupSpans(redacted, "doc_id", "text",
             winLen = 20, stride = 5, minFreq = 2)
           .agg(sum(length(col("clean_text")))).head().getLong(0)
-      })
+      }, """"impl":"sized_window_count"""")
       benchAct("decontaminate_spans_winnow", () => {
         TextOps.decontaminateSpans(
             docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
@@ -292,11 +315,11 @@ object CorpusBench {
       benchAct("repeated_windows", () => {
         TextOps.repeatedWindowStats(docs, "doc_id", "text", winLen = 20, stride = 5)
           .agg(sum(col("n_dup"))).head().getLong(0)
-      })
+      }, """"impl":"sized_window_count"""")
       benchAct("dup_spans", () => {
         TextOps.dupSpanStats(docs, "doc_id", "text", winLen = 20, stride = 5)
           .agg(sum(col("removed_chars"))).head().getLong(0)
-      })
+      }, """"impl":"sized_window_count"""")
       // the alignment-free variant: stride-1 windows + md5 mod-p selection
       // — ~5x the window generation and one md5 per window; this row is
       // the measured price of content-defined selection vs the grid
@@ -469,6 +492,26 @@ object CorpusBench {
       bench("top_ngrams_sketch", d =>
         graft.operators.TextOps.topNgramsApprox(d, "doc_id", "text",
           n = 3, k = 20, counters = 256))
+      // cross-partition merge agreement, recorded where the SpaceSaving
+      // guarantee actually applies: over UNIGRAMS the Zipf head's top-20
+      // counts tower over N/counters at every scale (f20 ≈ 0.15% of
+      // tokens vs N/4096 ≈ 0.02%), so every exact top-20 token must
+      // appear in the merged summary with est − err ≤ true ≤ est. `rows`
+      // is the number of exact top-20 tokens whose sketch row exists AND
+      // sandwiches the true count (target 20) — pinning the
+      // 32-partial-summaries merge path at corpus scale, not just in the
+      // unit spec. (Trigrams on this corpus are the documented
+      // counter-case: top trigram freq ≈ 16 at 5k docs < N/counters ≈
+      // 156 — no summary of that size can rank them, which is why the
+      // agreement row doesn't use them.)
+      benchAct("top_ngrams_agree", () => {
+        val exact = TextOps.topNgrams(docs, "doc_id", "text", n = 1, k = 20)
+        val sk = TextOps.topNgramsApprox(docs, "doc_id", "text",
+          n = 1, k = 20, counters = 4096)
+        exact.join(sk, "ngram")
+          .filter(col("est") - col("err") <= col("freq")
+            && col("freq") <= col("est")).count()
+      }, """"ngram_n":1,"counters":4096,"k":20,"target_rows":20""")
       // Vocabulary coverage: rank + prefix sum over the (token, tf)
       // aggregate in one range shuffle — realistic ~30k-type vocabulary.
       bench("vocab_coverage", d => {
@@ -486,6 +529,44 @@ object CorpusBench {
             length(col("text")))
           .filter(col("running_total") <= lit(n * 75L))
           .groupBy().count())
+
+      // Event-stream windows (the q94/q97 shapes) at corpus scale: both
+      // partition on the HIGH-cardinality user key (n/50 users), so the
+      // per-task window state is one user's ~50 events regardless of
+      // corpus size — the property these rows exist to evidence. The
+      // session row materializes the full ordered event-type path per
+      // session (sort_array over per-session structs); the rolling row is
+      // a RANGE frame over event-time micros.
+      val evPath = s"$stageDir/events_$n"
+      if (!Files.exists(Paths.get(evPath)))
+        eventCorpus(spark, n).write.mode("overwrite").parquet(evPath)
+      val events = spark.read.parquet(evPath)
+      benchAct("session_sequences", () => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        events
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_us").isNull
+              || col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("us")) - min(col("us"))).as("span_us"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("us").as("t"),
+                col("event_id").as("e"), col("event_type").as("et")))),
+              x => x.getField("et")), ">").as("path"))
+          .agg(sum(col("n_events") + length(col("path")))).head().getLong(0)
+      })
+      benchAct("rolling_counts", () => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-86400000000L, 0L)
+        events.withColumn("n_24h", count(lit(1)).over(w))
+          .agg(sum(col("n_24h"))).head().getLong(0)
+      })
 
       // Z-order layout rewrites are write-path ops — EliminateSorts would
       // drop their sortWithinPartitions under a bare count(), so the action

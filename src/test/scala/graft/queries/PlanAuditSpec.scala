@@ -107,7 +107,7 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("window-dedup text ops: hash-probed dup set, no sort of the window stream") {
+  test("window-dedup text ops: zero-state frequency gate, no window-stream join") {
     spark.catalog.clearCache()
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val ops = Seq(
@@ -117,13 +117,22 @@ class PlanAuditSpec extends SparkSpec {
     ops.foreach { case (name, q) =>
       q.collect()
       val p = q.queryExecution.executedPlan.toString
-      // the dup-set probe must be a hash join — a sort-merge join sorts the
-      // full window stream (measured 23 GB of spill at 500k docs)
-      assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
-        s"$name dup-set probe is not a hash join:\n$p")
-      assert(!p.contains("SortMergeJoin"), s"$name sorts the window stream:\n$p")
-      // the corpus-frequency aggregate must partially combine map-side
-      assert(p.contains("partial_count"), s"$name lost map-side combine:\n$p")
+      // the corpus-frequency gate must be a window count over the w-keyed
+      // exchange — the groupBy(w).count + join-back shape keeps one
+      // map-side hash entry per DISTINCT window per JVM (measured 16.7 GB
+      // of partial-aggregate spill at 500k docs, invariant to partition
+      // count); a window function carries zero map-side state
+      assert(p.contains("Window"), s"$name frequency gate is not a window:\n$p")
+      // a partial_count keyed by the window STRING would be the hazard (one
+      // hash entry per distinct window per JVM); per-doc counts keyed by id
+      // are fine — state is one entry per document
+      assert(!"""keys=\[w#[^\]]*\], functions=\[partial_count""".r
+          .findFirstIn(p).isDefined,
+        s"$name reintroduced the window-keyed map-side frequency aggregate:\n$p")
+      // the only join left is the skinny per-doc stats attach keyed by id —
+      // hash, never sort-merge (an SMJ would sort a doc-count-sized side,
+      // fine — but the window STREAM must never reach a join at all)
+      assert(!p.contains("SortMergeJoin"), s"$name sort-merge joins:\n$p")
     }
   }
 
