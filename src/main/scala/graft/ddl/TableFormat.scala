@@ -81,12 +81,20 @@ object HadoopPathFormat extends TableFormat {
   *  - [[dataBytes]] answers from manifest metadata alone, no file listing —
   *    the `$files SUM(file_size_in_bytes)` semantics (at 100 TB a recursive
   *    listing of millions of files is an outage; reading kilobytes of
-  *    manifests is not).
+  *    manifests is not);
+  *  - with `statCols`, manifests carry per-file column BOUNDS (min / max /
+  *    null count), and [[readRange]] plans a scan that SKIPS files whose
+  *    bounds cannot satisfy a range predicate — Iceberg's scan planning
+  *    (min/max file skipping), the mechanism that turns a time-range query
+  *    over a 100 TB time-ordered table into a scan of the few files that
+  *    overlap the range. Pruning is performance-only: callers re-apply the
+  *    predicate, so a missing bound can only lose the skip, never rows.
   *
   * The `_manifests` directory is `_`-prefixed, so data-path listings and
   * Spark's file index both skip it. */
-object ManifestSidecarFormat extends TableFormat {
+class ManifestSidecarFormat(statCols: Seq[String] = Nil) extends TableFormat {
   import org.apache.hadoop.fs.{FileSystem, Path}
+  import ManifestSidecarFormat._
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -97,7 +105,8 @@ object ManifestSidecarFormat extends TableFormat {
       codec: CodecSpec, format: String, partitioning: Seq[String],
       sortedBy: Seq[String]): Unit = {
     Tables.writeBatch(df, path, batchIndex, codec, format, partitioning, sortedBy)
-    val hfs = fs(df.sparkSession, path)
+    val spark = df.sparkSession
+    val hfs = fs(spark, path)
     val batchDir = new Path(path, s"batch=$batchIndex")
     val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val it = hfs.listFiles(batchDir, true)
@@ -110,10 +119,61 @@ object ManifestSidecarFormat extends TableFormat {
         files += ((s"batch=$batchIndex/$rel", f.getLen))
       }
     }
+    // per-file column bounds, gathered with ONE column-pruned scan of the
+    // just-committed batch grouped by input_file_name — format-agnostic
+    // (Parquet and ORC alike). Parquet footers already hold these bounds;
+    // a production impl lifts them from the footer instead of re-reading,
+    // but the manifest contract and the pruning math are identical. Bounds
+    // serialize as strings; [[ManifestSidecarFormat.boundCmp]] compares
+    // them under the recorded type (numerics as decimals — lexicographic
+    // would order "9" > "10"; timestamps/dates/strings lexicographically,
+    // which their Spark cast forms sort correctly under).
+    val stats: Map[String, Map[String, (Option[String], Option[String], Long)]] =
+      if (statCols.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions._
+        val scan = spark.read.format(format.toLowerCase).load(batchDir.toString)
+        val present = statCols.filter(scan.columns.contains)
+        if (present.isEmpty) Map.empty
+        else {
+          val aggs = present.flatMap(c => Seq(
+            min(col(c)).cast("string").as(s"min_$c"),
+            max(col(c)).cast("string").as(s"max_$c"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")))
+          val base = batchDir.toUri.getPath.stripSuffix("/")
+          scan.groupBy(input_file_name().as("f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect()
+            .map { r =>
+              val rel = new java.net.URI(r.getString(0)).getPath
+                .stripPrefix(base).stripPrefix("/")
+              (s"batch=$batchIndex/$rel", present.map { c =>
+                c -> ((Option(r.getAs[String](s"min_$c")),
+                  Option(r.getAs[String](s"max_$c")),
+                  r.getAs[Long](s"nulls_$c")))
+              }.toMap)
+            }.toMap
+        }
+      }
+    val types = if (statCols.isEmpty) "" else {
+      val schema = df.schema
+      val typed = statCols.flatMap(c =>
+        schema.fields.find(_.name == c).map(f =>
+          s""""${esc(c)}":"${f.dataType.sql.toLowerCase}""""))
+      if (typed.isEmpty) "" else s""","stat_types":{${typed.mkString(",")}}"""
+    }
     val entries = files.sortBy(_._1).map { case (p, len) =>
-      s"""{"path":"$p","bytes":$len}""" }.mkString(",\n  ")
+      val st = stats.get(p).filter(_.nonEmpty).map { m =>
+        val cols = m.toSeq.sortBy(_._1).map { case (c, (lo, hi, nulls)) =>
+          val loS = lo.map(v => s""""${esc(v)}"""").getOrElse("null")
+          val hiS = hi.map(v => s""""${esc(v)}"""").getOrElse("null")
+          s""""${esc(c)}":{"min":$loS,"max":$hiS,"nulls":$nulls}"""
+        }.mkString(",")
+        s""","stats":{$cols}"""
+      }.getOrElse("")
+      s"""{"path":"$p","bytes":$len$st}""" }.mkString(",\n  ")
     val body =
-      s"""{"batch":$batchIndex,"format":"${format.toUpperCase}","n_files":${files.size},"total_bytes":${files.map(_._2).sum},"files":[
+      s"""{"batch":$batchIndex,"format":"${format.toUpperCase}","n_files":${files.size},"total_bytes":${files.map(_._2).sum}$types,"files":[
   $entries
 ]}
 """
@@ -128,36 +188,139 @@ object ManifestSidecarFormat extends TableFormat {
     require(hfs.rename(tmp, dst), s"manifest commit failed for batch $batchIndex")
   }
 
-  /** (manifest path, parsed (file path, bytes) entries) for every committed
-    * manifest, in batch order. */
-  private def manifests(spark: SparkSession, path: String): Seq[(Path, Seq[(String, Long)])] = {
+  /** (manifest path, parsed file entries) for every committed manifest, in
+    * batch order. Entries are parsed line-wise (the writer emits one file
+    * object per line); a real format reads Avro manifests here. */
+  private def manifests(spark: SparkSession, path: String): Seq[(Path, ManifestFile)] = {
     val hfs = fs(spark, path)
     val dir = manifestDir(path)
     if (!hfs.exists(dir)) return Nil
-    val entry = """\{"path":"([^"]+)","bytes":(\d+)\}""".r
     hfs.listStatus(dir).toSeq
       .filter(s => s.getPath.getName.endsWith(".json"))
       .sortBy(_.getPath.getName)
       .map { s =>
         val in = hfs.open(s.getPath)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        (s.getPath,
-          entry.findAllMatchIn(txt).map(m => (m.group(1), m.group(2).toLong)).toSeq)
+        (s.getPath, parseManifest(txt))
       }
   }
 
   override def read(spark: SparkSession, path: String, format: String): DataFrame = {
-    val files = manifests(spark, path).flatMap(_._2).map { case (rel, _) => s"$path/$rel" }
+    val files = manifests(spark, path).flatMap(_._2.files)
+      .map(e => s"$path/${e.path}")
     require(files.nonEmpty, s"no committed manifests under $path")
     spark.read.format(format.toLowerCase).option("basePath", path).load(files: _*)
   }
 
+  /** The data files a scan of `colName ∈ [lo, hi]` must read, decided from
+    * manifest bounds alone (no file listing, no footer reads): a file is
+    * skipped only when its recorded bounds PROVE it holds no matching,
+    * non-null row. Files without bounds for the column (stats not captured
+    * at commit, or an all-null file with bounds null but nulls > 0) are
+    * kept. Returns (kept file paths, total manifested files) so callers —
+    * and tests — can see the skip rate. */
+  def planRange(spark: SparkSession, path: String, colName: String,
+      lo: Option[String], hi: Option[String]): (Seq[String], Int) = {
+    val all = manifests(spark, path)
+    val entries = all.flatMap { case (_, m) => m.files.map(e => (m, e)) }
+    val kept = entries.filter { case (m, e) =>
+      e.stats.get(colName) match {
+        case Some(FileColStats(Some(fMin), Some(fMax), _)) =>
+          val tpe = m.statTypes.getOrElse(colName, "string")
+          val aboveLo = lo.forall(v => boundCmp(tpe, fMax, v) >= 0)
+          val belowHi = hi.forall(v => boundCmp(tpe, fMin, v) <= 0)
+          aboveLo && belowHi
+        case _ => true // no usable bounds: never prune
+      }
+    }.map { case (_, e) => s"$path/${e.path}" }
+    (kept, entries.size)
+  }
+
+  /** Manifest-pruned range scan: load only the files [[planRange]] keeps.
+    * The caller still applies the row-level predicate — pruning is a
+    * performance contract, correctness comes from the filter. An empty plan
+    * returns an empty frame with the table's schema. */
+  def readRange(spark: SparkSession, path: String, format: String,
+      colName: String, lo: Option[String], hi: Option[String]): DataFrame = {
+    val (files, _) = planRange(spark, path, colName, lo, hi)
+    if (files.isEmpty) read(spark, path, format).limit(0)
+    else spark.read.format(format.toLowerCase).option("basePath", path)
+      .load(files: _*)
+  }
+
   /** Answered from manifest metadata alone — no file listing. */
   override def dataBytes(spark: SparkSession, path: String): Long =
-    manifests(spark, path).flatMap(_._2).map(_._2).sum
+    manifests(spark, path).flatMap(_._2.files).map(_.bytes).sum
 
   override def manifestBytes(spark: SparkSession, path: String): Long = {
     val hfs = fs(spark, path)
     manifests(spark, path).map { case (p, _) => hfs.getFileStatus(p).getLen }.sum
   }
+}
+
+object ManifestSidecarFormat extends ManifestSidecarFormat(Nil) {
+
+  final case class FileColStats(min: Option[String], max: Option[String], nulls: Long)
+  final case class FileEntry(path: String, bytes: Long,
+      stats: Map[String, FileColStats])
+  final case class ManifestFile(statTypes: Map[String, String],
+      files: Seq[FileEntry])
+
+  private val escapes = Map('\\' -> "\\\\", '"' -> "\\\"", '\n' -> "\\n",
+    '\r' -> "\\r", '\t' -> "\\t")
+  private[ddl] def esc(s: String): String =
+    s.flatMap(c => escapes.getOrElse(c,
+      if (c < ' ') f"\\u${c.toInt}%04x" else c.toString))
+  private def unesc(s: String): String = {
+    val b = new StringBuilder; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case 'n' => b += '\n'; i += 2
+        case 'r' => b += '\r'; i += 2
+        case 't' => b += '\t'; i += 2
+        case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+        case o => b += o; i += 2
+      } else { b += c; i += 1 }
+    }
+    b.result()
+  }
+
+  private val typesRe = """"stat_types":\{([^}]*)\}""".r
+  private val typeRe = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
+  private val entryRe = """"path":"((?:[^"\\]|\\.)*)","bytes":(\d+)""".r
+  private val statRe =
+    """"((?:[^"\\]|\\.)*)":\{"min":(null|"(?:[^"\\]|\\.)*"),"max":(null|"(?:[^"\\]|\\.)*"),"nulls":(\d+)\}""".r
+
+  private def parseBound(tok: String): Option[String] =
+    if (tok == "null") None else Some(unesc(tok.stripPrefix("\"").stripSuffix("\"")))
+
+  private[ddl] def parseManifest(txt: String): ManifestFile = {
+    val header = txt.linesIterator.take(1).mkString
+    val types = typesRe.findFirstMatchIn(header).map(m =>
+      typeRe.findAllMatchIn(m.group(1))
+        .map(t => unesc(t.group(1)) -> unesc(t.group(2))).toMap)
+      .getOrElse(Map.empty)
+    val files = txt.linesIterator.drop(1).flatMap { line =>
+      entryRe.findFirstMatchIn(line).map { m =>
+        val stats = line.indexOf("\"stats\":{") match {
+          case -1 => Map.empty[String, FileColStats]
+          case i => statRe.findAllMatchIn(line.substring(i))
+            .map(s => unesc(s.group(1)) -> FileColStats(
+              parseBound(s.group(2)), parseBound(s.group(3)), s.group(4).toLong))
+            .toMap
+        }
+        FileEntry(unesc(m.group(1)), m.group(2).toLong, stats)
+      }
+    }.toSeq
+    ManifestFile(types, files)
+  }
+
+  private val numericSql = Set("tinyint", "smallint", "int", "bigint",
+    "float", "double") // decimal(p,s) handled by prefix below
+  /** Ordering of two serialized bounds under the recorded SQL type. */
+  private[ddl] def boundCmp(tpe: String, a: String, b: String): Int =
+    if (numericSql.contains(tpe) || tpe.startsWith("decimal"))
+      BigDecimal(a).compare(BigDecimal(b))
+    else a.compareTo(b)
 }

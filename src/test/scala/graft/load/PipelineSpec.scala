@@ -162,6 +162,71 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(rt.head.bytes_per_row - measured.bytes_per_row) < 0.01)
   }
 
+  test("manifest min/max bounds: range scans skip non-overlapping files, " +
+      "results identical to the full scan") {
+    import org.apache.spark.sql.functions.col
+    val fmt = new graft.ddl.ManifestSidecarFormat(Seq("id", "status"))
+    val wh = Files.createTempDirectory("graft_skip").toString
+    val cp = Files.createTempDirectory("graft_skip_cp").toString
+    val cfg = Schemas.narrowOrders
+    val codec = CodecSpec("zstd", 3)
+    val path = Tables.variantPath(wh, cfg, codec)
+    // sequential id → the 5 batches hold disjoint id ranges [1..1000],
+    // [1001..2000], …: the time-ordered-table shape where file skipping
+    // pays (a time-range query over an append-only log)
+    val plan = LoadPlan(totalRows = 5000, batchRows = 1000, startId = 1,
+      concurrency = 2, checkpointDir = cp)
+    assert(Loader.loadTable(spark, cfg, plan, codec, path, quiet = true,
+      tableFormat = fmt) == 5)
+
+    // numeric range fully inside one batch: the other four batches' files
+    // are PROVABLY out of bounds and must be skipped
+    val (kept, total) = fmt.planRange(spark, path, "id", Some("2500"), Some("2700"))
+    assert(total > 0 && kept.nonEmpty && kept.size * 5 <= total,
+      s"expected ≤ 1/5 of $total files kept, got ${kept.size}")
+    assert(kept.forall(_.contains("batch=2")), s"wrong files kept: $kept")
+    val prunedRows = fmt.readRange(spark, path, cfg.format, "id",
+        Some("2500"), Some("2700"))
+      .filter(col("id").between(2500, 2700)).select(col("id"))
+      .collect().map(_.getLong(0)).sorted
+    val fullRows = fmt.read(spark, path, cfg.format)
+      .filter(col("id").between(2500, 2700)).select(col("id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(prunedRows.sameElements(fullRows) && prunedRows.length == 201)
+
+    // bounds compare NUMERICALLY under the recorded type: lo = "999" keeps
+    // every file with max ≥ 999 (lexicographic "999" > "5000" would
+    // wrongly prune all of them)
+    val (keptNum, totalNum) = fmt.planRange(spark, path, "id", Some("999"), None)
+    assert(keptNum.size == totalNum, "numeric lower bound wrongly pruned files")
+    // open-ended high range prunes the low batches
+    val (keptHi, _) = fmt.planRange(spark, path, "id", Some("4001"), None)
+    assert(keptHi.nonEmpty && keptHi.forall(_.contains("batch=4")))
+    // an impossible range prunes everything; readRange still answers with
+    // the table schema
+    val (keptNone, _) = fmt.planRange(spark, path, "id", Some("9999"), None)
+    assert(keptNone.isEmpty)
+    assert(fmt.readRange(spark, path, cfg.format, "id", Some("9999"), None)
+      .count() == 0)
+    // string column whose enum values land in every file: nothing can be
+    // proven out of bounds, nothing is pruned, scan stays correct
+    val (keptStr, totalStr) = fmt.planRange(spark, path, "status",
+      Some("new"), Some("new"))
+    assert(keptStr.size == totalStr)
+    // a column with NO recorded stats never prunes
+    val (keptNoStats, totalNoStats) =
+      fmt.planRange(spark, path, "age", Some("40"), Some("41"))
+    assert(keptNoStats.size == totalNoStats)
+    // the stats-free object reads the same table unchanged (manifest stays
+    // back-compatible), and its planRange keeps everything
+    assert(graft.ddl.ManifestSidecarFormat.read(spark, path, cfg.format)
+      .count() == 5000)
+    val (keptLegacy, totalLegacy) = graft.ddl.ManifestSidecarFormat
+      .planRange(spark, path, "id", Some("2500"), Some("2700"))
+    assert(keptLegacy.size < totalLegacy,
+      "stats travel in the manifest, any reader instance can prune")
+  }
+
   test("zstd level plumb-through: level 9 compresses tighter than level 1") {
     val wh = Files.createTempDirectory("graft_lvl").toString
     val cfg = Schemas.narrowOrders
