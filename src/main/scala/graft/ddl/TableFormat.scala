@@ -197,7 +197,7 @@ class ManifestSidecarFormat(statCols: Seq[String] = Nil) extends TableFormat {
     if (!hfs.exists(dir)) return Nil
     hfs.listStatus(dir).toSeq
       .filter(s => s.getPath.getName.endsWith(".json"))
-      .sortBy(_.getPath.getName)
+      .sortBy(s => "\\d+".r.findFirstIn(s.getPath.getName).map(_.toInt).getOrElse(0))
       .map { s =>
         val in = hfs.open(s.getPath)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -210,6 +210,50 @@ class ManifestSidecarFormat(statCols: Seq[String] = Nil) extends TableFormat {
       .map(e => s"$path/${e.path}")
     require(files.nonEmpty, s"no committed manifests under $path")
     spark.read.format(format.toLowerCase).option("basePath", path).load(files: _*)
+  }
+
+  /** Snapshot read "as of batch N", planned from manifest metadata alone:
+    * the table's state after batch N is the union of the files listed by
+    * manifests 0..N (commits are append-only), so time travel is a
+    * manifest subset — no directory listing, no partition filter, files
+    * from the future are never even handed to the scan. */
+  def readAsOf(spark: SparkSession, path: String, batch: Int,
+      format: String = "PARQUET"): DataFrame = {
+    val files = manifests(spark, path).map(_._2)
+      .filter(_.batch <= batch).flatMap(_.files).map(e => s"$path/${e.path}")
+    require(files.nonEmpty, s"no manifests at or before batch $batch under $path")
+    spark.read.format(format.toLowerCase).option("basePath", path).load(files: _*)
+  }
+
+  /** Expire committed batches below `keepFrom` — the retention maintenance
+    * op (Iceberg's `expire_snapshots` + orphan cleanup): snapshots below
+    * the floor stop being readable and their storage is reclaimed. Per
+    * batch, the MANIFEST is deleted first — the moment it is gone the
+    * batch is invisible to every manifest-planned read ([[read]] /
+    * [[readAsOf]] / [[planRange]]) — then the data directory; a crash
+    * between the two leaves an invisible orphan tree that the next expire
+    * of the same range re-collects (batch dirs below the floor are
+    * enumerated from the filesystem, not from the manifests they may no
+    * longer have). Returns the number of batch directories removed.
+    * Append-only loads only ever commit at indices ≥ the current max, so
+    * the floor never races an in-flight commit. */
+  def expireBatches(spark: SparkSession, path: String, keepFrom: Int): Int = {
+    val hfs = fs(spark, path)
+    val root = new Path(path)
+    if (!hfs.exists(root)) return 0
+    val batchRe = """batch=(\d+)""".r
+    val expired = hfs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case batchRe(i) if i.toInt < keepFrom => Some((i.toInt, s.getPath))
+        case _ => None
+      })
+    expired.sortBy(_._1).foreach { case (i, dir) =>
+      val m = new Path(manifestDir(path), s"batch-$i.json")
+      if (hfs.exists(m)) hfs.delete(m, false)
+      hfs.delete(dir, true)
+    }
+    expired.size
   }
 
   /** The data files a scan of `colName ∈ [lo, hi]` must read, decided from
@@ -263,7 +307,7 @@ object ManifestSidecarFormat extends ManifestSidecarFormat(Nil) {
   final case class FileColStats(min: Option[String], max: Option[String], nulls: Long)
   final case class FileEntry(path: String, bytes: Long,
       stats: Map[String, FileColStats])
-  final case class ManifestFile(statTypes: Map[String, String],
+  final case class ManifestFile(batch: Int, statTypes: Map[String, String],
       files: Seq[FileEntry])
 
   private val escapes = Map('\\' -> "\\\\", '"' -> "\\\"", '\n' -> "\\n",
@@ -295,8 +339,11 @@ object ManifestSidecarFormat extends ManifestSidecarFormat(Nil) {
   private def parseBound(tok: String): Option[String] =
     if (tok == "null") None else Some(unesc(tok.stripPrefix("\"").stripSuffix("\"")))
 
+  private val batchRe = """"batch":(\d+)""".r
+
   private[ddl] def parseManifest(txt: String): ManifestFile = {
     val header = txt.linesIterator.take(1).mkString
+    val batch = batchRe.findFirstMatchIn(header).map(_.group(1).toInt).getOrElse(-1)
     val types = typesRe.findFirstMatchIn(header).map(m =>
       typeRe.findAllMatchIn(m.group(1))
         .map(t => unesc(t.group(1)) -> unesc(t.group(2))).toMap)
@@ -313,7 +360,7 @@ object ManifestSidecarFormat extends ManifestSidecarFormat(Nil) {
         FileEntry(unesc(m.group(1)), m.group(2).toLong, stats)
       }
     }.toSeq
-    ManifestFile(types, files)
+    ManifestFile(batch, types, files)
   }
 
   private val numericSql = Set("tinyint", "smallint", "int", "bigint",
