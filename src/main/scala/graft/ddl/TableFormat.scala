@@ -108,7 +108,7 @@ class ManifestSidecarFormat(statCols: Seq[String] = Nil) extends TableFormat {
     val spark = df.sparkSession
     val hfs = fs(spark, path)
     val batchDir = new Path(path, s"batch=$batchIndex")
-    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Path)]
     val it = hfs.listFiles(batchDir, true)
     while (it.hasNext) {
       val f = it.next()
@@ -116,26 +116,36 @@ class ManifestSidecarFormat(statCols: Seq[String] = Nil) extends TableFormat {
       if (!name.startsWith("_") && !name.startsWith(".")) {
         val rel = f.getPath.toUri.getPath.stripPrefix(
           batchDir.toUri.getPath).stripPrefix("/")
-        files += ((s"batch=$batchIndex/$rel", f.getLen))
+        files += ((s"batch=$batchIndex/$rel", f.getLen, f.getPath))
       }
     }
-    // per-file column bounds, gathered with ONE column-pruned scan of the
-    // just-committed batch grouped by input_file_name — format-agnostic
-    // (Parquet and ORC alike). Parquet footers already hold these bounds;
-    // a production impl lifts them from the footer instead of re-reading,
-    // but the manifest contract and the pruning math are identical. Bounds
-    // serialize as strings; [[ManifestSidecarFormat.boundCmp]] compares
-    // them under the recorded type (numerics as decimals — lexicographic
-    // would order "9" > "10"; timestamps/dates/strings lexicographically,
-    // which their Spark cast forms sort correctly under).
+    // Per-file column bounds. Parquet: LIFTED FROM THE FOOTERS the write
+    // already produced — zero data re-read, the same place Iceberg's
+    // commit path takes them from (row-group statistics, combined across
+    // groups; parquet-mr truncates long binary bounds with round-up max
+    // semantics, so truncated bounds stay safe for pruning). Other
+    // formats: one column-pruned scan of the committed batch grouped by
+    // input_file_name. Bounds serialize as strings in the exact form
+    // Spark's `cast(col AS string)` yields ([[ManifestSidecarFormat
+    // .boundToString]]), so both sources produce identical manifests;
+    // [[ManifestSidecarFormat.boundCmp]] compares them under the recorded
+    // type (numerics as decimals — lexicographic would order "9" > "10";
+    // timestamps/dates/strings lexicographically, which their cast forms
+    // sort correctly under).
     val stats: Map[String, Map[String, (Option[String], Option[String], Long)]] =
       if (statCols.isEmpty) Map.empty
       else {
-        import org.apache.spark.sql.functions._
-        val scan = spark.read.format(format.toLowerCase).load(batchDir.toString)
-        val present = statCols.filter(scan.columns.contains)
+        val present = statCols.filter(c => df.schema.fieldNames.contains(c)
+          && !partitioning.contains(c))
         if (present.isEmpty) Map.empty
+        else if (format.equalsIgnoreCase("PARQUET"))
+          files.map { case (rel, _, abs) =>
+            rel -> footerStats(spark.sparkContext.hadoopConfiguration, abs,
+              df.schema, present)
+          }.toMap
         else {
+          import org.apache.spark.sql.functions._
+          val scan = spark.read.format(format.toLowerCase).load(batchDir.toString)
           val aggs = present.flatMap(c => Seq(
             min(col(c)).cast("string").as(s"min_$c"),
             max(col(c)).cast("string").as(s"max_$c"),
@@ -162,7 +172,7 @@ class ManifestSidecarFormat(statCols: Seq[String] = Nil) extends TableFormat {
           s""""${esc(c)}":"${f.dataType.sql.toLowerCase}""""))
       if (typed.isEmpty) "" else s""","stat_types":{${typed.mkString(",")}}"""
     }
-    val entries = files.sortBy(_._1).map { case (p, len) =>
+    val entries = files.sortBy(_._1).map { case (p, len, _) =>
       val st = stats.get(p).filter(_.nonEmpty).map { m =>
         val cols = m.toSeq.sortBy(_._1).map { case (c, (lo, hi, nulls)) =>
           val loS = lo.map(v => s""""${esc(v)}"""").getOrElse("null")
@@ -361,6 +371,90 @@ object ManifestSidecarFormat extends ManifestSidecarFormat(Nil) {
       }
     }.toSeq
     ManifestFile(batch, types, files)
+  }
+
+  /** Per-column (min, max, nulls) for one Parquet data file, read from its
+    * footer's row-group statistics — no data pages touched. Bounds combine
+    * across row groups (min of mins / max of maxes over groups that hold a
+    * non-null value); a column whose every group is null-only or
+    * stats-less gets `None` bounds, which [[ManifestSidecarFormat
+    * .planRange]] treats as unprunable. Values serialize through
+    * [[boundToString]] so footer-sourced manifests are byte-identical in
+    * shape to scan-sourced ones. Timestamps written as INT96 (Spark's
+    * compatibility default) carry no ordered footer stats — their bounds
+    * stay absent and such files are never pruned; write with
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` to make
+    * time-range skipping effective. */
+  private[ddl] def footerStats(
+      conf: org.apache.hadoop.conf.Configuration,
+      file: org.apache.hadoop.fs.Path,
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String]): Map[String, (Option[String], Option[String], Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      cols.flatMap { c =>
+        schema.fields.find(_.name == c).map { field =>
+          var lo: Option[Comparable[Any]] = None
+          var hi: Option[Comparable[Any]] = None
+          var nulls = 0L
+          var usable = true
+          blocks.foreach { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+              case Some(cc) =>
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty) usable = false
+                else {
+                  if (st.isNumNullsSet) nulls += st.getNumNulls
+                  if (st.hasNonNullValue) {
+                    val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
+                    val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
+                    lo = Some(lo.fold(mn)(l => if (mn.compareTo(l) < 0) mn else l))
+                    hi = Some(hi.fold(mx)(h => if (mx.compareTo(h) > 0) mx else h))
+                  }
+                }
+              case None => usable = false // nested/absent column: no bounds
+            }
+          }
+          if (!usable) { lo = None; hi = None }
+          c -> ((lo.flatMap(v => boundToString(field.dataType, v)),
+            hi.flatMap(v => boundToString(field.dataType, v)), nulls))
+        }
+      }.toMap
+    } finally reader.close()
+  }
+
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("uuuu-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+
+  /** Serialize a footer statistics value to the exact string Spark's
+    * `cast(col AS string)` produces for the column's Spark type, so footer-
+    * and scan-sourced bounds compare interchangeably. Types without a
+    * stable mapping return None (no bounds recorded → file never pruned on
+    * that column). */
+  private[ddl] def boundToString(tpe: org.apache.spark.sql.types.DataType,
+      v: Any): Option[String] = {
+    import org.apache.spark.sql.types._
+    (tpe, v) match {
+      case (ByteType | ShortType | IntegerType | LongType | FloatType
+          | DoubleType | BooleanType, n) => Some(n.toString)
+      case (StringType, b: org.apache.parquet.io.api.Binary) =>
+        Some(b.toStringUsingUTF8)
+      case (DateType, days: java.lang.Integer) =>
+        Some(java.time.LocalDate.ofEpochDay(days.longValue).toString)
+      case (TimestampType, micros: java.lang.Long) =>
+        // Spark cast form: seconds, then a trailing-zero-trimmed fraction
+        val inst = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+        val frac = Math.floorMod(micros, 1000000L)
+        val head = tsFmt.format(inst)
+        Some(if (frac == 0) head
+          else head + ("." + f"$frac%06d").reverse.dropWhile(_ == '0').reverse)
+      case _ => None
+    }
   }
 
   private val numericSql = Set("tinyint", "smallint", "int", "bigint",

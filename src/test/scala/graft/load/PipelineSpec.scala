@@ -227,6 +227,58 @@ class PipelineSpec extends SparkSpec {
       "stats travel in the manifest, any reader instance can prune")
   }
 
+  test("file-skipping bounds: ORC takes the scan fallback, timestamps " +
+      "compare in Spark-cast form") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark; import spark2.implicits._
+    val wh = Files.createTempDirectory("graft_skip_orc").toString
+    val codec = CodecSpec("zstd", 3)
+    // ORC: bounds come from the column-pruned re-scan, pruning math identical
+    val orcFmt = new graft.ddl.ManifestSidecarFormat(Seq("id"))
+    val orcPath = s"$wh/t_orc"
+    orcFmt.writeBatch((1L to 100L).toDF("id").coalesce(1), orcPath, 0, codec, "ORC")
+    orcFmt.writeBatch((101L to 200L).toDF("id").coalesce(1), orcPath, 1, codec, "ORC")
+    val (keptOrc, totalOrc) = orcFmt.planRange(spark, orcPath, "id",
+      Some("150"), Some("160"))
+    assert(totalOrc == 2 && keptOrc.size == 1 && keptOrc.head.contains("batch=1"))
+    assert(orcFmt.readRange(spark, orcPath, "ORC", "id", Some("150"), Some("160"))
+      .filter(col("id").between(150, 160)).count() == 11)
+
+    // Parquet timestamps: under TIMESTAMP_MICROS the footer micros
+    // serialize to the Spark-cast string form, so caller-supplied
+    // "yyyy-MM-dd HH:mm:ss" bounds compare correctly (lexicographic on
+    // that fixed-width form IS time order). Under Spark's INT96 default
+    // the footer carries no ordered stats — bounds stay absent and
+    // NOTHING is pruned, the conservative contract.
+    val tsFmt2 = new graft.ddl.ManifestSidecarFormat(Seq("ts"))
+    val tsPath = s"$wh/t_ts"
+    def tsDf(day: Int) = Seq.tabulate(10)(i =>
+        java.sql.Timestamp.valueOf(f"2026-01-$day%02d 12:00:$i%02d"))
+      .toDF("ts").coalesce(1)
+    val tsConf = "spark.sql.parquet.outputTimestampType"
+    val tsConfBefore = spark.conf.get(tsConf)
+    try {
+      spark.conf.set(tsConf, "TIMESTAMP_MICROS")
+      tsFmt2.writeBatch(tsDf(1), tsPath, 0, codec, "PARQUET")
+      tsFmt2.writeBatch(tsDf(20), tsPath, 1, codec, "PARQUET")
+    } finally spark.conf.set(tsConf, tsConfBefore)
+    val (keptTs, totalTs) = tsFmt2.planRange(spark, tsPath, "ts",
+      Some("2026-01-19 00:00:00"), None)
+    assert(totalTs == 2 && keptTs.size == 1 && keptTs.head.contains("batch=1"))
+    val (keptAll, _) = tsFmt2.planRange(spark, tsPath, "ts",
+      Some("2026-01-01 12:00:00"), Some("2026-01-20 23:00:00"))
+    assert(keptAll.size == 2)
+    // INT96 write (the session default): no usable footer bounds → no
+    // pruning, scans stay correct
+    val int96Path = s"$wh/t_ts96"
+    tsFmt2.writeBatch(tsDf(1), int96Path, 0, codec, "PARQUET")
+    tsFmt2.writeBatch(tsDf(20), int96Path, 1, codec, "PARQUET")
+    val (kept96, total96) = tsFmt2.planRange(spark, int96Path, "ts",
+      Some("2026-01-19 00:00:00"), None)
+    assert(total96 == 2 && kept96.size == 2,
+      "INT96 stats must never prune")
+  }
+
   test("manifest time travel and snapshot expiration reclaim storage " +
       "without breaking later snapshots") {
     import graft.ddl.ManifestSidecarFormat
