@@ -281,9 +281,13 @@ class ManifestSidecarFormat(statCols: Seq[String] = Nil) extends TableFormat {
       e.stats.get(colName) match {
         case Some(FileColStats(Some(fMin), Some(fMax), _)) =>
           val tpe = m.statTypes.getOrElse(colName, "string")
-          val aboveLo = lo.forall(v => boundCmp(tpe, fMax, v) >= 0)
-          val belowHi = hi.forall(v => boundCmp(tpe, fMin, v) <= 0)
-          aboveLo && belowHi
+          // a bound that fails to parse under its type (NaN, corrupt
+          // manifest) can only lose the skip, never the file
+          try {
+            val aboveLo = lo.forall(v => boundCmp(tpe, fMax, v) >= 0)
+            val belowHi = hi.forall(v => boundCmp(tpe, fMin, v) <= 0)
+            aboveLo && belowHi
+          } catch { case _: NumberFormatException => true }
         case _ => true // no usable bounds: never prune
       }
     }.map { case (_, e) => s"$path/${e.path}" }
