@@ -80,6 +80,22 @@ class PlanAuditSpec extends SparkSpec {
       s"signature projection not codegen'd in:\n$p")
   }
 
+  test("edit-distance candidates: pair dedup is a sized window sort, not a " +
+      "pair-keyed aggregate") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val q = graft.operators.Dedup.editDistancePairs(docs, "doc_id", "text",
+      maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, rarestK = 4)
+    q.collect()
+    val p = plan(q)
+    // a distinct() here keeps one map-side hash entry per distinct pair
+    // per JVM (measured 45.8 GB of spill at 500k hot-trigram titles);
+    // the lag-dedup shape carries zero aggregate state
+    assert(!"""HashAggregate\(keys=\[id_a""".r.findFirstIn(p).isDefined
+        && !"""SortAggregate\(keys=\[id_a""".r.findFirstIn(p).isDefined,
+      s"pair dedup reintroduced the pair-keyed aggregate:\n$p")
+    assert(p.contains("Window"), s"lag-dedup window missing:\n$p")
+  }
+
   test("every banded self-join reuses its exchange (simhash, ngram, embedding)") {
     // other suites cache these tables; a cache hit replaces the scan (and the
     // exchanges above it) with an InMemoryTableScan, hiding what this test
