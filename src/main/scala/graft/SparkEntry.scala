@@ -915,8 +915,10 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
     "q76_top_ngrams" -> ((s, dir) =>
-      // boilerplate miner: corpus-wide top-20 token trigrams; partial-agg
-      // shuffle on the ngram + TakeOrdered, lexicographic tie-break
+      // boilerplate miner: corpus-wide top-20 token trigrams; zero-state
+      // sized window count on the ngram + TakeOrdered, lexicographic
+      // tie-break (TextOps.topNgrams — the partial-agg shape spills one
+      // hash entry per distinct trigram per JVM on heavy-tailed streams)
       TextOps.topNgrams(TestTables.documents(s, dir), "doc_id", "text",
         n = 3, k = 20)),
     "q72_pii_scan" -> ((s, dir) =>

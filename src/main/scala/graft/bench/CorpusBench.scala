@@ -486,9 +486,17 @@ object CorpusBench {
             Seq(col("grp")), Seq(length(col("text")).desc, col("doc_id").asc))
           .groupBy(col("grp")).agg(max(col("rank"))))
       // Heavy hitters, exact vs SpaceSaving: the exact path shuffles one
-      // row per distinct trigram; the summary ships 256 slots/partition.
+      // row per trigram INSTANCE through a sized window count (zero
+      // map-side state); the _agg row is the partial-aggregate shape it
+      // replaced as default (one hash entry per DISTINCT trigram per JVM —
+      // the heavy-tail hazard); the summary ships 256 slots/partition.
       bench("top_ngrams_exact", d =>
-        graft.operators.TextOps.topNgrams(d, "doc_id", "text", n = 3, k = 20))
+        graft.operators.TextOps.topNgrams(d, "doc_id", "text", n = 3, k = 20),
+        """"impl":"sized_window_count"""")
+      bench("top_ngrams_exact_agg", d =>
+        graft.operators.TextOps.topNgrams(d, "doc_id", "text", n = 3, k = 20,
+          lowCardinality = true),
+        """"impl":"partial_agg"""")
       bench("top_ngrams_sketch", d =>
         graft.operators.TextOps.topNgramsApprox(d, "doc_id", "text",
           n = 3, k = 20, counters = 256))
@@ -505,7 +513,9 @@ object CorpusBench {
       // 156 — no summary of that size can rank them, which is why the
       // agreement row doesn't use them.)
       benchAct("top_ngrams_agree", () => {
-        val exact = TextOps.topNgrams(docs, "doc_id", "text", n = 1, k = 20)
+        // unigrams over a bounded vocabulary: the low-cardinality agg shape
+        val exact = TextOps.topNgrams(docs, "doc_id", "text", n = 1, k = 20,
+          lowCardinality = true)
         val sk = TextOps.topNgramsApprox(docs, "doc_id", "text",
           n = 1, k = 20, counters = 4096)
         exact.join(sk, "ngram")

@@ -571,21 +571,46 @@ object TextOps {
   /** Top-k most frequent token n-grams across the corpus — the boilerplate
     * / contamination-list miner (the lists [[repeatedWindowStats]]-style
     * cleaning and benchmark decontamination consume). One explode, one
-    * partial-agg shuffle keyed by the n-gram, and a TakeOrdered top-k —
-    * no global sort; ties break lexicographically so the result is
-    * deterministic cross-engine. */
+    * n-gram-keyed exchange, and a TakeOrdered top-k — no global sort; ties
+    * break lexicographically so the result is deterministic cross-engine.
+    *
+    * The frequency stage is shape-switched on the expected key
+    * distribution, both exact:
+    *  - default: counts via `count().over(Window.partitionBy(ngram))` on a
+    *    [[sizedByKey]] exchange + `row_number = 1` — ZERO map-side state.
+    *    The groupBy formulation's partial aggregate holds one hash entry
+    *    per distinct n-gram per JVM, which on a heavy-tailed n≥2 stream
+    *    (most n-grams near-unique) combines nothing and spills
+    *    (measured: 14.5 GB at 500k docs for trigrams); the window's
+    *    per-task sort is partition-count-bound at any corpus size.
+    *  - `lowCardinality = true`: the groupBy partial-agg shape — right
+    *    when the key space is small (unigrams over a bounded vocabulary),
+    *    where map-side combine collapses the stream before the exchange
+    *    and the window shape would ship every instance. */
   def topNgrams(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 20): DataFrame = {
+      n: Int = 3, k: Int = 20, lowCardinality: Boolean = false): DataFrame = {
     val tk = tokens(trim(lower(col(textCol))))
     // when() guard, not greatest(.., 0): Spark's sequence(1, 0) generates
     // DESCENDING [1, 0] and would fabricate n-grams for short docs
-    df.select(explode(when(size(tk) >= n, transform(
+    val stream = df.select(explode(when(size(tk) >= n, transform(
         sequence(lit(1), size(tk) - (n - 1)),
         i => concat_ws(" ", slice(tk, i, lit(n)))))
       .otherwise(array())).as("ngram"))
-      .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("ngram").asc)
-      .limit(k)
+    val freqs =
+      if (lowCardinality)
+        stream.groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("ngram")).orderBy(col("ngram"))
+        // ~6 chars per token+separator, (6n + 48) bytes of sort state per
+        // instance row, ×2 parquet→raw — the sizedByKey expansion
+        sizedByKey(stream, col("ngram"), expand = 2.0 * (6.0 * n + 48) / 6.0)
+          .withColumn("freq", count(lit(1)).over(w))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("ngram"), col("freq"))
+      }
+    freqs.orderBy(col("freq").desc, col("ngram").asc).limit(k)
   }
 
   /** Approximate corpus heavy hitters via the SpaceSaving summary
