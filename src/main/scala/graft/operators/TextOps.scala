@@ -380,15 +380,17 @@ object TextOps {
   /** In-memory bytes of window-stream sort state per COMPRESSED input byte
     * — the `expand` for [[sizedByKey]]: ×2 parquet→raw text, one window
     * row per `stride` chars (or per `modP` chars under mod-p selection,
-    * density 2/(k+1) under winnowing), ~(winLen + 48) bytes per row
-    * (UnsafeRow header/offsets + the window string + sorter pointer). */
+    * density 2/(k+1) under winnowing), ~(winLen + 80) bytes per row
+    * (UnsafeRow null bitmap + three fixed slots + padded string bytes +
+    * sorter pointer/prefix — 48 was measured low: the winnow variant, the
+    * densest stream, still spilled 7 GB at 500k docs under it). */
   private def windowExpansion(winLen: Int, stride: Int, modP: Int,
       winnowK: Int): Double = {
     val perChar =
       if (winnowK > 0) 2.0 / (winnowK + 1)
       else if (modP > 0) 1.0 / modP
       else 1.0 / stride
-    2.0 * (winLen + 48.0) * perChar
+    2.0 * (winLen + 80.0) * perChar
   }
 
   /** The shared corpus-frequency gate: window instances whose window string
