@@ -337,8 +337,12 @@ object CorpusBench {
             winnowK = 5)
           .agg(sum(col("removed_chars"))).head().getLong(0)
       })
-      // same selection math under the native xxhash64 hash — the fast path
-      // when oracle portability isn't needed
+      // same selection math under xxhash64 — which runs the HOF
+      // posexplode-then-filter formulation (no native starts expression
+      // for that hash family): the row PRICES materializing all stride-1
+      // windows before selection (measured ~2.3× the md5 ModPStarts
+      // default at 500k), evidence the native in-row expression, not the
+      // hash function, is what makes content-defined selection affordable
       benchAct("dup_spans_cdc_native", () => {
         TextOps.dupSpanStats(docs, "doc_id", "text", winLen = 20, stride = 5,
             modP = 5, portableSel = false)
