@@ -484,6 +484,76 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("quality"),
           round(col("rk") / col("n_lang"), 6).as("pct"))
     }),
+    "q103_source_cap" -> ((s, dir) => {
+      // per-source document cap — the crawl-curation step that stops one
+      // hot domain from dominating the corpus (keep at most K best docs
+      // per source). Same window-free grouped rank as q88: a
+      // Window.partitionBy(source) would put each domain on ONE task, and
+      // web domains are exactly the key with million-fold skew at 100 TB;
+      // the range-rank spreads a hot domain across partitions and
+      // stitches offsets through the O(parts) boundary protocol.
+      val scored = TestTables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      Rank.withGroupRank(scored, Seq(col("source")),
+          Seq(col("quality").desc, col("doc_id").asc), rankCol = "rk")
+        .filter(col("rk") <= 8)
+        .select(col("doc_id"), col("source"), col("quality"), col("rk"))
+    }),
+    "q104_dsir_weights" -> ((s, dir) => {
+      // DSIR-style importance weight (Xie et al. 2023, "Data Selection
+      // for Language Models via Importance Resampling"): per-document
+      // log-likelihood ratio between a target unigram LM (here: the
+      // English slice, standing in for a curated target corpus) and the
+      // background LM of the whole corpus, add-one smoothed. The shape is
+      // two aggregates and one join, all on the token key: per-(doc,tok)
+      // term frequencies, per-tok target/background counts in ONE pass
+      // (conditional sum, not two scans), corpus totals as a 1-row
+      // broadcast. The tok⋈stats join deliberately carries no broadcast
+      // hint — a web-scale vocabulary is Zipf-unbounded, so AQE decides;
+      // weights then reduce per doc map-side. Sampling by the weight is
+      // the already-oracled q68 composition.
+      val toks = TestTables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val docTf = toks.groupBy(col("doc_id"), col("lang"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val stats = toks.groupBy(col("tok")).agg(
+        count(lit(1)).as("b_cnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"))
+      val totals = stats.agg(
+        sum(col("b_cnt")).as("b_total"), sum(col("t_cnt")).as("t_total"),
+        count(lit(1)).as("vocab"))
+      docTf.join(stats, "tok")
+        .crossJoin(broadcast(totals))
+        .withColumn("w", col("tf") * (
+          log((col("t_cnt") + lit(1.0)) / (col("t_total") + col("vocab"))) -
+            log((col("b_cnt") + lit(1.0)) / (col("b_total") + col("vocab")))))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(sum(col("w")), 6).as("dsir_weight"))
+    }),
+    "q105_split_leakage" -> ((s, dir) => {
+      // cross-split contamination check: near-duplicate pairs (the q54
+      // portable minhash pipeline) whose members fall in DIFFERENT
+      // train/val/test splits under the q65 hash assignment — the audit
+      // that catches test-set leakage introduced by deduplicating before
+      // splitting (or not deduplicating at all). Split membership is a
+      // pure function of the id, so it is computed inline on the pair
+      // row — no join against an assignment table, nothing shuffled
+      // beyond the pair stream itself.
+      def splitOf(c: Column): Column = {
+        val h = md5(c.cast("string").cast("binary"))
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+      }
+      Dedup.portableMinhashLsh(TestTables.documents(s, dir), "doc_id", "text",
+          numHashes = 32, bands = 16, threshold = 0.5)
+        .withColumn("split_a", splitOf(col("id_a")))
+        .withColumn("split_b", splitOf(col("id_b")))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+          col("est_jaccard"))
+    }),
     "q69_hyperplane_portable" -> ((s, dir) =>
       // portable md5-sign hyperplane LSH (operators/Dedup) so the bucket →
       // candidate → cosine pipeline of the hyperplane family (q25's index
@@ -1204,7 +1274,11 @@ object SparkEntry {
     * hash MIN slots → 16 two-slot band keys → band-equality candidates →
     * agreeing-slot estimate. Generated programmatically to match
     * [[graft.operators.Dedup.portableMinhashLsh]] value-for-value. */
-  private val minhashPairsSql: String = {
+  /** The q54 portable-minhash pipeline as a reusable `WITH` preamble plus
+    * final pair-select, so composed oracles (q105 cross-split leakage) can
+    * wrap the identical pair stream in one more CTE instead of duplicating
+    * the signature/band construction. */
+  private val (minhashCtes, minhashPairSelect): (String, String) = {
     val n = 32; val bands = 16; val rpb = n / bands; val p = 2147483647L
     val slots = (0 until n)
       .map(i => s"MIN((h * ${2 * i + 3} + ${5 * i + 7}) % $p) AS m$i")
@@ -1218,29 +1292,34 @@ object SparkEntry {
     val agree = (0 until n)
       .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
-       |  FROM documents),
-       |sh AS (
-       |  SELECT DISTINCT doc_id AS id, shingle FROM (
-       |    SELECT doc_id,
-       |      CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
-       |           ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
-       |    FROM (SELECT doc_id, tk,
-       |            unnest(range(1, greatest(len(tk) - 1, 2))) AS i
-       |          FROM toks))),
-       |hashed AS (
-       |  SELECT id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % $p AS h
-       |  FROM sh),
-       |sigs AS (SELECT id, $slots FROM hashed GROUP BY id),
-       |bands AS ($bandSelects),
-       |cand AS (
-       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
-       |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.id < r.id)
-       |SELECT id_a, id_b, round(($agree) / $n.0, 6) AS est_jaccard
-       |FROM cand JOIN sigs a ON id_a = a.id JOIN sigs b ON id_b = b.id
-       |WHERE round(($agree) / $n.0, 6) >= 0.5""".stripMargin
+    val ctes =
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id AS id, shingle FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+         |           ELSE array_to_string(tk[i:i+2], ' ') END AS shingle
+         |    FROM (SELECT doc_id, tk,
+         |            unnest(range(1, greatest(len(tk) - 1, 2))) AS i
+         |          FROM toks))),
+         |hashed AS (
+         |  SELECT id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % $p AS h
+         |  FROM sh),
+         |sigs AS (SELECT id, $slots FROM hashed GROUP BY id),
+         |bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.id < r.id)""".stripMargin
+    val select =
+      s"""SELECT id_a, id_b, round(($agree) / $n.0, 6) AS est_jaccard
+         |FROM cand JOIN sigs a ON id_a = a.id JOIN sigs b ON id_b = b.id
+         |WHERE round(($agree) / $n.0, 6) >= 0.5""".stripMargin
+    (ctes, select)
   }
+
+  private val minhashPairsSql: String = s"$minhashCtes\n$minhashPairSelect"
 
   /** DuckDB replica of q87: the q54 signature/band CTEs over the full
     * table, candidates restricted to new-vs-old and new-vs-earlier-new at
@@ -1637,6 +1716,58 @@ object SparkEntry {
          |  round(CAST(row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS DOUBLE)
          |    / count(*) OVER (PARTITION BY lang), 6) AS pct
          |FROM scored""").stripMargin,
+    "q103_source_cap" ->
+      (s"""WITH t AS (
+         | SELECT doc_id, source,
+         |  CAST(len(list_filter($tokensSql, t -> list_contains($stopList, t))) AS DOUBLE)
+         |    / greatest(len($tokensSql), 1) AS swr,
+         |  length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+         |    / CAST(greatest(length(text), 1) AS DOUBLE) AS pr,
+         |  text
+         | FROM documents),
+         |scored AS (
+         | SELECT doc_id, source,
+         |  round(least(length(text) / 500.0, 1.0) * 0.5 +
+         |   (CASE WHEN round(pr, 4) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |   (CASE WHEN round(swr, 4) > 0.01 THEN 1.0 ELSE 0.6 END) * 0.25, 4) AS quality
+         | FROM t)
+         |SELECT doc_id, source, quality,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+         |FROM scored
+         |QUALIFY rk <= 8""").stripMargin,
+    "q104_dsir_weights" ->
+      (s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest($tokensSql) AS tok FROM documents),
+         |tok2 AS (SELECT * FROM tok WHERE tok <> ''),
+         |doc_tf AS (
+         |  SELECT doc_id, lang, tok, count(*) AS tf FROM tok2 GROUP BY 1, 2, 3),
+         |stats AS (
+         |  SELECT tok, count(*) AS b_cnt,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
+         |  FROM tok2 GROUP BY tok),
+         |tot AS (
+         |  SELECT sum(b_cnt) AS b_total, sum(t_cnt) AS t_total,
+         |    count(*) AS vocab FROM stats)
+         |SELECT doc_id, lang,
+         |  round(sum(tf * (ln((t_cnt + 1.0) / (t_total + vocab))
+         |    - ln((b_cnt + 1.0) / (b_total + vocab)))), 6) AS dsir_weight
+         |FROM doc_tf JOIN stats USING (tok) CROSS JOIN tot
+         |GROUP BY doc_id, lang""").stripMargin,
+    "q105_split_leakage" ->
+      (s"""$minhashCtes,
+         |pairs AS (
+         |$minhashPairSelect),
+         |labeled AS (
+         |  SELECT id_a, id_b,
+         |    CASE WHEN md5(CAST(id_a AS VARCHAR)) < 'cc' THEN 'train'
+         |         WHEN md5(CAST(id_a AS VARCHAR)) < 'e6' THEN 'val'
+         |         ELSE 'test' END AS split_a,
+         |    CASE WHEN md5(CAST(id_b AS VARCHAR)) < 'cc' THEN 'train'
+         |         WHEN md5(CAST(id_b AS VARCHAR)) < 'e6' THEN 'val'
+         |         ELSE 'test' END AS split_b,
+         |    est_jaccard
+         |  FROM pairs)
+         |SELECT * FROM labeled WHERE split_a <> split_b""").stripMargin,
     "q22_simhash_pairs" -> simhashPairsSql,
     "q54_minhash_portable" -> minhashPairsSql,
     "q87_incremental_dedup" -> incrementalDedupSql,

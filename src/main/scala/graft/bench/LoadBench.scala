@@ -35,6 +35,12 @@ object LoadBench {
     val rows = sys.env.getOrElse("LOAD_ROWS", "10000000").toLong
     val batchRows = sys.env.getOrElse("LOAD_BATCH", "100000").toLong
     val concurrency = sys.env.getOrElse("LOAD_CONCURRENCY", "4").toInt
+    // tasks (= files) per batch: the reference's Trino runs each INSERT with
+    // intra-query parallelism across all worker threads, so a fair engine
+    // comparison gives each of the `concurrency` in-flight batches the cores
+    // one slot owns rather than a single task. 0 = generator default (1).
+    val batchParts = sys.env.get("LOAD_BATCH_PARTS").map(_.toInt)
+      .getOrElse(math.max(1, sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt / concurrency))
     val outPath = sys.env.getOrElse("LOADBENCH_OUT", "docs/loadbench_local32.jsonl")
     val wh = sys.env.getOrElse("WAREHOUSE", "/tmp/graft_loadbench")
     val keep = sys.env.get("LOAD_KEEP").contains("1")
@@ -99,7 +105,8 @@ object LoadBench {
       // cold start: a leftover checkpoint would turn the load into a no-op
       wipe(dir); wipe(cpDir)
       val plan = LoadPlan(totalRows = rows, batchRows = batchRows, startId = 1,
-        concurrency = concurrency, checkpointDir = cpDir)
+        concurrency = concurrency, checkpointDir = cpDir,
+        batchPartitions = if (batchParts > 1) Some(batchParts) else None)
       val t0 = System.nanoTime()
       val nBatches = Loader.loadTable(spark, cfg, plan, codec, dir, quiet = true)
       val sec = (System.nanoTime() - t0) / 1e9
@@ -107,7 +114,7 @@ object LoadBench {
       require(size.rows == rows, s"loaded ${size.rows} rows, expected $rows")
       val ref = refSec(t, rows)
       record(
-        f"""{"table":"$t","rows":$rows,"batch_rows":$batchRows,"concurrency":$concurrency,"codec":"${codec.codec}:${codec.level}","sec":$sec%.1f,"data_bytes":${size.data_bytes},"bytes_per_row":${size.bytes_per_row}%.1f,"n_batches":$nBatches,"ref_sec":$ref%.1f,"ratio_vs_ref":${sec / ref}%.3f,"cpus":$cpus}""")
+        f"""{"table":"$t","rows":$rows,"batch_rows":$batchRows,"concurrency":$concurrency,"batch_parts":$batchParts,"codec":"${codec.codec}:${codec.level}","sec":$sec%.1f,"data_bytes":${size.data_bytes},"bytes_per_row":${size.bytes_per_row}%.1f,"n_batches":$nBatches,"ref_sec":$ref%.1f,"ratio_vs_ref":${sec / ref}%.3f,"cpus":$cpus}""")
       if (!keep) { wipe(dir); wipe(cpDir) }
     }
     spark.stop()

@@ -94,7 +94,8 @@ object Loader {
         Future {
           spark.sparkContext.setJobDescription(s"load $table batch=${b.index}")
           val rows = b.end - b.start + 1
-          val df = Generator.generate(spark, cfg, b.start, rows, seed)
+          val df = Generator.generate(spark, cfg, b.start, rows, seed,
+            numPartitions = plan.batchPartitions)
           tableFormat.writeBatch(df, path, b.index, codec, cfg.format, partitioning, sortedBy)
           this.synchronized {
             done += b.index

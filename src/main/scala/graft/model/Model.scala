@@ -74,7 +74,15 @@ final case class TableConfig(
     idColumn: Option[String] = None // filled from the row id (src/types.ts:39)
 )
 
-/** Load plan (reference: src/config/load.ts:2-18). */
+/** Load plan (reference: src/config/load.ts:2-18).
+  *
+  * `batchPartitions` is the intra-batch generate/write parallelism: tasks
+  * (and output files) per batch. `None` keeps the generator's size-based
+  * default (one task per ≤2^18-row batch). The reference's Trino executes
+  * each 100k-row INSERT with intra-query parallelism across all worker
+  * threads; with `concurrency` below the core count, single-task batches
+  * leave the engine mostly idle, so the load bench splits each batch
+  * across the cores one concurrency slot owns. */
 final case class LoadPlan(
     startId: Long = 1L,
     totalRows: Long = 1000000L,
@@ -84,7 +92,8 @@ final case class LoadPlan(
     compactAfterLoad: Boolean = false,
     checkpointDir: String = ".checkpoints",
     includeManifestBytes: Boolean = false,
-    resultsCsv: String = "results_sizes.csv"
+    resultsCsv: String = "results_sizes.csv",
+    batchPartitions: Option[Int] = None
 )
 
 /** One (codec, level) compression variant (reference: src/config/codecs.ts:3-12). */

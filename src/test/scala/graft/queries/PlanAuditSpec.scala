@@ -353,6 +353,47 @@ class PlanAuditSpec extends SparkSpec {
       s"per-lang totals should broadcast:\n$p")
   }
 
+  test("source cap (q103): window-free grouped rank, cap holds per source") {
+    // Window.partitionBy(source) would put each web domain on ONE task —
+    // domains are the canonical million-fold-skew key — so the cap must
+    // plan through the range-rank, not a Window
+    val q = graft.SparkEntry.queries("q103_source_cap")(spark, dir)
+    assert(!plan(q).contains("Window"), s"q103 must not plan a window:\n${plan(q)}")
+    val perSource = q.groupBy("source").count().collect()
+    assert(perSource.nonEmpty && perSource.forall(_.getLong(1) <= 8L))
+  }
+
+  test("dsir weights (q104): English target scores English docs higher") {
+    // target LM = the English slice, so English documents must carry a
+    // higher mean importance weight than every other language's slice —
+    // the signal the resampling step selects on
+    val q = graft.SparkEntry.queries("q104_dsir_weights")(spark, dir).cache()
+    try {
+      val byLang = q.groupBy("lang")
+        .agg(org.apache.spark.sql.functions.avg("dsir_weight").as("w"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(byLang("en") > 0.0, s"en mean weight should be positive: $byLang")
+      byLang.filterNot(_._1 == "en").foreach { case (l, w) =>
+        assert(w < byLang("en"), s"$l mean weight $w !< en ${byLang("en")}")
+      }
+    } finally q.unpersist(blocking = false)
+  }
+
+  test("split leakage (q105): splits computed inline, only minhash joins plan") {
+    // split membership is a pure function of the pair ids — the plan must
+    // contain exactly the portable-minhash pipeline's joins (band-bucket
+    // self-join + two signature attaches), with no extra join against a
+    // split-assignment table
+    val pairs = graft.SparkEntry.queries("q54_minhash_portable")(spark, dir)
+    val leak = graft.SparkEntry.queries("q105_split_leakage")(spark, dir)
+    def joins(df: DataFrame): Int =
+      "Join".r.findAllIn(plan(df)).length
+    assert(joins(leak) == joins(pairs),
+      s"q105 must add zero joins over q54: ${joins(leak)} vs ${joins(pairs)}")
+    val rows = leak.collect()
+    assert(rows.forall(r => r.getString(2) != r.getString(3)))
+  }
+
   test("catalog introspection surface") {
     Catalog.registerTestTables(spark, dir)
     val tables = Catalog.showTables(spark).collect().map(_.getString(1)).toSet
