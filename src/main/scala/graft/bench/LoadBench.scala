@@ -35,12 +35,16 @@ object LoadBench {
     val rows = sys.env.getOrElse("LOAD_ROWS", "10000000").toLong
     val batchRows = sys.env.getOrElse("LOAD_BATCH", "100000").toLong
     val concurrency = sys.env.getOrElse("LOAD_CONCURRENCY", "4").toInt
-    // tasks (= files) per batch: the reference's Trino runs each INSERT with
-    // intra-query parallelism across all worker threads, so a fair engine
-    // comparison gives each of the `concurrency` in-flight batches the cores
-    // one slot owns rather than a single task. 0 = generator default (1).
-    val batchParts = sys.env.get("LOAD_BATCH_PARTS").map(_.toInt)
-      .getOrElse(math.max(1, sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt / concurrency))
+    // tasks (= files) per batch. MEASURED AND REJECTED as a default:
+    // splitting each 100k-row batch across cpus/concurrency tasks was
+    // slower at every scale tried under identical conditions (narrow 10M:
+    // 43.9 s at 8 parts vs 32.3 s at 1; wide 1M: 48.9 vs 45.5) and fatter
+    // on disk (narrow 32.4 → 33.4 B/row, wide 331.5 → 343.8) — zstd-6
+    // compression is the bottleneck and already runs `concurrency`-wide
+    // across batches, so extra tasks only add per-task setup/commit
+    // overhead and shrink the compression window. The knob stays for
+    // cluster shapes where one batch genuinely exceeds a single executor.
+    val batchParts = sys.env.get("LOAD_BATCH_PARTS").map(_.toInt).getOrElse(1)
     val outPath = sys.env.getOrElse("LOADBENCH_OUT", "docs/loadbench_local32.jsonl")
     val wh = sys.env.getOrElse("WAREHOUSE", "/tmp/graft_loadbench")
     val keep = sys.env.get("LOAD_KEEP").contains("1")
