@@ -533,6 +533,29 @@ object SparkEntry {
         .groupBy(col("doc_id"), col("lang"))
         .agg(round(sum(col("w")), 6).as("dsir_weight"))
     }),
+    "q106_source_token_budget" -> ((s, dir) => {
+      // domain-balanced budget selection: EVERY source spends the same
+      // fixed token budget on its best documents — the curation shape
+      // that holds a corpus to a global token target without letting one
+      // domain buy more than its share. The per-source prefix sum runs
+      // window-free through Rank.withGroupRunningTotal: a
+      // sum().over(Window.partitionBy(source).orderBy(quality)) would put
+      // each domain on ONE task (domains being the canonical skew key),
+      // while the grouped range-sum spreads hot domains across partitions
+      // and stitches running sums through the O(parts) boundary protocol.
+      // Long token arithmetic end-to-end → the cutoff replays exactly in
+      // the window oracle.
+      val scored = TestTables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Rank.withGroupRunningTotal(scored, Seq(col("source")),
+          Seq(col("quality").desc, col("doc_id").asc),
+          col("n_tokens"), totalCol = "running_tokens")
+        .filter(col("running_tokens") <= lit(1500L))
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("n_tokens"), col("running_tokens"))
+    }),
     "q105_split_leakage" -> ((s, dir) => {
       // cross-split contamination check: near-duplicate pairs (the q54
       // portable minhash pipeline) whose members fall in DIFFERENT
@@ -1735,6 +1758,30 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
          |FROM scored
          |QUALIFY rk <= 8""").stripMargin,
+    "q106_source_token_budget" ->
+      (s"""WITH t AS (
+         | SELECT doc_id, source,
+         |  CAST(len(list_filter($tokensSql, t -> list_contains($stopList, t))) AS DOUBLE)
+         |    / greatest(len($tokensSql), 1) AS swr,
+         |  length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+         |    / CAST(greatest(length(text), 1) AS DOUBLE) AS pr,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($tokensSql) END AS BIGINT) AS n_tokens,
+         |  text
+         | FROM documents),
+         |scored AS (
+         | SELECT doc_id, source, n_tokens,
+         |  round(least(length(text) / 500.0, 1.0) * 0.5 +
+         |   (CASE WHEN round(pr, 4) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |   (CASE WHEN round(swr, 4) > 0.01 THEN 1.0 ELSE 0.6 END) * 0.25, 4) AS quality
+         | FROM t),
+         |r AS (
+         | SELECT doc_id, source, quality, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens
+         | FROM scored)
+         |SELECT doc_id, source, quality, n_tokens, running_tokens
+         |FROM r WHERE running_tokens <= 1500""").stripMargin,
     "q104_dsir_weights" ->
       (s"""WITH tok AS (
          |  SELECT doc_id, lang, unnest($tokensSql) AS tok FROM documents),

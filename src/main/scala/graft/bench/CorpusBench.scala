@@ -460,11 +460,11 @@ object CorpusBench {
       }
       benchOn("editdist_title_rarest_candidates", titles, d =>
         Dedup.editDistanceCandidates(titleT(d), maxTrigramFreq = 1000, rarestK = 4),
-        s"""$rarest,"corpus":"titles_hot_trigram"""")
+        s"""$rarest,"corpus":"titles_hot_trigram","impl":"window_lag_dedup"""")
       benchOn("editdist_title_rarest_pairs", titles, d =>
         Dedup.editDistancePairs(d, "doc_id", "text",
           maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, rarestK = 4),
-        s"""$rarest,"corpus":"titles_hot_trigram"""")
+        s"""$rarest,"corpus":"titles_hot_trigram","impl":"window_lag_dedup"""")
       // recovered planted pairs (id_b = block base + 1, dist exactly 1):
       // `rows` vs the N/20 planted target is the recall evidence at
       // nonzero cost — the claim the r7 grid could not support
@@ -543,6 +543,18 @@ object CorpusBench {
             length(col("text")))
           .filter(col("running_total") <= lit(n * 75L))
           .groupBy().count())
+      // Grouped budgeted selection (the q106 shape under load): per-source
+      // prefix sums through the grouped boundary stitch — 17 synthetic
+      // sources, each capped at the same character budget (~8% of its
+      // mass), so every group does real cutoff work at every scale.
+      bench("source_budget", d =>
+        Rank.withGroupRunningTotal(
+            d.withColumn("source", pmod(xxhash64(col("doc_id"), lit("s")), lit(17L))),
+            Seq(col("source")),
+            Seq(length(col("text")).desc, col("doc_id").asc),
+            length(col("text")))
+          .filter(col("running_total") <= lit(n * 4L))
+          .groupBy(col("source")).count(), """"sources":17""")
 
       // Event-stream windows (the q94/q97 shapes) at corpus scale: both
       // partition on the HIGH-cardinality user key (n/50 users), so the

@@ -255,6 +255,119 @@ object Rank {
     spark.createDataFrame(stamped, schema).drop("__rtv")
   }
 
+  /** Per-group inclusive running total of `valueCol` over each group's
+    * `sortCols` order — the grouped distributed prefix sum behind
+    * per-domain/per-language budget selection ("each source spends its
+    * token budget on its best documents").
+    *
+    * `sum(v).over(Window.partitionBy(g).orderBy(...))` puts each group on
+    * ONE task — and the budget keys (web domains, languages) are exactly
+    * the keys with million-fold skew at corpus scale. This runs the
+    * [[withGroupRank]] shape instead: one range shuffle on
+    * (group, sortCols), a per-partition boundary job that ships
+    * (firstKey, lastKey, lastSum, lastCount) — interior groups never cross
+    * a partition edge under range partitioning on the group prefix, so the
+    * stitch only ever needs the LAST group's running sum/count carried
+    * left-to-right — then one stamping pass seeded with the broadcast
+    * offsets. O(parts) driver state, no per-group anything.
+    *
+    * Same integral-only contract as [[withRunningTotal]] (long
+    * accumulation is exact and order-independent, so results replay
+    * bit-for-bit in an ANSI window oracle); NULL values count as 0.
+    * `rankCol`, when set, stamps the per-group `row_number` in the same
+    * pass — budget total and rank share one shuffle. */
+  def withGroupRunningTotal(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      sortCols: Seq[Column],
+      valueCol: Column,
+      totalCol: String = "running_total",
+      numPartitions: Int = 0,
+      rankCol: Option[String] = None
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "grouped running total needs at least one group column")
+    require(sortCols.nonEmpty, "grouped running total needs at least one sort column")
+    val vType = df.select(valueCol).schema.head.dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, LongType).contains(vType),
+      s"withGroupRunningTotal requires an integral value column, got $vType — " +
+        "cast explicitly (with the rounding you intend) if that is really wanted")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val keyed = df.withColumn("__gkey", struct(groupCols: _*))
+      .withColumn("__rtv", valueCol.cast(LongType))
+    val all = col("__gkey") +: sortCols
+    val ranged = keyed
+      .repartitionByRange(parts, all: _*)
+      .sortWithinPartitions(all: _*)
+    val rdd = ranged.rdd
+    val gIdx = ranged.schema.fieldIndex("__gkey")
+    val vIdx = ranged.schema.fieldIndex("__rtv")
+    val bounds: Array[Option[(Row, Row, Long, Long)]] =
+      spark.sparkContext.runJob(rdd, (it: Iterator[Row]) => {
+        if (!it.hasNext) None
+        else {
+          val first = it.next()
+          val firstKey = first.getStruct(gIdx)
+          var curKey = firstKey
+          var curSum = if (first.isNullAt(vIdx)) 0L else first.getLong(vIdx)
+          var curCount = 1L
+          while (it.hasNext) {
+            val r = it.next()
+            val k = r.getStruct(gIdx)
+            val v = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+            if (k == curKey) { curSum += v; curCount += 1 }
+            else { curKey = k; curSum = v; curCount = 1L }
+          }
+          Some((firstKey, curKey, curSum, curCount))
+        }
+      })
+    val sumOffsets = new Array[Long](bounds.length)
+    val cntOffsets = new Array[Long](bounds.length)
+    var runKey: Row = null
+    var runSum = 0L
+    var runCnt = 0L
+    var i = 0
+    while (i < bounds.length) {
+      bounds(i) match {
+        case Some((fk, lk, ls, lc)) =>
+          val sOff = if (runKey != null && runKey == fk) runSum else 0L
+          val cOff = if (runKey != null && runKey == fk) runCnt else 0L
+          sumOffsets(i) = sOff
+          cntOffsets(i) = cOff
+          runSum = ls + (if (fk == lk) sOff else 0L)
+          runCnt = lc + (if (fk == lk) cOff else 0L)
+          runKey = lk
+        case None => // empty partition: carry the open group through
+      }
+      i += 1
+    }
+    val bOffsets = spark.sparkContext.broadcast((sumOffsets, cntOffsets))
+    val wantRank = rankCol.isDefined
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var curKey: Row = null
+      var s = 0L
+      var rk = 0L
+      it.map { row =>
+        val k = row.getStruct(gIdx)
+        if (curKey == null) {
+          curKey = k; s = bOffsets.value._1(pid); rk = bOffsets.value._2(pid)
+        } else if (k != curKey) { curKey = k; s = 0L; rk = 0L }
+        if (!row.isNullAt(vIdx)) s += row.getLong(vIdx)
+        rk += 1
+        if (wantRank) Row.fromSeq(row.toSeq :+ s :+ rk)
+        else Row.fromSeq(row.toSeq :+ s)
+      }
+    }
+    val schema0 = keyed.schema.add(totalCol, LongType, nullable = false)
+    val schema =
+      rankCol.fold(schema0)(rc => schema0.add(rc, LongType, nullable = false))
+    spark.createDataFrame(stamped, schema).drop("__gkey").drop("__rtv")
+  }
+
   private def rankAndCount(
       df: DataFrame,
       sortCols: Seq[Column],

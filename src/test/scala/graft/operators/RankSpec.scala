@@ -198,6 +198,78 @@ class RankSpec extends SparkSpec {
     assert(got == Map(1L -> 5L, 2L -> 5L, 3L -> 12L, 4L -> 12L, 5L -> 13L))
   }
 
+  test("withGroupRunningTotal matches the per-group window prefix sum") {
+    // 3 hot groups over 997 rows at 7 partitions — every group spans
+    // several partition boundaries, so the sum stitch does real work
+    val vals = new scala.util.Random(31)
+      .shuffle((1L to 997L).toList)
+      .map(i => (i, s"g${i % 3}", (i * 13) % 50))
+      .toDF("id", "grp", "w")
+    val win = Window.partitionBy($"grp").orderBy($"w".desc, $"id".asc)
+    val expected = vals
+      .withColumn("rt", sum($"w").over(win.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rk", row_number().over(win).cast("long"))
+      .select($"id", $"rt", $"rk").as[(Long, Long, Long)].collect().toSet
+    val got = Rank.withGroupRunningTotal(vals, Seq($"grp"),
+        Seq($"w".desc, $"id".asc), $"w",
+        totalCol = "rt", numPartitions = 7, rankCol = Some("rk"))
+      .select($"id", $"rt", $"rk").as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("withGroupRunningTotal randomized parity: sizes × groups × partitions") {
+    val rng = new scala.util.Random(37)
+    for (trial <- 1 to 6) {
+      val n = 1 + rng.nextInt(300)
+      val groups = 1 + rng.nextInt(10)
+      val parts = 1 + rng.nextInt(8)
+      val data = rng.shuffle((1L to n.toLong).toList)
+        .map(i => (i, (i % groups).toString, rng.nextInt(40).toLong))
+        .toDF("id", "grp", "w")
+      val win = Window.partitionBy($"grp").orderBy($"w".asc, $"id".asc)
+      val expected = data
+        .withColumn("rt", sum($"w").over(win.rowsBetween(Window.unboundedPreceding, 0)))
+        .select($"id", $"rt").as[(Long, Long)].collect().toMap
+      val got = Rank.withGroupRunningTotal(data, Seq($"grp"),
+          Seq($"w".asc, $"id".asc), $"w", totalCol = "rt", numPartitions = parts)
+        .select($"id", $"rt").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: n=$n groups=$groups parts=$parts")
+    }
+  }
+
+  test("withGroupRunningTotal: NULL group keys and NULL values match the window") {
+    val data = Seq(
+      (1L, Some("a"), Some(3L)), (2L, None, Some(1L)), (3L, Some("a"), None),
+      (4L, None, None), (5L, Some("b"), Some(2L)), (6L, None, Some(1L)),
+      (7L, Some("a"), Some(3L)), (8L, None, Some(9L))
+    ).toDF("id", "grp", "w")
+    val win = Window.partitionBy($"grp").orderBy($"w".asc, $"id".asc)
+    val expected = data
+      .withColumn("rt", coalesce(
+        sum($"w").over(win.rowsBetween(Window.unboundedPreceding, 0)), lit(0L)))
+      .select($"id", $"rt").as[(Long, Long)].collect().toMap
+    val got = Rank.withGroupRunningTotal(data, Seq($"grp"),
+        Seq($"w".asc, $"id".asc), $"w", totalCol = "rt", numPartitions = 3)
+      .select($"id", $"rt").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("withGroupRunningTotal on empty input keeps schema and column order") {
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "grp", "w")
+    val got = Rank.withGroupRunningTotal(empty, Seq($"grp"), Seq($"w"), $"w",
+      totalCol = "rt", numPartitions = 3)
+    assert(got.columns.toSeq == Seq("id", "grp", "w", "rt"))
+    assert(got.count() == 0)
+  }
+
+  test("withGroupRunningTotal refuses a non-integral value column") {
+    val vals = Seq((1L, "a", 1.5), (2L, "a", 2.5)).toDF("id", "grp", "w")
+    val e = intercept[IllegalArgumentException] {
+      Rank.withGroupRunningTotal(vals, Seq($"grp"), Seq($"id"), $"w")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("withRunningTotal refuses a non-integral value column") {
     val vals = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "w")
     val e = intercept[IllegalArgumentException] {

@@ -363,6 +363,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(perSource.nonEmpty && perSource.forall(_.getLong(1) <= 8L))
   }
 
+  test("source token budget (q106): window-free grouped prefix sum, cutoff holds") {
+    // a sum().over(Window.partitionBy(source)) would collapse each domain
+    // onto one task; the grouped range-sum must plan no Window, and every
+    // kept row must sit inside its source's budget
+    val q = graft.SparkEntry.queries("q106_source_token_budget")(spark, dir)
+    assert(!plan(q).contains("Window"), s"q106 must not plan a window:\n${plan(q)}")
+    val rows = q.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(4) <= 1500L))
+  }
+
   test("dsir weights (q104): English target scores English docs higher") {
     // target LM = the English slice, so English documents must carry a
     // higher mean importance weight than every other language's slice —
