@@ -556,6 +556,43 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("quality"),
           col("n_tokens"), col("running_tokens"))
     }),
+    "q107_quality_classifier" -> ((s, dir) => {
+      // in-engine trained quality classifier (the CCNet/fastText role):
+      // full-batch logistic regression, label = "document is English",
+      // features = the three scan-local quality signals. Each of the 5
+      // gradient iterations is ONE map-side-combinable aggregate over a
+      // persisted skinny feature frame with the weights inlined as
+      // literals — no ML runtime, bounded driver state, and the whole
+      // fit+score replays in DuckDB as unrolled iteration CTEs (features
+      // are closed-form per row; double-sum order is the only divergence,
+      // ~1e-12 against the 6-decimal output rounding).
+      val d = TestTables.documents(s, dir)
+      val fs = Seq(
+        least(length(col("text")) / lit(500.0), lit(1.0)),
+        TextOps.punctRatio(col("text")),
+        TextOps.stopwordRatio(col("text")))
+      val w = graft.operators.Classifier.logisticFit(
+        d, when(col("lang") === "en", 1.0).otherwise(0.0), fs,
+        iters = 5, lr = 1.0)
+      d.select(col("doc_id"), col("lang"),
+        round(graft.operators.Classifier.logisticScore(w, fs), 6).as("p_en"))
+    }),
+    "q108_auc" -> ((s, dir) => {
+      // distributed ROC AUC of the quality score as a predictor of
+      // English — the evaluation metric every trained curation filter
+      // needs, at corpus scale. Tie-corrected Mann-Whitney form computed
+      // EXACTLY: aggregate per distinct score (pos_s, neg_s), prefix-sum
+      // the negatives over ascending score through the window-free
+      // running total (the score-group frame is tiny — one row per
+      // distinct rounded score — but stays a dataframe end to end), then
+      // AUC = Σ_s pos_s · (2·cumneg_<s + neg_s) / (2·P·N). Integer
+      // arithmetic until the final division → bit-exact cross-engine,
+      // ties handled by the standard midrank correction rather than an
+      // arbitrary row_number tie-break.
+      graft.operators.Metrics.rocAuc(TestTables.documents(s, dir),
+        when(col("lang") === "en", 1L).otherwise(0L),
+        TextOps.qualityScore(col("text")))
+    }),
     "q105_split_leakage" -> ((s, dir) => {
       // cross-split contamination check: near-duplicate pairs (the q54
       // portable minhash pipeline) whose members fall in DIFFERENT
@@ -1297,6 +1334,47 @@ object SparkEntry {
     * hash MIN slots → 16 two-slot band keys → band-equality candidates →
     * agreeing-slot estimate. Generated programmatically to match
     * [[graft.operators.Dedup.portableMinhashLsh]] value-for-value. */
+  /** DuckDB replica of q107: the 5 full-batch gradient-descent iterations
+    * unrolled as CTE pairs (g_i = gradient aggregate under weights w_{i-1},
+    * w_i = the update), zero-initialized, then the final sigmoid scored per
+    * document. Features are the same closed-form expressions the Spark side
+    * computes, so the only cross-engine divergence is double-sum order
+    * inside each gradient (~1e-12) — absorbed by the 6-decimal rounding. */
+  private val logisticSql: String = {
+    val iters = 5
+    val f1 = "least(length(text) / 500.0, 1.0)"
+    val f2 = """round(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) / CAST(greatest(length(text), 1) AS DOUBLE), 4)"""
+    val f3 = s"round(CAST(len(list_filter($tokensSql, t -> list_contains($stopList, t))) AS DOUBLE) / greatest(len($tokensSql), 1), 4)"
+    def sig(w: String) =
+      s"1.0 / (1.0 + exp(-($w.b + $w.w1*f1 + $w.w2*f2 + $w.w3*f3)))"
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"w${i - 1}"
+      s"""g$i AS (
+         |  SELECT sum(${sig(prev)} - y) AS g0,
+         |         sum((${sig(prev)} - y) * f1) AS g1,
+         |         sum((${sig(prev)} - y) * f2) AS g2,
+         |         sum((${sig(prev)} - y) * f3) AS g3,
+         |         count(*) AS n
+         |  FROM f CROSS JOIN $prev),
+         |w$i AS (
+         |  SELECT $prev.b - 1.0 * g$i.g0 / g$i.n AS b,
+         |         $prev.w1 - 1.0 * g$i.g1 / g$i.n AS w1,
+         |         $prev.w2 - 1.0 * g$i.g2 / g$i.n AS w2,
+         |         $prev.w3 - 1.0 * g$i.g3 / g$i.n AS w3
+         |  FROM $prev CROSS JOIN g$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    $f1 AS f1, $f2 AS f2, $f3 AS f3
+       |  FROM documents),
+       |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |$iterCtes
+       |SELECT doc_id, lang,
+       |  round(${sig(s"w$iters")}, 6) AS p_en
+       |FROM f CROSS JOIN w$iters""".stripMargin
+  }
+
   /** The q54 portable-minhash pipeline as a reusable `WITH` preamble plus
     * final pair-select, so composed oracles (q105 cross-split leakage) can
     * wrap the identical pair stream in one more CTE instead of duplicating
@@ -1782,6 +1860,36 @@ object SparkEntry {
          | FROM scored)
          |SELECT doc_id, source, quality, n_tokens, running_tokens
          |FROM r WHERE running_tokens <= 1500""").stripMargin,
+    "q107_quality_classifier" -> logisticSql,
+    "q108_auc" ->
+      (s"""WITH t AS (
+         | SELECT lang,
+         |  CAST(len(list_filter($tokensSql, t -> list_contains($stopList, t))) AS DOUBLE)
+         |    / greatest(len($tokensSql), 1) AS swr,
+         |  length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+         |    / CAST(greatest(length(text), 1) AS DOUBLE) AS pr,
+         |  text
+         | FROM documents),
+         |f AS (
+         | SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |  round(least(length(text) / 500.0, 1.0) * 0.5 +
+         |   (CASE WHEN round(pr, 4) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25 +
+         |   (CASE WHEN round(swr, 4) > 0.01 THEN 1.0 ELSE 0.6 END) * 0.25, 4) AS score
+         | FROM t),
+         |g AS (
+         | SELECT score, CAST(sum(y) AS BIGINT) AS pos,
+         |   CAST(sum(1 - y) AS BIGINT) AS neg
+         | FROM f GROUP BY score),
+         |c AS (
+         | SELECT score, pos, neg,
+         |  CAST(sum(neg) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumneg
+         | FROM g),
+         |tot AS (
+         | SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg
+         | FROM g)
+         |SELECT round(sum(pos * (2 * (cumneg - neg) + neg)) / (2.0 * n_pos * n_neg), 6) AS auc,
+         |  n_pos, n_neg
+         |FROM c CROSS JOIN tot GROUP BY n_pos, n_neg""").stripMargin,
     "q104_dsir_weights" ->
       (s"""WITH tok AS (
          |  SELECT doc_id, lang, unnest($tokensSql) AS tok FROM documents),

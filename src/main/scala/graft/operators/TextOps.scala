@@ -205,6 +205,7 @@ object TextOps {
     val perDoc = dupWindowInstances(wins, minFreq,
         windowExpansion(winLen, stride, modP, winnowK = 0))
       .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
+      .hint("SHUFFLE_HASH")
     // stride grid: window count is CLOSED-FORM from doc length (no second
     // pass); mod-p selection is content-dependent, so count the stream
     val nwin =
@@ -224,8 +225,7 @@ object TextOps {
   /** The removal half of span-level dedup: merge each document's
     * corpus-duplicated windows (the [[repeatedWindowStats]] detection) into
     * maximal character intervals — classic gaps-and-islands over (start,
-    * end) pairs — and report what a cleaning pass would cut (the merge
-    * itself is the in-row fold of [[mergedSpanArrays]]; both engines
+    * end) pairs — and report what a cleaning pass would cut (both engines
     * produce the same merged intervals, so the oracle replays the merge
     * exactly as a windowed gaps-and-islands). Output per document: char
     * count, merged duplicated-span count, chars those spans cover, and the
@@ -234,9 +234,11 @@ object TextOps {
     *
     * Scale: frequency gating is the sized window-count of
     * [[dupWindowInstances]] (zero aggregate state per JVM), and the merge
-    * + accounting run IN-ROW off one collect_list keyed by doc id — two
-    * hash exchanges total (window string, then doc id), no per-doc window
-    * frames over the exploded stream, no global sort anywhere. */
+    * is the sized in-sort streaming pass of [[mergedSpanArrays]] (zero
+    * aggregate state there too) — two sized hash exchanges total (window
+    * string, then doc id), no per-doc window frames over the exploded
+    * stream, no global sort anywhere, accounting read in-row off the
+    * merged array. */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
       winLen: Int = 20, stride: Int = 5, minFreq: Long = 2,
       modP: Int = 0, portableSel: Boolean = true,
@@ -269,7 +271,7 @@ object TextOps {
   private[operators] def spanWindows(t: DataFrame, winLen: Int, stride: Int,
       modP: Int, portableSel: Boolean = true,
       useNative: Boolean = true): DataFrame = {
-    val wide = Stage.ensureWide(t)
+    val wide = widenForExpansion(t, windowExpansion(winLen, stride, modP, 0))
     // selection hash: md5 replays in the ANSI oracle (the default the
     // oracled queries pin); xxhash64 is an alternative hash family with
     // identical recall math (selection is content-defined either way).
@@ -326,7 +328,7 @@ object TextOps {
     * same (id, start, w) contract as [[spanWindows]]. */
   private[operators] def winnowWindows(t: DataFrame, winLen: Int,
       k: Int, useNative: Boolean = true): DataFrame = {
-    val wide = Stage.ensureWide(t)
+    val wide = widenForExpansion(t, windowExpansion(winLen, 1, 0, k))
     if (useNative)
       wide
         .select(col("id"), col("s"),
@@ -369,12 +371,39 @@ object TextOps {
     * scan vs ~5.5 GB of window rows). Callers pass the algebraic expansion
     * of their explode (rows-per-input-byte × bytes-per-row). */
   private def sizedByKey(df: DataFrame, key: Column, expand: Double = 1.0,
-      bytesPerPart: Long = 48L << 20): DataFrame = {
+      bytesPerPart: Long = 48L << 20): DataFrame =
+    df.repartition(sizedParts(df, expand, bytesPerPart), key)
+
+  /** Round-robin the DOC stream before a window explode so each task's
+    * EXPLODED output fits task memory. Without this the parquet scan packs
+    * ~500k documents into a few dozen input splits and each split explodes
+    * to hundreds of MB of window rows — the downstream exchange's
+    * map-side shuffle writer then overruns its execution-memory share and
+    * spills the stream to disk before it ever crosses the wire (SpanProbe
+    * attributed 5.4 of the 7.3 GB winnow spill at 500k docs to exactly
+    * this, invariant to REDUCE-side partition counts because it happens in
+    * the map tasks). Costs one cheap exchange of the compressed doc
+    * stream; sized with the same expansion math as the window exchange
+    * itself. */
+  private def widenForExpansion(t: DataFrame, expand: Double): DataFrame =
+    t.repartition(sizedParts(t, expand))
+
+  /** The partition count [[sizedByKey]] would choose for `df` — exposed
+    * separately so stages downstream of an RDD boundary can size from the
+    * frame that still HAS statistics: `createDataFrame(rdd)` plans a
+    * LogicalRDD whose size estimate is `spark.sql.defaultSizeInBytes`
+    * (Long.MaxValue), and a sizedByKey directly on such a frame saturates
+    * at the 65536 cap — tens of thousands of empty tasks. Callers compute
+    * the count from the pre-boundary window stream (an upper bound: the
+    * gated/matched stream is a subset with skinnier rows) and pass it
+    * down. */
+  private def sizedParts(df: DataFrame, expand: Double,
+      bytesPerPart: Long = 48L << 20): Int = {
     val floor = df.sparkSession.sessionState.conf.numShufflePartitions
     val est = BigDecimal(
       df.queryExecution.optimizedPlan.stats.sizeInBytes) * expand
     val want = (est / BigDecimal(bytesPerPart)).toBigInt.min(BigInt(65536)).toInt
-    df.repartition(math.max(floor, want), key)
+    math.max(floor, want)
   }
 
   /** In-memory bytes of window-stream sort state per COMPRESSED input byte
@@ -394,31 +423,107 @@ object TextOps {
   }
 
   /** The shared corpus-frequency gate: window instances whose window string
-    * occurs ≥ `minFreq` times corpus-wide, computed as `count().over
-    * (Window.partitionBy(w))` on a [[sizedByKey]] exchange — NOT as a
-    * `groupBy(w).count` + join-back.
+    * occurs ≥ `minFreq` times corpus-wide, computed as [[windowFreqs]]'s
+    * post-shuffle hash count followed by a SHUFFLE_HASH probe join of the
+    * instance stream against the gated keys.
     *
-    * Why (the r8 rebuild): the aggregate formulation keeps its frequency
-    * state in the MAP-SIDE partial aggregate — one hash-map entry per
-    * DISTINCT window seen per JVM, ~125M 20-char keys at 500k docs ≈
-    * 16.7 GB of measured spill on local32, invariant to the shuffle
-    * partition count because partial aggregation runs before the exchange.
-    * A window function keeps NO map-side state: all memory is the
-    * per-partition sort on `w`, which divides with the partition count —
-    * sized to ~48 MB per task it never spills at any corpus size — and the
-    * stream crosses the wire ONCE where the old shape shuffled it twice
-    * (partial-agged branch + join probe branch). Measured at 500k docs:
-    * dup_spans 16.7 GB spill → 0 (docs/corpusbench_local32.jsonl). The one
-    * structural hazard is a pathologically hot single window string:
-    * WindowExec buffers one w-group at a time (spilling gracefully past
-    * 4096 rows), where the aggregate held one counter — bounded by the
-    * corpus occurrence count of ONE winLen-char string, and the right
-    * trade against cardinality-bound map-side state. */
+    * Why this shape (the r8 rebuilds, each measured at 500k docs):
+    *  - `groupBy(w).count` + join-back keeps its state in the MAP-SIDE
+    *    partial aggregate — one hash entry per DISTINCT window per JVM,
+    *    ~125M 20-char keys ≈ 16.7 GB of spill, invariant to the shuffle
+    *    partition count because partial aggregation runs pre-exchange.
+    *  - `count().over(Window.partitionBy(w))` on a sized exchange killed
+    *    that — zero spill on the stride/mod-p variants — but hash
+    *    partitioning sends EVERY instance of one window string to one
+    *    partition, and winnowing's selection is biased: a globally
+    *    low-hash boilerplate string is selected at nearly every
+    *    occurrence, so its partition alone sorted/spilled ~7.3 GB however
+    *    many partitions were sized (stride/mod-p sample hot strings at
+    *    1/stride and never concentrated a partition). A run-length gate
+    *    over the same sorted exchange measured IDENTICAL spill — the sort
+    *    itself, not the window buffer, was the cost.
+    *  - A hash-count + SHUFFLE_HASH probe-join gate (no sort anywhere) was
+    *    skew-immune but crossed the stream twice and measured slower on
+    *    every variant — and left the spill intact, which is what exposed
+    *    the real source: SpanProbe attributed the bulk to the MAP-side
+    *    shuffle writer of the window exchange (too few scan splits, each
+    *    exploding hundreds of MB — fixed upstream by
+    *    [[widenForExpansion]]).
+    *  - A single-pass streaming HASH-gate (count per key, buffer each
+    *    key's first minFreq−1 rows, stream the rest) OOM'd at 500k: its
+    *    pending state is deserialized JVM Rows, INVISIBLE to Spark's
+    *    memory manager — where sort state is managed UnsafeRows that
+    *    spill instead of killing the JVM. The lesson stands in this doc:
+    *    operator state must live in managed memory.
+    * So: sized exchange + in-partition sort + O(minFreq) run-length gate.
+    * After the w-sort every instance of a window is adjacent; buffer at
+    * most minFreq rows of the current run, and once it reaches the
+    * threshold stream the rest through one by one. A pathologically hot
+    * key concentrates its sort in one partition — managed memory, spills
+    * gracefully, and the gate itself never holds more than minFreq rows.
+    * Emits the input columns unchanged. */
   private def dupWindowInstances(wins: DataFrame, minFreq: Long,
       expand: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    sizedByKey(wins, col("w"), expand)
-      .withColumn("freq", count(lit(1)).over(Window.partitionBy(col("w"))))
+    import org.apache.spark.sql.Row
+    val spark = wins.sparkSession
+    val sorted = sizedByKey(wins, col("w"), expand)
+      .sortWithinPartitions(col("w"))
+    val schema = sorted.schema
+    val wIdx = schema.fieldIndex("w")
+    val need = math.max(1L, math.min(minFreq, Int.MaxValue.toLong)).toInt
+    val gated = sorted.rdd.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[Row] {
+        private val queue = scala.collection.mutable.Queue.empty[Row]
+        private var inTail = false
+        private var tailW: Any = null
+        private def fill(): Unit = {
+          while (queue.isEmpty && buf.hasNext) {
+            if (inTail && buf.head.get(wIdx) == tailW) queue += buf.next()
+            else {
+              inTail = false
+              val w0 = buf.head.get(wIdx)
+              val head = scala.collection.mutable.ArrayBuffer.empty[Row]
+              while (head.size < need && buf.hasNext && buf.head.get(wIdx) == w0)
+                head += buf.next()
+              if (head.size >= need) {
+                queue ++= head
+                inTail = true
+                tailW = w0
+              } // else: run shorter than minFreq — not duplicated, dropped
+            }
+          }
+        }
+        def hasNext: Boolean = { fill(); queue.nonEmpty }
+        def next(): Row = { fill(); queue.dequeue() }
+      }
+    }
+    spark.createDataFrame(gated, schema)
+  }
+
+  /** Exact per-key window frequencies ≥ `minFreq` — (w, freq), one row per
+    * distinct window. The count runs AFTER a sized hash exchange on the
+    * bare key stream, as one hash map per reduce partition
+    * (`mapPartitions`): no map-side partial aggregation (the 16.7 GB
+    * distinct-key state — see [[dupWindowInstances]]), no sort (the
+    * hot-key partition skew), state = distinct keys per partition × ~90
+    * bytes, divided by the same sizing as every other window exchange.
+    * Serves [[hotWindows]] directly and gates [[dupWindowInstances]]. */
+  private def windowFreqs(wins: DataFrame, minFreq: Long,
+      expand: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val spark = wins.sparkSession
+    val keys = wins.select(col("w"))
+    val counted = sizedByKey(keys, col("w"), expand).rdd.mapPartitions { it =>
+      val m = new java.util.HashMap[String, Long]()
+      it.foreach(r => m.merge(r.getString(0), 1L, (a, b) => a + b))
+      m.entrySet().iterator().asScala.map(e => Row(e.getKey, e.getValue))
+    }
+    spark.createDataFrame(counted, StructType(Seq(
+        StructField("w", StringType),
+        StructField("freq", LongType, nullable = false))))
       .filter(col("freq") >= minFreq)
   }
 
@@ -426,39 +531,94 @@ object TextOps {
     * corpus-duplicated windows merged into maximal disjoint intervals,
     * returned as ONE sorted array column — (id, ivs:
     * array<struct<s0,e0>>), 1-indexed inclusive bounds, disjoint and
-    * ascending. The merge is gaps-and-islands, but computed IN-ROW: the
-    * per-doc interval list gathers through one `collect_list` aggregate
-    * (interval count per doc is bounded by windows-per-doc ≈ len/stride,
-    * so the array is small by construction), `sort_array` orders it, and a
-    * single `aggregate` fold emits the merged spans — no per-doc window
-    * frames over the exploded stream, one hash aggregate keyed by id, and
-    * consumers read span count/coverage straight off the array without
-    * another shuffle. */
-  private def mergedSpanArrays(matched: DataFrame, winLen: Int): DataFrame =
-    matched
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("start").cast("int").as("s"),
-        (col("start") + (winLen - 1)).cast("int").as("e")))).as("raw"))
-      .select(col("id"),
-        aggregate(col("raw"),
-          array().cast("array<struct<s0:int,e0:int>>"),
-          (acc, iv) => when(size(acc) === 0 ||
-              iv.getField("s") > element_at(acc, -1).getField("e0"),
-            concat(acc, array(struct(iv.getField("s").as("s0"),
-              iv.getField("e").as("e0")))))
-            .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
-              array(struct(element_at(acc, -1).getField("s0").as("s0"),
-                greatest(element_at(acc, -1).getField("e0"),
-                  iv.getField("e")).as("e0")))))
-        ).as("ivs"))
+    * ascending.
+    *
+    * The merge is gaps-and-islands over a SIZED id-keyed exchange: skinny
+    * (id, start) rows shuffle once, sort by (id, start) inside partitions
+    * sized by [[sizedByKey]], and one streaming pass emits each doc's
+    * merged array with O(1) state. The previous formulation —
+    * `groupBy(id).agg(sort_array(collect_list(...)))` + in-row fold — kept
+    * its state in the map-side partial aggregate: `collect_list` is a
+    * TypedImperativeAggregate, and past the object-hash fallback threshold
+    * (128 distinct groups, i.e. always at corpus scale) the partial
+    * aggregate turns into a sort of the whole matched stream per MAP task
+    * — invariant to the shuffle partition count, measured 6.9–7.2 GB of
+    * spill at 500k docs on the densest (winnow, 2/(k+1) char density)
+    * stream. The sized exchange divides that same sort across as many
+    * partitions as the stream needs, exactly like the frequency stage.
+    * `numParts` is the caller's [[sizedParts]] of the pre-boundary window
+    * stream — matched instances are a subset with skinnier rows, so it
+    * upper-bounds this exchange (and the matched frame itself may sit
+    * behind an RDD boundary or a join, where size statistics are
+    * useless). */
+  private def mergedSpanArrays(matched: DataFrame, winLen: Int,
+      numParts: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = matched.sparkSession
+    val skinny = matched.select(col("id"), col("start").cast("int").as("s"))
+    val ranged = skinny.repartition(numParts, col("id"))
+      .sortWithinPartitions(col("id"), col("s"))
+    val idType = ranged.schema("id").dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType),
+      StructField("ivs", ArrayType(StructType(Seq(
+        StructField("s0", IntegerType, nullable = false),
+        StructField("e0", IntegerType, nullable = false))),
+        containsNull = false), nullable = false)))
+    val merged = ranged.rdd.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[Row] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): Row = {
+          val first = buf.next()
+          val curId = first.get(0)
+          val ivs = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var s0 = first.getInt(1)
+          var e0 = s0 + (winLen - 1)
+          while (buf.hasNext && buf.head.get(0) == curId) {
+            val st = buf.next().getInt(1)
+            if (st <= e0) { val e = st + (winLen - 1); if (e > e0) e0 = e }
+            else { ivs += Row(s0, e0); s0 = st; e0 = st + (winLen - 1) }
+          }
+          ivs += Row(s0, e0)
+          Row(curId, ivs.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(merged, outSchema)
+  }
 
   /** Per-doc accounting columns off a merged-interval array frame — shared
     * tail of [[dupSpanStats]] / [[decontaminateSpans]]: span count and
     * covered chars read IN-ROW from the array (size + one fold), no
     * explode, no second aggregation. */
+  // --- stage-attribution surface for the bench.SpanProbe diagnostic ---
+  private[graft] def probeWinnowWindows(t: DataFrame, winLen: Int, k: Int): DataFrame =
+    winnowWindows(t, winLen, k)
+  private[graft] def probeModPWindows(t: DataFrame, winLen: Int, stride: Int,
+      modP: Int): DataFrame =
+    spanWindows(t, winLen, stride, modP)
+  private[graft] def probeWindowFreqs(t: DataFrame, winLen: Int, k: Int): DataFrame =
+    windowFreqs(winnowWindows(t, winLen, k), 2, windowExpansion(winLen, 5, 0, k))
+  private[graft] def probeGatedInstances(t: DataFrame, winLen: Int, k: Int): DataFrame =
+    dupWindowInstances(
+      winnowWindows(t, winLen, k).select(col("id"), col("start"), col("w")),
+      2, windowExpansion(winLen, 5, 0, k))
+  private[graft] def probeMergedArrays(t: DataFrame, winLen: Int, k: Int): DataFrame = {
+    val wins = winnowWindows(t, winLen, k).select(col("id"), col("start"), col("w"))
+    val expand = windowExpansion(winLen, 5, 0, k)
+    mergedSpanArrays(dupWindowInstances(wins, 2, expand), winLen,
+      sizedParts(wins, expand))
+  }
+
   private def spanAccounting(t: DataFrame, ivsDf: DataFrame): DataFrame =
+    // SHUFFLE_HASH: the merged-array side is RDD-backed (size statistics
+    // pinned at defaultSizeInBytes), so the planner would otherwise pick a
+    // sort-merge join and SORT the side that carries nothing but per-doc
+    // arrays — and the doc side in [[removeDupSpans]] carries full text
     t.select(col("id"), length(col("s")).cast("long").as("n_chars"))
-      .join(ivsDf, Seq("id"), "left")
+      .join(ivsDf.hint("SHUFFLE_HASH"), Seq("id"), "left")
       .select(col("id"), col("n_chars"),
         coalesce(size(col("ivs")), lit(0)).cast("long").as("n_spans"),
         coalesce(aggregate(col("ivs"), lit(0L),
@@ -474,10 +634,11 @@ object TextOps {
     val wins =
       if (winnowK > 0) winnowWindows(t, winLen, winnowK)
       else spanWindows(t, winLen, stride, modP, portableSel)
+    val sel = wins.select(col("id"), col("start"), col("w"))
+    val expand = windowExpansion(winLen, stride, modP, winnowK)
     mergedSpanArrays(
-      dupWindowInstances(wins.select(col("id"), col("start"), col("w")), minFreq,
-        windowExpansion(winLen, stride, modP, winnowK)),
-      winLen)
+      dupWindowInstances(sel, minFreq, expand),
+      winLen, sizedParts(sel, expand))
   }
 
   /** Span-level decontamination — the substring counterpart of the
@@ -515,7 +676,8 @@ object TextOps {
       .select(col("w")).distinct().hint("SHUFFLE_HASH")
     val trainWins = wins(t)
     spanAccounting(t, mergedSpanArrays(
-      trainWins.join(evalWins, "w").select(col("id"), col("start")), winLen))
+      trainWins.join(evalWins, "w").select(col("id"), col("start")), winLen,
+      sizedParts(trainWins, windowExpansion(winLen, stride, modP, winnowK))))
   }
 
   /** The splice that [[dupSpanStats]] accounts for: cut every merged
@@ -532,7 +694,7 @@ object TextOps {
     val eligible = t.filter(length(col("s")) >= winLen)
     val ivs =
       mergedDupSpans(eligible, winLen, stride, minFreq, modP, portableSel, winnowK)
-    t.join(ivs, Seq("id"), "left")
+    t.join(ivs.hint("SHUFFLE_HASH"), Seq("id"), "left")
       .select(col("id"),
         aggregate(
           coalesce(col("ivs"), array().cast("array<struct<s0:int,e0:int>>")),
@@ -562,12 +724,10 @@ object TextOps {
     val wins =
       if (winnowK > 0) winnowWindows(t, winLen, winnowK)
       else spanWindows(t, winLen, stride, modP, portableSel)
-    // same zero-map-side-state frequency stage as [[dupWindowInstances]];
-    // the distinct collapses instances to one (w, freq) row per window and
-    // only ever sees the (small) gated stream
-    dupWindowInstances(wins.select(col("w")), minFreq,
-        windowExpansion(winLen, stride, modP, winnowK))
-      .select(col("w"), col("freq")).distinct()
+    // post-shuffle hash count ([[windowFreqs]]) — one (w, freq) row per
+    // distinct window, skew-immune, no distinct pass needed
+    windowFreqs(wins.select(col("w")), minFreq,
+      windowExpansion(winLen, stride, modP, winnowK))
   }
 
   /** Top-k most frequent token n-grams across the corpus — the boilerplate

@@ -133,32 +133,40 @@ class PlanAuditSpec extends SparkSpec {
     ops.foreach { case (name, q) =>
       q.collect()
       val p = q.queryExecution.executedPlan.toString
-      // the corpus-frequency gate must be a window count over the w-keyed
-      // exchange — the groupBy(w).count + join-back shape keeps one
-      // map-side hash entry per DISTINCT window per JVM (measured 16.7 GB
-      // of partial-aggregate spill at 500k docs, invariant to partition
-      // count); a window function carries zero map-side state
-      assert(p.contains("Window"), s"$name frequency gate is not a window:\n$p")
+      // the corpus-frequency gate is the sized-sort run-length stream
+      // (O(minFreq) task state): no WindowExec anywhere — the earlier
+      // count().over(partitionBy(w)) shape buffered each w-GROUP in
+      // WindowExec's row array, and selection-biased hot strings turned
+      // single groups into GBs; the run-length gate holds minFreq rows
+      assert(!p.contains("Window"), s"$name plans a window:\n$p")
       // a partial_count keyed by the window STRING would be the hazard (one
-      // hash entry per distinct window per JVM); per-doc counts keyed by id
+      // hash entry per distinct window per JVM — measured 16.7 GB of
+      // partial-aggregate spill at 500k docs); per-doc counts keyed by id
       // are fine — state is one entry per document
       assert(!"""keys=\[w#[^\]]*\], functions=\[partial_count""".r
           .findFirstIn(p).isDefined,
         s"$name reintroduced the window-keyed map-side frequency aggregate:\n$p")
-      // the only join left is the skinny per-doc stats attach keyed by id —
-      // hash, never sort-merge (an SMJ would sort a doc-count-sized side,
-      // fine — but the window STREAM must never reach a join at all)
+      // the only joins left are skinny per-doc attaches keyed by id —
+      // hash, never sort-merge (the RDD-backed sides carry pinned
+      // max-size statistics, so an unhinted plan would SMJ and sort the
+      // text-carrying side)
       assert(!p.contains("SortMergeJoin"), s"$name sort-merge joins:\n$p")
+      // and the gate's exchange feeds an RDD-boundary scan, not an agg
+      assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+        s"$name gate is not the streaming run-length shape:\n$p")
     }
   }
 
   test("winnow/mod-p selection runs native: no posexplode of the window stream") {
+    // the dupSpanStats plan string truncates at the frequency gate's RDD
+    // boundary, so the selection subplan is audited on the window-stream
+    // frame itself (the probe surface)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val t = docs.selectExpr("doc_id as id", "text as s")
+      .filter("length(s) >= 20")
     val ops = Seq(
-      "winnow" -> graft.operators.TextOps.dupSpanStats(docs, "doc_id", "text",
-        winLen = 20, minFreq = 2, winnowK = 5),
-      "mod-p" -> graft.operators.TextOps.dupSpanStats(docs, "doc_id", "text",
-        winLen = 20, stride = 5, minFreq = 2, modP = 5))
+      "winnow" -> graft.operators.TextOps.probeWinnowWindows(t, 20, 5),
+      "mod-p" -> graft.operators.TextOps.probeModPWindows(t, 20, 5, 5))
     ops.foreach { case (name, q) =>
       q.collect()
       val p = q.queryExecution.executedPlan.toString
@@ -170,7 +178,17 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.toLowerCase.contains("winnowstarts")
           || p.toLowerCase.contains("modpstarts"),
         s"$name native selection missing:\n$p")
-      assert(!p.contains("SortMergeJoin"), s"$name sorts the window stream:\n$p")
+    }
+    // and the full operators stay free of sort-merge joins end to end
+    Seq(
+      graft.operators.TextOps.dupSpanStats(docs, "doc_id", "text",
+        winLen = 20, minFreq = 2, winnowK = 5),
+      graft.operators.TextOps.dupSpanStats(docs, "doc_id", "text",
+        winLen = 20, stride = 5, minFreq = 2, modP = 5)
+    ).foreach { q =>
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"), s"span op sort-merge joins:\n$p")
     }
   }
 
