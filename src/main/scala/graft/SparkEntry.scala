@@ -556,6 +556,56 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("quality"),
           col("n_tokens"), col("running_tokens"))
     }),
+    "q109_substring_search" -> ((s, dir) => {
+      // exact substring search THROUGH an inverted character-trigram
+      // index — the corpus-tooling shape ("which documents contain this
+      // leaked string / phone number / eval answer?") where a full-text
+      // scan per query is the thing to avoid at 100 TB. Candidates =
+      // docs whose trigram posting sets cover ALL of the pattern's
+      // distinct trigrams (the postings would be built once and
+      // persisted in practice; the query side only ever touches the
+      // pattern's own trigram rows, so the scan is pruned to an
+      // in-clause the oracle replays); a final contains() verify makes
+      // the answer exact, never probabilistic. Output (doc_id, pos).
+      val pat = "slow fast table"
+      val tris = pat.sliding(3).toSeq.distinct
+      val d = TestTables.documents(s, dir)
+      val posting = d.select(col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
+            i => col("text").substr(i, lit(3))))).as("tri"))
+        .filter(col("tri").isin(tris: _*))
+      val cands = posting.groupBy(col("doc_id"))
+        .agg(countDistinct(col("tri")).as("nt"))
+        .filter(col("nt") === tris.size)
+        .select(col("doc_id"))
+      cands.join(d, "doc_id")
+        .filter(instr(col("text"), pat) > 0)
+        .select(col("doc_id"), instr(col("text"), pat).cast("long").as("pos"))
+    }),
+    "q110_cross_source_dups" -> ((s, dir) => {
+      // cross-source duplication matrix: near-dup pairs (q54 pipeline)
+      // rolled up by the source pair they connect — the provenance
+      // analysis that shows which crawl sources mirror which (and how
+      // much of a source is self-duplicated). Pair stream is tiny after
+      // LSH, so the two source attaches ride ordinary id joins; the pair
+      // is canonicalized (least/greatest) so the matrix is triangular.
+      val d = TestTables.documents(s, dir)
+      val src = d.select(col("doc_id"), col("source"))
+      val pairs = Dedup.portableMinhashLsh(d, "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)
+      pairs
+        .join(src.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("source", "src_a"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("source", "src_b"), "id_b")
+        .select(least(col("src_a"), col("src_b")).as("src_lo"),
+          greatest(col("src_a"), col("src_b")).as("src_hi"),
+          col("est_jaccard"))
+        .groupBy(col("src_lo"), col("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("est_jaccard")), 6).as("avg_sim"))
+    }),
     "q107_quality_classifier" -> ((s, dir) => {
       // in-engine trained quality classifier (the CCNet/fastText role):
       // full-batch logistic regression, label = "document is English",
@@ -1860,6 +1910,21 @@ object SparkEntry {
          | FROM scored)
          |SELECT doc_id, source, quality, n_tokens, running_tokens
          |FROM r WHERE running_tokens <= 1500""").stripMargin,
+    "q109_substring_search" ->
+      ("""SELECT doc_id, CAST(strpos(text, 'slow fast table') AS BIGINT) AS pos
+         |FROM documents WHERE strpos(text, 'slow fast table') > 0""").stripMargin,
+    "q110_cross_source_dups" ->
+      (s"""$minhashCtes,
+         |pairs AS (
+         |$minhashPairSelect)
+         |SELECT least(a.source, b.source) AS src_lo,
+         |  greatest(a.source, b.source) AS src_hi,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(avg(est_jaccard), 6) AS avg_sim
+         |FROM pairs
+         |JOIN documents a ON pairs.id_a = a.doc_id
+         |JOIN documents b ON pairs.id_b = b.doc_id
+         |GROUP BY 1, 2""").stripMargin,
     "q107_quality_classifier" -> logisticSql,
     "q108_auc" ->
       (s"""WITH t AS (

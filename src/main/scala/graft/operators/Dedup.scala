@@ -371,12 +371,18 @@ object Dedup {
         .join(Stage.attachSide(otherSigs).as("sb"), col(otherCol) === col("sb.id"))
         .filter(est >= threshold)
         .groupBy(col("nid")).agg(min(col(otherCol)).as(s"min_$otherCol"))
+    // the banded build sides grow with the corpus while the session
+    // partition count does not — size their exchanges so each hash
+    // relation stays in a task's memory share (Stage.sizedBuild; measured
+    // OOM at 4.5M banded docs under 32 session partitions)
     val vsOld = bandedNew.as("l")
-      .join(bandedOld.as("r").hint("SHUFFLE_HASH"),
+      .join(Stage.sizedBuild(bandedOld, Seq("band", "key")).as("r")
+          .hint("SHUFFLE_HASH"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key"))
       .select(col("l.id").as("nid"), col("r.id").as("oid")).distinct()
     val vsNew = bandedNew.as("l")
-      .join(bandedNew.as("r").hint("SHUFFLE_HASH"),
+      .join(Stage.sizedBuild(bandedNew, Seq("band", "key")).as("r")
+          .hint("SHUFFLE_HASH"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key")
           && col("l.id") < col("r.id"))
       .select(col("r.id").as("nid"), col("l.id").as("eid")).distinct()

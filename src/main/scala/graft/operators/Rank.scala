@@ -31,11 +31,31 @@ import org.apache.spark.sql.types.LongType
   */
 object Rank {
 
+  /** Partition count for the range exchange: the explicit override wins;
+    * otherwise derive from Catalyst's no-action size estimate (×2 in-memory
+    * expansion, ~48 MB of sort state per task, floored at the session
+    * parallelism, capped at 65536). The session default alone is a
+    * constant while inputs grow — at 5M full-text documents the 32-way
+    * range sort measured 4–5 GB of spill per rank call; size-derived
+    * counts keep per-task sort state flat at any corpus size. RDD-backed
+    * inputs report `defaultSizeInBytes` (effectively infinite) and fall
+    * back to the session floor rather than the cap. */
+  private def sizedParts(df: DataFrame, numPartitions: Int,
+      bytesPerPart: Long = 48L << 20): Int =
+    if (numPartitions > 0) numPartitions
+    else {
+      val floor = df.sparkSession.sparkContext.defaultParallelism
+      val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (stats >= BigInt(Long.MaxValue) / 4) floor
+      else
+        math.max(floor, (BigDecimal(stats) * 2 / BigDecimal(bytesPerPart))
+          .toBigInt.min(BigInt(65536)).toInt)
+    }
+
   /** Append a 1-based global `row_number`-style rank column ordered by
     * `sortCols`. Exact at any scale; one range shuffle. `numPartitions`
-    * defaults to the session's default parallelism — at cluster scale pass
-    * something proportional to input size so each sorted partition fits in
-    * task memory. */
+    * defaults to a size-derived count ([[sizedParts]]) so each sorted
+    * partition fits in task memory at any input size. */
   def withGlobalRank(
       df: DataFrame,
       sortCols: Seq[Column],
@@ -105,9 +125,7 @@ object Rank {
     require(groupCols.nonEmpty, "grouped rank needs at least one group column")
     require(sortCols.nonEmpty, "grouped rank needs at least one sort column")
     val spark = df.sparkSession
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else spark.sparkContext.defaultParallelism
+    val parts = sizedParts(df, numPartitions)
     // The group key travels with the row as one struct column so the
     // row-level passes compare a single value instead of re-extracting
     // every group column (struct Rows compare by value).
@@ -215,9 +233,7 @@ object Rank {
       s"withRunningTotal requires an integral value column, got $vType — " +
         "cast explicitly (with the rounding you intend) if that is really wanted")
     val spark = df.sparkSession
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else spark.sparkContext.defaultParallelism
+    val parts = sizedParts(df, numPartitions)
     val keyed = df.withColumn("__rtv", valueCol.cast(LongType))
     val ranged = keyed
       .repartitionByRange(parts, sortCols: _*)
@@ -294,9 +310,7 @@ object Rank {
       s"withGroupRunningTotal requires an integral value column, got $vType — " +
         "cast explicitly (with the rounding you intend) if that is really wanted")
     val spark = df.sparkSession
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else spark.sparkContext.defaultParallelism
+    val parts = sizedParts(df, numPartitions)
     val keyed = df.withColumn("__gkey", struct(groupCols: _*))
       .withColumn("__rtv", valueCol.cast(LongType))
     val all = col("__gkey") +: sortCols
@@ -376,9 +390,7 @@ object Rank {
   ): (DataFrame, Long) = {
     require(sortCols.nonEmpty, "global rank needs at least one sort column")
     val spark = df.sparkSession
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else spark.sparkContext.defaultParallelism
+    val parts = sizedParts(df, numPartitions)
     val ranged = df
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)

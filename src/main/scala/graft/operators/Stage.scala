@@ -30,12 +30,40 @@ object Stage {
     * join would sort the pair stream with a full vector attached per row;
     * measured as tens of GB of sort spill at 500k vectors).
     *
+    * The shuffle path rides [[sizedBuild]]: an UnsafeHashedRelation does
+    * not spill, and `spark.sql.shuffle.partitions` is a session constant,
+    * so a payload that grows 10× eventually hands each of the session's
+    * partitions a build bigger than its execution-memory share and the
+    * join dies with "can't acquire memory to build hash relation"
+    * (measured: minhash signatures at 5M docs under 32 session
+    * partitions). Pre-partitioning the build side on the join key with a
+    * size-derived count keeps every build bounded; EnsureRequirements
+    * aligns the probe side to the same count instead of the session
+    * default.
+    *
     * The estimate is Catalyst's `optimizedPlan.stats.sizeInBytes` — no
     * action, propagated from file sizes — so a 100 TB embedding table
-    * correctly falls back to the shuffle path. */
-  def attachSide(df: DataFrame, maxBroadcastBytes: Long = 256L * 1024 * 1024): DataFrame = {
+    * correctly falls back to the shuffle path. `key` is the payload's
+    * join column (every attach in this codebase keys on the payload id). */
+  def attachSide(df: DataFrame, maxBroadcastBytes: Long = 256L * 1024 * 1024,
+      key: String = "id"): DataFrame = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est <= maxBroadcastBytes) org.apache.spark.sql.functions.broadcast(df)
-    else df.hint("SHUFFLE_HASH")
+    else sizedBuild(df, Seq(key)).hint("SHUFFLE_HASH")
+  }
+
+  /** Pre-partition a SHUFFLE_HASH build side on its join keys so each
+    * partition's hash relation stays inside a task's execution-memory
+    * share at any payload size (hash relations cannot spill). Sized from
+    * Catalyst's no-action size estimate with a 2× in-memory expansion,
+    * floored at the session parallelism, capped at 65536. */
+  def sizedBuild(df: DataFrame, keys: Seq[String],
+      buildBytesPerPart: Long = 32L * 1024 * 1024): DataFrame = {
+    val floor = df.sparkSession.sessionState.conf.numShufflePartitions
+    val est = BigDecimal(df.queryExecution.optimizedPlan.stats.sizeInBytes) * 2
+    val want = (est / BigDecimal(buildBytesPerPart)).toBigInt
+      .min(BigInt(65536)).toInt
+    df.repartition(math.max(floor, want),
+      keys.map(org.apache.spark.sql.functions.col): _*)
   }
 }
