@@ -556,6 +556,37 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("quality"),
           col("n_tokens"), col("running_tokens"))
     }),
+    "q111_calibration" -> ((s, dir) => {
+      // reliability curve of the trained q107 classifier: deciles of
+      // predicted probability vs observed label rate — the calibration
+      // check a score must pass before its threshold means anything.
+      // One aggregate over the scored frame; bucket = floor(10·p) on the
+      // 6-dp-rounded score, so the bucketing replays bit-for-bit. The
+      // feature set differs from q107's: the English-marker ratio (the
+      // langid signal) actually separates the label, so the fitted scores
+      // SPREAD across deciles instead of collapsing onto the base rate.
+      val d = TestTables.documents(s, dir)
+      val tl = split(trim(lower(col("text"))), "\\s+")
+      val fs = Seq(
+        round(size(filter(tl, t => t.isin("the", "and", "of", "is", "with")))
+          / greatest(size(tl), lit(1)).cast("double"), 4) * 20,
+        TextOps.avgWordLen(col("text")) / 10,
+        TextOps.stopwordRatio(col("text")))
+      // label = the q18 heuristic langid verdict (label distillation) —
+      // the generated lang COLUMN is uncorrelated with text content, so
+      // fitting against it collapses onto the base rate (measured)
+      val y = when(TextOps.langId(col("text")) === "en", 1.0).otherwise(0.0)
+      val w = graft.operators.Classifier.logisticFit(
+        d, y, fs, iters = 40, lr = 5.0)
+      d.select(y.cast("long").as("y"),
+          round(graft.operators.Classifier.logisticScore(w, fs), 6).as("p"))
+        .withColumn("bucket",
+          least(floor(col("p") * 10), lit(9L)).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("p")), 6).as("mean_p"),
+          round(avg(col("y")), 6).as("obs_rate"))
+    }),
     "q109_substring_search" -> ((s, dir) => {
       // exact substring search THROUGH an inverted character-trigram
       // index — the corpus-tooling shape ("which documents contain this
@@ -1389,41 +1420,87 @@ object SparkEntry {
     * w_i = the update), zero-initialized, then the final sigmoid scored per
     * document. Features are the same closed-form expressions the Spark side
     * computes, so the only cross-engine divergence is double-sum order
-    * inside each gradient (~1e-12) — absorbed by the 6-decimal rounding. */
-  private val logisticSql: String = {
-    val iters = 5
-    val f1 = "least(length(text) / 500.0, 1.0)"
-    val f2 = """round(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) / CAST(greatest(length(text), 1) AS DOUBLE), 4)"""
-    val f3 = s"round(CAST(len(list_filter($tokensSql, t -> list_contains($stopList, t))) AS DOUBLE) / greatest(len($tokensSql), 1), 4)"
+    * inside each gradient (~1e-12) — absorbed by the 6-decimal rounding.
+    * Exposed as a parameterized CTE preamble ending in `scored` so
+    * composed oracles (q111 calibration, at a longer/hotter fit that
+    * actually spreads the scores) reuse the identical machinery. */
+  private def logisticCtes(iters: Int, lr: Double,
+      features: Seq[String] = LogisticQualityFeatures,
+      labelSql: String = "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END"): String = {
+    val Seq(f1, f2, f3) = features
     def sig(w: String) =
       s"1.0 / (1.0 + exp(-($w.b + $w.w1*f1 + $w.w2*f2 + $w.w3*f3)))"
     val iterCtes = (1 to iters).map { i =>
       val prev = s"w${i - 1}"
-      s"""g$i AS (
+      // MATERIALIZED: each iteration must evaluate ONCE — default CTE
+      // inlining re-expands the whole w-chain at every reference, which
+      // is exponential in the iteration count (40 iterations hang the
+      // oracle engine; 1-row materialization is free)
+      s"""g$i AS MATERIALIZED (
          |  SELECT sum(${sig(prev)} - y) AS g0,
          |         sum((${sig(prev)} - y) * f1) AS g1,
          |         sum((${sig(prev)} - y) * f2) AS g2,
          |         sum((${sig(prev)} - y) * f3) AS g3,
          |         count(*) AS n
          |  FROM f CROSS JOIN $prev),
-         |w$i AS (
-         |  SELECT $prev.b - 1.0 * g$i.g0 / g$i.n AS b,
-         |         $prev.w1 - 1.0 * g$i.g1 / g$i.n AS w1,
-         |         $prev.w2 - 1.0 * g$i.g2 / g$i.n AS w2,
-         |         $prev.w3 - 1.0 * g$i.g3 / g$i.n AS w3
+         |w$i AS MATERIALIZED (
+         |  SELECT $prev.b - $lr * g$i.g0 / g$i.n AS b,
+         |         $prev.w1 - $lr * g$i.g1 / g$i.n AS w1,
+         |         $prev.w2 - $lr * g$i.g2 / g$i.n AS w2,
+         |         $prev.w3 - $lr * g$i.g3 / g$i.n AS w3
          |  FROM $prev CROSS JOIN g$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH f AS (
+    s"""WITH f AS MATERIALIZED (
        |  SELECT doc_id, lang,
-       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    $labelSql AS y,
        |    $f1 AS f1, $f2 AS f2, $f3 AS f3
        |  FROM documents),
        |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
-       |$iterCtes
-       |SELECT doc_id, lang,
-       |  round(${sig(s"w$iters")}, 6) AS p_en
-       |FROM f CROSS JOIN w$iters""".stripMargin
+       |$iterCtes,
+       |scored AS (
+       |  SELECT doc_id, lang, y, round(${sig(s"w$iters")}, 6) AS p_en
+       |  FROM f CROSS JOIN w$iters)""".stripMargin
   }
+
+  /** The q107 quality-feature triple (length sweet-spot, punctuation,
+    * stopwords) in oracle SQL. */
+  private val LogisticQualityFeatures: Seq[String] = Seq(
+    "least(length(text) / 500.0, 1.0)",
+    """round(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) / CAST(greatest(length(text), 1) AS DOUBLE), 4)""",
+    s"round(CAST(len(list_filter($tokensSql, t -> list_contains($stopList, t))) AS DOUBLE) / greatest(len($tokensSql), 1), 4)")
+
+  /** q111's label: the q18 heuristic language-ID verdict "is English" —
+    * label distillation (fitting a probabilistic scorer to a rule-based
+    * labeler), and the one target the synthetic corpus actually supports:
+    * the generated `lang` COLUMN is uncorrelated with text content
+    * (measured: en-marker ratio ≈ 0.03 for every lang value), so any fit
+    * against it collapses onto the base rate. */
+  private val langIdEnLabelSql: String = {
+    def h(ws: String) =
+      s"len(list_filter($tokensSql, t -> list_contains([$ws], t)))"
+    val en = h("'the','and','of','is','with'")
+    val de = h("'der','die','und','ist','nicht'")
+    val fr = h("'le','la','les','est','une'")
+    val es = h("'el','los','es','una','como'")
+    val zh = h("'的','是','不','了','在'")
+    s"CASE WHEN $en > 0 AND $en >= greatest($en,$de,$fr,$es,$zh) THEN 1.0 ELSE 0.0 END"
+  }
+
+  /** The q111 feature triple: English-marker ratio (the langid signal —
+    * actually separates the label, so the calibration curve has spread),
+    * mean word length, stopword ratio. */
+  private val LogisticLangFeatures: Seq[String] = Seq(
+    // ×20 feature scaling: marker ratios live in [0, 0.1], and 40
+    // full-batch steps at lr 5 cannot grow the weight far enough to
+    // spread the scores — scaled, the same fit covers 6 deciles
+    // (parameter-searched offline on the identical feature matrix)
+    s"round(CAST(len(list_filter($tokensSql, t -> list_contains(['the','and','of','is','with'], t))) AS DOUBLE) / greatest(len($tokensSql), 1), 4) * 20",
+    """round(length(regexp_replace(text, '\s+', '', 'g')) / CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS DOUBLE), 4) / 10""",
+    s"round(CAST(len(list_filter($tokensSql, t -> list_contains($stopList, t))) AS DOUBLE) / greatest(len($tokensSql), 1), 4)")
+
+  private val logisticSql: String =
+    s"""${logisticCtes(5, 1.0)}
+       |SELECT doc_id, lang, p_en FROM scored""".stripMargin
 
   /** The q54 portable-minhash pipeline as a reusable `WITH` preamble plus
     * final pair-select, so composed oracles (q105 cross-split leakage) can
@@ -1910,6 +1987,13 @@ object SparkEntry {
          | FROM scored)
          |SELECT doc_id, source, quality, n_tokens, running_tokens
          |FROM r WHERE running_tokens <= 1500""").stripMargin,
+    "q111_calibration" ->
+      (s"""${logisticCtes(40, 5.0, LogisticLangFeatures, langIdEnLabelSql)}
+         |SELECT CAST(least(floor(p_en * 10), 9) AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(avg(p_en), 6) AS mean_p,
+         |  round(avg(y), 6) AS obs_rate
+         |FROM scored GROUP BY 1""").stripMargin,
     "q109_substring_search" ->
       ("""SELECT doc_id, CAST(strpos(text, 'slow fast table') AS BIGINT) AS pos
          |FROM documents WHERE strpos(text, 'slow fast table') > 0""").stripMargin,

@@ -174,6 +174,14 @@ object CorpusBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // scan split size bounds the map side of the first exchange: a
+      // 128 MB split explodes/ships ~2× its bytes through the shuffle
+      // writer, over a task's execution-memory share at 32 concurrent
+      // tasks on the 8 GB fork heap (measured: 5.6 GB of writer spill on
+      // the 5M-doc widen exchange). 32 MB splits keep map output inside
+      // the share at any corpus size; at cluster scale the same knob is
+      // per-executor-memory, not per-corpus.
+      .config("spark.sql.files.maxPartitionBytes", String.valueOf(32L << 20))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val tally = new ShuffleTally

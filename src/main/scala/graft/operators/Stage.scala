@@ -58,12 +58,24 @@ object Stage {
     * Catalyst's no-action size estimate with a 2× in-memory expansion,
     * floored at the session parallelism, capped at 65536. */
   def sizedBuild(df: DataFrame, keys: Seq[String],
-      buildBytesPerPart: Long = 32L * 1024 * 1024): DataFrame = {
+      buildBytesPerPart: Long = 32L * 1024 * 1024): DataFrame =
+    df.repartition(sizedBuildParts(df, buildBytesPerPart),
+      keys.map(org.apache.spark.sql.functions.col): _*)
+
+  /** The partition count [[sizedBuild]] would choose — exposed so a caller
+    * can harmonize SEVERAL exchanges on one count: when probe and build
+    * sides arrive hash-partitioned on the join key with different counts,
+    * EnsureRequirements re-exchanges ONE side to the other's count, and if
+    * the probe's (smaller) count wins, the build side's sizing is undone —
+    * measured as a heap OOM building 94 MB hash relations at 5M docs.
+    * Taking max(probe count, build count) for both sides keeps every
+    * build bounded and costs the probe nothing. */
+  def sizedBuildParts(df: DataFrame,
+      buildBytesPerPart: Long = 32L * 1024 * 1024): Int = {
     val floor = df.sparkSession.sessionState.conf.numShufflePartitions
     val est = BigDecimal(df.queryExecution.optimizedPlan.stats.sizeInBytes) * 2
     val want = (est / BigDecimal(buildBytesPerPart)).toBigInt
       .min(BigInt(65536)).toInt
-    df.repartition(math.max(floor, want),
-      keys.map(org.apache.spark.sql.functions.col): _*)
+    math.max(floor, want)
   }
 }
