@@ -124,53 +124,70 @@ object Dedup {
     // higher-order `transform`, which would evaluate interpreted.
     val bandBuckets = array((0 until bands).map(b =>
       xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
-    // The band self-join is one canonical SIZED exchange read twice
-    // (ReusedExchange): pre-partitioning on the join key scales the SMJ's
-    // per-partition sorts with the banded volume instead of the session
-    // constant (32 partitions sorted ~100 MB each at 5M docs — 7.8 GB of
-    // graceful-but-needless spill; size-derived counts keep sorts in task
-    // memory at any scale).
-    val banded = Stage.sizedBuild(
-      sig.select(col("id"), posexplode(bandBuckets))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
-      Seq("band", "bucket"))
+    val rawBanded = sig.select(col("id"), posexplode(bandBuckets))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // Small/large shape switch on one estimate, decided ONCE for the whole
+    // operator: under the broadcast threshold the r7 plan is optimal (AQE
+    // broadcasts the band self-join, pairs dedup via distinct, signatures
+    // broadcast-attach — adding sized exchanges here measured 2× on the
+    // 5k-doc bench corpus because they defeat the broadcast plan); above
+    // it every exchange is sized.
+    val sigEst = sig.queryExecution.optimizedPlan.stats.sizeInBytes
+    val smallCorpus = sigEst <= 256L * 1024 * 1024
+    // At scale the band self-join is one canonical SIZED exchange read
+    // twice (ReusedExchange): pre-partitioning on the join key scales the
+    // join's per-partition work with the banded volume instead of the
+    // session constant (32 partitions sorted ~100 MB each at 5M docs —
+    // 7.8 GB of graceful-but-needless spill).
+    val banded =
+      if (smallCorpus) rawBanded
+      else Stage.sizedBuild(rawBanded, Seq("band", "bucket"))
     val l = banded.as("l")
     val r = banded.as("r")
-    // Pair dedup WITHOUT `.distinct()` (the editDistanceCandidates shape):
-    // the distinct's map-side partial aggregate holds one hash entry per
-    // distinct pair per JVM — measured 4.5 GB of spill at 5M docs. Equal
-    // pairs die in an id_a-keyed lag window instead, sized from the EXACT
-    // pre-dedup pair volume Σ_bucket C(df,2). The bucket-size aggregate
-    // runs ON the sized banded exchange, whose partitioning already
-    // satisfies the groupBy — Spark plans a single complete aggregate
-    // with NO map-side partial, so its state is distinct-buckets-per-
-    // partition (divided by the sizing), not distinct-buckets-per-JVM.
-    val volume = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bdf"))
-      .agg(coalesce(sum(expr("bdf * (bdf - 1) div 2")), lit(0L)))
-      .head().getLong(0)
-    val floor = df.sparkSession.sessionState.conf.numShufflePartitions
+    val rawPairs = l
+      .join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    // Pair dedup, same shape switch: below the threshold `.distinct()`
+    // wins — its partial-agg state is bounded by the (small) corpus, and
+    // the scale path's volume job + extra exchange are pure constant
+    // overhead. Above it, the distinct's map-side state (one hash entry
+    // per distinct PAIR per JVM) is the hazard — 4.5 GB of spill at 5M
+    // docs — so equal pairs die in an id_a-keyed lag window (the
+    // editDistanceCandidates shape) sized from the EXACT pre-dedup volume
+    // Σ_bucket C(df,2). That bucket-size aggregate runs ON the sized
+    // banded exchange, whose partitioning already satisfies the groupBy —
+    // a single complete aggregate with NO map-side partial, so its state
+    // is distinct-buckets-per-PARTITION.
     // ONE harmonized partition count for the pair stream and both
     // signature attaches (Stage.sizedBuildParts): with differing counts
     // EnsureRequirements re-exchanges one side to the other's, and a
     // smaller probe count undoes the build sizing — measured heap OOM
     // building 94 MB sig relations at 5M docs.
-    val pairParts = Seq(floor,
-      math.min(65536L, volume / (1L << 20)).toInt,
-      Stage.sizedBuildParts(sig)).max
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_a")).orderBy(col("id_b"))
-    val candidates = l
-      .join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
-      .filter(col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .repartition(pairParts, col("id_a"))
-      .withColumn("prev", lag(col("id_b"), 1).over(w))
-      .filter(col("prev").isNull || col("prev") =!= col("id_b"))
-      .drop("prev")
-    val sigEst = sig.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pairParts =
+      if (smallCorpus) 0
+      else {
+        val volume = banded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bdf"))
+          .agg(coalesce(sum(expr("bdf * (bdf - 1) div 2")), lit(0L)))
+          .head().getLong(0)
+        Seq(df.sparkSession.sessionState.conf.numShufflePartitions,
+          math.min(65536L, volume / (1L << 20)).toInt,
+          Stage.sizedBuildParts(sig)).max
+      }
+    val candidates =
+      if (smallCorpus) rawPairs.distinct()
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id_a")).orderBy(col("id_b"))
+        rawPairs
+          .repartition(pairParts, col("id_a"))
+          .withColumn("prev", lag(col("id_b"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("id_b"))
+          .drop("prev")
+      }
     val sigAttach =
-      if (sigEst <= 256L * 1024 * 1024) broadcast(sig)
+      if (smallCorpus) broadcast(sig)
       else sig.repartition(pairParts, col("id")).hint("SHUFFLE_HASH")
     candidates
       .join(sigAttach.as("sa"), col("id_a") === col("sa.id"))
