@@ -77,6 +77,23 @@ object EventStreams {
       TextOps.fingerprint(col("text")).as("fingerprint"))
   }
 
+  /** On-ingest classifier scoring — the batch-train → stream-apply
+    * pattern for the quality/language filter: weights come from an
+    * offline [[graft.operators.Classifier.logisticFit]] run over a
+    * labeled corpus, and every arriving document is scored STATELESSLY
+    * (the weights inline as literals into the projection, so the whole
+    * scorer is one codegen'd expression — no state store, no shuffle, no
+    * model runtime on the hot path; ingest throughput stays scan-bound).
+    * `featureCols` are the same closed-form expressions the fit used.
+    * Works identically on a batch frame — parity-tested. Returns the
+    * input plus (p, keep). */
+  def classifierScoreStream(docs: DataFrame, weights: Array[Double],
+      featureCols: Seq[Column], threshold: Double = 0.5): DataFrame =
+    docs
+      .withColumn("p",
+        graft.operators.Classifier.logisticScore(weights, featureCols))
+      .withColumn("keep", col("p") >= threshold)
+
   /** Trending n-grams over a document stream — the SpaceSaving summary
     * ([[graft.functions.SpaceSavingTopK]]) run as a streaming (complete
     * mode) aggregation: each micro-batch's partial summaries merge into

@@ -169,6 +169,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists { case (id, _, lang, _) => id == 2L && lang == "fr" })
   }
 
+  test("classifier scoring: batch-trained weights score the stream identically") {
+    import org.apache.spark.sql.functions.{length => flen, _}
+    // offline: fit on a separable corpus (label = text mentions 'quality')
+    val corpus = (1 to 200).map { i =>
+      val good = i % 2 == 0
+      (i.toLong, if (good) "a long quality document body here" * 3
+                 else "spam".repeat(2))
+    }.toDF("doc_id", "text")
+    val feats = Seq(least(flen(col("text")) / lit(50.0), lit(2.0)))
+    val w = graft.operators.Classifier.logisticFit(corpus,
+      when(col("text").contains("quality"), 1.0).otherwise(0.0),
+      feats, iters = 30, lr = 2.0)
+    // arriving docs: one good, one spammy
+    val arrivals = Seq((1L, "quality prose " * 10), (2L, "junk"))
+    val batch = EventStreams.classifierScoreStream(
+        arrivals.toDF("doc_id", "text"), w, feats)
+      .select($"doc_id", $"p", $"keep").as[(Long, Double, Boolean)]
+      .collect().toSet
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(arrivals: _*)
+    val q = EventStreams.classifierScoreStream(
+        mem.toDF().toDF("doc_id", "text"), w, feats)
+      .select($"doc_id", $"p", $"keep")
+      .writeStream.format("memory").queryName("clfscore")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("clfscore")
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(batch.exists { case (id, _, keep) => id == 1L && keep })
+    assert(batch.exists { case (id, _, keep) => id == 2L && !keep })
+  }
+
   test("boilerplate filter: batch-mined blocklist flags the stream identically") {
     val boiler = "SUBSCRIBE-TO-OUR-NEWSLETTER-TODAY"
     // offline corpus mines the blocklist; docs 10/11 share the boilerplate
