@@ -74,4 +74,51 @@ object Classifier {
     }
     lit(1.0) / (lit(1.0) + exp(-z))
   }
+
+  /** Hashed-DSIR importance weights (Xie et al. 2023 hash their n-gram
+    * features for exactly this reason): per-BUCKET add-one-smoothed
+    * target/background log-likelihood ratios over `buckets` hashed token
+    * slots, collected to a driver array. Hashing bounds the model at
+    * `buckets` doubles no matter how Zipf-unbounded the vocabulary is —
+    * the property that lets the scorer broadcast to a stream as one
+    * in-row expression ([[dsirScore]]) instead of a per-token join. One
+    * aggregate pass over the exploded token stream (conditional sums per
+    * bucket); the collect is `buckets` rows by construction. */
+  def dsirBucketWeights(docs: DataFrame, textCol: Column, isTarget: Column,
+      buckets: Int = 4096): Array[Double] = {
+    require(buckets > 0, "need at least one bucket")
+    val toks = docs.select(isTarget.cast("long").as("t"),
+        explode(split(trim(lower(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("t"), pmod(xxhash64(col("tok")), lit(buckets.toLong)).as("b"))
+    val stats = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("bg"), sum(col("t")).as("tg"))
+    val rows = stats.collect()
+    val bgTot = rows.map(_.getLong(1)).sum.toDouble
+    val tgTot = rows.map(_.getLong(2)).sum.toDouble
+    val w = new Array[Double](buckets)
+    rows.foreach { r =>
+      val b = r.getLong(0).toInt
+      w(b) = math.log((r.getLong(2) + 1.0) / (tgTot + buckets)) -
+        math.log((r.getLong(1) + 1.0) / (bgTot + buckets))
+    }
+    // empty buckets: both counts 0 → the same smoothed ratio
+    val empty = math.log(1.0 / (tgTot + buckets)) - math.log(1.0 / (bgTot + buckets))
+    rows.map(_.getLong(0).toInt).toSet match {
+      case seen => (0 until buckets).foreach(b => if (!seen(b)) w(b) = empty)
+    }
+    w
+  }
+
+  /** Per-document hashed-DSIR score as ONE in-row expression: the bucket
+    * weights inline as an array literal and each token contributes
+    * `weights[hash(tok) mod buckets]` through a single `aggregate` fold —
+    * stateless, shuffle-free, streamable. */
+  def dsirScore(textCol: Column, weights: Array[Double]): Column = {
+    val w = typedLit(weights.toSeq)
+    val toks = filter(split(trim(lower(textCol)), "\\s+"), t => t =!= "")
+    round(aggregate(toks, lit(0.0), (acc, t) =>
+      acc + element_at(w,
+        (pmod(xxhash64(t), lit(weights.length.toLong)) + 1).cast("int"))), 6)
+  }
 }

@@ -94,6 +94,18 @@ object EventStreams {
         graft.operators.Classifier.logisticScore(weights, featureCols))
       .withColumn("keep", col("p") >= threshold)
 
+  /** On-ingest hashed-DSIR importance scoring — the streaming face of the
+    * q104 importance-resampling weight: bucket log-ratios mined offline
+    * ([[graft.operators.Classifier.dsirBucketWeights]], bounded at
+    * `buckets` doubles regardless of vocabulary) ride into the stream as
+    * an array literal, and each arriving document scores through one
+    * in-row fold — stateless, shuffle-free, no per-token join on the hot
+    * path. Works identically on a batch frame — parity-tested. Returns
+    * the input plus `dsir_weight`. */
+  def dsirScoreStream(docs: DataFrame, weights: Array[Double]): DataFrame =
+    docs.withColumn("dsir_weight",
+      graft.operators.Classifier.dsirScore(col("text"), weights))
+
   /** Trending n-grams over a document stream — the SpaceSaving summary
     * ([[graft.functions.SpaceSavingTopK]]) run as a streaming (complete
     * mode) aggregation: each micro-batch's partial summaries merge into

@@ -203,6 +203,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists { case (id, _, keep) => id == 2L && !keep })
   }
 
+  test("hashed-DSIR scoring: batch-mined bucket weights score the stream identically") {
+    import org.apache.spark.sql.functions._
+    // target slice talks about telescopes; background about cooking
+    val corpus = (1 to 100).map { i =>
+      if (i % 2 == 0) (i.toLong, "telescope mirror optics star galaxy lens " * 3, true)
+      else (i.toLong, "flour butter oven sugar recipe whisk " * 3, false)
+    }.toDF("doc_id", "text", "is_target")
+    val w = graft.operators.Classifier.dsirBucketWeights(
+      corpus, col("text"), col("is_target"), buckets = 512)
+    assert(w.length == 512)
+    val arrivals = Seq(
+      (1L, "star galaxy telescope optics"), (2L, "butter sugar oven flour"))
+    val batch = EventStreams.dsirScoreStream(arrivals.toDF("doc_id", "text"), w)
+      .select($"doc_id", $"dsir_weight").as[(Long, Double)].collect().toMap
+    // the target-like doc must outscore the background-like doc
+    assert(batch(1L) > 0 && batch(2L) < 0 && batch(1L) > batch(2L), s"$batch")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(arrivals: _*)
+    val q = EventStreams.dsirScoreStream(mem.toDF().toDF("doc_id", "text"), w)
+      .select($"doc_id", $"dsir_weight")
+      .writeStream.format("memory").queryName("dsirscore")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("dsirscore").as[(Long, Double)].collect().toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
+
   test("boilerplate filter: batch-mined blocklist flags the stream identically") {
     val boiler = "SUBSCRIBE-TO-OUR-NEWSLETTER-TODAY"
     // offline corpus mines the blocklist; docs 10/11 share the boilerplate
