@@ -210,8 +210,14 @@ object CorpusBench {
 
       // `extra`: optional JSON fields (no braces) appended to the row —
       // the config labels (variant, caps) that make a grid row
-      // self-describing instead of relying on op-name conventions
-      def benchAct(op: String, act: () => Long, extra: String = ""): Unit = {
+      // self-describing instead of relying on op-name conventions.
+      // `valueField` names what act()'s Long actually IS: a real output
+      // row count ("rows", the benchOn default), a volume/recall figure,
+      // or — for forcing-action sums that exist only to keep every stage
+      // alive — "checksum", so an evidence row never presents a checksum
+      // as a cardinality
+      def benchAct(op: String, act: () => Long, extra: String = "",
+          valueField: String = "rows"): Unit = {
         if (opFilter.exists(!_.contains(op))) return
         try {
           (1 to warmup).foreach(_ => act())
@@ -226,7 +232,7 @@ object CorpusBench {
           val itersStr = runs.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
           val extraStr = if (extra.isEmpty) "" else "," + extra
           record(
-            f"""{"op":"$op","n_docs":$n,"sec":${best._1}%.3f,"iters_sec":$itersStr,"rows":${best._2},"shuffle_mb":${best._3 / 1e6}%.1f,"spill_mb":${best._4 / 1e6}%.1f,"cpus":$cpus,"warmup":$warmup$extraStr}""")
+            f"""{"op":"$op","n_docs":$n,"sec":${best._1}%.3f,"iters_sec":$itersStr,"$valueField":${best._2},"shuffle_mb":${best._3 / 1e6}%.1f,"spill_mb":${best._4 / 1e6}%.1f,"cpus":$cpus,"warmup":$warmup$extraStr}""")
         } catch {
           case e: Throwable =>
             record(s"""{"op":"$op","n_docs":$n,"error":"${e.getClass.getSimpleName}"}""")
@@ -251,7 +257,7 @@ object CorpusBench {
             "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5)
           .agg(sum(col("kept") + col("dup_of_old") + col("dup_of_new")))
           .head().getLong(0)
-      })
+      }, valueField = "checksum")
       // same delta pass on the native q21 signature family — the
       // production path; the gap to the row above is the md5 oracle tax
       benchAct("incremental_dedup_native", () => {
@@ -261,7 +267,7 @@ object CorpusBench {
             "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.5)
           .agg(sum(col("kept") + col("dup_of_old") + col("dup_of_new")))
           .head().getLong(0)
-      })
+      }, valueField = "checksum")
       bench("ngram_posting", d => Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3))
       bench("ngram_join", d => Dedup.ngramJaccardJoin(d, "doc_id", "text", threshold = 0.3))
       bench("dedup_clusters", d =>
@@ -295,7 +301,7 @@ object CorpusBench {
             docs.filter(col("doc_id") % 100 === 0), "doc_id", "text",
             winLen = 20, stride = 5, modP = 5)
           .agg(sum(col("removed_chars"))).head().getLong(0)
-      })
+      }, valueField = "removed_chars")
       // the q78 cleaning pipeline end-to-end at corpus scale: PII-redact →
       // splice corpus-duplicated spans (windows over the REDACTED text) →
       // per-doc accounting; the composition's shuffle/spill is the number
@@ -306,14 +312,14 @@ object CorpusBench {
         TextOps.removeDupSpans(redacted, "doc_id", "text",
             winLen = 20, stride = 5, minFreq = 2)
           .agg(sum(length(col("clean_text")))).head().getLong(0)
-      }, """"impl":"sized_window_count"""")
+      }, """"impl":"sized_window_count"""", valueField = "clean_chars")
       benchAct("decontaminate_spans_winnow", () => {
         TextOps.decontaminateSpans(
             docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
             docs.filter(col("doc_id") % 100 === 0), "doc_id", "text",
             winLen = 20, winnowK = 5)
           .agg(sum(col("removed_chars"))).head().getLong(0)
-      })
+      }, valueField = "removed_chars")
       // span-level dup stats: one window-keyed exchange feeding freq agg +
       // join back (ReusedExchange) — the grid should show shuffle volume
       // ~linear in corpus bytes (windows/doc is corpus-constant). The action
@@ -323,11 +329,11 @@ object CorpusBench {
       benchAct("repeated_windows", () => {
         TextOps.repeatedWindowStats(docs, "doc_id", "text", winLen = 20, stride = 5)
           .agg(sum(col("n_dup"))).head().getLong(0)
-      }, """"impl":"sized_window_count"""")
+      }, """"impl":"sized_window_count"""", valueField = "n_dup_windows")
       benchAct("dup_spans", () => {
         TextOps.dupSpanStats(docs, "doc_id", "text", winLen = 20, stride = 5)
           .agg(sum(col("removed_chars"))).head().getLong(0)
-      }, """"impl":"sized_window_count"""")
+      }, """"impl":"sized_window_count"""", valueField = "removed_chars")
       // the alignment-free variant: stride-1 windows + md5 mod-p selection
       // — ~5x the window generation and one md5 per window; this row is
       // the measured price of content-defined selection vs the grid
@@ -335,7 +341,7 @@ object CorpusBench {
         TextOps.dupSpanStats(docs, "doc_id", "text", winLen = 20, stride = 5,
             modP = 5)
           .agg(sum(col("removed_chars"))).head().getLong(0)
-      })
+      }, valueField = "removed_chars")
       // true winnowing (frame-min fingerprints, density-guaranteed):
       // selection is one native O(n) deque pass per doc (WinnowStarts),
       // only selected windows explode; 415 s -> 76 s at 500k vs the HOF
@@ -344,7 +350,7 @@ object CorpusBench {
         TextOps.dupSpanStats(docs, "doc_id", "text", winLen = 20,
             winnowK = 5)
           .agg(sum(col("removed_chars"))).head().getLong(0)
-      })
+      }, valueField = "removed_chars")
       // same selection math under xxhash64 — which runs the HOF
       // posexplode-then-filter formulation (no native starts expression
       // for that hash family): the row PRICES materializing all stride-1
@@ -355,14 +361,14 @@ object CorpusBench {
         TextOps.dupSpanStats(docs, "doc_id", "text", winLen = 20, stride = 5,
             modP = 5, portableSel = false)
           .agg(sum(col("removed_chars"))).head().getLong(0)
-      })
+      }, valueField = "removed_chars")
       // PII scan is scan-local (zero shuffles) — its row is the evidence;
       // same sum-the-outputs action so the regex columns can't be pruned
       benchAct("pii_scan", () => {
         TextOps.piiScan(docs, "doc_id", "text")
           .agg(sum(col("n_email") + col("n_ipv4") + col("n_phone")
             + col("redacted_len"))).head().getLong(0)
-      })
+      }, valueField = "checksum")
       // similarity family over the embedding corpus: planes grow with
       // log2(n) so bucket occupancy — which bounds the candidate count —
       // stays O(1) at any scale
@@ -390,7 +396,7 @@ object CorpusBench {
         Similarity.semanticDedup(embs, "vec_id", "embedding",
             nLists = math.max(8, (n / 256).toInt), tau = 0.95)
           .agg(sum(col("cluster") + col("kept"))).head().getLong(0)
-      })
+      }, valueField = "checksum")
 
       // Edit-distance dedup over the 40-char doc prefixes. This corpus is
       // the planted-hot-trigram hazard by construction: the u³-warped Zipf
@@ -593,14 +599,14 @@ object CorpusBench {
                 col("event_id").as("e"), col("event_type").as("et")))),
               x => x.getField("et")), ">").as("path"))
           .agg(sum(col("n_events") + length(col("path")))).head().getLong(0)
-      })
+      }, valueField = "checksum")
       benchAct("rolling_counts", () => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
           .rangeBetween(-86400000000L, 0L)
         events.withColumn("n_24h", count(lit(1)).over(w))
           .agg(sum(col("n_24h"))).head().getLong(0)
-      })
+      }, valueField = "checksum")
 
       // Z-order layout rewrites are write-path ops — EliminateSorts would
       // drop their sortWithinPartitions under a bare count(), so the action
@@ -610,12 +616,12 @@ object CorpusBench {
         ZOrder.clusterBy(zdocs, Seq("doc_id", "len"))
           .write.mode("overwrite").parquet(s"$stageDir/zorder_$n")
         n
-      })
+      }, valueField = "rows_written")
       benchAct("zorder_equidepth", () => {
         ZOrder.clusterByEquiDepth(zdocs, Seq("doc_id", "len"))
           .write.mode("overwrite").parquet(s"$stageDir/zorder_eq_$n")
         n
-      })
+      }, valueField = "rows_written")
     }
     spark.stop()
   }

@@ -57,6 +57,10 @@ object Classifier {
             count(lit(1)).as("n")
         val r = feats.agg(aggs.head, aggs.tail: _*).head()
         val n = r.getLong(w.length).toDouble
+        // empty frame ⇒ every gradient component is 0/0 = NaN — fail
+        // loudly instead of returning NaN weights that silently poison
+        // downstream scores
+        require(n > 0, "logisticFit: empty input frame (no rows to fit)")
         w = w.zipWithIndex.map { case (wj, j) => wj - lr * r.getDouble(j) / n }
       }
       w

@@ -102,6 +102,18 @@ object Dedup {
     * nearly free; on a network-shuffle cluster the 7× byte reduction is
     * the term that scales.
     *
+    * LAZINESS CAVEAT (scale shape only): above the 256 MB signature-size
+    * threshold, CONSTRUCTING this DataFrame runs one eager Spark job —
+    * the exact pre-dedup pair volume Σ_bucket C(df, 2) that sizes the
+    * pair exchange (Catalyst's size-only estimator prices a self-join
+    * quadratically, so the plan cannot be sized lazily). To keep that
+    * job from paying the scan→tokenize→signature pipeline twice, `sig`
+    * is persisted (MEMORY_AND_DISK) before the volume job and the
+    * returned plan reads the same cached frame; the cache entry lives in
+    * the session CacheManager (keyed by plan — repeated calls over the
+    * same input reuse it) until evicted or `spark.catalog.clearCache()`.
+    * Below the threshold construction is fully lazy and nothing caches.
+    *
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     */
   def minhashLsh(
@@ -167,6 +179,11 @@ object Dedup {
     val pairParts =
       if (smallCorpus) 0
       else {
+        // the eager volume job (see scaladoc) — persist sig FIRST so this
+        // job and the caller's main query share one scan→signature pass;
+        // the banded exchange itself recomputes (exchange reuse does not
+        // span jobs) but from the cached frame, not the raw text
+        sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val volume = banded.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("bdf"))
           .agg(coalesce(sum(expr("bdf * (bdf - 1) div 2")), lit(0L)))
@@ -615,6 +632,25 @@ object Dedup {
     * argument) — the configuration that holds candidate volume ~linear on
     * corpora whose mid-frequency trigram mass defeats the df gate alone.
     *
+    * `gramLen` is the third guard, and the one that SCALES: both gates
+    * bound per-trigram and per-string emission, but when the gram SPACE
+    * itself saturates (|Σ|^q ≪ N — a 27-letter alphabet has only ~19.7k
+    * trigrams, so at 500k strings every trigram's df is in the hundreds
+    * and even each string's 4 rarest pull ~520 candidates apiece:
+    * 260M pairs / 8.5 GB of verify-side spill measured on the hot-trigram
+    * title grid), no per-key gate can help — the fix is a sparser space.
+    * Choose q with |Σ|^q ≳ 10·N (q=5 ⇒ 14.3M grams covers ~1M docs; q=6
+    * ⇒ 387M covers ~40M; at web scale, block per shard). Widening q
+    * CANNOT lose a true pair to the df≥2 gate — a gram SHARED by a pair
+    * has df ≥ 2 by definition; what df≥2 drops is each string's UNIQUE
+    * grams, which at sparse occupancy is precisely the noise that would
+    * otherwise displace shared grams from the rarest-k sets — so planted
+    * recall holds while candidate volume collapses (the
+    * editdist_title_q5 grid rows are the measurement). Lower bound:
+    * near-dup recall needs strings of ≥ q chars and (for the worst case)
+    * (len − q + 1) − maxDist·q ≥ 1 shared grams — at maxLen 40, q=5,
+    * maxDist 3 that is 21; strings shorter than q never block.
+    *
     * Returns (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist. */
   def editDistancePairs(
       df: DataFrame,
@@ -623,13 +659,14 @@ object Dedup {
       maxDist: Int = 3,
       maxLen: Int = 40,
       maxTrigramFreq: Int = 1000,
-      rarestK: Int = 0
+      rarestK: Int = 0,
+      gramLen: Int = 3
   ): DataFrame = {
     val t = Stage.ensureWide(
         df.select(col(idCol).as("id"),
           substring(trim(lower(col(textCol))), 1, maxLen).as("s")))
-      .filter(length(col("s")) >= 3)
-    val candidates = editDistanceCandidates(t, maxTrigramFreq, rarestK)
+      .filter(length(col("s")) >= gramLen)
+    val candidates = editDistanceCandidates(t, maxTrigramFreq, rarestK, gramLen)
     val attach = Stage.attachSide(t)
     candidates
       .join(attach.as("ta"), col("id_a") === col("ta.id"))
@@ -673,9 +710,10 @@ object Dedup {
   private[graft] def editDistanceCandidates(
       t: DataFrame,
       maxTrigramFreq: Int,
-      rarestK: Int = 0
+      rarestK: Int = 0,
+      gramLen: Int = 3
   ): DataFrame = {
-    val blocked = editDistanceBlocked(t, maxTrigramFreq, rarestK)
+    val blocked = editDistanceBlocked(t, maxTrigramFreq, rarestK, gramLen)
     // Pair dedup WITHOUT a `.distinct()`: the distinct's map-side partial
     // aggregate holds one hash entry per distinct pair per JVM — measured
     // 45.8 GB of spill at 500k hot-trigram titles (260M pairs). Instead,
@@ -716,15 +754,16 @@ object Dedup {
   private[graft] def editDistanceBlocked(
       t: DataFrame,
       maxTrigramFreq: Int,
-      rarestK: Int = 0
+      rarestK: Int = 0,
+      gramLen: Int = 3
   ): DataFrame = {
-    // per-doc DISTINCT trigram windows, identical to SELECT DISTINCT
-    // substring(s, i, 3) in the oracle (len < 3 guarded here too — a
-    // descending `sequence(1, len-2)` would otherwise fabricate windows)
-    val grams = t.filter(length(col("s")) >= 3).select(col("id"),
+    // per-doc DISTINCT q-gram windows, identical to SELECT DISTINCT
+    // substring(s, i, q) in the oracle (len < q guarded here too — a
+    // descending `sequence(1, len-q+1)` would otherwise fabricate windows)
+    val grams = t.filter(length(col("s")) >= gramLen).select(col("id"),
         explode(array_distinct(transform(
-          sequence(lit(1), length(col("s")) - 2),
-          i => col("s").substr(i, lit(3))))).as("g"))
+          sequence(lit(1), length(col("s")) - (gramLen - 1)),
+          i => col("s").substr(i, lit(gramLen))))).as("g"))
       .repartition(col("g"))
     val freqs = grams.groupBy(col("g")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= 2 && col("freq") <= maxTrigramFreq)

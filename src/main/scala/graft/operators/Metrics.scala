@@ -19,6 +19,11 @@ object Metrics {
     * standard midrank correction instead of an arbitrary row_number
     * tie-break (a per-row rank-sum would be order-dependent under ties).
     *
+    * AUC is undefined on single-class input (n_pos·n_neg = 0): rather
+    * than silently propagating NULL/NaN into downstream threshold picks,
+    * the plan raises an explicit error at execution time (`raise_error`
+    * keeps the operator lazy — no extra eager count job).
+    *
     * Returns one row: (auc rounded to 6, n_pos, n_neg). */
   def rocAuc(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
     val scored = df.select(labelCol.cast("long").as("y"), scoreCol.as("score"))
@@ -31,7 +36,12 @@ object Metrics {
         .as("num2"))
       .crossJoin(broadcast(tot))
       .select(
-        round(col("num2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+            round(col("num2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+          .otherwise(raise_error(concat(
+            lit("rocAuc: undefined on single-class input (n_pos="),
+            col("n_pos"), lit(", n_neg="), col("n_neg"), lit(")"))))
+          .as("auc"),
         col("n_pos"), col("n_neg"))
   }
 }

@@ -39,12 +39,18 @@ object Rank {
     * range sort measured 4–5 GB of spill per rank call; size-derived
     * counts keep per-task sort state flat at any corpus size. RDD-backed
     * inputs report `defaultSizeInBytes` (effectively infinite) and fall
-    * back to the session floor rather than the cap. */
+    * back to the session floor rather than the cap.
+    *
+    * The floor is `spark.sql.shuffle.partitions` — the same session
+    * constant every other sized exchange in the engine floors at
+    * (Stage.sizedBuildParts, TextOps.sizedParts); flooring this one at
+    * `defaultParallelism` instead would silently diverge on clusters
+    * where the two settings differ. */
   private def sizedParts(df: DataFrame, numPartitions: Int,
       bytesPerPart: Long = 48L << 20): Int =
     if (numPartitions > 0) numPartitions
     else {
-      val floor = df.sparkSession.sparkContext.defaultParallelism
+      val floor = df.sparkSession.sessionState.conf.numShufflePartitions
       val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
       if (stats >= BigInt(Long.MaxValue) / 4) floor
       else

@@ -423,9 +423,12 @@ object TextOps {
   }
 
   /** The shared corpus-frequency gate: window instances whose window string
-    * occurs ≥ `minFreq` times corpus-wide, computed as [[windowFreqs]]'s
-    * post-shuffle hash count followed by a SHUFFLE_HASH probe join of the
-    * instance stream against the gated keys.
+    * occurs ≥ `minFreq` times corpus-wide, computed as a SIZED w-keyed
+    * exchange + in-partition sort + O(minFreq) run-length gate — after
+    * the sort every instance of a window is adjacent, so a streaming pass
+    * buffers at most `minFreq` rows of the current run and emits runs
+    * that reach the threshold. (The hash-count + probe-join shape was
+    * measured and rejected; see the rationale bullets below.)
     *
     * Why this shape (the r8 rebuilds, each measured at 500k docs):
     *  - `groupBy(w).count` + join-back keeps its state in the MAP-SIDE
@@ -503,29 +506,22 @@ object TextOps {
 
   /** Exact per-key window frequencies ≥ `minFreq` — (w, freq), one row per
     * distinct window. The count runs AFTER a sized hash exchange on the
-    * bare key stream, as one hash map per reduce partition
-    * (`mapPartitions`): no map-side partial aggregation (the 16.7 GB
-    * distinct-key state — see [[dupWindowInstances]]), no sort (the
-    * hot-key partition skew), state = distinct keys per partition × ~90
-    * bytes, divided by the same sizing as every other window exchange.
-    * Serves [[hotWindows]] directly and gates [[dupWindowInstances]]. */
+    * bare key stream: the explicit repartition is a barrier no partial
+    * aggregate can sink below, so the hash aggregate above it holds only
+    * the DISTINCT keys of its own partition (not the per-JVM map-side
+    * state that spilled 16.7 GB — see [[dupWindowInstances]]), and that
+    * state lives in Spark-MANAGED execution memory with the sort-based
+    * fallback — it spills gracefully where an unmanaged JVM map would OOM
+    * on a low-duplication corpus whose distinct-key bytes approach the
+    * total stream bytes the exchange was sized from. Staying a DataFrame
+    * end to end (no RDD round trip) also keeps Catalyst size statistics
+    * flowing to downstream exchanges. Serves [[hotWindows]] directly and
+    * sizes the same way as every other window exchange. */
   private def windowFreqs(wins: DataFrame, minFreq: Long,
-      expand: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    import scala.jdk.CollectionConverters._
-    val spark = wins.sparkSession
-    val keys = wins.select(col("w"))
-    val counted = sizedByKey(keys, col("w"), expand).rdd.mapPartitions { it =>
-      val m = new java.util.HashMap[String, Long]()
-      it.foreach(r => m.merge(r.getString(0), 1L, (a, b) => a + b))
-      m.entrySet().iterator().asScala.map(e => Row(e.getKey, e.getValue))
-    }
-    spark.createDataFrame(counted, StructType(Seq(
-        StructField("w", StringType),
-        StructField("freq", LongType, nullable = false))))
+      expand: Double = 1.0): DataFrame =
+    sizedByKey(wins.select(col("w")), col("w"), expand)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)
-  }
 
   /** Shared core of [[dupSpanStats]] / [[removeDupSpans]]: each document's
     * corpus-duplicated windows merged into maximal disjoint intervals,
