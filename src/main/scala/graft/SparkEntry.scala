@@ -588,31 +588,23 @@ object SparkEntry {
           round(avg(col("y")), 6).as("obs_rate"))
     }),
     "q109_substring_search" -> ((s, dir) => {
-      // exact substring search THROUGH an inverted character-trigram
-      // index — the corpus-tooling shape ("which documents contain this
-      // leaked string / phone number / eval answer?") where a full-text
-      // scan per query is the thing to avoid at 100 TB. Candidates =
-      // docs whose trigram posting sets cover ALL of the pattern's
-      // distinct trigrams (the postings would be built once and
-      // persisted in practice; the query side only ever touches the
-      // pattern's own trigram rows, so the scan is pruned to an
-      // in-clause the oracle replays); a final contains() verify makes
-      // the answer exact, never probabilistic. Output (doc_id, pos).
+      // exact substring search THROUGH a PERSISTED positional trigram
+      // index ([[graft.operators.SubstringIndex]]) — the corpus-tooling
+      // shape ("which documents contain this leaked string / phone
+      // number / eval answer?") where a full-text scan per query is the
+      // thing to avoid at 100 TB. The index is built once through the
+      // ManifestSidecarFormat seam (range-clustered on tri, per-file
+      // min/max bounds in the manifest); the SEARCH plans its file set
+      // from manifest bounds alone and reads only the pattern's own
+      // trigram rows — position arithmetic over those rows makes the
+      // answer exact with no verify join back to the documents table.
+      // Output (doc_id, pos) = first occurrence, strpos semantics — the
+      // oracle replays the same answer as a direct scan.
       val pat = "slow fast table"
-      val tris = pat.sliding(3).toSeq.distinct
       val d = TestTables.documents(s, dir)
-      val posting = d.select(col("doc_id"),
-          explode(array_distinct(transform(
-            sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
-            i => col("text").substr(i, lit(3))))).as("tri"))
-        .filter(col("tri").isin(tris: _*))
-      val cands = posting.groupBy(col("doc_id"))
-        .agg(countDistinct(col("tri")).as("nt"))
-        .filter(col("nt") === tris.size)
-        .select(col("doc_id"))
-      cands.join(d, "doc_id")
-        .filter(instr(col("text"), pat) > 0)
-        .select(col("doc_id"), instr(col("text"), pat).cast("long").as("pos"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_triidx").toString
+      graft.operators.SubstringIndex.buildIndex(d, "doc_id", "text", idx)
+      graft.operators.SubstringIndex.search(s, idx, pat)
     }),
     "q110_cross_source_dups" -> ((s, dir) => {
       // cross-source duplication matrix: near-dup pairs (q54 pipeline)

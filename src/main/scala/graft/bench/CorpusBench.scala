@@ -451,8 +451,9 @@ object CorpusBench {
       // (~N² / trigram-space once every df is inside the gate) while
       // rarest-k holds it bounded — recordable at corpus sizes where
       // MATERIALIZING the df-only pairs is precisely the demonstrated cost.
-      def blockedVolume(d: DataFrame, k: Int): Long =
-        Dedup.editDistanceBlocked(titleT(d), maxTrigramFreq = 1000, rarestK = k)
+      def blockedVolume(d: DataFrame, k: Int, q: Int = 3): Long =
+        Dedup.editDistanceBlocked(titleT(d), maxTrigramFreq = 1000, rarestK = k,
+            gramLen = q)
           .groupBy(col("g")).agg(count(lit(1)).as("df"))
           .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
           .head().getLong(0)
@@ -489,6 +490,69 @@ object CorpusBench {
             && col("dist") === 1)
           .count(),
         s"""$rarest,"corpus":"titles_hot_trigram","planted":${n / 20}""")
+
+      // gram-length widening (q=5) — the guard that SCALES on this corpus:
+      // the 27-char alphabet has only ~19.7k trigrams, so at 500k every
+      // trigram's df is in the hundreds and no per-key gate can bound
+      // candidate volume (260M pairs / 8.5 GB spill under rarest-k above);
+      // 27^5 ≈ 14.3M 5-grams keeps per-gram df near 1 and volume collapses.
+      // Recall is structurally safe: a gram SHARED by a planted pair has
+      // df ≥ 2 by definition, so widening q only drops each string's
+      // UNIQUE grams — the recall row is the proof. q66/q70's oracle path
+      // stays gramLen=3 (its sf-corpus alphabet is trigram-rich).
+      val q5gate = """"variant":"df_gate","max_trigram_freq":1000,"gram_len":5"""
+      val q5rarest =
+        """"variant":"rarest_k","max_trigram_freq":1000,"rarest_k":4,"gram_len":5"""
+      benchAct("editdist_title_q5_volume", () => blockedVolume(titles, 0, 5),
+        s"""$q5gate,"corpus":"titles_hot_trigram"""", valueField = "volume")
+      // df-gate-only materialization capped at 500k: at 5M the 5-gram
+      // space's mean df reaches ~9 and the volume row above prices the
+      // df-only join in the hundreds of millions — rarest-k (below) is
+      // the configuration that continues past that point
+      if (n <= 500000)
+        benchOn("editdist_title_q5_pairs", titles, d =>
+          Dedup.editDistancePairs(d, "doc_id", "text",
+            maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, gramLen = 5),
+          s"""$q5gate,"corpus":"titles_hot_trigram"""")
+      benchOn("editdist_title_q5_rarest_pairs", titles, d =>
+        Dedup.editDistancePairs(d, "doc_id", "text",
+          maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, rarestK = 4,
+          gramLen = 5),
+        s"""$q5rarest,"corpus":"titles_hot_trigram"""")
+      benchAct("editdist_title_q5_recall", () =>
+        Dedup.editDistancePairs(titles, "doc_id", "text",
+            maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, rarestK = 4,
+            gramLen = 5)
+          .filter(col("id_a") % 20 === 0 && col("id_b") === col("id_a") + 1
+            && col("dist") === 1)
+          .count(),
+        s"""$q5rarest,"corpus":"titles_hot_trigram","planted":${n / 20}""",
+        valueField = "recovered")
+
+      // persisted positional trigram index (q109's production shape):
+      // build once — range-clustered on tri, per-file min/max bounds in
+      // the manifest — then query; the query row's wall-time should track
+      // the PATTERN's posting lists (files_kept of files_total), not the
+      // corpus, so it stays roughly flat 500k → 5M while build cost (the
+      // amortized one) grows linearly.
+      if (opFilter.forall(f =>
+          f.contains("substring_index_build") || f.contains("substring_index_query"))) {
+        val idxPath = s"$stageDir/triidx_$n"
+        val idxPattern = titles.filter(col("doc_id") === lit(n / 2))
+          .head().getString(1).substring(4, 20)
+        benchAct("substring_index_build", () => {
+          graft.operators.SubstringIndex.buildIndex(titles, "doc_id", "text", idxPath)
+          graft.operators.SubstringIndex.indexFormat.dataBytes(spark, idxPath)
+        }, valueField = "index_bytes")
+        if (!Files.exists(Paths.get(s"$idxPath/_manifests")))
+          graft.operators.SubstringIndex.buildIndex(titles, "doc_id", "text", idxPath)
+        val (kept, tot) = graft.operators.SubstringIndex
+          .planFiles(spark, idxPath, idxPattern)
+        benchAct("substring_index_query", () =>
+          graft.operators.SubstringIndex.search(spark, idxPath, idxPattern).count(),
+          s""""files_kept":${kept.size},"files_total":$tot,"pattern_len":${idxPattern.length}""",
+          valueField = "hits")
+      }
 
       // Exact global NTILE over (len(text), doc_id) — the window-free rank
       // path; the groupBy keeps the tile computation alive under the count.

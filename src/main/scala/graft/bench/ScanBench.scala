@@ -103,6 +103,52 @@ object ScanBench {
       val s = System.nanoTime(); limitQuery(); (System.nanoTime() - s) / 1e9
     }
     println(f"""{"query":"select_limit10","sec":${ts2.sum / iters}%.4f,"rows":$total}""")
+
+    // SCAN_MANIFEST=1: the timestamp range/BETWEEN queries through
+    // manifest min/max file skipping (the Iceberg pruning analogue,
+    // reference temp.md:76-82). One-time clustering rewrite — the B12
+    // optimize shape — range-partitions the table on row_1 so per-file
+    // [min,max] spans are narrow (generated timestamps are hash-random, so
+    // pruning presumes a clustered layout, exactly as Iceberg's does);
+    // the manifest records footer-lifted bounds at commit. Each query is
+    // then timed twice against the SAME tree: planned from all manifested
+    // files vs planned by ManifestSidecarFormat.readRange — identical
+    // row-level predicate, identical results, the recorded delta is pure
+    // file skipping.
+    if (env("SCAN_MANIFEST", "0") == "1") {
+      val fmt = new graft.ddl.ManifestSidecarFormat(Seq("row_1"))
+      val mPath = s"$warehouse/events_manifest_ts"
+      val committed = new java.io.File(s"$mPath/_manifests/batch-0.json")
+      if (!committed.exists()) {
+        val t1 = System.nanoTime()
+        val parts = math.max(cpus.toInt, (rows / 1000000L).toInt)
+        fmt.writeBatch(df.repartitionByRange(parts, col("row_1")), mPath, 0,
+          codec, "PARQUET", Nil, Seq("row_1"))
+        System.err.println(
+          f"[scanbench] clustered rewrite: $parts files in ${(System.nanoTime() - t1) / 1e9}%.1f s")
+      }
+      val lo = "2024-11-01 00:00:00"
+      val hi = "2024-11-20 00:00:00"
+      val (kept, nFiles) = fmt.planRange(spark, mPath, "row_1", Some(lo), Some(hi))
+      val full = fmt.read(spark, mPath, "PARQUET")
+      val pruned = fmt.readRange(spark, mPath, "PARQUET", "row_1", Some(lo), Some(hi))
+      val preds: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "count_range_ts" -> (d => d.filter(
+          col("row_1") > lit("2024-11-01").cast("timestamp") &&
+          col("row_1") < lit("2024-11-20").cast("timestamp"))),
+        "count_between_ts" -> (d => d.filter(col("row_1").between(
+          lit("2024-11-01").cast("timestamp"), lit("2024-11-20").cast("timestamp")))))
+      for ((name, pred) <- preds; (plan, src, k) <-
+          Seq((full, "manifest_full", nFiles), (pruned, "manifest_pruned", kept.size))) {
+        val q = pred(plan)
+        (1 to warmup).foreach(_ => q.count())
+        val times = (1 to iters).map { _ =>
+          val s = System.nanoTime(); val c = q.count(); ((System.nanoTime() - s) / 1e9, c)
+        }
+        val mean = times.map(_._1).sum / iters
+        println(f"""{"query":"$name","plan":"$src","sec":$mean%.4f,"mrows_per_s":${total / mean / 1e6}%.1f,"hits":${times.head._2},"rows":$total,"files_kept":$k,"files_total":$nFiles}""")
+      }
+    }
     spark.stop()
   }
 }
