@@ -458,9 +458,9 @@ object CorpusBench {
           .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
           .head().getLong(0)
       benchAct("editdist_title_volume", () => blockedVolume(titles, 0),
-        s"""$dfGate,"corpus":"titles_hot_trigram"""")
+        s"""$dfGate,"corpus":"titles_hot_trigram"""", valueField = "volume")
       benchAct("editdist_title_volume_rarest", () => blockedVolume(titles, 4),
-        s"""$rarest,"corpus":"titles_hot_trigram"""")
+        s"""$rarest,"corpus":"titles_hot_trigram"""", valueField = "volume")
       // df-gate-only pair MATERIALIZATION stays capped at 50k: at 500k the
       // volume row above prices it in the BILLIONS of candidate rows —
       // running that join locally is the blow-up, not a measurement
@@ -489,7 +489,8 @@ object CorpusBench {
           .filter(col("id_a") % 20 === 0 && col("id_b") === col("id_a") + 1
             && col("dist") === 1)
           .count(),
-        s"""$rarest,"corpus":"titles_hot_trigram","planted":${n / 20}""")
+        s"""$rarest,"corpus":"titles_hot_trigram","planted":${n / 20}""",
+        valueField = "recovered")
 
       // gram-length widening (q=5) — the guard that SCALES on this corpus:
       // the 27-char alphabet has only ~19.7k trigrams, so at 500k every
