@@ -65,7 +65,12 @@ object ScanBench {
     val eqVal = sample.getString(0)
     val tsVal = sample.getTimestamp(1)
 
-    val queries: Seq[(String, DataFrame)] = Seq(
+    // SCAN_QUERIES=0 skips the standard workload section — for re-recording
+    // only the manifest-pruning rows below against an already-measured tree
+    // without re-timing (and re-paying) the full 11-query sweep.
+    val runQueries = env("SCAN_QUERIES", "1") == "1"
+
+    val queries: Seq[(String, DataFrame)] = if (!runQueries) Seq.empty else Seq(
       "count_eq_varchar7" -> df.filter(col("row_3") === eqVal),
       "count_eq_varchar1" -> df.filter(col("row_5") === "e"),
       "count_eq_ts" -> df.filter(col("row_1") === tsVal),
@@ -94,15 +99,17 @@ object ScanBench {
     // predicated SELECT * LIMIT 10 (temp.md:39-66) — two-phase late
     // materialization (see Workload.selectWhereLimitLateMat): a naive
     // wide-row limit pays a full 90-column decode of the whole table
-    def limitQuery(): Unit =
-      graft.queries.Workload
-        .selectWhereLimitLateMat(df, col("row_3") === eqVal, "id", 10)
-        .collect()
-    (1 to warmup).foreach(_ => limitQuery())
-    val ts2 = (1 to iters).map { _ =>
-      val s = System.nanoTime(); limitQuery(); (System.nanoTime() - s) / 1e9
+    if (runQueries) {
+      def limitQuery(): Unit =
+        graft.queries.Workload
+          .selectWhereLimitLateMat(df, col("row_3") === eqVal, "id", 10)
+          .collect()
+      (1 to warmup).foreach(_ => limitQuery())
+      val ts2 = (1 to iters).map { _ =>
+        val s = System.nanoTime(); limitQuery(); (System.nanoTime() - s) / 1e9
+      }
+      println(f"""{"query":"select_limit10","sec":${ts2.sum / iters}%.4f,"rows":$total}""")
     }
-    println(f"""{"query":"select_limit10","sec":${ts2.sum / iters}%.4f,"rows":$total}""")
 
     // SCAN_MANIFEST=1: the timestamp range/BETWEEN queries through
     // manifest min/max file skipping (the Iceberg pruning analogue,

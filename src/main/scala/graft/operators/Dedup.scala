@@ -523,20 +523,64 @@ object Dedup {
     // fallback; 500k: OOMs an 8 GB JVM outright). The early sort fallback
     // is load-bearing: sorted runs stream group-at-a-time with O(1) live
     // buffers. Left at the Spark default deliberately.
-    val sh = tokenFrame(df, idCol, textCol)
+    val tf = tokenFrame(df, idCol, textCol)
+    val sh = tf
       .select(col("id"), HashExpressions.shingle_hashes(col("tk"), shingleLen).as("shs"))
       .select(col("id"), size(col("shs")).as("n_sh"), explode_outer(col("shs")).as("sh_h"))
       .filter(col("sh_h").isNotNull)
-    val postings = sh.groupBy(col("sh_h"))
+    // Small/large shape switch, same single-estimate gate as minhashLsh:
+    // under the threshold the zero-extra-exchange r6 plan stands (the two
+    // groupBys ride the session partition count, which is right-sized for
+    // small inputs); above it, both exchanges are SIZED. The session
+    // constant was the 5M-doc disaster: ~600M exploded shingle rows into
+    // 32 partitions runs the ObjectHashAggregate's sort fallback as a
+    // ~19M-row external sort per task — measured 161 GB of sort spill /
+    // 495 s at 5M docs (grid row impl-less ngram_posting@5M). Pre-keying
+    // the RAW exploded stream on sh_h with a size-derived count bounds
+    // each task's sorted run instead; the map-side partial aggregate was
+    // contributing nothing there anyway (shingle instances are scattered
+    // pre-shuffle, so partial groups are ~singletons — all that pass did
+    // was sort-and-spill the stream once more before the wire).
+    //
+    // Partition count: Catalyst's no-action estimate of the pre-explode
+    // token frame × a fixed explode-expansion factor (the estimator cannot
+    // see through Generate — the same documented correction as
+    // TextOps.sizedByKey). Expansion 8×: each ~6.5 raw text chars yield one
+    // token ⇒ one 28-byte (hash, id, n_sh) unsafe row, ≈ 4.3× the RAW text
+    // bytes, and parquet-compressed stats under-report raw text ~2× on
+    // natural-language corpora. Over-estimating is benign (smaller, more
+    // numerous tasks); the floor keeps small frames at session parallelism.
+    val textEst = tf.queryExecution.optimizedPlan.stats.sizeInBytes
+    val large = textEst > 256L * 1024 * 1024
+    val shParts = {
+      val floor = df.sparkSession.sessionState.conf.numShufflePartitions
+      val want = (BigDecimal(textEst) * 8 / BigDecimal(48L << 20))
+        .toBigInt.min(BigInt(65536)).toInt
+      math.max(floor, want)
+    }
+    val shKeyed = if (large) sh.repartition(shParts, col("sh_h")) else sh
+    val postings = shKeyed.groupBy(col("sh_h"))
       .agg(graft.functions.CappedPostings
         .capped_postings(col("id"), col("n_sh"), maxShingleFreq).as("docs"))
       .filter(col("docs").isNotNull && size(col("docs")) >= 2)
-    postings
+    // The pair stream reuses the SAME sized count: its pre-aggregate volume
+    // (Σ_sh C(|docs|, 2), caps bounded) tracks the posting volume. A
+    // map-side partial count would buy little here — a pair's repeats come
+    // from the shingles it SHARES, which live in different sh_h partitions,
+    // so per-partition repeat factors are small; what matters is that the
+    // post-exchange count state (distinct pairs per partition) is bounded
+    // by the sized count instead of the session constant.
+    val pairStream = postings
       .select(explode(col("docs")).as("a"), col("docs"))
       .select(col("a"), explode(col("docs")).as("b"))
       .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
+    val pairKeyed =
+      if (large) pairStream.repartition(shParts, col("id_a"), col("id_b"))
+      else pairStream
+    pairKeyed
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
       .select(col("id_a"), col("id_b"),
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)

@@ -142,9 +142,25 @@ object Similarity {
     val base = Stage.ensureWide(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("norm", l2norm(col("v")))
       .filter(col("norm") > 0)
-    val buckets = base.select(col("id"),
+    // Small/large shape switch on the one estimate the whole operator
+    // already keys attach strategy on (Stage.attachSide's broadcast
+    // threshold). Large corpora persist the skinny (id, table, bucket)
+    // index: the main plan reads it twice (probe side + build side — the
+    // two subplans are not canonically identical, so there is no
+    // ReusedExchange to lean on, and without the cache the vector-hashing
+    // scan runs twice), and the candidate-volume job below makes a third
+    // pass. The cache entry lives in the session CacheManager until
+    // evicted; same laziness caveat as Dedup.minhashLsh — above the
+    // threshold, CONSTRUCTING this frame runs one eager job.
+    val baseEst = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    val largeCorpus = baseEst > 256L * 1024 * 1024
+    val rawBuckets = base.select(col("id"),
       posexplode(hyperplaneBuckets(col("v"), planes, tables)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val buckets =
+      if (largeCorpus)
+        rawBuckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rawBuckets
     // multi-probe only the query (left) side: exact bucket + 1-bit flips
     val probed = buckets.select(col("id"), col("table"),
       explode(array(col("bucket") +:
@@ -171,7 +187,33 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(dot(col("ba.v"), col("bb.v")) / (col("ba.norm") * col("bb.norm")), 6)
           .as("cosine"))
-    scored
+    if (!largeCorpus) scored
+    else {
+      // Size the id_a exchange every consumer needs next ([[knnJoin]]'s
+      // rank window, [[topKStage]]'s groupBy — both require
+      // ClusteredDistribution(id_a), which this hash partitioning
+      // satisfies, so NO further exchange is inserted: same exchange
+      // count as before, just a derived partition count instead of the
+      // session constant). The constant was the 5M×64d disaster: ~10×
+      // the 500k candidate volume through 32 rank-sort partitions built
+      // multi-pass external sorts that overran the measurement host's
+      // disk outright. The exact pre-join candidate volume
+      // Σ_{table,bucket} df_probe · df_build prices the exchange — the
+      // same eager-volume discipline as Dedup.minhashLsh, two skinny
+      // aggregates over the CACHED bucket index (the probe side's
+      // per-bucket df is the build side's × (planes+1) probes, so one
+      // aggregate serves both).
+      val dfb = buckets.groupBy(col("table"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val volume = dfb
+        .agg(coalesce(sum(col("n") * col("n")), lit(0L)).cast("double"))
+        .head().getDouble(0) * (planes + 1)
+      val floor = df.sparkSession.sessionState.conf.numShufflePartitions
+      // ~80 B of sort state per (id_a, id_b, cosine) row, ~48 MB per task
+      val parts = math.max(floor,
+        math.min(65536L, (volume * 80 / (48L << 20)).toLong).toInt)
+      scored.repartition(parts, col("id_a"))
+    }
   }
 
   /** Per-left top-k as a bounded-heap AGGREGATE
