@@ -174,6 +174,11 @@ object CorpusBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the vector-attach broadcasts (Similarity.scoredCandidates /
+      // leaderDedup, raised 2 GB gate) collect the vector table through
+      // the driver; the 1 GB maxResultSize default aborts that collect at
+      // 5M × 64d (1.8 GB) even though the 8 GB heap holds it comfortably
+      .config("spark.driver.maxResultSize", "4g")
       // scan split size bounds the map side of the first exchange: a
       // 128 MB split explodes/ships ~2× its bytes through the shuffle
       // writer, over a task's execution-memory share at 32 concurrent
@@ -230,7 +235,12 @@ object CorpusBench {
           }
           val best = runs.minBy(_._1)
           val itersStr = runs.map(r => f"${r._1}%.3f").mkString("[", ",", "]")
-          val extraStr = if (extra.isEmpty) "" else "," + extra
+          // rows recorded under a non-default fork heap label themselves —
+          // the protocol (object scaladoc) is the default 8 GB heap, and an
+          // exception must be visible in the evidence row itself
+          val heapLbl = sys.env.get("SPARK_DRIVER_MEM")
+            .map(h => s""","heap":"$h"""").getOrElse("")
+          val extraStr = (if (extra.isEmpty) "" else "," + extra) + heapLbl
           record(
             f"""{"op":"$op","n_docs":$n,"sec":${best._1}%.3f,"iters_sec":$itersStr,"$valueField":${best._2},"shuffle_mb":${best._3 / 1e6}%.1f,"spill_mb":${best._4 / 1e6}%.1f,"cpus":$cpus,"warmup":$warmup$extraStr}""")
         } catch {
@@ -245,6 +255,8 @@ object CorpusBench {
       def bench(op: String, f: DataFrame => DataFrame, extra: String = ""): Unit =
         benchOn(op, docs, f, extra)
 
+      val shSized = """"impl":"sized_sh_exchange""""
+      val candSized = """"impl":"sized_candidates""""
       bench("minhash_pairs",
         d => Dedup.minhashLsh(d, "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.5))
       // incremental ingest: a 10% delta classified against the other 90% —
@@ -268,18 +280,20 @@ object CorpusBench {
           .agg(sum(col("kept") + col("dup_of_old") + col("dup_of_new")))
           .head().getLong(0)
       }, valueField = "checksum")
-      bench("ngram_posting", d => Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3))
+      bench("ngram_posting", d => Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3), shSized)
       bench("ngram_join", d => Dedup.ngramJaccardJoin(d, "doc_id", "text", threshold = 0.3))
       bench("dedup_clusters", d =>
         ConnectedComponents.components(
-          Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3), "id_a", "id_b"))
+          Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3), "id_a", "id_b"),
+        shSized)
       // the adversarial-diameter variant on the same edges — recorded so the
       // min-label default is a measured choice, not an assumption (near-dup
       // graphs are shallow, so min-label's cheaper rounds should win here;
       // star contraction exists for long-chain graphs)
       bench("dedup_clusters_star", d =>
         ConnectedComponents.componentsStar(
-          Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3), "id_a", "id_b"))
+          Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3), "id_a", "id_b"),
+        shSized)
       bench("decontaminate", d =>
         Contamination.overlap(
           d.filter(col("doc_id") >= 1000), "doc_id", "text",
@@ -378,7 +392,7 @@ object CorpusBench {
           planes = planes, tables = 4))
       benchOn("knn_join", embs, e =>
         Similarity.knnJoin(e, "vec_id", "embedding", k = 5,
-          planes = planes, tables = 4))
+          planes = planes, tables = 4), candSized)
       // the bounded-heap comparison path (measured-and-rejected default;
       // fenced out of the operators API — see Similarity.topKStage): its
       // correctness needs the global pair distinct knnJoin eliminated, so
@@ -406,8 +420,8 @@ object CorpusBench {
       // the post-gate candidate volume (rows column) so the grid shows it
       // growing ~linearly with N, not quadratically; the pairs row is the
       // full operator (candidates + Levenshtein verify).
-      val dfGate = """"variant":"df_gate","max_trigram_freq":1000"""
-      val rarest = """"variant":"rarest_k","max_trigram_freq":1000,"rarest_k":4"""
+      val dfGate = """"variant":"df_gate","max_trigram_freq":1000,"impl":"sized_gram_exchange""""
+      val rarest = """"variant":"rarest_k","max_trigram_freq":1000,"rarest_k":4,"impl":"sized_gram_exchange""""
       bench("editdist_candidates", d => {
         val t = d.select(col("doc_id").as("id"),
             substring(trim(lower(col("text"))), 1, 40).as("s"))
@@ -501,9 +515,9 @@ object CorpusBench {
       // df ≥ 2 by definition, so widening q only drops each string's
       // UNIQUE grams — the recall row is the proof. q66/q70's oracle path
       // stays gramLen=3 (its sf-corpus alphabet is trigram-rich).
-      val q5gate = """"variant":"df_gate","max_trigram_freq":1000,"gram_len":5"""
+      val q5gate = """"variant":"df_gate","max_trigram_freq":1000,"gram_len":5,"impl":"sized_gram_exchange""""
       val q5rarest =
-        """"variant":"rarest_k","max_trigram_freq":1000,"rarest_k":4,"gram_len":5"""
+        """"variant":"rarest_k","max_trigram_freq":1000,"rarest_k":4,"gram_len":5,"impl":"sized_gram_exchange""""
       benchAct("editdist_title_q5_volume", () => blockedVolume(titles, 0, 5),
         s"""$q5gate,"corpus":"titles_hot_trigram"""", valueField = "volume")
       // df-gate-only materialization capped at 500k: at 5M the 5-gram

@@ -484,7 +484,17 @@ object Dedup {
     * and 4.7× less spill (7.5 GB vs 35 GB). The one configuration that
     * made it lose (62-73 s, GC-bound) was raising the object-hash-agg
     * sort-fallback threshold; see the in-body comment — the default
-    * fallback is load-bearing and deliberately left alone. */
+    * fallback is load-bearing and deliberately left alone.
+    *
+    * At 5M docs the sized exchanges (in-body comment) cut wall 495 s →
+    * 112.7 s. The remaining recorded spill lives in the posting
+    * aggregate's sort-based fallback — sorting (key, serialized partial
+    * posting buffer) entries whose serialized form is fatter than the
+    * raw rows — which is MANAGED, spill-capable sorter memory by
+    * construction (degrades gracefully at any scale; contrast the
+    * unmanaged-heap hash-map hazard documented at
+    * [[graft.operators.TextOps]].windowFreqs), and on a cluster divides
+    * by executors, not by this host's one JVM. */
   def ngramJaccard(
       df: DataFrame,
       idCol: String,
@@ -757,7 +767,19 @@ object Dedup {
       rarestK: Int = 0,
       gramLen: Int = 3
   ): DataFrame = {
-    val blocked = editDistanceBlocked(t, maxTrigramFreq, rarestK, gramLen)
+    // One sizing job shared by the blocking stage and the join below; on
+    // the large path the blocked stream is re-keyed on g (what the
+    // self-join needs) and PERSISTED — the volume job, which otherwise
+    // re-executes the whole gram→gate→rarest pipeline, then forces the
+    // cache and both join sides read it with their distribution already
+    // satisfied, so the join's sorts run per sized partition instead of
+    // in session-constant waves.
+    val gramParts = gramExchangeParts(t, gramLen)
+    val blockedRaw = editDistanceBlocked(t, maxTrigramFreq, rarestK, gramLen, gramParts)
+    val blocked =
+      if (gramParts == 0) blockedRaw
+      else blockedRaw.repartition(gramParts, col("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pair dedup WITHOUT a `.distinct()`: the distinct's map-side partial
     // aggregate holds one hash entry per distinct pair per JVM — measured
     // 45.8 GB of spill at 500k hot-trigram titles (260M pairs). Instead,
@@ -795,28 +817,61 @@ object Dedup {
     * Σ_g C(count_g, 2) over this stream — one aggregate, no join — which
     * is how the grid records the df-gate blow-up at corpus sizes where
     * materializing the pairs is the very cost being demonstrated. */
+  /** Sized width for the (id, g) gram exchanges, or 0 for the legacy
+    * session-constant shape on small inputs. The gram stream's exact upper
+    * bound is Σ max(len(s) − q + 1, 0) — one skinny aggregate over the
+    * string column (an EAGER job, the minhashLsh volume-job discipline;
+    * Catalyst's estimator cannot see through the explode) — at ~40 B of
+    * sort/shuffle state per gram row, ~48 MB per task. Below the 64 MB
+    * estimate gate nothing is priced and nothing changes: the 5M-doc grid
+    * point is what motivated this — the gram exchange, the rarest-k id
+    * window, and the self-join sorts all ran at the session constant,
+    * sorting ~150M gated gram rows in 32-partition waves (41 GB of
+    * measured spill at 5M titles, q=5, zero at 500k where the constant
+    * happens to fit). */
+  private[graft] def gramExchangeParts(t: DataFrame, gramLen: Int): Int = {
+    val est = t.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= 64L * 1024 * 1024) 0
+    else {
+      val vol = t.agg(coalesce(sum(greatest(length(col("s")) - (gramLen - 1),
+        lit(0)).cast("long")), lit(0L))).head().getLong(0)
+      val floor = t.sparkSession.sessionState.conf.numShufflePartitions
+      math.max(floor, math.min(65536L, vol * 40L / (48L << 20)).toInt)
+    }
+  }
+
   private[graft] def editDistanceBlocked(
       t: DataFrame,
       maxTrigramFreq: Int,
       rarestK: Int = 0,
-      gramLen: Int = 3
+      gramLen: Int = 3,
+      sizedParts: Int = -1
   ): DataFrame = {
+    // sizedParts: -1 = price it here; 0 = small-corpus legacy shape;
+    // > 0 = caller already priced it (editDistanceCandidates shares one
+    // eager job across the blocking and join stages)
+    val p = if (sizedParts >= 0) sizedParts else gramExchangeParts(t, gramLen)
     // per-doc DISTINCT q-gram windows, identical to SELECT DISTINCT
     // substring(s, i, q) in the oracle (len < q guarded here too — a
     // descending `sequence(1, len-q+1)` would otherwise fabricate windows)
-    val grams = t.filter(length(col("s")) >= gramLen).select(col("id"),
+    val rawGrams = t.filter(length(col("s")) >= gramLen).select(col("id"),
         explode(array_distinct(transform(
           sequence(lit(1), length(col("s")) - (gramLen - 1)),
           i => col("s").substr(i, lit(gramLen))))).as("g"))
-      .repartition(col("g"))
+    val grams =
+      if (p > 0) rawGrams.repartition(p, col("g"))
+      else rawGrams.repartition(col("g"))
     val freqs = grams.groupBy(col("g")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= 2 && col("freq") <= maxTrigramFreq)
     val gated = grams.join(freqs, "g")
     if (rarestK <= 0) gated.select(col("id"), col("g"))
     else {
       import org.apache.spark.sql.expressions.Window
+      // the per-id rarest-k window needs an id-clustered exchange of the
+      // gated stream — sized with the same count (gated ⊆ grams)
+      val keyed = if (p > 0) gated.repartition(p, col("id")) else gated
       val w = Window.partitionBy(col("id")).orderBy(col("freq").asc, col("g").asc)
-      gated.withColumn("rk", row_number().over(w))
+      keyed.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= rarestK)
         .select(col("id"), col("g"))
     }

@@ -176,11 +176,23 @@ object Similarity {
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
     val candidates = if (dedupe) joined.distinct() else joined
-    // Attach strategy (Stage.attachSide): broadcast the vector table when
-    // its size estimate fits an executor — the candidate stream then never
-    // re-shuffles with a vector attached, the decisive term when pairs ≫
-    // vectors — else SHUFFLE_HASH so no sort ever sees a vector-laden row.
-    val attach = Stage.attachSide(base)
+    // Attach strategy: broadcast, with a RAISED gate (2 GB vs
+    // Stage.attachSide's 256 MB default). For an exact-cosine k-NN join
+    // the attach choice is not a tuning knob but the operator's scale
+    // boundary: candidates ≈ n · tables · probes · occupancy, so a
+    // SHUFFLE_HASH attach re-exchanges the pair stream with a vector
+    // payload after the first join — ~250 GB at 5M × 64d (870M candidate
+    // rows × ~290 B), which overran the measurement host's disk outright —
+    // while the vector table itself is 1.4 GB. Broadcasting the vectors is
+    // the only attach whose exchange volume does NOT scale with candidate
+    // volume; the gate (what fits an executor, 64d floats ≈ 1 GB per 4M
+    // vectors) is exactly the boundary where the coarse-quantized family
+    // ([[graft.operators.Ivf]], [[graft.operators.Pq]] — candidates
+    // restricted per cell, or 8–16 B codes instead of full vectors on the
+    // pair stream) is the documented 100 TB path. Sessions must size
+    // `spark.driver.maxResultSize` for the broadcast collect (the vector
+    // table passes through the driver — 1.8 GB at 5M × 64d).
+    val attach = Stage.attachSide(base, maxBroadcastBytes = 2L << 30)
     val scored = candidates
       .join(attach.as("ba"), col("id_a") === col("ba.id"))
       .join(attach.as("bb"), col("id_b") === col("bb.id"))
@@ -457,7 +469,15 @@ object Similarity {
       .join(assigned.as("b").hint("SHUFFLE_HASH"),
         col("a.c") === col("b.c") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val attach = Stage.attachSide(base)
+    // Raised broadcast gate, same rationale as [[scoredCandidates]]: the
+    // within-cluster pair stream is ~n·E[cluster]/2 rows (640M at 5M docs
+    // under the grid's nLists policy), so a SHUFFLE_HASH attach re-exchanges
+    // a vector-laden pair stream (~185 GB at 5M × 64d — measured as an
+    // outright disk overrun) while the vector table itself is 1.8 GB.
+    // Broadcast is the only attach whose exchange volume does not scale
+    // with pair volume; past executor memory, shrink E[cluster] (nLists ∝ n
+    // keeps pairs linear) or move to the PQ-coded variant.
+    val attach = Stage.attachSide(base, maxBroadcastBytes = 2L << 30)
     val dropped = pairs
       .join(attach.as("pa"), col("id_a") === col("pa.id"))
       .join(attach.as("pb"), col("id_b") === col("pb.id"))
