@@ -127,12 +127,50 @@ object ScanBench {
       val mPath = s"$warehouse/events_manifest_ts"
       val committed = new java.io.File(s"$mPath/_manifests/batch-0.json")
       if (!committed.exists()) {
+        // Cluster each INGEST BATCH independently — the LSM-style shape
+        // every append-only table format actually has (a monolithic
+        // repartitionByRange of the full table shuffles the entire
+        // ~330 B × 100M row payload in one job: more scratch than this
+        // host's disk, and at cluster scale a needless global barrier).
+        // Generated timestamps are hash-random, so every batch spans the
+        // full time range and per-batch range-clustering still yields
+        // narrow per-FILE spans — pruning works per batch, exactly as it
+        // does for Iceberg's per-snapshot data files. 8 files per 2.5M-row
+        // batch ≈ 100 MB parquet files. The rewrite reads all 90 columns
+        // (the scan queries prune to 1-2), so narrow the read splits for
+        // this section and restore after.
         val t1 = System.nanoTime()
-        val parts = math.max(cpus.toInt, (rows / 1000000L).toInt)
-        fmt.writeBatch(df.repartitionByRange(parts, col("row_1")), mPath, 0,
-          codec, "PARQUET", Nil, Seq("row_1"))
+        val fs2 = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        val batches = fs2.listStatus(new org.apache.hadoop.fs.Path(path))
+          .map(_.getPath.getName).filter(_.startsWith("batch="))
+          .map(_.stripPrefix("batch=").toInt).sorted
+        val filesPerBatch = 8
+        val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", String.valueOf(16L << 20))
+        // INT96 (Spark's parquet-compatibility default) carries no ordered
+        // footer statistics, so row_1 bounds would lift as None and nothing
+        // would ever prune — see TableFormat.footerStats. The clustered
+        // tree writes micros.
+        val prevTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try {
+          for (b <- batches) {
+            val src = spark.read.parquet(s"$path/batch=$b")
+            fmt.writeBatch(src.repartitionByRange(filesPerBatch, col("row_1")),
+              mPath, b, codec, "PARQUET", Nil, Seq("row_1"))
+            // nudge the ContextCleaner so finished batches' shuffle files
+            // reclaim before the next batch writes its own (40 batches of
+            // retained shuffle would out-size this host's scratch)
+            if (b % 5 == 4) System.gc()
+          }
+        } finally {
+          spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+          spark.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+        }
         System.err.println(
-          f"[scanbench] clustered rewrite: $parts files in ${(System.nanoTime() - t1) / 1e9}%.1f s")
+          f"[scanbench] clustered rewrite: ${batches.length} batches x $filesPerBatch files " +
+            f"in ${(System.nanoTime() - t1) / 1e9}%.1f s")
       }
       val lo = "2024-11-01 00:00:00"
       val hi = "2024-11-20 00:00:00"

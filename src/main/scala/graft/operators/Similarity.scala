@@ -103,7 +103,12 @@ object Similarity {
     * the filter preserves child ordering). Net: ONE skinny exchange after
     * candidate generation instead of two, and zero aggregate spill. Measured
     * at 500k×64d/planes=19: 25.4 GB total spill → under 10 GB, identical
-    * output (docs/corpusbench_local32.jsonl knn_join rows).
+    * output (docs/corpusbench_local32.jsonl knn_join rows). At 5M×64d
+    * (planes=23, 1.83B candidates) the operator completes in 255 s with
+    * 21.9 GB of shuffle on a single 32-core host — see the
+    * [[scoredCandidates]] in-body comments for the two decisions that make
+    * that possible (broadcast vector attach, sized id_a exchange) and the
+    * driver-memory note.
     *
     * Returns (id_a, id_b, cosine, rank) with rank 1..k per id_a. */
   def knnJoin(
