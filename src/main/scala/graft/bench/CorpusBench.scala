@@ -247,6 +247,13 @@ object CorpusBench {
           case e: Throwable =>
             record(s"""{"op":"$op","n_docs":$n,"error":"${e.getClass.getSimpleName}"}""")
             System.err.println(s"[corpusbench] $op@$n failed: ${e.getMessage}")
+            // a failed op's still-running tasks would otherwise keep
+            // writing into the NEXT op's tally window and steal its CPU
+            // (measured: a knn_join disk failure inflated the following
+            // editdist volume row 2x in wall and 17x in shuffle bytes) —
+            // cancel and let stragglers drain before the next measurement
+            spark.sparkContext.cancelAllJobs()
+            Thread.sleep(5000)
         }
       }
       def benchOn(op: String, input: DataFrame, f: DataFrame => DataFrame,
