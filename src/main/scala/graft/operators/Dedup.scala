@@ -487,14 +487,15 @@ object Dedup {
     * fallback is load-bearing and deliberately left alone.
     *
     * At 5M docs the sized exchanges (in-body comment) cut wall 495 s →
-    * 112.7 s. The remaining recorded spill lives in the posting
-    * aggregate's sort-based fallback — sorting (key, serialized partial
-    * posting buffer) entries whose serialized form is fatter than the
-    * raw rows — which is MANAGED, spill-capable sorter memory by
-    * construction (degrades gracefully at any scale; contrast the
-    * unmanaged-heap hash-map hazard documented at
-    * [[graft.operators.TextOps]].windowFreqs), and on a cluster divides
-    * by executors, not by this host's one JVM. */
+    * 104.6 s and spill 161 GB → 28.6 GB (grid ngram_posting rows, the
+    * 24× expansion). The remaining spill lives in the PAIR stage's
+    * partial aggregate (pre-exchange pair volume Σ_sh C(df, 2) is
+    * cap-bounded per shingle but not per task) and in the posting
+    * aggregate's sort-based fallback — both MANAGED, spill-capable
+    * sorter memory by construction (degrades gracefully at any scale;
+    * contrast the unmanaged-heap hash-map hazard documented at
+    * [[graft.operators.TextOps]].windowFreqs), and on a cluster they
+    * divide by executors, not by this host's one JVM. */
   def ngramJaccard(
       df: DataFrame,
       idCol: String,
@@ -555,16 +556,22 @@ object Dedup {
     // Partition count: Catalyst's no-action estimate of the pre-explode
     // token frame × a fixed explode-expansion factor (the estimator cannot
     // see through Generate — the same documented correction as
-    // TextOps.sizedByKey). Expansion 8×: each ~6.5 raw text chars yield one
-    // token ⇒ one 28-byte (hash, id, n_sh) unsafe row, ≈ 4.3× the RAW text
-    // bytes, and parquet-compressed stats under-report raw text ~2× on
-    // natural-language corpora. Over-estimating is benign (smaller, more
-    // numerous tasks); the floor keeps small frames at session parallelism.
+    // TextOps.sizedByKey). Expansion 24×: each ~6.5 raw text chars yield
+    // one token ⇒ one exploded row at ~50 B of SORT state (32 B UnsafeRow
+    // for (id, n_sh, sh_h) + sorter pointer/prefix) ≈ 8× the raw text
+    // bytes, parquet-compressed stats under-report raw text ~2×, and the
+    // sort-fallback aggregate needs ~1.5× headroom for its serialized
+    // partial buffers — 8× was measured to leave ~80 MB of sort state per
+    // task at 5M docs, just over the ~75 MB/task execution-memory share at
+    // 32 concurrent tasks on the 8 GB fork heap (one spill generation
+    // each, ~140 GB of managed-spill accounting). Over-estimating is
+    // benign (smaller, more numerous tasks); the floor keeps small frames
+    // at session parallelism.
     val textEst = tf.queryExecution.optimizedPlan.stats.sizeInBytes
     val large = textEst > 256L * 1024 * 1024
     val shParts = {
       val floor = df.sparkSession.sessionState.conf.numShufflePartitions
-      val want = (BigDecimal(textEst) * 8 / BigDecimal(48L << 20))
+      val want = (BigDecimal(textEst) * 24 / BigDecimal(48L << 20))
         .toBigInt.min(BigInt(65536)).toInt
       math.max(floor, want)
     }
