@@ -1153,6 +1153,25 @@ object SparkEntry {
       // cosine gate value-for-value
       Similarity.semanticDedup(TestTables.embeddings(s, dir), "vec_id",
         "embedding", nLists = 8, tau = 0.45)),
+    "q112_semantic_dedup_hier" -> ((s, dir) =>
+      // the HIERARCHICAL assignment regime (nLists=128 > the 64-list
+      // flat-scan threshold): super-cell argmax over 11 md5-sign
+      // super-centroids, then only the winning 12-cell block scanned —
+      // O(√nLists·dims)/row, the O(n²) fix for SemDeDup's nLists ∝ n
+      // policy. Both levels are quantized-integer md5 arithmetic, so the
+      // oracle replays the two-level rule value-for-value (q83 pins the
+      // flat regime unchanged)
+      Similarity.semanticDedup(TestTables.embeddings(s, dir), "vec_id",
+        "embedding", nLists = 128, tau = 0.45)),
+    "q113_knn_join_ivf" -> ((s, dir) =>
+      // IVF-candidate batch k-NN join: probed md5-sign cells + PQ-coded
+      // in-cell shortlists + exact rescore, no pair stream, no vector
+      // broadcast — the measured handoff past knnJoin's broadcast-attach
+      // ceiling. The PQ codebook is k-means-trained (float-iterative), so
+      // like the native ANN family this is spec-gated on recall
+      // (OperatorsSpec planted + vs-exact) rather than DuckDB-oracled
+      Similarity.knnJoinIvf(TestTables.embeddings(s, dir), "vec_id",
+        "embedding", k = 3, nLists = 8, nprobe = 4)),
     "q64_shuffle_order" -> ((s, dir) =>
       // deterministic corpus shuffle — the pre-training reorder: sort by
       // content hash, reproducible on any engine/run. At scale this is a
@@ -2534,6 +2553,69 @@ object SparkEntry {
          |    SELECT id, c,
          |      row_number() OVER (PARTITION BY id ORDER BY dot DESC, c ASC) AS rk
          |    FROM dots)
+         |  WHERE rk = 1),
+         |pairs AS (
+         |  SELECT a.id AS ia, b.id AS ib
+         |  FROM assigned a JOIN assigned b ON a.c = b.c AND a.id < b.id),
+         |dp AS (
+         |  SELECT p.ia, p.ib, sum(va.x * vb.x) AS d
+         |  FROM pairs p
+         |  JOIN v va ON va.id = p.ia
+         |  JOIN v vb ON vb.id = p.ib AND vb.dim = va.dim
+         |  GROUP BY p.ia, p.ib),
+         |dropped AS (
+         |  SELECT DISTINCT dp.ib AS id
+         |  FROM dp
+         |  JOIN nrm na ON na.id = dp.ia
+         |  JOIN nrm nb ON nb.id = dp.ib
+         |  WHERE round(d / (na.n * nb.n), 6) >= 0.45)
+         |SELECT a.id AS vec_id, a.c AS cluster,
+         |  CAST(CASE WHEN dr.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM assigned a LEFT JOIN dropped dr ON a.id = dr.id""").stripMargin,
+    // q112: the hierarchical (two-level) assignment regime at nLists=128 —
+    // B = ceil(sqrt(128)) = 12 cells per block, S = ceil(128/12) = 11
+    // super-cells; super signs from md5('ivfs-g-i') parity, block membership
+    // is integer division c // 12. Everything else matches q83.
+    "q112_semantic_dedup_hier" ->
+      ("""WITH v AS (
+         |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |nrm AS (SELECT id, sqrt(sum(x * x)) AS n FROM v GROUP BY id),
+         |keep AS (SELECT id FROM nrm WHERE n > 0),
+         |ssigns AS (
+         |  SELECT g.g AS g, i.i AS dim,
+         |    CASE WHEN CAST(('0x' || substring(
+         |        md5('ivfs-' || g.g || '-' || i.i), 1, 8)) AS BIGINT) % 2 = 0
+         |      THEN 1 ELSE -1 END AS sgn
+         |  FROM (SELECT unnest(range(0, 11)) AS g) g,
+         |       (SELECT unnest(range(1, 65)) AS i) i),
+         |gwin AS (
+         |  SELECT id, g FROM (
+         |    SELECT id, g,
+         |      row_number() OVER (PARTITION BY id ORDER BY dot DESC, g ASC) AS rk
+         |    FROM (
+         |      SELECT id, g, sum(sgn * xq) AS dot
+         |      FROM v JOIN keep USING (id) JOIN ssigns USING (dim)
+         |      GROUP BY id, g))
+         |  WHERE rk = 1),
+         |csigns AS (
+         |  SELECT c.c AS c, i.i AS dim,
+         |    CASE WHEN CAST(('0x' || substring(
+         |        md5('ivf-' || c.c || '-' || i.i), 1, 8)) AS BIGINT) % 2 = 0
+         |      THEN 1 ELSE -1 END AS sgn
+         |  FROM (SELECT unnest(range(0, 128)) AS c) c,
+         |       (SELECT unnest(range(1, 65)) AS i) i),
+         |assigned AS (
+         |  SELECT id, c FROM (
+         |    SELECT id, c,
+         |      row_number() OVER (PARTITION BY id ORDER BY dot DESC, c ASC) AS rk
+         |    FROM (
+         |      SELECT v.id, s.c, sum(s.sgn * v.xq) AS dot
+         |      FROM v JOIN gwin ON v.id = gwin.id
+         |      JOIN csigns s ON s.dim = v.dim AND s.c // 12 = gwin.g
+         |      GROUP BY v.id, s.c))
          |  WHERE rk = 1),
          |pairs AS (
          |  SELECT a.id AS ia, b.id AS ib

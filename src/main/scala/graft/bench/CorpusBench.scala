@@ -245,7 +245,15 @@ object CorpusBench {
             f"""{"op":"$op","n_docs":$n,"sec":${best._1}%.3f,"iters_sec":$itersStr,"$valueField":${best._2},"shuffle_mb":${best._3 / 1e6}%.1f,"spill_mb":${best._4 / 1e6}%.1f,"cpus":$cpus,"warmup":$warmup$extraStr}""")
         } catch {
           case e: Throwable =>
-            record(s"""{"op":"$op","n_docs":$n,"error":"${e.getClass.getSimpleName}"}""")
+            // record the ROOT cause class + message head, not just the
+            // wrapper: a bare {"error":"SparkException"} row says nothing
+            // about WHY a scale point failed (heap? disk? maxResultSize?),
+            // so the failure row itself must carry the evidence
+            var root = e
+            while (root.getCause != null && (root.getCause ne root)) root = root.getCause
+            val msg = Option(root.getMessage).getOrElse("")
+              .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(160)
+            record(s"""{"op":"$op","n_docs":$n,"error":"${e.getClass.getSimpleName}","cause":"${root.getClass.getSimpleName}","cause_msg":"$msg"}""")
             System.err.println(s"[corpusbench] $op@$n failed: ${e.getMessage}")
             // a failed op's still-running tasks would otherwise keep
             // writing into the NEXT op's tally window and steal its CPU
@@ -292,7 +300,7 @@ object CorpusBench {
       bench("dedup_clusters", d =>
         ConnectedComponents.components(
           Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3), "id_a", "id_b"),
-        shSized)
+        """"impl":"sized_sh_exchange+sized_cc_loop"""")
       // the adversarial-diameter variant on the same edges — recorded so the
       // min-label default is a measured choice, not an assumption (near-dup
       // graphs are shallow, so min-label's cheaper rounds should win here;
@@ -410,14 +418,65 @@ object CorpusBench {
             planes = planes, tables = 4), k = 5))
       // SemDeDup: nLists grows with n so expected cluster size stays ~256
       // and within-cluster pair volume is ~n·128, linear in n; assignment
-      // is the in-row O(nLists·dims) portable expression (no dim explode).
+      // is the in-row portable expression (no dim explode) — hierarchical
+      // above 64 lists, O(√nLists·dims)/row, so this stage stays
+      // O(n·√nLists·dims) as nLists ∝ n (the flat scan measured 458 s@5M).
       // Sum over BOTH output columns: a bare count() lets the optimizer
       // drop the distinct-keyed dropped-join and prune the assignment
       benchAct("semantic_dedup", () => {
         Similarity.semanticDedup(embs, "vec_id", "embedding",
             nLists = math.max(8, (n / 256).toInt), tau = 0.95)
           .agg(sum(col("cluster") + col("kept"))).head().getLong(0)
-      }, valueField = "checksum")
+      }, """"impl":"two_level_assign"""", valueField = "checksum")
+      // IVF-candidate k-NN join: the measured handoff past knnJoin's
+      // broadcast-attach ceiling — probed md5-sign cells for candidates,
+      // PQ-coded in-cell shortlists, exact rescore, NO pair stream and NO
+      // vector broadcast, so the 5M row runs at the protocol 8 GB heap
+      benchOn("knn_join_ivf", embs, e =>
+        Similarity.knnJoinIvf(e, "vec_id", "embedding", k = 5,
+          nLists = math.max(8, (n / 64).toInt), nprobe = 4),
+        """"impl":"cell_directory","nprobe":4,"occ":64""")
+      // planted-neighbor recovery for BOTH batch k-NN paths at identical k:
+      // each 20-id block's 3 replicas (pairwise cosine ≥ 0.999) must find
+      // each other at rank ≤ k — 6·(n/20) ordered pairs. The exact-baseline
+      // comparison lives in the spec at small n (knnJoinExact is O(N²));
+      // these rows carry the at-scale recall evidence, LSH vs IVF
+      def plantedPairs(nn: DataFrame): Long = nn
+        .filter(pmod(col("id_a"), lit(20L)) < 3 && pmod(col("id_b"), lit(20L)) < 3
+          && (col("id_a") - pmod(col("id_a"), lit(20L)))
+            === (col("id_b") - pmod(col("id_b"), lit(20L))))
+        .count()
+      benchAct("knn_join_ivf_recall", () =>
+        plantedPairs(Similarity.knnJoinIvf(embs, "vec_id", "embedding", k = 5,
+          nLists = math.max(8, (n / 64).toInt), nprobe = 4)),
+        s""""impl":"cell_directory","planted":${6 * (n / 20)}""",
+        valueField = "recovered")
+      if (n <= 500000)
+        benchAct("knn_join_recall", () =>
+          plantedPairs(Similarity.knnJoin(embs, "vec_id", "embedding", k = 5,
+            planes = planes, tables = 4)),
+          s""""impl":"lsh","planted":${6 * (n / 20)}""",
+          valueField = "recovered")
+      // single-query brute-force cosine top-k — the O(n·d) scan baseline the
+      // similarity family is judged against; previously unrecorded above
+      // 500k-equivalent
+      if (opFilter.forall(_.contains("cosine_topk"))) {
+        val qvec = embs.filter(col("vec_id") === 7).head().getSeq[Float](1)
+        benchAct("cosine_topk", () =>
+          Similarity.cosineTopK(embs, "vec_id", "embedding", qvec, 10)
+            .collect().length.toLong)
+      }
+      // hard negatives on the ANN candidate engine (the exact all-pairs
+      // baseline is O(N²) by contract and lives in the spec/oracle tier):
+      // 16 synthetic labels, anchors keep top-k nearest with a DIFFERENT
+      // label from a 4k-deep ANN pool
+      benchAct("hard_negatives_ann", () => {
+        Similarity.hardNegativesAnn(
+            embs.withColumn("lbl", pmod(xxhash64(col("vec_id"), lit("hn")), lit(16L))),
+            "vec_id", "embedding", "lbl", k = 5,
+            nLists = math.max(8, (n / 64).toInt), nprobe = 4)
+          .count()
+      }, """"impl":"cell_directory","labels":16""")
 
       // Edit-distance dedup over the 40-char doc prefixes. This corpus is
       // the planted-hot-trigram hazard by construction: the u³-warped Zipf
@@ -549,6 +608,26 @@ object CorpusBench {
             && col("dist") === 1)
           .count(),
         s"""$q5rarest,"corpus":"titles_hot_trigram","planted":${n / 20}""",
+        valueField = "recovered")
+      // q=6 — the operator's own sizing rule (|Σ|^q ≳ 10·N: 27⁶ ≈ 387M
+      // covers ~40M docs) says q=5 saturates past ~1M docs, and the 5M
+      // q5 recall row confirms it (99.30%); this row is the measurement
+      // that widening q restores recall at 5M while volume stays collapsed
+      val q6rarest =
+        """"variant":"rarest_k","max_trigram_freq":1000,"rarest_k":4,"gram_len":6,"impl":"sized_gram_exchange""""
+      benchOn("editdist_title_q6_rarest_pairs", titles, d =>
+        Dedup.editDistancePairs(d, "doc_id", "text",
+          maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, rarestK = 4,
+          gramLen = 6),
+        s"""$q6rarest,"corpus":"titles_hot_trigram"""")
+      benchAct("editdist_title_q6_recall", () =>
+        Dedup.editDistancePairs(titles, "doc_id", "text",
+            maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, rarestK = 4,
+            gramLen = 6)
+          .filter(col("id_a") % 20 === 0 && col("id_b") === col("id_a") + 1
+            && col("dist") === 1)
+          .count(),
+        s"""$q6rarest,"corpus":"titles_hot_trigram","planted":${n / 20}""",
         valueField = "recovered")
 
       // persisted positional trigram index (q109's production shape):

@@ -125,8 +125,20 @@ object ScanBench {
     if (env("SCAN_MANIFEST", "0") == "1") {
       val fmt = new graft.ddl.ManifestSidecarFormat(Seq("row_1"))
       val mPath = s"$warehouse/events_manifest_ts"
-      val committed = new java.io.File(s"$mPath/_manifests/batch-0.json")
-      if (!committed.exists()) {
+      // "already committed" must mean EVERY source batch has its manifest —
+      // the loop below writes batch 0 first, so testing only batch-0.json
+      // would let an interrupted rewrite masquerade as complete and record
+      // pruning rows against a partial tree. Source batches are listed up
+      // front and each one's manifest checked; any gap re-runs the rewrite
+      // (writeBatch replaces per-batch output, so resuming is safe).
+      val fsSrc = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val srcBatches = fsSrc.listStatus(new org.apache.hadoop.fs.Path(path))
+        .map(_.getPath.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toInt).sorted
+      val committed = srcBatches.nonEmpty && srcBatches.forall(b =>
+        new java.io.File(s"$mPath/_manifests/batch-$b.json").exists())
+      if (!committed) {
         // Cluster each INGEST BATCH independently — the LSM-style shape
         // every append-only table format actually has (a monolithic
         // repartitionByRange of the full table shuffles the entire
@@ -140,11 +152,7 @@ object ScanBench {
         // (the scan queries prune to 1-2), so narrow the read splits for
         // this section and restore after.
         val t1 = System.nanoTime()
-        val fs2 = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-        val batches = fs2.listStatus(new org.apache.hadoop.fs.Path(path))
-          .map(_.getPath.getName).filter(_.startsWith("batch="))
-          .map(_.stripPrefix("batch=").toInt).sorted
+        val batches = srcBatches
         val filesPerBatch = 8
         val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
         spark.conf.set("spark.sql.files.maxPartitionBytes", String.valueOf(16L << 20))

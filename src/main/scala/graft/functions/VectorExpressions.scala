@@ -209,6 +209,83 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Two-level [[NearestCentroid]]: argmin over super-centroids (skipping
+    * empty groups, lowest index ties), then argmin within the winning
+    * group's member centroids (lowest ORIGINAL index ties) — O(√k·dims)
+    * per row for a k-centroid codebook grouped by
+    * [[graft.operators.Ivf.hierarchy]]. Codegen via a bound reference like
+    * the flat expression. */
+  case class TwoLevelNearestCentroid(
+      child: Expression,
+      supers: Array[Array[Double]],
+      blocks: Array[Array[Int]],
+      centroids: Array[Array[Double]]
+  ) extends UnaryExpression with Serializable {
+    require(supers.nonEmpty && centroids.nonEmpty, "empty hierarchical codebook")
+    require(blocks.exists(_.nonEmpty), "all super groups empty")
+
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"two_level_nearest_centroid expects array<float|double>, got $other")
+      }
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+
+    def compute(a: ArrayData): Int = {
+      val n = a.numElements()
+      val v = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        v(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i); i += 1
+      }
+      def d2(cent: Array[Double]): Double = {
+        val m = math.min(n, cent.length)
+        var d = 0.0; var j = 0
+        while (j < m) { val x = v(j) - cent(j); d += x * x; j += 1 }
+        d
+      }
+      var g = -1; var gd = Double.MaxValue
+      i = 0
+      while (i < supers.length) {
+        if (blocks(i).nonEmpty) {
+          val d = d2(supers(i))
+          if (d < gd) { gd = d; g = i }
+        }
+        i += 1
+      }
+      val blk = blocks(g)
+      var best = -1; var bd = Double.MaxValue
+      i = 0
+      while (i < blk.length) {
+        val d = d2(centroids(blk(i)))
+        if (d < bd) { bd = d; best = blk(i) }
+        i += 1
+      }
+      best
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("twoLevelNearestCentroid", this,
+        classOf[TwoLevelNearestCentroid].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Portable IVF coarse assignment: index of the md5-sign ±1 centroid with
     * the highest QUANTIZED-INTEGER dot product (lowest index wins ties) —
     * the same centroid family and `round(v[i]·1e6)::bigint` integer
@@ -217,11 +294,25 @@ object VectorExpressions {
     * accumulation order anywhere in the decision.
     *
     * The join formulation of the same rule explodes |V|·dims rows and
-    * shuffles them through a (id, c) aggregate; this is one O(nLists·dims)
-    * in-row pass — the signs are derived once per instance from
-    * `md5("ivf-<c>-<i>")` parity (a few KB; nLists beyond ~4096 should be a
-    * join, not an expression). Quantization matches Spark/DuckDB `round`
-    * half-away-from-zero; sums stay well inside long range. */
+    * shuffles them through a (id, c) aggregate; this is one in-row pass —
+    * the signs are derived once per instance from `md5("ivf-<c>-<i>")`
+    * parity. Quantization matches Spark/DuckDB `round`
+    * half-away-from-zero; sums stay well inside long range.
+    *
+    * Above [[VectorExpressions.twoLevelThreshold]] lists the rule is
+    * HIERARCHICAL — the fix for the measured O(n²) wall when nLists grows
+    * with the corpus (SemDeDup's k ~ N/L regime: a flat scan is
+    * O(nLists·dims) per row with nLists ∝ n, measured 11.2 s@500k →
+    * 458 s@5M on the grid): cells are grouped into `S = ceil(nLists/B)`
+    * contiguous blocks of `B = ceil(sqrt(nLists))` cells; a row first picks
+    * the best of S md5-sign SUPER-centroids (`md5("ivfs-<g>-<i>")` parity —
+    * an independent sign family), then scans only that block's B cell
+    * centroids — O((S+B)·dims) ≈ O(√nLists·dims) per row, so the whole
+    * assignment stage is O(n·√nLists·dims). Both levels are the same
+    * quantized-integer argmax (strict >, lowest index ties), so ANSI SQL
+    * replays the hierarchical rule exactly (q112's oracle does). The gate
+    * is part of the rule: a given nLists always resolves the same path, so
+    * results are reproducible for any fixed configuration. */
   case class PortableIvfAssign(child: Expression, nLists: Int, dims: Int)
       extends UnaryExpression with Serializable {
     require(nLists > 0, "need positive nLists")
@@ -248,6 +339,10 @@ object VectorExpressions {
       Array.tabulate(nLists)(c => Array.tabulate(dims)(i =>
         VectorExpressions.md5SignIvf(c, i + 1)))
 
+    @transient private lazy val superSigns: Array[Array[Byte]] =
+      Array.tabulate(VectorExpressions.superCells(nLists))(g =>
+        Array.tabulate(dims)(i => VectorExpressions.md5SignIvfSuper(g, i + 1)))
+
     def compute(a: ArrayData): Int = {
       val n = math.min(a.numElements(), dims)
       val xq = new Array[Long](n)
@@ -258,24 +353,123 @@ object VectorExpressions {
         xq(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
         i += 1
       }
-      var best = 0
-      var bestDot = Long.MinValue
-      var c = 0
-      while (c < nLists) {
-        val sg = signs(c)
-        var dot = 0L
-        var j = 0
-        while (j < n) { dot += sg(j) * xq(j); j += 1 }
-        if (dot > bestDot) { bestDot = dot; best = c } // strict > keeps lowest c on ties
-        c += 1
+      def argmaxDot(sgns: Array[Array[Byte]], from: Int, until: Int): Int = {
+        var best = from
+        var bestDot = Long.MinValue
+        var c = from
+        while (c < until) {
+          val sg = sgns(c)
+          var dot = 0L
+          var j = 0
+          while (j < n) { dot += sg(j) * xq(j); j += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c } // strict > keeps lowest index on ties
+          c += 1
+        }
+        best
       }
-      best
+      if (nLists <= VectorExpressions.twoLevelThreshold)
+        argmaxDot(signs, 0, nLists)
+      else {
+        val b = VectorExpressions.blockSize(nLists)
+        val g = argmaxDot(superSigns, 0, superSigns.length)
+        argmaxDot(signs, g * b, math.min(nLists, (g + 1) * b))
+      }
     }
 
     override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val self = ctx.addReferenceObj("portableIvfAssign", this, classOf[PortableIvfAssign].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Multi-probe companion of [[PortableIvfAssign]]: the `nprobe` best cells
+    * for a vector, as one in-row pass — the query side of the IVF-candidate
+    * k-NN join ([[graft.operators.Similarity.knnJoinIvf]]). Same quantized-
+    * integer dots and tie rule as the assignment; in the hierarchical regime
+    * the top `min(S, nprobe)` SUPER-cells are ranked first and only their
+    * blocks' cells are scanned (O(nprobe·√nLists·dims) per row), then the
+    * `nprobe` best scanned cells win. The single-probe head of the returned
+    * array always equals [[PortableIvfAssign]]'s cell for the same vector
+    * ONLY in the flat regime; hierarchically the probe may surface a better
+    * cell from a lower-ranked super — by construction a superset of the
+    * assignment's search space, which is what a probe list is for. */
+  case class PortableIvfProbe(child: Expression, nLists: Int, dims: Int, nprobe: Int)
+      extends UnaryExpression with Serializable {
+    require(nLists > 0, "need positive nLists")
+    require(dims > 0, "need positive dims")
+    require(nprobe > 0, "need positive nprobe")
+
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"portable_ivf_probe expects array<float|double>, got $other")
+      }
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+
+    @transient private lazy val signs: Array[Array[Byte]] =
+      Array.tabulate(nLists)(c => Array.tabulate(dims)(i =>
+        VectorExpressions.md5SignIvf(c, i + 1)))
+
+    @transient private lazy val superSigns: Array[Array[Byte]] =
+      Array.tabulate(VectorExpressions.superCells(nLists))(g =>
+        Array.tabulate(dims)(i => VectorExpressions.md5SignIvfSuper(g, i + 1)))
+
+    def compute(a: ArrayData): ArrayData = {
+      val n = math.min(a.numElements(), dims)
+      val xq = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val v = (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)) * 1e6
+        xq(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+        i += 1
+      }
+      def dotOf(sg: Array[Byte]): Long = {
+        var dot = 0L; var j = 0
+        while (j < n) { dot += sg(j) * xq(j); j += 1 }
+        dot
+      }
+      // (dot desc, index asc) top-p by bounded insertion — p is small
+      def topP(idx: Array[Int], dots: Array[Long], p: Int): Array[Int] = {
+        val m = math.min(p, idx.length)
+        val order = idx.indices.sortBy(k => (-dots(k), idx(k)))
+        order.take(m).map(idx(_)).toArray
+      }
+      if (nLists <= VectorExpressions.twoLevelThreshold) {
+        val dots = Array.tabulate(nLists)(c => dotOf(signs(c)))
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          topP(Array.tabulate(nLists)(identity), dots, nprobe))
+      } else {
+        val b = VectorExpressions.blockSize(nLists)
+        val sDots = Array.tabulate(superSigns.length)(g => dotOf(superSigns(g)))
+        val gs = topP(Array.tabulate(superSigns.length)(identity), sDots,
+          math.min(superSigns.length, nprobe))
+        val cells = gs.flatMap(g => (g * b) until math.min(nLists, (g + 1) * b))
+        val cDots = cells.map(c => dotOf(signs(c)))
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          topP(cells, cDots, nprobe))
+      }
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("portableIvfProbe", this, classOf[PortableIvfProbe].getName)
       nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
     }
 
@@ -294,14 +488,53 @@ object VectorExpressions {
     if (head % 2 == 0) 1 else -1
   }
 
-  /** Driver-side mirror of [[PortableIvfAssign]] for specs. */
+  /** Super-centroid sign family for the hierarchical rule: same parity
+    * recipe over `md5("ivfs-<g>-<i>")` — the distinct prefix makes the S
+    * super-centroids independent of the nLists cell centroids. */
+  private[graft] def md5SignIvfSuper(g: Int, i: Int): Byte = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ivfs-$g-$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val head = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    if (head % 2 == 0) 1 else -1
+  }
+
+  /** Flat-scan ceiling: at or below this many lists a full argmax is cheaper
+    * than the two-level search and the historical (q83/q73) rule applies
+    * unchanged. Part of the deterministic rule — see [[PortableIvfAssign]]. */
+  private[graft] val twoLevelThreshold: Int = 64
+
+  /** Hierarchical block size: B = ceil(sqrt(nLists)), computed in exact
+    * integer arithmetic so every engine derives the identical split. */
+  private[graft] def blockSize(nLists: Int): Int = {
+    var b = math.sqrt(nLists.toDouble).toInt
+    while (b.toLong * b < nLists) b += 1
+    b
+  }
+
+  /** Super-centroid count S = ceil(nLists / B); every g < S owns the
+    * non-empty contiguous cell block [g·B, min(nLists, (g+1)·B)). */
+  private[graft] def superCells(nLists: Int): Int = {
+    val b = blockSize(nLists)
+    (nLists + b - 1) / b
+  }
+
+  /** Driver-side mirror of [[PortableIvfAssign]] for specs — including the
+    * hierarchical rule above [[twoLevelThreshold]]. */
   private[graft] def portableIvfAssignLocal(v: Seq[Double], nLists: Int): Int = {
     val xq = v.map(x => (if (x >= 0) math.floor(x * 1e6 + 0.5)
                          else math.ceil(x * 1e6 - 0.5)).toLong)
-    (0 until nLists).map { c =>
-      val dot = xq.indices.map(j => md5SignIvf(c, j + 1) * xq(j)).sum
-      (dot, c)
-    }.maxBy { case (dot, c) => (dot, -c) }._2
+    def bestCell(range: Range, sign: (Int, Int) => Byte): Int =
+      range.map { c =>
+        val dot = xq.indices.map(j => sign(c, j + 1).toLong * xq(j)).sum
+        (dot, c)
+      }.maxBy { case (dot, c) => (dot, -c) }._2
+    if (nLists <= twoLevelThreshold) bestCell(0 until nLists, md5SignIvf)
+    else {
+      val b = blockSize(nLists)
+      val g = bestCell(0 until superCells(nLists), md5SignIvfSuper)
+      bestCell(g * b until math.min(nLists, (g + 1) * b), md5SignIvf)
+    }
   }
 
   /** Asymmetric-distance lookup for product-quantized codes: the sum over
@@ -354,8 +587,14 @@ object VectorExpressions {
     GraftBridge.toColumn(AdcDistance(GraftBridge.toExpression(code), tables))
   def nearest_centroid(v: Column, centroids: Array[Array[Double]]): Column =
     GraftBridge.toColumn(NearestCentroid(GraftBridge.toExpression(v), centroids))
+  def two_level_nearest_centroid(v: Column, supers: Array[Array[Double]],
+      blocks: Array[Array[Int]], centroids: Array[Array[Double]]): Column =
+    GraftBridge.toColumn(TwoLevelNearestCentroid(
+      GraftBridge.toExpression(v), supers, blocks, centroids))
   def portable_ivf_assign(v: Column, nLists: Int, dims: Int): Column =
     GraftBridge.toColumn(PortableIvfAssign(GraftBridge.toExpression(v), nLists, dims))
+  def portable_ivf_probe(v: Column, nLists: Int, dims: Int, nprobe: Int): Column =
+    GraftBridge.toColumn(PortableIvfProbe(GraftBridge.toExpression(v), nLists, dims, nprobe))
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.toColumn(DotProduct(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
   def l2_norm(v: Column): Column =

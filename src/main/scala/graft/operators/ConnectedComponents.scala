@@ -59,9 +59,28 @@ object ConnectedComponents {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     // symmetric closure once; both directions so min labels flow both ways
-    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val sym0 = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // Size the ITERATION exchanges from the materialized edge count — the
+    // one number every round's join and aggregate volume actually tracks —
+    // instead of the session partition constant (which under-partitions a
+    // large edge set every round: the same class of 5M-doc hazard the sized
+    // sh_h/pair exchanges fixed in Dedup.ngramJaccard). The count is a
+    // cheap post-checkpoint action. When sizing engages, the edge set is
+    // re-keyed on `dst` ONCE (and re-checkpointed in that layout — local
+    // blocks in, local blocks out, no recomputation): LogicalRDD preserves
+    // the hash partitioning, so every round's edge⋈labels join re-exchanges
+    // only the skinny label frame while the big edge side stays put.
+    val m = sym0.count()
+    val floor = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // ~48 B of join/sort state per (src, dst) edge row, ~32 MB per task
+    val parts = math.max(floor,
+      math.min(65536L, m * 48L / (32L << 20)).toInt)
+    val sym =
+      if (parts > floor)
+        sym0.repartition(parts, col("dst")).localCheckpoint(true)
+      else sym0
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
@@ -70,10 +89,16 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = sym
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
+      val propagated = sym
+        .join(labels.withColumnRenamed("id", "dst").hint("SHUFFLE_HASH"), "dst")
         .select(col("src").as("id"), col("rep"))
         .unionByName(labels)
+      // pre-key the union on id at the SAME sized count so the min-label
+      // aggregate's exchange is priced by the edge volume too (its input is
+      // one rep candidate per edge endpoint plus the labels)
+      val keyed =
+        if (parts > floor) propagated.repartition(parts, col("id")) else propagated
+      val next = keyed
         .groupBy(col("id"))
         .agg(min(col("rep")).as("rep"))
         .localCheckpoint(true)

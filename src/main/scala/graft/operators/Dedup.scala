@@ -567,7 +567,11 @@ object Dedup {
     // each, ~140 GB of managed-spill accounting). Over-estimating is
     // benign (smaller, more numerous tasks); the floor keeps small frames
     // at session parallelism.
-    val textEst = tf.queryExecution.optimizedPlan.stats.sizeInBytes
+    // ANALYZED-plan stats: same size-only file figures as `optimizedPlan`
+    // would yield, without re-running the optimizer batches per call on top
+    // of the main query's own optimization (the r9 q23 driver-side
+    // regression at sf0.1)
+    val textEst = tf.queryExecution.analyzed.stats.sizeInBytes
     val large = textEst > 256L * 1024 * 1024
     val shParts = {
       val floor = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -712,6 +716,12 @@ object Dedup {
     * (len − q + 1) − maxDist·q ≥ 1 shared grams — at maxLen 40, q=5,
     * maxDist 3 that is 21; strings shorter than q never block.
     *
+    * Cache note: above the sizing gate the blocking stream is persisted
+    * (MEMORY_AND_DISK) so the volume job, both self-join sides, and the
+    * verify join share one computation; the entry lives in the session
+    * CacheManager until evicted — sessions issuing many large invocations
+    * should `spark.catalog.clearCache()` between them.
+    *
     * Returns (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist. */
   def editDistancePairs(
       df: DataFrame,
@@ -818,12 +828,6 @@ object Dedup {
       .drop("prev")
   }
 
-  /** The (id, g) blocking stream of [[editDistanceCandidates]] BEFORE the
-    * pair join, exposed so benchmarks can price a configuration without
-    * paying for it: the pre-distinct candidate volume is exactly
-    * Σ_g C(count_g, 2) over this stream — one aggregate, no join — which
-    * is how the grid records the df-gate blow-up at corpus sizes where
-    * materializing the pairs is the very cost being demonstrated. */
   /** Sized width for the (id, g) gram exchanges, or 0 for the legacy
     * session-constant shape on small inputs. The gram stream's exact upper
     * bound is Σ max(len(s) − q + 1, 0) — one skinny aggregate over the
@@ -847,6 +851,12 @@ object Dedup {
     }
   }
 
+  /** The (id, g) blocking stream of [[editDistanceCandidates]] BEFORE the
+    * pair join, exposed so benchmarks can price a configuration without
+    * paying for it: the pre-distinct candidate volume is exactly
+    * Σ_g C(count_g, 2) over this stream — one aggregate, no join — which
+    * is how the grid records the df-gate blow-up at corpus sizes where
+    * materializing the pairs is the very cost being demonstrated. */
   private[graft] def editDistanceBlocked(
       t: DataFrame,
       maxTrigramFreq: Int,

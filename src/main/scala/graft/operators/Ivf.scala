@@ -39,6 +39,76 @@ object Ivf {
     s
   }
 
+  /** Two-level search structure over a trained codebook — the learned twin
+    * of the portable hierarchical rule
+    * ([[graft.functions.VectorExpressions.PortableIvfAssign]]): the k
+    * centroids are grouped into `S = ceil(sqrt(k))` clusters by a tiny
+    * driver-side k-means over the CENTROIDS themselves, and a lookup scans
+    * the S super-centroids then only the winning group's members —
+    * O(√k·dims) instead of O(k·dims) per row. Used by
+    * [[Similarity.semanticDedupKmeans]] above the flat-scan threshold,
+    * where k ∝ n turns flat assignment into the measured O(n²) stage.
+    * Unlike the contiguous-block portable split, groups here are SEMANTIC
+    * (nearby centroids share a super-cell), so the two-level argmin tracks
+    * the flat argmin closely — the hierarchical-parity spec measures the
+    * agreement. */
+  final case class Hier(supers: Array[Array[Double]], blocks: Array[Array[Int]],
+      cb: Codebook) {
+    /** Driver-side mirror of the scan expression: argmin over non-empty
+      * super groups (lowest g ties), then argmin within the winner's member
+      * block (lowest centroid index ties). */
+    def nearest(v: Array[Double]): Int = {
+      var g = -1; var gd = Double.MaxValue
+      var i = 0
+      while (i < supers.length) {
+        if (blocks(i).nonEmpty) {
+          val d = sqDist(supers(i), v)
+          if (d < gd) { gd = d; g = i }
+        }
+        i += 1
+      }
+      var best = -1; var bd = Double.MaxValue
+      for (c <- blocks(g)) {
+        val d = sqDist(cb.centroids(c), v)
+        if (d < bd) { bd = d; best = c }
+      }
+      best
+    }
+  }
+
+  /** Group a codebook's centroids into ceil(sqrt(k)) super-cells with a
+    * deterministic driver-side k-means (init = every ceil(k/S)-th centroid,
+    * fixed iteration count; k centroids × a few dims — microseconds). */
+  def hierarchy(cb: Codebook, iters: Int = 10): Hier = {
+    val k = cb.k
+    val s = { var b = math.sqrt(k.toDouble).toInt; while (b.toLong * b < k) b += 1; b }
+    val dims = cb.centroids.head.length
+    var supers = Array.tabulate(s)(j => cb.centroids((j.toLong * k / s).toInt).clone())
+    var assign = new Array[Int](k)
+    (1 to iters).foreach { _ =>
+      assign = cb.centroids.map { c =>
+        var g = 0; var gd = Double.MaxValue
+        var i = 0
+        while (i < s) { val d = sqDist(supers(i), c); if (d < gd) { gd = d; g = i }; i += 1 }
+        g
+      }
+      val next = Array.fill(s)(new Array[Double](dims))
+      val cnt = new Array[Int](s)
+      for (ci <- 0 until k) {
+        val g = assign(ci); cnt(g) += 1
+        val c = cb.centroids(ci)
+        var j = 0; while (j < c.length) { next(g)(j) += c(j); j += 1 }
+      }
+      for (g <- 0 until s) {
+        if (cnt(g) > 0) { var j = 0; while (j < dims) { next(g)(j) /= cnt(g); j += 1 } }
+        else next(g) = supers(g) // empty group keeps its centroid
+      }
+      supers = next
+    }
+    val blocks = Array.tabulate(s)(g => (0 until k).filter(assign(_) == g).toArray)
+    Hier(supers, blocks, cb)
+  }
+
   private def toDoubleArray(r: Row, field: String): Array[Double] =
     r.getAs[scala.collection.Seq[Float]](field).iterator.map(_.toDouble).toArray
 

@@ -23,6 +23,28 @@ import graft.functions.HashExpressions
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The raised 2 GB broadcast gate the vector attaches use, CAPPED at the
+    * session's `spark.driver.maxResultSize` (0 = unlimited): the broadcast
+    * collect passes the vector table through the driver, so a gate above
+    * the collect ceiling turns a completable SHUFFLE_HASH plan into a
+    * hard driver abort on stock configs (maxResultSize defaults to 1 GB).
+    * Below the cap the attach falls back to SHUFFLE_HASH with a log note
+    * instead of failing — sessions that want the broadcast path at 5M×64d
+    * scale must raise maxResultSize (the bench sessions set 4 g). */
+  private def vectorBroadcastGate(df: DataFrame): Long = {
+    val want = 2L << 30
+    val mrs = df.sparkSession.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    if (mrs <= 0 || mrs >= want) want
+    else {
+      log.info(s"vector broadcast gate capped at spark.driver.maxResultSize=" +
+        s"$mrs bytes (raise it to 2g+ to keep large vector attaches broadcast)")
+      mrs
+    }
+  }
+
   /** Hyperplane count sized so LSH bucket occupancy stays O(1): with
     * `planes = ceil(log2(n))` there are ≥ n buckets per table, so expected
     * candidates per probe row stay constant as the corpus grows — the knob
@@ -110,6 +132,18 @@ object Similarity {
     * that possible (broadcast vector attach, sized id_a exchange) and the
     * driver-memory note.
     *
+    * Operational notes for large corpora: (1) the vector broadcast collects
+    * through the driver, so sessions above ~1 GB of vectors should raise
+    * `spark.driver.maxResultSize` (≥ the vector-table size) — otherwise the
+    * gate self-caps and the attach degrades to SHUFFLE_HASH; (2) above the
+    * 256 MB estimate threshold the skinny bucket index is persisted
+    * (MEMORY_AND_DISK) and the entry lives in the session CacheManager
+    * until evicted — callers issuing many large invocations in one session
+    * should `spark.catalog.clearCache()` (or unpersist via the catalog)
+    * between them; (3) past ~4M×64d per executor the broadcast attach is
+    * the operator's measured ceiling — use [[knnJoinIvf]], whose pair
+    * stage ships PQ codes and never re-exchanges vectors.
+    *
     * Returns (id_a, id_b, cosine, rank) with rank 1..k per id_a. */
   def knnJoin(
       df: DataFrame,
@@ -156,8 +190,12 @@ object Similarity {
     // scan runs twice), and the candidate-volume job below makes a third
     // pass. The cache entry lives in the session CacheManager until
     // evicted; same laziness caveat as Dedup.minhashLsh — above the
-    // threshold, CONSTRUCTING this frame runs one eager job.
-    val baseEst = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    // threshold, CONSTRUCTING this frame runs one eager job. The estimate
+    // reads the ANALYZED plan: the size-only stats visitor propagates the
+    // same file-size figures either way, but `optimizedPlan` would run the
+    // whole optimizer batch list per call — pure driver latency on top of
+    // the main query's own optimization, visible at sf0.1 scale.
+    val baseEst = base.queryExecution.analyzed.stats.sizeInBytes
     val largeCorpus = baseEst > 256L * 1024 * 1024
     val rawBuckets = base.select(col("id"),
       posexplode(hyperplaneBuckets(col("v"), planes, tables)))
@@ -196,8 +234,11 @@ object Similarity {
     // restricted per cell, or 8–16 B codes instead of full vectors on the
     // pair stream) is the documented 100 TB path. Sessions must size
     // `spark.driver.maxResultSize` for the broadcast collect (the vector
-    // table passes through the driver — 1.8 GB at 5M × 64d).
-    val attach = Stage.attachSide(base, maxBroadcastBytes = 2L << 30)
+    // table passes through the driver — 1.8 GB at 5M × 64d); on stock
+    // configs the gate self-caps at maxResultSize and falls back to
+    // SHUFFLE_HASH rather than aborting the collect (see
+    // [[vectorBroadcastGate]]).
+    val attach = Stage.attachSide(base, maxBroadcastBytes = vectorBroadcastGate(base))
     val scored = candidates
       .join(attach.as("ba"), col("id_a") === col("ba.id"))
       .join(attach.as("bb"), col("id_b") === col("bb.id"))
@@ -307,6 +348,154 @@ object Similarity {
     topKStageWindow(scored, k)
   }
 
+  /** Batch k-NN join on an IVF-candidate index with PQ-coded in-cell
+    * scoring — the measured handoff past [[knnJoin]]'s broadcast-attach
+    * ceiling (~executor memory of vectors; at 5M×64d the LSH path needs a
+    * 2× heap and a 1.8 GB driver collect). Three decisions make this the
+    * 100 TB shape:
+    *
+    *  - **Candidates come from probed IVF cells, not LSH buckets.** Every
+    *    vector is assigned one cell by the hierarchical md5-sign coarse
+    *    quantizer ([[graft.functions.VectorExpressions.PortableIvfAssign]],
+    *    O(√nLists·dims)/row); the probe side explodes to its `nprobe` best
+    *    cells ([[graft.functions.VectorExpressions.PortableIvfProbe]]).
+    *    Candidate volume is n·nprobe·E[occupancy], and occupancy is a
+    *    direct dial (`nLists ≈ n/occ`) rather than an emergent property of
+    *    bucket collisions.
+    *  - **There is NO candidate pair stream.** Each cell's members are
+    *    collected once into a directory row (cell → array of (id, norm,
+    *    PQ code, vector)); a probe row meets its cell's directory in ONE
+    *    sized SHUFFLE_HASH join and the whole per-candidate pipeline — PQ
+    *    shortlist, exact rescore, per-cell top-k — runs inside a scalar
+    *    expression ([[graft.functions.AnnExpressions.IvfPqCellTopK]]).
+    *    The exchanges are the probe rows (n·nprobe skinny+vector) and the
+    *    directory (n member payloads) — both linear in the corpus, never
+    *    in candidates — and no vector-laden stream ever RE-exchanges,
+    *    the measured 5M wall of every attach-to-pairs design.
+    *  - **PQ codes gate the exact work.** Per probe×cell row the expression
+    *    builds the query's ADC tables once (m·ks·subDim multiplies — less
+    *    than one exact member evaluation) and scores each member with m
+    *    table lookups; only the `kCand` shortlist gets exact cosines. The
+    *    codebook is k-means-trained on a deterministic xxhash64 sample
+    *    ([[Pq.train]]), so like the native IVF/PQ paths this operator is
+    *    spec-gated on recall (planted-neighbor + vs-exact specs) rather
+    *    than DuckDB-oracled.
+    *
+    * At extreme scale the directory's vector payload can move to a second
+    * cell-keyed join (codes-only directory for the shortlist, vectors only
+    * for the ≤ kCand survivors); the single-directory form keeps one join
+    * and is right while n·(4·dims) bytes per executor-share of cells is
+    * affordable. The cell distribution inherits the quantizer's balance —
+    * near-uniform on the synthetic grid corpus; a skewed embedding space
+    * concentrates directory rows exactly as it would concentrate any
+    * cluster index, and `nLists` is the dial.
+    *
+    * The skinny (id, v, norm) base is persisted (it feeds the sample, the
+    * directory, and the probe side); the cache entry lives until session
+    * eviction — long-lived sessions should `spark.catalog.clearCache()`
+    * between large invocations.
+    *
+    * Returns (id_a, id_b, cosine, rank), rank 1..k per id_a by exact
+    * rounded cosine — same contract as [[knnJoin]]/[[knnJoinExact]]. */
+  def knnJoinIvf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 0,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ks: Int = 16,
+      kCand: Int = 0,
+      dims: Int = 64
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val base = Stage.ensureWide(
+        df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+      .withColumn("norm", l2norm(col("v")))
+      .filter(col("norm") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = math.max(1L, base.count())
+    val lists = if (nLists > 0) nLists else math.max(8L, n / 64L).toInt
+    val cand = math.max(k, if (kCand > 0) kCand else 4 * k)
+    // deterministic training sample: ~64k vectors regardless of corpus size
+    val sampleEvery = math.max(1L, n / 65536L)
+    val sample =
+      if (sampleEvery <= 1L) base
+      else base.filter(pmod(xxhash64(col("id")), lit(sampleEvery)) === 0)
+    val pq = Pq.train(sample.select(col("v")), "v", dims, m, ks, iters = 3)
+    val codes = array((0 until pq.m).map(s =>
+      graft.functions.VectorExpressions.nearest_centroid(
+        slice(col("v"), s * pq.subDim + 1, pq.subDim), pq.codebooks(s).centroids)): _*)
+    val member = base.select(
+      graft.functions.VectorExpressions.portable_ivf_assign(col("v"), lists, dims)
+        .as("cell"),
+      struct(col("id"), col("norm"), codes.as("code"), col("v")).as("mem"))
+    val floor = spark.sessionState.conf.numShufflePartitions
+    // directory bytes are known exactly from n (no Generate blinding the
+    // estimator): id + norm + m code ints + dims floats + struct overhead
+    val dirParts = math.max(floor,
+      math.min(65536L, n * (dims * 4L + m * 4L + 60L) * 2 / (32L << 20)).toInt)
+    val dir = member.repartition(dirParts, col("cell"))
+      .groupBy(col("cell"))
+      .agg(collect_list(col("mem")).as("members"))
+    val probe = base.select(col("id").as("id_a"), col("v").as("v_a"),
+      explode(graft.functions.VectorExpressions
+        .portable_ivf_probe(col("v"), lists, dims, nprobe)).as("cell"))
+    val cb: Array[Array[Array[Double]]] = pq.codebooks.map(_.centroids)
+    val perCell = probe.join(dir.hint("SHUFFLE_HASH"), Seq("cell"))
+      .select(col("id_a"),
+        graft.functions.AnnExpressions.ivfpq_cell_topk(col("id_a"), col("v_a"),
+          col("members"), k, cand, cb, pq.subDim).as("tk"))
+    // build-side top-1 assignment puts each id_b in exactly one cell, so the
+    // exploded per-cell winners carry no cross-cell duplicates — the merge
+    // is one sized rank exchange over ≤ n·nprobe·k skinny rows
+    val rankParts = math.max(floor,
+      math.min(65536L, n * nprobe * k * 80L / (48L << 20)).toInt)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
+    perCell.select(col("id_a"), explode(col("tk")).as("nb"))
+      .select(col("id_a"), col("nb.id").as("id_b"), col("nb.cosine").as("cosine"))
+      .repartition(rankParts, col("id_a"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Hard-negative mining on the [[knnJoinIvf]] candidate engine — the
+    * scale path beside the exact [[hardNegatives]] baseline: mine each
+    * anchor's `oversample·k` approximate nearest neighbors, keep those with
+    * a DIFFERENT label, re-rank, cut at k. Approximate in two honest ways:
+    * candidates come from probed cells (ANN recall), and an anchor whose
+    * `oversample·k` nearest are ALL same-label yields fewer than k rows —
+    * raise `oversample` when labels are few and clustered. Returns the
+    * [[hardNegatives]] schema (id_a, label_a, id_b, label_b, cosine, rank). */
+  def hardNegativesAnn(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      nLists: Int = 0,
+      nprobe: Int = 4,
+      oversample: Int = 4,
+      dims: Int = 64
+  ): DataFrame = {
+    val nn = knnJoinIvf(df, idCol, vecCol, k = oversample * k,
+      nLists = nLists, nprobe = nprobe, dims = dims)
+    val labels = df.select(col(idCol).cast("long").as("id"),
+      col(labelCol).as("lbl"))
+    val att = Stage.attachSide(labels)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
+    nn.join(att.as("la"), col("id_a") === col("la.id"))
+      .join(att.as("lb"), col("id_b") === col("lb.id"))
+      .filter(col("la.lbl") =!= col("lb.lbl"))
+      .select(col("id_a"), col("la.lbl").as("label_a"),
+        col("id_b"), col("lb.lbl").as("label_b"), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Hard-negative mining for contrastive training: each anchor's top-k
     * most-similar vectors carrying a DIFFERENT label — the examples a
     * metric-learning objective learns the most from. Exact all-pairs
@@ -413,12 +602,21 @@ object Similarity {
     * components (same family as [[portableIvfTopK]]/q73), and the cosine
     * gate compares ROUNDED values like q63.
     *
-    * Scale shape: assignment is one in-row O(nLists·dims) expression (no
-    * dim explode, no shuffle); the candidate join ships only (id, cluster)
-    * and vectors attach to pairs by id afterwards ([[Stage.attachSide]],
-    * one wire crossing per embedding); the only O(·²) term is within-
-    * cluster pair volume, bounded by growing nLists with corpus size so
-    * expected cluster size stays fixed (SemDeDup's own regime: k ~ N/L). */
+    * Scale shape: assignment is one in-row expression (no dim explode, no
+    * shuffle) — O(√nLists·dims) per row above the flat-scan threshold via
+    * the hierarchical md5-sign rule
+    * ([[graft.functions.VectorExpressions.PortableIvfAssign]]), which is
+    * what keeps the stage O(n·√nLists·dims) under SemDeDup's own nLists ∝ n
+    * regime (a flat scan measured 11.2 s@500k → 458 s@5M — O(n²)); the
+    * candidate join ships only (id, cluster) and vectors attach to pairs by
+    * id afterwards ([[Stage.attachSide]], one wire crossing per embedding);
+    * the only O(·²) term is within-cluster pair volume, bounded by growing
+    * nLists with corpus size so expected cluster size stays fixed.
+    *
+    * Driver note: above ~1 GB of vectors the pair attach wants
+    * `spark.driver.maxResultSize` raised (broadcast collect); the gate
+    * self-caps at the session value and degrades to SHUFFLE_HASH otherwise
+    * (see [[vectorBroadcastGate]]). */
   def semanticDedup(
       df: DataFrame,
       idCol: String,
@@ -441,7 +639,15 @@ object Similarity {
     * (in-row `NearestCentroid` assignment, skinny pair join). Iterative
     * float k-means is not ANSI-replayable, so like the native IVF/PQ
     * paths this variant is spec-gated — against the same brute-force
-    * leader reference, with the portable q83 twin as the oracle anchor. */
+    * leader reference, with the portable q83 twin as the oracle anchor.
+    *
+    * Above the flat-scan threshold (64 centroids — the same boundary as
+    * the portable rule) assignment goes two-level through
+    * [[Ivf.hierarchy]]: super-centroids learned over the codebook itself,
+    * then only the winning group's members scanned — O(√k·dims) per row,
+    * the fix for k ∝ n turning the flat scan O(n²). Semantic grouping
+    * (unlike the portable rule's contiguous blocks) keeps the two-level
+    * argmin close to the flat argmin; the parity spec measures it. */
   def semanticDedupKmeans(
       df: DataFrame,
       idCol: String,
@@ -453,9 +659,17 @@ object Similarity {
   ): DataFrame = {
     val codebook = Ivf.train(df.select(col(vecCol)), vecCol, k, iters, seed)
     val base = semanticBase(df, idCol, vecCol)
-    val assigned = base.select(col("id"),
-      graft.functions.VectorExpressions
-        .nearest_centroid(col("v"), codebook.centroids).as("c"))
+    val assignExpr =
+      if (k <= graft.functions.VectorExpressions.twoLevelThreshold)
+        graft.functions.VectorExpressions
+          .nearest_centroid(col("v"), codebook.centroids)
+      else {
+        val h = Ivf.hierarchy(codebook)
+        graft.functions.VectorExpressions
+          .two_level_nearest_centroid(col("v"), h.supers, h.blocks,
+            codebook.centroids)
+      }
+    val assigned = base.select(col("id"), assignExpr.as("c"))
     leaderDedup(base, assigned, tau)
   }
 
@@ -481,8 +695,10 @@ object Similarity {
     // outright disk overrun) while the vector table itself is 1.8 GB.
     // Broadcast is the only attach whose exchange volume does not scale
     // with pair volume; past executor memory, shrink E[cluster] (nLists ∝ n
-    // keeps pairs linear) or move to the PQ-coded variant.
-    val attach = Stage.attachSide(base, maxBroadcastBytes = 2L << 30)
+    // keeps pairs linear) or move to the PQ-coded variant. The gate
+    // self-caps at spark.driver.maxResultSize ([[vectorBroadcastGate]]) so
+    // stock configs degrade to SHUFFLE_HASH instead of aborting.
+    val attach = Stage.attachSide(base, maxBroadcastBytes = vectorBroadcastGate(base))
     val dropped = pairs
       .join(attach.as("pa"), col("id_a") === col("pa.id"))
       .join(attach.as("pb"), col("id_b") === col("pb.id"))

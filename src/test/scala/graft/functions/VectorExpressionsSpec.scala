@@ -69,6 +69,53 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(rows.map(_.getInt(2)).distinct.length > 1)
   }
 
+  test("hierarchical portable IVF assignment (nLists > 64) matches the mirror") {
+    // nLists = 128 crosses the two-level threshold: B = 12, S = 11
+    assert(VectorExpressions.blockSize(128) == 12)
+    assert(VectorExpressions.superCells(128) == 11)
+    val rows = vecs.select($"vec_id", $"embedding",
+      portable_ivf_assign($"embedding", 128, 64).as("c")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val c = r.getInt(2)
+      assert(c == VectorExpressions.portableIvfAssignLocal(v, 128),
+        s"hier assignment mismatch for vec ${r.getLong(0)}")
+      // the assigned cell really is the best of ITS block (the two-level
+      // contract: flat-best within the selected super's contiguous block)
+      val xq = v.map(x => (if (x >= 0) math.floor(x * 1e6 + 0.5)
+                           else math.ceil(x * 1e6 - 0.5)).toLong)
+      def dot(cc: Int) = xq.indices.map(j =>
+        VectorExpressions.md5SignIvf(cc, j + 1).toLong * xq(j)).sum
+      val blockStart = (c / 12) * 12
+      val block = blockStart until math.min(128, blockStart + 12)
+      assert(block.map(cc => (dot(cc), cc)).maxBy(t => (t._1, -t._2))._2 == c)
+    }
+    assert(rows.map(_.getInt(2)).distinct.length > 1)
+  }
+
+  test("portable IVF probe: head equals the assignment, cells are distinct/ranked") {
+    for (lists <- Seq(8, 128)) {
+      val rows = vecs.select($"embedding",
+        portable_ivf_probe($"embedding", lists, 64, 4).as("p"),
+        portable_ivf_assign($"embedding", lists, 64).as("c")).collect()
+      rows.foreach { r =>
+        val p = r.getSeq[Int](1)
+        assert(p.length == 4 && p.distinct.length == 4, s"probe list $p")
+        assert(p.forall(c => c >= 0 && c < lists))
+        // with nprobe = 1 both rules pick through the same top super, so
+        // the single probe IS the assignment; with nprobe > 1 the flat
+        // regime's head is still the assignment by construction
+        if (lists == 8) assert(p.head == r.getInt(2), s"flat head ${p.head} != ${r.getInt(2)}")
+      }
+      val one = vecs.select(
+        portable_ivf_probe($"embedding", lists, 64, 1).as("p"),
+        portable_ivf_assign($"embedding", lists, 64).as("c")).collect()
+      one.foreach(r => assert(r.getSeq[Int](0).head == r.getInt(1),
+        s"nprobe=1 probe != assignment at nLists=$lists"))
+    }
+  }
+
   test("SQL registration: dot_product / l2_norm callable from SQL") {
     VectorExpressions.register(spark)
     vecs.createOrReplaceTempView("emb")

@@ -533,6 +533,63 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("knnJoinIvf: planted duplicates are each other's rank-1 neighbor") {
+    val emb = sf(dir, "embeddings")
+    val dup = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding", $"label")
+    val all = emb.unionByName(dup)
+    val nn = Similarity.knnJoinIvf(all, "vec_id", "embedding", k = 3,
+        nLists = 8, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect()
+    (0 until 3).foreach { i =>
+      val top = nn.filter(p => p._1 == i && p._4 == 1)
+      assert(top.nonEmpty && top.head._2 == i + 10000 && top.head._3 > 0.999,
+        s"vector $i's rank-1 neighbor should be its planted copy, got ${top.toSeq}")
+    }
+    nn.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
+  test("knnJoinIvf: recall vs the exact join; cosines are exact for found pairs") {
+    val emb = sf(dir, "embeddings").cache()
+    val exact = Similarity.knnJoinExact(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    val exactPairs = exact.map(r => (r._1, r._2)).toSet
+    val exactCos = exact.map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Similarity.knnJoinIvf(emb, "vec_id", "embedding", k = 3,
+        nLists = 8, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect()
+    val ivfPairs = ivf.map(r => (r._1, r._2)).toSet
+    val recall = (exactPairs & ivfPairs).size.toDouble / exactPairs.size
+    info(f"knnJoinIvf recall@3 vs exact = $recall%.3f (nLists=8, nprobe=4)")
+    assert(recall >= 0.5, s"recall $recall collapsed")
+    // every returned cosine is the EXACT rounded cosine (the PQ code only
+    // shortlists; scores come from the full vectors)
+    ivf.foreach { r =>
+      exactCos.get((r._1, r._2)).foreach(c =>
+        assert(c == r._3, s"approximate cosine leaked: ${(r._1, r._2)} $c vs ${r._3}"))
+    }
+  }
+
+  test("hardNegativesAnn: a near-identical different-label vector is the top negative") {
+    val emb = sf(dir, "embeddings")
+    val dup = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding",
+        lit(-7).as("label")) // embeddings.label is INTEGER; -7 never occurs
+    val all = emb.unionByName(dup)
+    val out = Similarity.hardNegativesAnn(all, "vec_id", "embedding", "label",
+        k = 3, nLists = 8, nprobe = 4)
+      .select($"id_a", $"label_a", $"id_b", $"label_b", $"cosine", $"rank")
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+    (0 until 3).foreach { i =>
+      val top = out.filter(r => r._1 == i && r._6 == 1)
+      assert(top.nonEmpty && top.head._3 == i + 10000 && top.head._5 > 0.999,
+        s"anchor $i's top hard negative should be its different-label copy, got ${top.toSeq}")
+    }
+    out.foreach(r => assert(r._2 != r._4, s"same-label pair leaked: $r"))
+  }
+
   test("knnJoin: bounded-heap aggregate top-k ≡ window top-k, row for row") {
     val emb = sf(dir, "embeddings")
     val win = Similarity.knnJoin(emb, "vec_id", "embedding", k = 4)
@@ -1020,6 +1077,101 @@ class OperatorsSpec extends SparkSpec {
     // collapse to a handful of representatives
     val keptAnchored = (1L to 32L).count(id => got(id)._2 == 1L)
     assert(keptAnchored <= 8, s"anchored corpus barely deduped: $keptAnchored kept")
+  }
+
+  test("semanticDedup: hierarchical regime (nLists=128) agrees with the brute-force reference") {
+    // same randomized-parity harness as the flat spec, but nLists crosses
+    // the 64-list threshold so assignment runs the two-level md5-sign rule
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 1 to 2) {
+      val n = 40 + rnd.nextInt(30)
+      val base = Array.fill(6)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+      val vecs = (1L to n.toLong).map { id =>
+        val v =
+          if (id % 17 == 0) Array.fill(64)(0.0f)
+          else if (rnd.nextBoolean()) {
+            val b = base(rnd.nextInt(6))
+            b.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+          } else Array.fill(64)(rnd.nextFloat() * 2 - 1)
+        (id, v.toSeq)
+      }
+      val got = graft.operators.Similarity
+        .semanticDedup(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          nLists = 128, tau = 0.9)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val withMeta = vecs.flatMap { case (id, v) =>
+        val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+        if (norm > 0)
+          Some((id, v, norm, graft.functions.VectorExpressions
+            .portableIvfAssignLocal(v.map(_.toDouble), 128)))
+        else None
+      }
+      val expected = withMeta.map { case (id, v, norm, c) =>
+        val dropped = withMeta.exists { case (id2, v2, norm2, c2) =>
+          id2 < id && c2 == c && {
+            var dot = 0.0
+            var i = 0
+            while (i < 64) { dot += v2(i).toDouble * v(i).toDouble; i += 1 }
+            round6(dot / (norm2 * norm)) >= 0.9
+          }
+        }
+        id -> ((c.toLong, if (dropped) 0L else 1L))
+      }.toMap
+      assert(got == expected,
+        s"trial $trial (n=$n): ${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
+    }
+  }
+
+  test("semanticDedupKmeans: hierarchical assignment (k > 64) mirrors Ivf.hierarchy exactly") {
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val rnd = new scala.util.Random(4177)
+    val anchors = Array.fill(10)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val vecs = (1L to 300L).map { id =>
+      val v =
+        if (id <= 200) anchors(((id - 1) % 10).toInt)
+          .map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+        else Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      (id, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val k = 100 // > the 64-centroid flat-scan threshold → two-level path
+    val got = graft.operators.Similarity
+      .semanticDedupKmeans(df, "vec_id", "embedding", k = k, iters = 3, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val cb = graft.operators.Ivf.train(df.select(col("embedding")), "embedding",
+      k = k, iters = 3, seed = 1L)
+    val hier = graft.operators.Ivf.hierarchy(cb)
+    assert(hier.blocks.map(_.length).sum == k, "hierarchy must partition the codebook")
+    // agreement with the flat argmin is a quality diagnostic (semantic
+    // grouping should track it closely), exact parity is with the MIRROR
+    val flatAgree = vecs.count { case (_, v) =>
+      val vd = v.map(_.toDouble).toArray
+      hier.nearest(vd) == cb.nearest(vd, 1).head
+    } / vecs.length.toDouble
+    info(f"two-level vs flat argmin agreement = $flatAgree%.3f (k=$k)")
+    val withMeta = vecs.map { case (id, v) =>
+      val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      (id, v, norm, hier.nearest(v.map(_.toDouble).toArray))
+    }
+    val expected = withMeta.map { case (id, v, norm, c) =>
+      val dropped = withMeta.exists { case (id2, v2, norm2, c2) =>
+        id2 < id && c2 == c && {
+          var dot = 0.0
+          var i = 0
+          while (i < 64) { dot += v2(i).toDouble * v(i).toDouble; i += 1 }
+          round6(dot / (norm2 * norm)) >= 0.9
+        }
+      }
+      id -> ((c.toLong, if (dropped) 0L else 1L))
+    }.toMap
+    assert(got == expected,
+      s"${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
+    assert(flatAgree >= 0.6, s"two-level grouping degenerated: $flatAgree")
   }
 
   test("compressionSignal: repetitive text compresses far below high-entropy text") {
