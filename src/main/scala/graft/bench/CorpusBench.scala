@@ -301,6 +301,23 @@ object CorpusBench {
         ConnectedComponents.components(
           Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3), "id_a", "id_b"),
         """"impl":"sized_sh_exchange+sized_cc_loop"""")
+      // the LOOP's own cost, decomposed: the dedup_clusters row INCLUDES
+      // edge discovery (the embedded ngramJaccard — whose shuffle/spill is
+      // the ngram_posting row's), so it can never spill less than the
+      // discovery stage does. This row materializes the edges once and
+      // measures components() alone — the number that shows the sized
+      // iteration exchanges (edge set re-keyed once, skinny labels moving
+      // per round) holding at 5M
+      if (opFilter.forall(_.contains("dedup_clusters_only"))) {
+        val edgePath = s"$stageDir/edges_$n"
+        if (!Files.exists(Paths.get(edgePath)))
+          Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.3)
+            .write.mode("overwrite").parquet(edgePath)
+        val edges = spark.read.parquet(edgePath)
+        benchAct("dedup_clusters_only", () =>
+          ConnectedComponents.components(edges, "id_a", "id_b").count(),
+          """"impl":"sized_cc_loop","input":"materialized_edges"""")
+      }
       // the adversarial-diameter variant on the same edges — recorded so the
       // min-label default is a measured choice, not an assumption (near-dup
       // graphs are shallow, so min-label's cheaper rounds should win here;
@@ -451,6 +468,16 @@ object CorpusBench {
           nLists = math.max(8, (n / 64).toInt), nprobe = 4)),
         s""""impl":"cell_directory","planted":${6 * (n / 20)}""",
         valueField = "recovered")
+      // the near-tie knob's price and recall: cellsPerSuper=2 doubles the
+      // probed cells (2 per super) to cover block-local argmax flips — the
+      // one miss mechanism left after the mirrored probe rule (measured
+      // 98.0-98.2% planted recall at c=1)
+      for ((p, c) <- Seq((4, 2), (4, 3), (4, 4), (6, 2)))
+        benchAct(s"knn_join_ivf_recall_p${p}c$c", () =>
+          plantedPairs(Similarity.knnJoinIvf(embs, "vec_id", "embedding", k = 5,
+            nLists = math.max(8, (n / 64).toInt), nprobe = p, cellsPerSuper = c)),
+          s""""impl":"cell_directory","nprobe":$p,"cells":$c,"planted":${6 * (n / 20)}""",
+          valueField = "recovered")
       if (n <= 500000)
         benchAct("knn_join_recall", () =>
           plantedPairs(Similarity.knnJoin(embs, "vec_id", "embedding", k = 5,

@@ -390,19 +390,38 @@ object VectorExpressions {
   /** Multi-probe companion of [[PortableIvfAssign]]: the `nprobe` best cells
     * for a vector, as one in-row pass — the query side of the IVF-candidate
     * k-NN join ([[graft.operators.Similarity.knnJoinIvf]]). Same quantized-
-    * integer dots and tie rule as the assignment; in the hierarchical regime
-    * the top `min(S, nprobe)` SUPER-cells are ranked first and only their
-    * blocks' cells are scanned (O(nprobe·√nLists·dims) per row), then the
-    * `nprobe` best scanned cells win. The single-probe head of the returned
-    * array always equals [[PortableIvfAssign]]'s cell for the same vector
-    * ONLY in the flat regime; hierarchically the probe may surface a better
-    * cell from a lower-ranked super — by construction a superset of the
-    * assignment's search space, which is what a probe list is for. */
-  case class PortableIvfProbe(child: Expression, nLists: Int, dims: Int, nprobe: Int)
+    * integer dots and tie rule as the assignment. In the hierarchical
+    * regime the probe rule MIRRORS the assignment rule: rank the supers,
+    * and for each of the top `min(S, nprobe)` supers emit the best cell
+    * WITHIN that super's block (what the assignment would pick if its super
+    * argmax had landed there) — O(nprobe·√nLists·dims) per row, head ==
+    * [[PortableIvfAssign]]'s cell in every regime. Ranking the scanned
+    * cells GLOBALLY instead was measured as a 32% planted-recall hole
+    * (grid knn_join_ivf_recall 10185/15000@50k): a member's assigned cell
+    * is only its BLOCK-local argmax — on average the ~(scanned/B)-th best
+    * scanned cell globally — so a global top-nprobe keeps ~69% of sibling
+    * cells (1 − C(108,28)/C(112,28) at 50k's geometry) and drops the rest.
+    * One cell per probed super makes a near-identical pair's candidate
+    * cells coincide whenever their super rankings overlap, which is the
+    * property batch recall rides on.
+    *
+    * `cellsPerSuper` widens the within-block emission to the top `c` cells
+    * of each probed block (same (dot desc, index asc) rule; rank-1 per
+    * block IS the assignment's pick, so the head is still the assigned
+    * cell and the c=1 probe list is a prefix-per-super subset). The knob
+    * targets the one remaining miss mechanism of the mirrored rule:
+    * near-identical vectors whose block-local argmax FLIPS between two
+    * near-tied cells — each lands in a different cell and neither probes
+    * the other's. c=2 covers every single-position flip. Inert in the
+    * flat regime, where the global top-nprobe ranking already keeps
+    * near-tied cells together. */
+  case class PortableIvfProbe(child: Expression, nLists: Int, dims: Int, nprobe: Int,
+      cellsPerSuper: Int = 1)
       extends UnaryExpression with Serializable {
     require(nLists > 0, "need positive nLists")
     require(dims > 0, "need positive dims")
     require(nprobe > 0, "need positive nprobe")
+    require(cellsPerSuper > 0, "need positive cellsPerSuper")
 
     override def dataType: DataType =
       ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
@@ -459,10 +478,41 @@ object VectorExpressions {
         val sDots = Array.tabulate(superSigns.length)(g => dotOf(superSigns(g)))
         val gs = topP(Array.tabulate(superSigns.length)(identity), sDots,
           math.min(superSigns.length, nprobe))
-        val cells = gs.flatMap(g => (g * b) until math.min(nLists, (g + 1) * b))
-        val cDots = cells.map(c => dotOf(signs(c)))
+        // top-`cellsPerSuper` cells per probed super by the assignment's
+        // own (dot desc, index asc) rule — bounded insertion, no
+        // allocation beyond the tiny slot arrays (see scaladoc)
+        val out = new Array[Int](gs.length * cellsPerSuper)
+        var w = 0
+        val bi = new Array[Int](cellsPerSuper)
+        val bd = new Array[Long](cellsPerSuper)
+        gs.foreach { g =>
+          val from = g * b
+          val until = math.min(nLists, (g + 1) * b)
+          val m = math.min(cellsPerSuper, until - from)
+          var size = 0
+          var c = from
+          while (c < until) {
+            val d = dotOf(signs(c))
+            if (size < m) {
+              var pos = size
+              while (pos > 0 && d > bd(pos - 1)) {
+                bd(pos) = bd(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
+              }
+              bd(pos) = d; bi(pos) = c; size += 1
+            } else if (d > bd(m - 1)) {
+              var pos = m - 1
+              while (pos > 0 && d > bd(pos - 1)) {
+                bd(pos) = bd(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
+              }
+              bd(pos) = d; bi(pos) = c
+            }
+            c += 1
+          }
+          var r = 0
+          while (r < size) { out(w) = bi(r); w += 1; r += 1 }
+        }
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          topP(cells, cDots, nprobe))
+          if (w == out.length) out else java.util.Arrays.copyOf(out, w))
       }
     }
 
@@ -593,8 +643,10 @@ object VectorExpressions {
       GraftBridge.toExpression(v), supers, blocks, centroids))
   def portable_ivf_assign(v: Column, nLists: Int, dims: Int): Column =
     GraftBridge.toColumn(PortableIvfAssign(GraftBridge.toExpression(v), nLists, dims))
-  def portable_ivf_probe(v: Column, nLists: Int, dims: Int, nprobe: Int): Column =
-    GraftBridge.toColumn(PortableIvfProbe(GraftBridge.toExpression(v), nLists, dims, nprobe))
+  def portable_ivf_probe(v: Column, nLists: Int, dims: Int, nprobe: Int,
+      cellsPerSuper: Int = 1): Column =
+    GraftBridge.toColumn(PortableIvfProbe(GraftBridge.toExpression(v), nLists, dims,
+      nprobe, cellsPerSuper))
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.toColumn(DotProduct(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
   def l2_norm(v: Column): Column =

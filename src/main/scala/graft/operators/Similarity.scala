@@ -359,9 +359,11 @@ object Similarity {
     *    quantizer ([[graft.functions.VectorExpressions.PortableIvfAssign]],
     *    O(√nLists·dims)/row); the probe side explodes to its `nprobe` best
     *    cells ([[graft.functions.VectorExpressions.PortableIvfProbe]]).
-    *    Candidate volume is n·nprobe·E[occupancy], and occupancy is a
-    *    direct dial (`nLists ≈ n/occ`) rather than an emergent property of
-    *    bucket collisions.
+    *    Candidate volume is n·nprobe·cellsPerSuper·E[occupancy], and
+    *    occupancy is a direct dial (`nLists ≈ n/occ`) rather than an
+    *    emergent property of bucket collisions; `cellsPerSuper` (the
+    *    probe expression's near-tie knob) buys planted recall at a
+    *    proportional candidate cost.
     *  - **There is NO candidate pair stream.** Each cell's members are
     *    collected once into a directory row (cell → array of (id, norm,
     *    PQ code, vector)); a probe row meets its cell's directory in ONE
@@ -407,7 +409,8 @@ object Similarity {
       m: Int = 8,
       ks: Int = 16,
       kCand: Int = 0,
-      dims: Int = 64
+      dims: Int = 64,
+      cellsPerSuper: Int = 1
   ): DataFrame = {
     val spark = df.sparkSession
     val base = Stage.ensureWide(
@@ -441,7 +444,7 @@ object Similarity {
       .agg(collect_list(col("mem")).as("members"))
     val probe = base.select(col("id").as("id_a"), col("v").as("v_a"),
       explode(graft.functions.VectorExpressions
-        .portable_ivf_probe(col("v"), lists, dims, nprobe)).as("cell"))
+        .portable_ivf_probe(col("v"), lists, dims, nprobe, cellsPerSuper)).as("cell"))
     val cb: Array[Array[Array[Double]]] = pq.codebooks.map(_.centroids)
     val perCell = probe.join(dir.hint("SHUFFLE_HASH"), Seq("cell"))
       .select(col("id_a"),
@@ -451,7 +454,7 @@ object Similarity {
     // exploded per-cell winners carry no cross-cell duplicates — the merge
     // is one sized rank exchange over ≤ n·nprobe·k skinny rows
     val rankParts = math.max(floor,
-      math.min(65536L, n * nprobe * k * 80L / (48L << 20)).toInt)
+      math.min(65536L, n * nprobe * cellsPerSuper * k * 80L / (48L << 20)).toInt)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
     perCell.select(col("id_a"), explode(col("tk")).as("nb"))
@@ -478,10 +481,11 @@ object Similarity {
       nLists: Int = 0,
       nprobe: Int = 4,
       oversample: Int = 4,
-      dims: Int = 64
+      dims: Int = 64,
+      cellsPerSuper: Int = 1
   ): DataFrame = {
     val nn = knnJoinIvf(df, idCol, vecCol, k = oversample * k,
-      nLists = nLists, nprobe = nprobe, dims = dims)
+      nLists = nLists, nprobe = nprobe, dims = dims, cellsPerSuper = cellsPerSuper)
     val labels = df.select(col(idCol).cast("long").as("id"),
       col(labelCol).as("lbl"))
     val att = Stage.attachSide(labels)

@@ -103,10 +103,10 @@ class VectorExpressionsSpec extends SparkSpec {
         val p = r.getSeq[Int](1)
         assert(p.length == 4 && p.distinct.length == 4, s"probe list $p")
         assert(p.forall(c => c >= 0 && c < lists))
-        // with nprobe = 1 both rules pick through the same top super, so
-        // the single probe IS the assignment; with nprobe > 1 the flat
-        // regime's head is still the assignment by construction
-        if (lists == 8) assert(p.head == r.getInt(2), s"flat head ${p.head} != ${r.getInt(2)}")
+        // the probe rule mirrors the assignment rule in both regimes, so
+        // the head is ALWAYS the assigned cell (flat: global top-1;
+        // hierarchical: top super's block-local argmax)
+        assert(p.head == r.getInt(2), s"head ${p.head} != assign ${r.getInt(2)} at nLists=$lists")
       }
       val one = vecs.select(
         portable_ivf_probe($"embedding", lists, 64, 1).as("p"),
@@ -114,6 +114,33 @@ class VectorExpressionsSpec extends SparkSpec {
       one.foreach(r => assert(r.getSeq[Int](0).head == r.getInt(1),
         s"nprobe=1 probe != assignment at nLists=$lists"))
     }
+  }
+
+  test("portable IVF probe: cellsPerSuper widens each probed block, keeps the head") {
+    // hierarchical regime (128 lists -> 12-cell blocks): the c=2 list must
+    // contain the c=1 list, emit <= 2 cells from each probed super's block,
+    // and still lead with the assigned cell; flat regime: knob is inert
+    val rows = vecs.select(
+      portable_ivf_probe($"embedding", 128, 64, 4).as("p1"),
+      portable_ivf_probe($"embedding", 128, 64, 4, cellsPerSuper = 2).as("p2"),
+      portable_ivf_assign($"embedding", 128, 64).as("c")).collect()
+    rows.foreach { r =>
+      val p1 = r.getSeq[Int](0)
+      val p2 = r.getSeq[Int](1)
+      assert(p2.length == 8 && p2.distinct.length == 8, s"c=2 probe list $p2")
+      assert(p1.toSet.subsetOf(p2.toSet), s"c=1 $p1 not within c=2 $p2")
+      assert(p2.head == r.getInt(2), s"c=2 head ${p2.head} != assign ${r.getInt(2)}")
+      // pairs (2g, 2g+1) of the c=2 list share a block; rank-1 is the c=1 cell
+      (0 until 4).foreach { g =>
+        assert(p2(2 * g) / 12 == p2(2 * g + 1) / 12, s"pair $g not same block in $p2")
+        assert(p2(2 * g) == p1(g), s"block rank-1 ${p2(2 * g)} != c=1 ${p1(g)}")
+      }
+    }
+    val flat = vecs.select(
+      portable_ivf_probe($"embedding", 8, 64, 4).as("p1"),
+      portable_ivf_probe($"embedding", 8, 64, 4, cellsPerSuper = 2).as("p2")).collect()
+    flat.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+      "cellsPerSuper must be inert in the flat regime"))
   }
 
   test("SQL registration: dot_product / l2_norm callable from SQL") {
