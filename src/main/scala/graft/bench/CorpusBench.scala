@@ -174,10 +174,10 @@ object CorpusBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // the vector-attach broadcasts (Similarity.scoredCandidates /
-      // leaderDedup, raised 2 GB gate) collect the vector table through
-      // the driver; the 1 GB maxResultSize default aborts that collect at
-      // 5M × 64d (1.8 GB) even though the 8 GB heap holds it comfortably
+      // the vector-attach broadcast (Similarity.scoredCandidates, raised
+      // 2 GB gate) collects the vector table through the driver; the 1 GB
+      // maxResultSize default aborts that collect at 5M × 64d (1.8 GB)
+      // even though the 8 GB heap holds it comfortably
       .config("spark.driver.maxResultSize", "4g")
       // scan split size bounds the map side of the first exchange: a
       // 128 MB split explodes/ships ~2× its bytes through the shuffle
@@ -434,17 +434,19 @@ object CorpusBench {
           Similarity.scoredCandidates(e, "vec_id", "embedding",
             planes = planes, tables = 4), k = 5))
       // SemDeDup: nLists grows with n so expected cluster size stays ~256
-      // and within-cluster pair volume is ~n·128, linear in n; assignment
-      // is the in-row portable expression (no dim explode) — hierarchical
-      // above 64 lists, O(√nLists·dims)/row, so this stage stays
-      // O(n·√nLists·dims) as nLists ∝ n (the flat scan measured 458 s@5M).
-      // Sum over BOTH output columns: a bare count() lets the optimizer
-      // drop the distinct-keyed dropped-join and prune the assignment
+      // and per-cell pair work is ~128 evals/member, linear in n total;
+      // assignment is the in-row portable expression (no dim explode) —
+      // hierarchical above 64 lists, O(√nLists·dims)/row, so this stage
+      // stays O(n·√nLists·dims) as nLists ∝ n (the flat scan measured
+      // 458 s@5M); and the leader pass is cell-local (LeaderDedupCell over
+      // a member directory — the attach-to-pairs form it replaced was the
+      // measured broadcast-build failure at 5M on the protocol heap).
+      // Sum over BOTH output columns so no stage prunes away
       benchAct("semantic_dedup", () => {
         Similarity.semanticDedup(embs, "vec_id", "embedding",
             nLists = math.max(8, (n / 256).toInt), tau = 0.95)
           .agg(sum(col("cluster") + col("kept"))).head().getLong(0)
-      }, """"impl":"two_level_assign"""", valueField = "checksum")
+      }, """"impl":"two_level_assign+cell_local"""", valueField = "checksum")
       // IVF-candidate k-NN join: the measured handoff past knnJoin's
       // broadcast-attach ceiling — probed md5-sign cells for candidates,
       // PQ-coded in-cell shortlists, exact rescore, NO pair stream and NO

@@ -171,4 +171,107 @@ object AnnExpressions {
     GraftBridge.toColumn(IvfPqCellTopK(
       GraftBridge.toExpression(idA), GraftBridge.toExpression(vA),
       GraftBridge.toExpression(members), k, kCand, codebooks, subDim))
+
+  /** Per-cell SemDeDup leader pass
+    * ([[graft.operators.Similarity.semanticDedup]]): given one cluster's
+    * members as an array of (id, norm, v) structs, drop every member with
+    * an EARLIER (smaller-id) member at rounded cosine ≥ tau — earlier
+    * members count whether or not they were themselves dropped, the
+    * deterministic per-pair rule the q83 oracle replays. Returns one
+    * (id, kept 1|0) struct per member.
+    *
+    * This is the same no-pair-stream move as [[IvfPqCellTopK]]: the
+    * alternative materializes the within-cluster pair stream
+    * (~n·E[cluster]/2 rows — 640M at 5M docs under the nLists ∝ n policy)
+    * and then attaches vectors to it, whose broadcast build is the
+    * measured 5M×64d failure mode on a protocol heap (1.8 GB vector
+    * table → "Not enough memory to build and broadcast"). Here the pairs
+    * never exist: the only exchange is the member directory itself
+    * (n rows, linear), and the O(E[cluster]²·dims) pair work runs inside
+    * this expression with early exit on the first earlier near-duplicate.
+    * E[cluster] (= n/nLists) is the dial that bounds per-row work and
+    * directory row size, exactly as occupancy is for the k-NN join.
+    *
+    * Arithmetic mirrors the attach path it replaces bit-for-bit: float
+    * components widened to double, ascending-index dot accumulation,
+    * norm(earlier)·norm(later), HALF_UP 6-dp rounding — so results are
+    * byte-identical and q83 stays hash-exact. */
+  case class LeaderDedupCell(child: Expression, tau: Double)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with Serializable {
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("kept", IntegerType, nullable = false))),
+      containsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(_: StructType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"leader_dedup_cell expects array<struct<id,norm,v>>, got $other")
+      }
+
+    private def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+
+    def compute(members: ArrayData): ArrayData = {
+      val nMem = members.numElements()
+      val ids = new Array[Long](nMem)
+      val norms = new Array[Double](nMem)
+      val vecs = new Array[Array[Double]](nMem)
+      var i = 0
+      while (i < nMem) {
+        val row = members.getStruct(i, 3)
+        ids(i) = row.getLong(0)
+        norms(i) = row.getDouble(1)
+        val va = row.getArray(2)
+        val d = va.numElements()
+        val v = new Array[Double](d)
+        var j = 0
+        while (j < d) { v(j) = va.getFloat(j).toDouble; j += 1 }
+        vecs(i) = v
+        i += 1
+      }
+      val order = Array.range(0, nMem).sortBy(ids(_))
+      val kept = new Array[Int](nMem)
+      var oj = 0
+      while (oj < nMem) {
+        val j = order(oj)
+        var keep = 1
+        var oi = 0
+        while (oi < oj && keep == 1) {
+          val e = order(oi) // earlier member (smaller id)
+          val ve = vecs(e); val vj = vecs(j)
+          val nn = math.min(ve.length, vj.length)
+          var dot = 0.0; var t = 0
+          while (t < nn) { dot += ve(t) * vj(t); t += 1 }
+          if (round6(dot / (norms(e) * norms(j))) >= tau) keep = 0
+          oi += 1
+        }
+        kept(j) = keep
+        oj += 1
+      }
+      new GenericArrayData(
+        Array.tabulate[Any](nMem)(i => InternalRow(ids(i), kept(i))))
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("leaderDedupCell", this, classOf[LeaderDedupCell].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def leader_dedup_cell(members: Column, tau: Double): Column =
+    GraftBridge.toColumn(LeaderDedupCell(GraftBridge.toExpression(members), tau))
 }

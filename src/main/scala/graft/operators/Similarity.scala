@@ -611,16 +611,14 @@ object Similarity {
     * the hierarchical md5-sign rule
     * ([[graft.functions.VectorExpressions.PortableIvfAssign]]), which is
     * what keeps the stage O(n·√nLists·dims) under SemDeDup's own nLists ∝ n
-    * regime (a flat scan measured 11.2 s@500k → 458 s@5M — O(n²)); the
-    * candidate join ships only (id, cluster) and vectors attach to pairs by
-    * id afterwards ([[Stage.attachSide]], one wire crossing per embedding);
-    * the only O(·²) term is within-cluster pair volume, bounded by growing
-    * nLists with corpus size so expected cluster size stays fixed.
-    *
-    * Driver note: above ~1 GB of vectors the pair attach wants
-    * `spark.driver.maxResultSize` raised (broadcast collect); the gate
-    * self-caps at the session value and degrades to SHUFFLE_HASH otherwise
-    * (see [[vectorBroadcastGate]]). */
+    * regime (a flat scan measured 11.2 s@500k → 458 s@5M — O(n²)); and the
+    * leader pass is cell-local (one member-directory exchange, the pair
+    * comparison inside [[graft.functions.AnnExpressions.LeaderDedupCell]]),
+    * so within-cluster pairs never materialize and no vector table ever
+    * broadcasts — the attach-to-pairs form this replaced was the measured
+    * protocol-heap failure at 5M×64d. The only O(·²) term is per-cluster
+    * pair work inside the expression, bounded by growing nLists with corpus
+    * size so expected cluster size stays fixed. */
   def semanticDedup(
       df: DataFrame,
       idCol: String,
@@ -630,9 +628,10 @@ object Similarity {
       dims: Int = 64
   ): DataFrame = {
     val base = semanticBase(df, idCol, vecCol)
-    val assigned = base.select(col("id"),
-      graft.functions.VectorExpressions.portable_ivf_assign(col("v"), nLists, dims).as("c"))
-    leaderDedup(base, assigned, tau)
+    val withCell = base.select(col("id"),
+      graft.functions.VectorExpressions.portable_ivf_assign(col("v"), nLists, dims).as("c"),
+      col("norm"), col("v"))
+    leaderDedup(withCell, tau)
   }
 
   /** [[semanticDedup]] with a LEARNED k-means coarse quantizer
@@ -640,7 +639,7 @@ object Similarity {
     * embedding space, so near-duplicates co-locate by CONTENT, where the
     * md5-sign projection co-locates them only up to random-projection
     * luck. Same leader rule, same rounded-cosine gate, same plan shape
-    * (in-row `NearestCentroid` assignment, skinny pair join). Iterative
+    * (in-row `NearestCentroid` assignment, cell-local leader pass). Iterative
     * float k-means is not ANSI-replayable, so like the native IVF/PQ
     * paths this variant is spec-gated — against the same brute-force
     * leader reference, with the portable q83 twin as the oracle anchor.
@@ -673,8 +672,8 @@ object Similarity {
           .two_level_nearest_centroid(col("v"), h.supers, h.blocks,
             codebook.centroids)
       }
-    val assigned = base.select(col("id"), assignExpr.as("c"))
-    leaderDedup(base, assigned, tau)
+    val withCell = base.select(col("id"), assignExpr.as("c"), col("norm"), col("v"))
+    leaderDedup(withCell, tau)
   }
 
   private def semanticBase(df: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -682,38 +681,36 @@ object Similarity {
       .withColumn("norm", l2norm(col("v")))
       .filter(col("norm") > 0)
 
-  /** The shared leader pass: within each cluster of `assigned` (id, c),
-    * drop every id with an EARLIER same-cluster neighbor at rounded
-    * cosine ≥ tau. Pair join ships only (id, c); vectors attach to pairs
-    * by id; every join hash-built. */
-  private def leaderDedup(base: DataFrame, assigned: DataFrame,
-      tau: Double): DataFrame = {
-    val pairs = assigned.as("a")
-      .join(assigned.as("b").hint("SHUFFLE_HASH"),
-        col("a.c") === col("b.c") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    // Raised broadcast gate, same rationale as [[scoredCandidates]]: the
-    // within-cluster pair stream is ~n·E[cluster]/2 rows (640M at 5M docs
-    // under the grid's nLists policy), so a SHUFFLE_HASH attach re-exchanges
-    // a vector-laden pair stream (~185 GB at 5M × 64d — measured as an
-    // outright disk overrun) while the vector table itself is 1.8 GB.
-    // Broadcast is the only attach whose exchange volume does not scale
-    // with pair volume; past executor memory, shrink E[cluster] (nLists ∝ n
-    // keeps pairs linear) or move to the PQ-coded variant. The gate
-    // self-caps at spark.driver.maxResultSize ([[vectorBroadcastGate]]) so
-    // stock configs degrade to SHUFFLE_HASH instead of aborting.
-    val attach = Stage.attachSide(base, maxBroadcastBytes = vectorBroadcastGate(base))
-    val dropped = pairs
-      .join(attach.as("pa"), col("id_a") === col("pa.id"))
-      .join(attach.as("pb"), col("id_b") === col("pb.id"))
-      .filter(round(dot(col("pa.v"), col("pb.v")) / (col("pa.norm") * col("pb.norm")), 6)
-        >= tau)
-      .select(col("id_b").as("id")).distinct()
-    assigned
-      .join(dropped.withColumn("dropped", lit(1)).hint("SHUFFLE_HASH"),
-        Seq("id"), "left")
-      .select(col("id").as("vec_id"), col("c").cast("long").as("cluster"),
-        when(col("dropped").isNull, 1L).otherwise(0L).as("kept"))
+  /** The shared leader pass: within each cluster of `withCell` (id, c,
+    * norm, v), drop every id with an EARLIER same-cluster neighbor at
+    * rounded cosine ≥ tau.
+    *
+    * Cell-directory shape, the same move as [[knnJoinIvf]]: members group
+    * into one row per cluster and the whole pair comparison runs inside
+    * [[graft.functions.AnnExpressions.LeaderDedupCell]]. The within-cluster
+    * PAIRS never materialize (640M rows at 5M docs under nLists ∝ n), so
+    * nothing vector-laden re-exchanges and there is NO vector broadcast —
+    * the previous attach-to-pairs form needed a 1.8 GB driver-side
+    * broadcast build at 5M×64d, which is exactly the measured protocol-heap
+    * failure ("Not enough memory to build and broadcast"). The one
+    * exchange is the member directory itself — n skinny+vector rows, sized
+    * by [[Stage.sizedBuildParts]] so each partition's collect_list state
+    * stays inside a task's memory share; E[cluster] = n/nLists bounds both
+    * the per-row pair work (early-exit O(E[cluster]²·dims) worst case) and
+    * the directory row size, with nLists the dial exactly as in the
+    * reference SemDeDup regime. A skewed embedding space concentrates
+    * directory rows as it would any cluster index — grow nLists. */
+  private def leaderDedup(withCell: DataFrame, tau: Double): DataFrame = {
+    val parts = Stage.sizedBuildParts(withCell)
+    withCell
+      .repartition(parts, col("c"))
+      .groupBy(col("c"))
+      .agg(collect_list(struct(col("id"), col("norm"), col("v"))).as("members"))
+      .select(col("c").cast("long").as("cluster"),
+        explode(graft.functions.AnnExpressions
+          .leader_dedup_cell(col("members"), tau)).as("r"))
+      .select(col("r.id").as("vec_id"), col("cluster"),
+        col("r.kept").cast("long").as("kept"))
   }
 
   def portableIvfTopK(
