@@ -33,7 +33,10 @@ object AnnExpressions {
     *
     * Per row: one ADC table build (m·ks·subDim multiplies — cheaper than a
     * single exact member evaluation), then m lookups per member, then
-    * `kCand` exact cosines. Asymmetric distance (query side stays a full
+    * `kCand` exact cosines. When `kCand` covers the whole cell (the default
+    * occupancy-64 / kCand-4k regime) the ADC phase selects everything and is
+    * skipped outright — every member goes straight to the exact rescore,
+    * byte-identical results. Asymmetric distance (query side stays a full
     * vector, only the INDEXED side is quantized) dominates symmetric
     * code-to-code scoring at equal cost, which is why the probe row carries
     * vA. Cosine is rounded to 6 dp (HALF_UP) like every scored operator in
@@ -83,6 +86,39 @@ object AnnExpressions {
       val normA = math.sqrt(nrm)
       val nMem = members.numElements()
       if (normA == 0.0 || nMem == 0) return new GenericArrayData(Array.empty[Any])
+      // When the shortlist cap covers the whole cell (kCand ≥ members — the
+      // normal case at the default occupancy 64 / kCand 4k), the ADC phase
+      // selects EVERYTHING and every member gets exact-rescored anyway, so
+      // the PQ tables are pure overhead (~⅓ of the scoring multiplies at
+      // m=8/ks=16/64d). Score exactly and skip straight to the final sort —
+      // the result set is identical (same members, same (cosine desc, id)
+      // order). PQ starts paying exactly when cells outgrow kCand.
+      if (nMem <= kCand) {
+        val cos = new Array[Double](nMem)
+        val ids = new Array[Long](nMem)
+        var filled = 0
+        var r = 0
+        while (r < nMem) {
+          val row = members.getStruct(r, 4)
+          val id = row.getLong(0)
+          if (id != idA) {
+            val normB = row.getDouble(1)
+            val vB = row.getArray(3)
+            var dot = 0.0; var j = 0
+            val nn = math.min(dims, vB.numElements())
+            while (j < nn) { dot += vA(j) * vB.getFloat(j).toDouble; j += 1 }
+            cos(filled) = if (normB == 0.0) 0.0 else round6(dot / (normA * normB))
+            ids(filled) = id
+            filled += 1
+          }
+          r += 1
+        }
+        val order = (0 until filled).sortBy(q => (-cos(q), ids(q)))
+          .take(math.min(k, filled))
+        return new GenericArrayData(order.map { q =>
+          InternalRow(ids(q), cos(q)): Any
+        }.toArray)
+      }
       // ADC tables: adc(s)(c) = squared L2 of vA's s-th slice to centroid c
       val adc = Array.tabulate(m) { s =>
         val cb = codebooks(s)

@@ -142,7 +142,12 @@ object Similarity {
     * should `spark.catalog.clearCache()` (or unpersist via the catalog)
     * between them; (3) past ~4M×64d per executor the broadcast attach is
     * the operator's measured ceiling — use [[knnJoinIvf]], whose pair
-    * stage ships PQ codes and never re-exchanges vectors.
+    * stage ships PQ codes and never re-exchanges vectors. The handoff is
+    * measured, not asserted: at 5M×64d this path needs a 2× protocol heap
+    * and spills 54 GB, while knnJoinIvf completes at the default heap with
+    * zero spill (147 s, docs/corpusbench_local32.jsonl knn_join vs
+    * knn_join_ivf rows) at 97.6% planted recall, dialing to 99.997% via
+    * `cellsPerSuper` at proportional cost.
     *
     * Returns (id_a, id_b, cosine, rank) with rank 1..k per id_a. */
   def knnJoin(
@@ -442,24 +447,50 @@ object Similarity {
     val dir = member.repartition(dirParts, col("cell"))
       .groupBy(col("cell"))
       .agg(collect_list(col("mem")).as("members"))
+    // explode_outer defensively: filter inference over generators only fires
+    // on ATTRIBUTE children (a direct expression child like this one is never
+    // inferred on — verified in the optimized plan), but an alias-then-explode
+    // refactor would silently re-evaluate the probe assignment per row (the
+    // measured 2-3× of the winner explode below). The probe list is never
+    // empty, and a null cell can't match the inner cell join.
     val probe = base.select(col("id").as("id_a"), col("v").as("v_a"),
-      explode(graft.functions.VectorExpressions
+      explode_outer(graft.functions.VectorExpressions
         .portable_ivf_probe(col("v"), lists, dims, nprobe, cellsPerSuper)).as("cell"))
+      .filter(col("cell").isNotNull)
     val cb: Array[Array[Array[Double]]] = pq.codebooks.map(_.centroids)
     val perCell = probe.join(dir.hint("SHUFFLE_HASH"), Seq("cell"))
       .select(col("id_a"),
         graft.functions.AnnExpressions.ivfpq_cell_topk(col("id_a"), col("v_a"),
           col("members"), k, cand, cb, pq.subDim).as("tk"))
+    // explode_outer, NOT explode: a plain explode lets InferFiltersFromGenerate
+    // conjure `size(tk) > 0 AND isnotnull(tk)` above this projection, and
+    // predicate pushdown substitutes the alias and lands BOTH copies in the
+    // cell join's condition — the whole per-cell scoring expression (the
+    // operator's dominant CPU) then evaluates 2-3× per probe×cell row
+    // (measured in the 5M executed plan). The outer generate infers nothing;
+    // empty cells die in one cheap null check on the generated column.
     // build-side top-1 assignment puts each id_b in exactly one cell, so the
-    // exploded per-cell winners carry no cross-cell duplicates — the merge
-    // is one sized rank exchange over ≤ n·nprobe·k skinny rows
+    // per-cell winners carry no cross-cell duplicates — the merge is one
+    // sized rank exchange over ≤ n·nprobe·k candidate structs.
+    //
+    // The exchange moves the per-cell top-k ARRAYS (n·nprobe rows) and the
+    // explode happens on the reduce side: same bytes, k× fewer shuffle-writer
+    // records. The writer's spill-capable buffer is this operator's one
+    // memory-pressured stage (per-stage probe at 5M×64d: ~19.5 GB of
+    // writer spill on the exploded form, 0 everywhere else), and its demand
+    // scales with records × (pointer + framing) on top of payload — the
+    // array form cuts that term 20× at the default oversample·k. The
+    // reduce-side explode feeds the rank window in place (Generate preserves
+    // the id_a hash partitioning), measured spill-free at 635 parts.
     val rankParts = math.max(floor,
       math.min(65536L, n * nprobe * cellsPerSuper * k * 80L / (48L << 20)).toInt)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
-    perCell.select(col("id_a"), explode(col("tk")).as("nb"))
-      .select(col("id_a"), col("nb.id").as("id_b"), col("nb.cosine").as("cosine"))
+    perCell
       .repartition(rankParts, col("id_a"))
+      .select(col("id_a"), explode_outer(col("tk")).as("nb"))
+      .filter(col("nb").isNotNull)
+      .select(col("id_a"), col("nb.id").as("id_b"), col("nb.cosine").as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -488,15 +519,47 @@ object Similarity {
       nLists = nLists, nprobe = nprobe, dims = dims, cellsPerSuper = cellsPerSuper)
     val labels = df.select(col(idCol).cast("long").as("id"),
       col(labelCol).as("lbl"))
-    val att = Stage.attachSide(labels)
+    // Label attach by ROW-COUNT arithmetic, not Catalyst's size estimate:
+    // `labels` is a skinny projection that DROPS the embedding column, and
+    // the non-CBO width-ratio estimator prices an array column at
+    // `ArrayType.defaultSize` (4 bytes), so the projection's sizeInBytes
+    // comes out LARGER than the vector-laden relation it projects — at
+    // 5M×64d a ~160 MB label table estimated at ~1.7 GB. Riding
+    // [[Stage.attachSide]] on that estimate flips both attaches to
+    // SHUFFLE_HASH, which re-exchanges the n·oversample·k candidate stream
+    // on id_b and then hands the final rank window a session-constant
+    // id_a exchange — measured 25.6 GB of sort spill at 5M. The true size
+    // is n·(id + label + row overhead): broadcast while one executor
+    // comfortably holds the hash relation, past that a sized build.
+    val nRows = math.max(1L, labels.queryExecution.analyzed.stats.rowCount
+      .map(_.toLong).getOrElse(labels.count()))
+    val labelWidth = 8L + labels.schema("lbl").dataType.defaultSize + 32L
+    val broadcastable = nRows * labelWidth * 2 <= 512L * 1024 * 1024
+    val att =
+      if (broadcastable) broadcast(labels)
+      else Stage.sizedBuild(labels, Seq("id"))
+        .hint("SHUFFLE_HASH")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
-    nn.join(att.as("la"), col("id_a") === col("la.id"))
+    val joined = nn.join(att.as("la"), col("id_a") === col("la.id"))
       .join(att.as("lb"), col("id_b") === col("lb.id"))
       .filter(col("la.lbl") =!= col("lb.lbl"))
       .select(col("id_a"), col("la.lbl").as("label_a"),
         col("id_b"), col("lb.lbl").as("label_b"), col("cosine"))
-      .withColumn("rank", row_number().over(w))
+    // Broadcast attaches preserve knnJoinIvf's sized id_a partitioning, so
+    // the rank window runs in place with no exchange. The shuffle-attach
+    // branch destroys it (the id_b join re-keys the stream) — re-key at a
+    // count sized from the known candidate volume, never the session
+    // constant (n·oversample·k rows ≈ the pre-filter window input).
+    val ranked =
+      if (broadcastable) joined
+      else {
+        val floor = df.sparkSession.sessionState.conf.numShufflePartitions
+        val winParts = math.max(floor, math.min(65536L,
+          nRows * oversample * k * 64L / (48L << 20)).toInt)
+        joined.repartition(winParts, col("id_a"))
+      }
+    ranked.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
@@ -706,9 +769,16 @@ object Similarity {
       .repartition(parts, col("c"))
       .groupBy(col("c"))
       .agg(collect_list(struct(col("id"), col("norm"), col("v"))).as("members"))
+      // explode_outer defensively, as in [[knnJoinIvf]]: the optimizer infers
+      // `size(...) > 0` filters only over ATTRIBUTE generator children, so
+      // this direct-expression explode is safe today — but aliasing the
+      // leader-pass expression first would hand its full cost to an inferred
+      // filter (the measured 2-3× of knnJoinIvf's winner explode). Clusters
+      // are non-empty by construction; the null check is free.
       .select(col("c").cast("long").as("cluster"),
-        explode(graft.functions.AnnExpressions
+        explode_outer(graft.functions.AnnExpressions
           .leader_dedup_cell(col("members"), tau)).as("r"))
+      .filter(col("r").isNotNull)
       .select(col("r.id").as("vec_id"), col("cluster"),
         col("r.kept").cast("long").as("kept"))
   }
