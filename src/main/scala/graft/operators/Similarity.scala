@@ -440,10 +440,23 @@ object Similarity {
         .as("cell"),
       struct(col("id"), col("norm"), codes.as("code"), col("v")).as("mem"))
     val floor = spark.sessionState.conf.numShufflePartitions
-    // directory bytes are known exactly from n (no Generate blinding the
-    // estimator): id + norm + m code ints + dims floats + struct overhead
-    val dirParts = math.max(floor,
-      math.min(65536L, n * (dims * 4L + m * 4L + 60L) * 2 / (32L << 20)).toInt)
+    // The cell-join partition count is sized from BOTH of the stage's
+    // memory consumers, each known exactly from n (no Generate blinding
+    // the estimator):
+    //  - the per-task directory hash relation (id + norm + m code ints +
+    //    dims floats + struct overhead, 2× in-memory expansion, ≤ 32 MB);
+    //  - the per-task RANK-EXCHANGE WRITER buffer — this stage's map side
+    //    emits the n·nprobe·cellsPerSuper·k winner structs, and the
+    //    shuffle writer's spill-capable pages hold a task's whole output.
+    //    Sizing only for the build left ~120 MB of writer output per task
+    //    at 5M×64d/k=20 against a ~75 MB execution share (32 concurrent
+    //    tasks, 8 GB heap, ~2.2 GB of it protected cache storage) — the
+    //    per-stage probe put ALL of the operator's spill there. ≤ 24 MB
+    //    of output per task keeps the writer inside its share.
+    val dirBytes = n * (dims * 4L + m * 4L + 60L) * 2
+    val outBytes = n * nprobe * cellsPerSuper * k * 32L
+    val dirParts = math.max(floor, math.min(65536L,
+      math.max(dirBytes / (32L << 20), outBytes / (24L << 20))).toInt)
     val dir = member.repartition(dirParts, col("cell"))
       .groupBy(col("cell"))
       .agg(collect_list(col("mem")).as("members"))
@@ -475,11 +488,15 @@ object Similarity {
     //
     // The exchange moves the per-cell top-k ARRAYS (n·nprobe rows) and the
     // explode happens on the reduce side: same bytes, k× fewer shuffle-writer
-    // records. The writer's spill-capable buffer is this operator's one
-    // memory-pressured stage (per-stage probe at 5M×64d: ~19.5 GB of
-    // writer spill on the exploded form, 0 everywhere else), and its demand
-    // scales with records × (pointer + framing) on top of payload — the
-    // array form cuts that term 20× at the default oversample·k. The
+    // records. Shuffle-WRITER buffers are this operator's only memory-
+    // pressured stages (per-stage probes at 5M×64d): the exploded form spilt
+    // ~19.5 GB in the cell-join stage's writer; the array form plus the
+    // output-aware dirParts above moves that to zero, leaving only the
+    // probe-side exchange's writer (~9.6 GB at k=20 — each map task emits
+    // its whole share of the n·nprobe vector-laden probe rows through
+    // spill-capable sorter pages, and the map-side task count is the cached
+    // base's split count, not a knob). All of it is managed, linear-in-n
+    // writer memory that divides by executors on a real cluster. The
     // reduce-side explode feeds the rank window in place (Generate preserves
     // the id_a hash partitioning), measured spill-free at 635 parts.
     val rankParts = math.max(floor,
