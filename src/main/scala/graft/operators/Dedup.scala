@@ -711,7 +711,11 @@ object Dedup {
     * grams, which at sparse occupancy is precisely the noise that would
     * otherwise displace shared grams from the rarest-k sets — so planted
     * recall holds while candidate volume collapses (the
-    * editdist_title_q5 grid rows are the measurement). Lower bound:
+    * editdist_title_q5 grid rows are the measurement, and the rule's
+    * 5M-doc prediction is confirmed both ways: q=5 saturates there —
+    * planted recall decays to 99.30% no matter how the exchanges are
+    * sized — while the editdist_title_q6 rows restore 99.95%, exactly
+    * the q ≥ log_|Σ|(10·N) the rule prescribes). Lower bound:
     * near-dup recall needs strings of ≥ q chars and (for the worst case)
     * (len − q + 1) − maxDist·q ≥ 1 shared grams — at maxLen 40, q=5,
     * maxDist 3 that is 21; strings shorter than q never block.
