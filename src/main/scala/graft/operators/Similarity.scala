@@ -402,6 +402,14 @@ object Similarity {
     * eviction — long-lived sessions should `spark.catalog.clearCache()`
     * between large invocations.
     *
+    * Where the wall goes (per-stage probe, 5M×64d, local[32]): ~2/3 of the
+    * CPU is the deterministic coarse quantizer itself — the probe/assign
+    * map stages' O(√nLists·dims) integer dots — and ~1/3 the per-cell
+    * scoring join; every one of those stages is scan-local or
+    * singly-exchanged map work, so the operator is CPU-bound on code that
+    * divides perfectly by executors, not on any shared shuffle or driver
+    * step.
+    *
     * Returns (id_a, id_b, cosine, rank), rank 1..k per id_a by exact
     * rounded cosine — same contract as [[knnJoin]]/[[knnJoinExact]]. */
   def knnJoinIvf(
