@@ -434,12 +434,22 @@ object Similarity {
     val n = math.max(1L, base.count())
     val lists = if (nLists > 0) nLists else math.max(8L, n / 64L).toInt
     val cand = math.max(k, if (kCand > 0) kCand else 4 * k)
-    // deterministic training sample: ~64k vectors regardless of corpus size
+    // deterministic training sample: ~64k vectors regardless of corpus size.
+    // Materialized for the duration of training: Pq.train runs m sub-space
+    // k-means loops (m·(iters+1) driver-collected jobs), and without its own
+    // cache entry every one of those jobs re-scans the FULL base cache just
+    // to re-apply this filter — 24 scans of 5M rows to read 64k (~15 s of
+    // the 5M wall, per-stage probe). Unpersisted as soon as training — an
+    // eager, driver-side computation — returns.
     val sampleEvery = math.max(1L, n / 65536L)
+    val sampled = sampleEvery > 1L
     val sample =
-      if (sampleEvery <= 1L) base
+      if (!sampled) base
       else base.filter(pmod(xxhash64(col("id")), lit(sampleEvery)) === 0)
-    val pq = Pq.train(sample.select(col("v")), "v", dims, m, ks, iters = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pq =
+      try Pq.train(sample.select(col("v")), "v", dims, m, ks, iters = 3)
+      finally if (sampled) sample.unpersist(false)
     val codes = array((0 until pq.m).map(s =>
       graft.functions.VectorExpressions.nearest_centroid(
         slice(col("v"), s * pq.subDim + 1, pq.subDim), pq.codebooks(s).centroids)): _*)
