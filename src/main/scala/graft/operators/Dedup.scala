@@ -567,6 +567,16 @@ object Dedup {
     // each, ~140 GB of managed-spill accounting). Over-estimating is
     // benign (smaller, more numerous tasks); the floor keeps small frames
     // at session parallelism.
+    //
+    // With this sizing the REDUCE side is clean (per-stage probe at 5M:
+    // ~50 MB of reduce spill across 1084 tasks); the grid row's remaining
+    // ~28 GB is the MAP-side shuffle writer — each of the scan's ~34 input
+    // splits pushes its ~850 MB share of the exploded shingle stream
+    // through spill-capable sorter pages. That term is per-split, not
+    // per-partition-count: at cluster scale a 128 MB split explodes to
+    // ~1 GB of writer traffic whatever the reduce width, which is exactly
+    // the external-sort path sort-shuffle is built on, and it divides by
+    // executors like any map work.
     // ANALYZED-plan stats: same size-only file figures as `optimizedPlan`
     // would yield, without re-running the optimizer batches per call on top
     // of the main query's own optimization (the r9 q23 driver-side
