@@ -145,7 +145,7 @@ object Similarity {
     * stage ships PQ codes and never re-exchanges vectors. The handoff is
     * measured, not asserted: at 5M×64d this path needs a 2× protocol heap
     * and spills 54 GB, while knnJoinIvf completes at the default heap with
-    * zero spill (147 s, docs/corpusbench_local32.jsonl knn_join vs
+    * zero spill (133 s, docs/corpusbench_local32.jsonl knn_join vs
     * knn_join_ivf rows) at 97.6% planted recall, dialing to 99.997% via
     * `cellsPerSuper` at proportional cost.
     *

