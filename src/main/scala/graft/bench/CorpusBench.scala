@@ -251,8 +251,11 @@ object CorpusBench {
             // so the failure row itself must carry the evidence
             var root = e
             while (root.getCause != null && (root.getCause ne root)) root = root.getCause
+            // strip backslash, quote, and the WHOLE control range — wrapped
+            // exception messages carry \b, \f, and other U+0000-U+001F-class bytes that would
+            // land raw inside the JSON string and invalidate the row
             val msg = Option(root.getMessage).getOrElse("")
-              .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(160)
+              .replaceAll("[\\\\\"\\p{Cntrl}]", " ").take(160)
             record(s"""{"op":"$op","n_docs":$n,"error":"${e.getClass.getSimpleName}","cause":"${root.getClass.getSimpleName}","cause_msg":"$msg"}""")
             System.err.println(s"[corpusbench] $op@$n failed: ${e.getMessage}")
             // a failed op's still-running tasks would otherwise keep

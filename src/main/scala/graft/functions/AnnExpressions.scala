@@ -33,10 +33,14 @@ object AnnExpressions {
     *
     * Per row: one ADC table build (m·ks·subDim multiplies — cheaper than a
     * single exact member evaluation), then m lookups per member, then
-    * `kCand` exact cosines. When `kCand` covers the whole cell (the default
-    * occupancy-64 / kCand-4k regime) the ADC phase selects everything and is
-    * skipped outright — every member goes straight to the exact rescore,
-    * byte-identical results. Asymmetric distance (query side stays a full
+    * `kCand` exact cosines. Only when `kCand` covers the whole cell
+    * (kCand >= cell occupancy) does the ADC phase select everything and get
+    * skipped outright — every member then goes straight to the exact
+    * rescore, byte-identical to brute force within the cell. At the
+    * knnJoinIvf default kCand = 4·k this engages from k >= 16 against the
+    * ~64-member target occupancy; smaller k (the bench's k=5 gives
+    * kCand=20) runs the genuine approximate shortlist: top-kCand by ADC,
+    * exact rescore of just those. Asymmetric distance (query side stays a full
     * vector, only the INDEXED side is quantized) dominates symmetric
     * code-to-code scoring at equal cost, which is why the probe row carries
     * vA. Cosine is rounded to 6 dp (HALF_UP) like every scored operator in
@@ -86,9 +90,11 @@ object AnnExpressions {
       val normA = math.sqrt(nrm)
       val nMem = members.numElements()
       if (normA == 0.0 || nMem == 0) return new GenericArrayData(Array.empty[Any])
-      // When the shortlist cap covers the whole cell (kCand ≥ members — the
-      // normal case at the default occupancy 64 / kCand 4k), the ADC phase
-      // selects EVERYTHING and every member gets exact-rescored anyway, so
+      // When the shortlist cap covers the whole cell (kCand ≥ members —
+      // engaged from k ≥ 16 at the default kCand = 4·k against ~64-member
+      // cells; the bench's k=5 → kCand=20 stays on the ADC shortlist
+      // below), the ADC phase selects EVERYTHING and every member gets
+      // exact-rescored anyway, so
       // the PQ tables are pure overhead (~⅓ of the scoring multiplies at
       // m=8/ks=16/64d). Score exactly and skip straight to the final sort —
       // the result set is identical (same members, same (cosine desc, id)

@@ -36,6 +36,18 @@ object ConnectedComponents {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Free the block-storage copy behind an eager `localCheckpoint` frame.
+    * The checkpointed data lives in the persisted RDD inside the frame's
+    * LogicalRDD leaf — `df.unpersist()` doesn't touch it (the frame was
+    * never `cache()`d) and `df.rdd` would plan a NEW wrapper RDD whose
+    * unpersist is a no-op on the blocks. Non-blocking; safe to call once
+    * all consumers of the frame have materialized. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Exact label checksum; NULL (zero rows) coalesces to 0 so an empty edge
     * set converges on the first round instead of NPE-ing on a null slot. */
   private def checksumOf(labels: DataFrame): java.math.BigDecimal = {
@@ -78,9 +90,17 @@ object ConnectedComponents {
     val parts = math.max(floor,
       math.min(65536L, m * 48L / (32L << 20)).toInt)
     val sym =
-      if (parts > floor)
-        sym0.repartition(parts, col("dst")).localCheckpoint(true)
-      else sym0
+      if (parts > floor) {
+        val rekeyed = sym0.repartition(parts, col("dst")).localCheckpoint(true)
+        // the eager checkpoint above has materialized — sym0's blocks are
+        // now a dead second copy of the full symmetric edge set that would
+        // otherwise sit in block storage for the whole iteration loop
+        // (exactly at the 5M-doc scale this sizing targets); free them now
+        // rather than waiting for the ContextCleaner to notice the frame
+        // is unreachable after the method returns
+        unpersistCheckpoint(sym0)
+        rekeyed
+      } else sym0
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
@@ -105,6 +125,8 @@ object ConnectedComponents {
       val nextSum = checksumOf(next)
       converged = nextSum.compareTo(checksum) == 0
       checksum = nextSum
+      // the superseded round's label blocks have no remaining consumer
+      unpersistCheckpoint(labels)
       labels = next
       iter += 1
     }
@@ -170,6 +192,7 @@ object ConnectedComponents {
     while (!converged && iter < maxIter) {
       val next = star(star(e, large = true), large = false).localCheckpoint(true)
       converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      unpersistCheckpoint(e)
       e = next
       iter += 1
     }

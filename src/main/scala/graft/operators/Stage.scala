@@ -40,11 +40,20 @@ object Stage {
     }
     if (declaredWide) return df
     val bytes = analyzed.stats.sizeInBytes
+    if (bytes >= BigInt(conf.defaultSizeInBytes)) {
+      // Unknown stats: non-file leaves (LogicalRDD, streaming sources)
+      // default to spark.sql.defaultSizeInBytes (Long.MaxValue), so the
+      // file-split geometry replay below says nothing about their width —
+      // and its quotient would overflow Int. Ask the RDD directly; the
+      // planner round-trip is the honest price of a statless plan.
+      return if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
     val maxSplit = BigDecimal(conf.filesMaxPartitionBytes)
       .min(BigDecimal(conf.filesOpenCostInBytes).max(BigDecimal(bytes) / target))
     val estParts =
       if (maxSplit <= 0) target
-      else (BigDecimal(bytes) / maxSplit).setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+      else (BigDecimal(bytes) / maxSplit).setScale(0, BigDecimal.RoundingMode.CEILING)
+        .min(BigDecimal(Int.MaxValue)).toInt
     if (estParts < target) df.repartition(target) else df
   }
 
