@@ -487,15 +487,19 @@ object Dedup {
     * fallback is load-bearing and deliberately left alone.
     *
     * At 5M docs the sized exchanges (in-body comment) cut wall 495 s →
-    * 104.6 s and spill 161 GB → 28.6 GB (grid ngram_posting rows, the
-    * 24× expansion). The remaining spill lives in the PAIR stage's
-    * partial aggregate (pre-exchange pair volume Σ_sh C(df, 2) is
-    * cap-bounded per shingle but not per task) and in the posting
-    * aggregate's sort-based fallback — both MANAGED, spill-capable
+    * ~105 s and spill 161 GB → 28.6 GB; the r11 wide-born-explode shape
+    * (exchange the compact raw stream BEFORE the 24× explode, so the
+    * exploded stream is born in sized map tasks) takes the residual
+    * map-writer spill to ~53 MB — 28.5 GB → 0.05 GB at 5M, 7.5 GB → 0
+    * at 500k — for one extra ~4 GB exchange of the 1× text stream
+    * (wall statistically unchanged on this page-cache-rich host;
+    * on real executors the removed spill is write+re-read disk I/O
+    * while the added exchange pipelines). Residual spill is the
+    * posting aggregate's sort-based fallback — MANAGED, spill-capable
     * sorter memory by construction (degrades gracefully at any scale;
     * contrast the unmanaged-heap hash-map hazard documented at
-    * [[graft.operators.TextOps]].windowFreqs), and on a cluster they
-    * divide by executors, not by this host's one JVM. */
+    * [[graft.operators.TextOps]].windowFreqs), and on a cluster it
+    * divides by executors, not by this host's one JVM. */
   def ngramJaccard(
       df: DataFrame,
       idCol: String,
@@ -569,27 +573,58 @@ object Dedup {
     // at session parallelism.
     //
     // With this sizing the REDUCE side is clean (per-stage probe at 5M:
-    // ~50 MB of reduce spill across 1084 tasks); the grid row's remaining
-    // ~28 GB is the MAP-side shuffle writer — each of the scan's ~34 input
-    // splits pushes its ~850 MB share of the exploded shingle stream
-    // through spill-capable sorter pages. That term is per-split, not
-    // per-partition-count: at cluster scale a 128 MB split explodes to
-    // ~1 GB of writer traffic whatever the reduce width, which is exactly
-    // the external-sort path sort-shuffle is built on, and it divides by
-    // executors like any map work.
+    // ~50 MB of reduce spill across 1084 tasks). The MAP-side writer term —
+    // each file split pushing its whole exploded share (~850 MB at 5M /
+    // 128 MB splits) through spill-capable sorter pages, the former ~28 GB
+    // grid residue — is removed by the wide-born-explode pre-exchange
+    // below (shLarge): the exploded stream is born in shParts tasks, so
+    // each sh_h writer holds volume/shParts ≈ 14 MB serialized.
     // ANALYZED-plan stats: same size-only file figures as `optimizedPlan`
     // would yield, without re-running the optimizer batches per call on top
     // of the main query's own optimization (the r9 q23 driver-side
     // regression at sf0.1)
     val textEst = tf.queryExecution.analyzed.stats.sizeInBytes
-    val large = textEst > 256L * 1024 * 1024
+    // 64 MB gate (not the 256 MB the attach-side joins use): the explode's
+    // 24× expansion means even a 219 MB-compressed corpus (500k grid docs)
+    // pushes ~60M exploded rows through the session-constant exchanges —
+    // measured 7.5 GB of sort spill on the small path — while the headline
+    // tables (≤ 1 MB) stay far below any plausible gate. The large shape's
+    // only fixed cost is one exchange of the compact raw stream.
+    val large = textEst > 64L * 1024 * 1024
     val shParts = {
       val floor = df.sparkSession.sessionState.conf.numShufflePartitions
       val want = (BigDecimal(textEst) * 24 / BigDecimal(48L << 20))
         .toBigInt.min(BigInt(65536)).toInt
       math.max(floor, want)
     }
-    val shKeyed = if (large) sh.repartition(shParts, col("sh_h")) else sh
+    // Large shape: exchange the COMPACT 1× raw (id, text) stream to the
+    // sized width BEFORE tokenize/shingle/explode, so the 24× exploded
+    // stream is BORN in shParts map tasks. Without this the explode runs
+    // inside the scan's file splits and the sh_h exchange's writer pages
+    // each split's whole exploded share (~850 MB at 5M docs / 128 MB
+    // splits) through its ~75 MB execution-memory slice — the grid row's
+    // remaining ~28 GB of (managed) map-side spill. The pre-exchange
+    // carries raw text (~1/24 of the exploded volume, and it's the
+    // shuffle-codec-friendly payload), keyed on id — a hash exchange, so
+    // no round-robin determinism sort — and the projection ordering keeps
+    // the token/shingle expressions ABOVE it (Catalyst's pruning pushes
+    // only column selections through a repartition, never expressions).
+    // Post-fix each sh_h writer holds volume/shParts ≈ 14 MB serialized:
+    // zero spill generations at any corpus size, because shParts and the
+    // writer share scale together. The same one-exchange-earlier shape is
+    // what a 1000-executor cluster wants: expansion stages should never
+    // widen THROUGH a shuffle writer sized by the scan's split count.
+    val shLarge =
+      if (large)
+        df.select(col(idCol).as("id"), col(textCol).as("text"))
+          .repartition(shParts, col("id"))
+          .select(col("id"),
+            HashExpressions.shingle_hashes(toks(col("text")), shingleLen).as("shs"))
+          .select(col("id"), size(col("shs")).as("n_sh"),
+            explode_outer(col("shs")).as("sh_h"))
+          .filter(col("sh_h").isNotNull)
+      else sh
+    val shKeyed = if (large) shLarge.repartition(shParts, col("sh_h")) else sh
     val postings = shKeyed.groupBy(col("sh_h"))
       .agg(graft.functions.CappedPostings
         .capped_postings(col("id"), col("n_sh"), maxShingleFreq).as("docs"))
@@ -882,10 +917,18 @@ object Dedup {
     // > 0 = caller already priced it (editDistanceCandidates shares one
     // eager job across the blocking and join stages)
     val p = if (sizedParts >= 0) sizedParts else gramExchangeParts(t, gramLen)
+    // Wide-born explode (the ngramJaccard shape): exchange the compact
+    // (id, s) stream to the sized width FIRST, so the ~(len−q+1)× gram
+    // expansion is born in p map tasks and the g exchange's writer holds
+    // volume/p instead of a whole file split's gram share (~130 MB/task at
+    // 5M titles — the grid row's ~6 GB of map-writer spill). The raw
+    // short-string stream is ~1/20 the gram volume, so the extra exchange
+    // is cheap at any scale.
+    val tIn = if (p > 0) t.repartition(p, col("id")) else t
     // per-doc DISTINCT q-gram windows, identical to SELECT DISTINCT
     // substring(s, i, q) in the oracle (len < q guarded here too — a
     // descending `sequence(1, len-q+1)` would otherwise fabricate windows)
-    val rawGrams = t.filter(length(col("s")) >= gramLen).select(col("id"),
+    val rawGrams = tIn.filter(length(col("s")) >= gramLen).select(col("id"),
         explode(array_distinct(transform(
           sequence(lit(1), length(col("s")) - (gramLen - 1)),
           i => col("s").substr(i, lit(gramLen))))).as("g"))

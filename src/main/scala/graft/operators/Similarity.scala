@@ -426,8 +426,30 @@ object Similarity {
       cellsPerSuper: Int = 1
   ): DataFrame = {
     val spark = df.sparkSession
-    val base = Stage.ensureWide(
-        df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+    val raw = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // Persist the base WIDE enough that the map stages re-emitting it
+    // EXPANDED keep their shuffle-writer buffers inside a task's execution
+    // share. The cached width is otherwise the scan's file-split geometry —
+    // not a knob — and the probe side explodes each cached partition
+    // nprobe·cellsPerSuper× with the full query vector attached: at 5M×64d
+    // that paged ~176 MB of probe rows per map task through a ~75 MB share
+    // (the ~9.6 GB writer spill the per-stage probe attributed to this
+    // exchange in the k=20 hard-negatives configuration). Sizing the cache
+    // itself from (raw bytes × probe expansion) / 24 MB bounds every
+    // downstream writer at once — probe, member, and sample reads all
+    // inherit it — for one extra exchange of the compact 1× raw stream,
+    // whose own writers hold raw/splits ≈ 45 MB. Small corpora (≤ 256 MB
+    // estimate) keep the plain ensureWide path and its plans.
+    val rawBytes = raw.queryExecution.analyzed.stats.sizeInBytes
+    val expandF = nprobe.toLong * cellsPerSuper
+    val wideParts = (BigDecimal(rawBytes) * expandF / BigDecimal(24L << 20))
+      .toBigInt.min(BigInt(65536)).toInt
+    val baseIn =
+      if (rawBytes > 256L * 1024 * 1024 &&
+          wideParts > spark.sparkContext.defaultParallelism)
+        raw.repartition(wideParts, col("id"))
+      else Stage.ensureWide(raw)
+    val base = baseIn
       .withColumn("norm", l2norm(col("v")))
       .filter(col("norm") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -509,14 +531,15 @@ object Similarity {
     // records. Shuffle-WRITER buffers are this operator's only memory-
     // pressured stages (per-stage probes at 5M×64d): the exploded form spilt
     // ~19.5 GB in the cell-join stage's writer; the array form plus the
-    // output-aware dirParts above moves that to zero, leaving only the
-    // probe-side exchange's writer (~9.6 GB at k=20 — each map task emits
-    // its whole share of the n·nprobe vector-laden probe rows through
-    // spill-capable sorter pages, and the map-side task count is the cached
-    // base's split count, not a knob). All of it is managed, linear-in-n
-    // writer memory that divides by executors on a real cluster. The
-    // reduce-side explode feeds the rank window in place (Generate preserves
-    // the id_a hash partitioning), measured spill-free at 635 parts.
+    // output-aware dirParts above moves that to zero. The last writer term —
+    // the probe-side exchange, whose map tasks each emitted their whole
+    // share of the n·nprobe vector-laden probe rows (~9.6 GB of paging at
+    // k=20 when the map width was the scan's split count) — is bounded by
+    // the sized base persist above: probe maps inherit the cache's
+    // expansion-aware width, so each writer holds probeVolume/wideParts.
+    // The reduce-side explode feeds the rank window in place (Generate
+    // preserves the id_a hash partitioning), measured spill-free at 635
+    // parts.
     val rankParts = math.max(floor,
       math.min(65536L, n * nprobe * cellsPerSuper * k * 80L / (48L << 20)).toInt)
     import org.apache.spark.sql.expressions.Window
