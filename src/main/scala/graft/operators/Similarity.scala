@@ -427,29 +427,15 @@ object Similarity {
   ): DataFrame = {
     val spark = df.sparkSession
     val raw = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    // Persist the base WIDE enough that the map stages re-emitting it
-    // EXPANDED keep their shuffle-writer buffers inside a task's execution
-    // share. The cached width is otherwise the scan's file-split geometry —
-    // not a knob — and the probe side explodes each cached partition
-    // nprobe·cellsPerSuper× with the full query vector attached: at 5M×64d
-    // that paged ~176 MB of probe rows per map task through a ~75 MB share
-    // (the ~9.6 GB writer spill the per-stage probe attributed to this
-    // exchange in the k=20 hard-negatives configuration). Sizing the cache
-    // itself from (raw bytes × probe expansion) / 24 MB bounds every
-    // downstream writer at once — probe, member, and sample reads all
-    // inherit it — for one extra exchange of the compact 1× raw stream,
-    // whose own writers hold raw/splits ≈ 45 MB. Small corpora (≤ 256 MB
-    // estimate) keep the plain ensureWide path and its plans.
+    // The base persists at its ARRIVAL width (ensureWide only guards the
+    // degenerate narrow case). Widening the cache itself was measured and
+    // REVERTED: sizing it for the probe expansion (206 partitions at
+    // 5M×64d) taxed every one of the ~30 PQ-training jobs and every
+    // downstream cache pass with 5× the task count — knn_join_ivf@5M went
+    // 133 → 190 s for zero spill benefit. Only the PROBE branch re-emits
+    // the cache expanded; it gets its own pre-exchange below.
     val rawBytes = raw.queryExecution.analyzed.stats.sizeInBytes
-    val expandF = nprobe.toLong * cellsPerSuper
-    val wideParts = (BigDecimal(rawBytes) * expandF / BigDecimal(24L << 20))
-      .toBigInt.min(BigInt(65536)).toInt
-    val baseIn =
-      if (rawBytes > 256L * 1024 * 1024 &&
-          wideParts > spark.sparkContext.defaultParallelism)
-        raw.repartition(wideParts, col("id"))
-      else Stage.ensureWide(raw)
-    val base = baseIn
+    val base = Stage.ensureWide(raw)
       .withColumn("norm", l2norm(col("v")))
       .filter(col("norm") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -506,7 +492,23 @@ object Similarity {
     // refactor would silently re-evaluate the probe assignment per row (the
     // measured 2-3× of the winner explode below). The probe list is never
     // empty, and a null cell can't match the inner cell join.
-    val probe = base.select(col("id").as("id_a"), col("v").as("v_a"),
+    // Wide-born probe explode (the Dedup.ngramJaccard shape): the probe
+    // side re-emits each cached partition nprobe·cellsPerSuper× with the
+    // full query vector attached, so its cell-exchange writer pages a whole
+    // cache partition's expanded share (~176 MB at 5M×64d against a ~75 MB
+    // execution slice — the ~9.6 GB writer spill the k=20 hard-negatives
+    // probe attributed here). Exchanging the compact 1× cached stream to an
+    // expansion-aware width FIRST bounds the writer at probeVolume/parts;
+    // the training/member/count passes keep reading the narrow cache (a
+    // cache-wide fix was measured at +43% wall — see the base comment).
+    val probeParts = (BigDecimal(rawBytes) * nprobe * cellsPerSuper /
+      BigDecimal(24L << 20)).toBigInt.min(BigInt(65536)).toInt
+    val probeIn =
+      if (rawBytes > 256L * 1024 * 1024 &&
+          probeParts > spark.sparkContext.defaultParallelism)
+        base.repartition(probeParts, col("id"))
+      else base
+    val probe = probeIn.select(col("id").as("id_a"), col("v").as("v_a"),
       explode_outer(graft.functions.VectorExpressions
         .portable_ivf_probe(col("v"), lists, dims, nprobe, cellsPerSuper)).as("cell"))
       .filter(col("cell").isNotNull)
@@ -535,8 +537,8 @@ object Similarity {
     // the probe-side exchange, whose map tasks each emitted their whole
     // share of the n·nprobe vector-laden probe rows (~9.6 GB of paging at
     // k=20 when the map width was the scan's split count) — is bounded by
-    // the sized base persist above: probe maps inherit the cache's
-    // expansion-aware width, so each writer holds probeVolume/wideParts.
+    // the probe branch's own expansion-aware pre-exchange (see `probeIn`),
+    // so each writer holds probeVolume/probeParts.
     // The reduce-side explode feeds the rank window in place (Generate
     // preserves the id_a hash partitioning), measured spill-free at 635
     // parts.
