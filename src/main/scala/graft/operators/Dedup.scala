@@ -937,12 +937,24 @@ object Dedup {
       else rawGrams.repartition(col("g"))
     val freqs = grams.groupBy(col("g")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= 2 && col("freq") <= maxTrigramFreq)
-    val gated = grams.join(freqs, "g")
+    // SHUFFLE_HASH on the freq side: the default sort-merge join SORTS the
+    // full gram stream per partition (the per-stage probe's one spilling
+    // stage at q6@5M — ~105M gram rows plus ~50M freq rows through 90-part
+    // sorts, 6.0 GB of spill), while the freq table's per-partition build
+    // is bounded by distinct-gram count (~11 MB wire/partition at q6@5M —
+    // a comfortable hash relation at any corpus size, since distinct grams
+    // grow sublinearly and p scales with the same volume job). Both sides
+    // already arrive hash-partitioned on g (ReusedExchange of the gram
+    // exchange), so the hint changes the join ALGORITHM, not the exchange
+    // count, and the gram side now streams unsorted.
+    val gated = grams.join(freqs.hint("SHUFFLE_HASH"), "g")
     if (rarestK <= 0) gated.select(col("id"), col("g"))
     else {
       import org.apache.spark.sql.expressions.Window
       // the per-id rarest-k window needs an id-clustered exchange of the
-      // gated stream — sized with the same count (gated ⊆ grams)
+      // gated stream — sized with the same count (gated ⊆ grams; the
+      // window sort at p was probed clean at 5M, it was the gate JOIN's
+      // sort-merge sorts that spilled — see the SHUFFLE_HASH note above)
       val keyed = if (p > 0) gated.repartition(p, col("id")) else gated
       val w = Window.partitionBy(col("id")).orderBy(col("freq").asc, col("g").asc)
       keyed.withColumn("rk", row_number().over(w))
