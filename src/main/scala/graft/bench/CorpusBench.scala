@@ -565,10 +565,12 @@ object CorpusBench {
       // operator's real domain and the planted HOT-TRIGRAM hazard; df-gate
       // -only vs rarest-k side by side. Planted recall target: N/20 dist-1
       // pairs.
-      val titlePath = s"$stageDir/titles_$n"
-      if (!Files.exists(Paths.get(titlePath)))
-        titleCorpus(spark, n).write.mode("overwrite").parquet(titlePath)
-      val titles = spark.read.parquet(titlePath)
+      lazy val titles = {
+        val titlePath = s"$stageDir/titles_$n"
+        if (!Files.exists(Paths.get(titlePath)))
+          titleCorpus(spark, n).write.mode("overwrite").parquet(titlePath)
+        spark.read.parquet(titlePath)
+      }
       def titleT(d: DataFrame) =
         d.select(col("doc_id").as("id"),
             substring(trim(lower(col("text"))), 1, 40).as("s"))
@@ -790,14 +792,35 @@ object CorpusBench {
       // session row materializes the full ordered event-type path per
       // session (sort_array over per-session structs); the rolling row is
       // a RANGE frame over event-time micros.
-      val evPath = s"$stageDir/events_$n"
-      if (!Files.exists(Paths.get(evPath)))
-        eventCorpus(spark, n).write.mode("overwrite").parquet(evPath)
-      val events = spark.read.parquet(evPath)
+      lazy val events = {
+        val evPath = s"$stageDir/events_$n"
+        if (!Files.exists(Paths.get(evPath)))
+          eventCorpus(spark, n).write.mode("overwrite").parquet(evPath)
+        spark.read.parquet(evPath)
+      }
+      // The window FUNCTION state is one user's ~50 events, but the window
+      // SORT holds a whole partition's rows: at the session constant a 50M-
+      // event stream sorts ~1.6M rows per task — measured 8.5 GB of sort
+      // spill in the session row's first 50M run. Size the user exchange
+      // from the scan estimate (~6× in-sorter expansion of the parquet
+      // bytes, ≤ 24 MB of sort state per task); the windows' required
+      // ClusteredDistribution(user_id) is satisfied by this hash
+      // partitioning, so no second exchange is inserted. Small streams
+      // keep the session constant.
+      lazy val evKeyed = {
+        val evEst = events.queryExecution.analyzed.stats.sizeInBytes
+        if (evEst <= 64L * 1024 * 1024) events
+        else {
+          val parts = math.max(spark.sessionState.conf.numShufflePartitions,
+            (BigDecimal(evEst) * 6 / BigDecimal(24L << 20))
+              .toBigInt.min(BigInt(65536)).toInt)
+          events.repartition(parts, col("user_id"))
+        }
+      }
       benchAct("session_sequences", () => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-        events
+        evKeyed
           .withColumn("prev_us", lag(col("us"), 1).over(w))
           .withColumn("new_s",
             when(col("prev_us").isNull
@@ -817,14 +840,14 @@ object CorpusBench {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
           .rangeBetween(-86400000000L, 0L)
-        events.withColumn("n_24h", count(lit(1)).over(w))
+        evKeyed.withColumn("n_24h", count(lit(1)).over(w))
           .agg(sum(col("n_24h"))).head().getLong(0)
       }, valueField = "checksum")
 
       // Z-order layout rewrites are write-path ops — EliminateSorts would
       // drop their sortWithinPartitions under a bare count(), so the action
       // is a real parquet write of the clustered layout.
-      val zdocs = docs.withColumn("len", length(col("text")))
+      lazy val zdocs = docs.withColumn("len", length(col("text")))
       benchAct("zorder_cluster", () => {
         ZOrder.clusterBy(zdocs, Seq("doc_id", "len"))
           .write.mode("overwrite").parquet(s"$stageDir/zorder_$n")
