@@ -896,7 +896,20 @@ object Dedup {
       val vol = t.agg(coalesce(sum(greatest(length(col("s")) - (gramLen - 1),
         lit(0)).cast("long")), lit(0L))).head().getLong(0)
       val floor = t.sparkSession.sessionState.conf.numShufflePartitions
-      math.max(floor, math.min(65536L, vol * 40L / (48L << 20)).toInt)
+      // Price BOTH of the count's memory consumers (the knnJoinIvf dirParts
+      // discipline): the gram sorts (~40 B of sort state per gram row,
+      // ≤ 48 MB per task — spill-capable) AND the frequency gate's
+      // SHUFFLE_HASH build (≤ vol/2 gated rows — the df ≥ 2 filter — at
+      // ~48 B of UnsafeHashedRelation state each, ≤ 12 MB per task,
+      // UNSPILLABLE). The build term dominates and is the measured one:
+      // at 50M titles (1.05B gram windows) the sort-only count handed each
+      // task a ~29 MB hash build that died with "can't acquire memory to
+      // build hash relation" under 32 concurrent consumers on the 8 GB
+      // heap; per-task build bytes are CONSTANT in corpus size under this
+      // pricing because parts and volume scale together.
+      val sortParts = vol * 40L / (48L << 20)
+      val buildParts = (vol / 2) * 48L / (12L << 20)
+      math.max(floor, math.min(65536L, math.max(sortParts, buildParts)).toInt)
     }
   }
 

@@ -92,9 +92,16 @@ object Stage {
     * partition's hash relation stays inside a task's execution-memory
     * share at any payload size (hash relations cannot spill). Sized from
     * Catalyst's no-action size estimate with a 2× in-memory expansion,
-    * floored at the session parallelism, capped at 65536. */
+    * floored at the session parallelism, capped at 65536.
+    *
+    * 16 MB of estimated bytes per partition (not 32): the relation itself
+    * expands the raw bytes ~2-3×, and 32 concurrent unspillable builds
+    * must coexist with the probe stage's other consumers — at 50M titles
+    * the 32 MB target's attach builds died with "can't acquire memory to
+    * build hash relation" on the protocol 8 GB heap; 16 MB keeps the
+    * resident build set near ~1 GB at full concurrency. */
   def sizedBuild(df: DataFrame, keys: Seq[String],
-      buildBytesPerPart: Long = 32L * 1024 * 1024): DataFrame =
+      buildBytesPerPart: Long = 16L * 1024 * 1024): DataFrame =
     df.repartition(sizedBuildParts(df, buildBytesPerPart),
       keys.map(org.apache.spark.sql.functions.col): _*)
 
@@ -107,7 +114,7 @@ object Stage {
     * Taking max(probe count, build count) for both sides keeps every
     * build bounded and costs the probe nothing. */
   def sizedBuildParts(df: DataFrame,
-      buildBytesPerPart: Long = 32L * 1024 * 1024): Int = {
+      buildBytesPerPart: Long = 16L * 1024 * 1024): Int = {
     val floor = df.sparkSession.sessionState.conf.numShufflePartitions
     val est = BigDecimal(df.queryExecution.optimizedPlan.stats.sizeInBytes) * 2
     val want = (est / BigDecimal(buildBytesPerPart)).toBigInt
