@@ -288,11 +288,26 @@ object CorpusBench {
       }
       def bench(op: String, f: DataFrame => DataFrame, extra: String = ""): Unit =
         benchOn(op, docs, f, extra)
+      // Directly-invoked benchAct ops (no by-name `input` to force) get
+      // their lazy corpus staged HERE, outside any timed window: without
+      // this, an op-filtered run on a fresh stage dir measures first-touch
+      // parquet generation (~22 GB of docs at 50M) inside the op's first
+      // iteration under the warmup=0 convention. `opPrefixes` are matched
+      // against the filter's exact op names by prefix (the generated
+      // knn_join_ivf_recall_p4c2-style names); no filter = run everything =
+      // force eagerly at the group's position in program order.
+      def stageFor(opPrefixes: String*)(force: => Any): Unit =
+        if (opFilter.forall(sel =>
+            sel.exists(name => opPrefixes.exists(name.startsWith)))) { force; () }
 
       val shSized = """"impl":"wide_born_explode+sized_sh_exchange""""
       val candSized = """"impl":"sized_candidates""""
       bench("minhash_pairs",
         d => Dedup.minhashLsh(d, "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.5))
+      // the docs-corpus benchAct group (see stageFor)
+      stageFor("incremental_dedup", "decontaminate_spans", "clean_pipeline",
+        "repeated_windows", "dup_spans", "pii_scan", "top_ngrams_agree",
+        "zorder")(docs)
       // incremental ingest: a 10% delta classified against the other 90% —
       // candidate work is |new|-driven (old docs never pair together); sum
       // all outputs so no stage prunes away
@@ -438,6 +453,9 @@ object CorpusBench {
       // log2(n) so bucket occupancy — which bounds the candidate count —
       // stays O(1) at any scale
       val planes = Similarity.planesFor(n)
+      // the embedding-corpus benchAct group (see stageFor)
+      stageFor("semantic_dedup", "knn_join_ivf_recall", "knn_join_recall",
+        "hard_negatives_ann")(embs)
       benchOn("embedding_neardups", embs, e =>
         Dedup.embeddingNearDups(e, "vec_id", "embedding", threshold = 0.95,
           planes = planes, tables = 4))
@@ -571,6 +589,8 @@ object CorpusBench {
           titleCorpus(spark, n).write.mode("overwrite").parquet(titlePath)
         spark.read.parquet(titlePath)
       }
+      // the title-corpus benchAct group (volume/recall rows; see stageFor)
+      stageFor("editdist_title")(titles)
       def titleT(d: DataFrame) =
         d.select(col("doc_id").as("id"),
             substring(trim(lower(col("text"))), 1, 40).as("s"))
@@ -817,6 +837,9 @@ object CorpusBench {
           events.repartition(parts, col("user_id"))
         }
       }
+      // the event-stream benchAct group (see stageFor): forcing evKeyed
+      // stages the events parquet AND resolves its sized user exchange
+      stageFor("session_sequences", "rolling_counts")(evKeyed)
       benchAct("session_sequences", () => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))

@@ -40,8 +40,17 @@ object ConnectedComponents {
     * The checkpointed data lives in the persisted RDD inside the frame's
     * LogicalRDD leaf — `df.unpersist()` doesn't touch it (the frame was
     * never `cache()`d) and `df.rdd` would plan a NEW wrapper RDD whose
-    * unpersist is a no-op on the blocks. Non-blocking; safe to call once
-    * all consumers of the frame have materialized. */
+    * unpersist is a no-op on the blocks.
+    *
+    * CONTRACT — stronger than "all consumers have materialized": a locally
+    * checkpointed frame has TRUNCATED lineage, so these blocks are its only
+    * copy. After this call the frame must never be referenced again — not
+    * by a later action, and not by a TASK RETRY of a still-running stage
+    * that reads it (either fails with a missing-checkpoint-block error; the
+    * data is irrecoverable, not recomputable). Call sites should drop or
+    * shadow the reference immediately after the call (as the sizing branch
+    * below does by returning `rekeyed` and never touching `sym0` again) so
+    * accidental reuse is impossible. Non-blocking. */
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)

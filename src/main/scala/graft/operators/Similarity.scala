@@ -501,10 +501,20 @@ object Similarity {
     // expansion-aware width FIRST bounds the writer at probeVolume/parts;
     // the training/member/count passes keep reading the narrow cache (a
     // cache-wide fix was measured at +43% wall — see the base comment).
-    val probeParts = (BigDecimal(rawBytes) * nprobe * cellsPerSuper /
-      BigDecimal(24L << 20)).toBigInt.min(BigInt(65536)).toInt
+    // Statless inputs (LogicalRDD / localCheckpoint-backed frames) report
+    // spark.sql.defaultSizeInBytes (Long.MaxValue) — without this guard the
+    // 256 MB gate always passes and probeParts saturates at the 65536 cap,
+    // a pathological exchange of the whole cached base (the same
+    // unknown-stats trap Stage.ensureWide guards). Unknown stats keep the
+    // un-exchanged base: the probe writer then pages at the scan width,
+    // which is only the pre-r11 behavior, never a 65536-part exchange.
+    val statsKnown = rawBytes < BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    val probeParts =
+      if (!statsKnown) 0
+      else (BigDecimal(rawBytes) * nprobe * cellsPerSuper /
+        BigDecimal(24L << 20)).toBigInt.min(BigInt(65536)).toInt
     val probeIn =
-      if (rawBytes > 256L * 1024 * 1024 &&
+      if (statsKnown && rawBytes > 256L * 1024 * 1024 &&
           probeParts > spark.sparkContext.defaultParallelism)
         base.repartition(probeParts, col("id"))
       else base

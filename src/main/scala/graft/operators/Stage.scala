@@ -44,8 +44,13 @@ object Stage {
       // Unknown stats: non-file leaves (LogicalRDD, streaming sources)
       // default to spark.sql.defaultSizeInBytes (Long.MaxValue), so the
       // file-split geometry replay below says nothing about their width —
-      // and its quotient would overflow Int. Ask the RDD directly; the
-      // planner round-trip is the honest price of a statless plan.
+      // and its quotient would overflow Int. Streaming plans cannot take
+      // the RDD round-trip at all (`df.rdd` throws AnalysisException on a
+      // streaming Dataset — one of the two statless cases this branch
+      // exists for); their micro-batch width is the source's to decide, so
+      // pass them through unchanged. Batch statless plans ask the RDD
+      // directly; the planner round-trip is the honest price.
+      if (df.isStreaming) return df
       return if (df.rdd.getNumPartitions < target) df.repartition(target) else df
     }
     val maxSplit = BigDecimal(conf.filesMaxPartitionBytes)
