@@ -214,6 +214,237 @@ object AnnExpressions {
       GraftBridge.toExpression(idA), GraftBridge.toExpression(vA),
       GraftBridge.toExpression(members), k, kCand, codebooks, subDim))
 
+  /** The ADC-shortlist HALF of [[IvfPqCellTopK]], over a CODES-ONLY member
+    * directory: members carry (id: bigint, code: array<int>) — ~40 B each
+    * instead of the ~300 B of a raw-vector-laden struct — and the output is
+    * the ≤ `kCand` shortlisted member ids (self excluded), selected by
+    * exactly the same bounded-insertion rule (ADC distance asc, id asc
+    * ties) as the fused expression, so a downstream exact rescore of these
+    * ids returns byte-identical results. When the cap covers the whole cell
+    * (members ≤ kCand) every other member survives and the ADC phase is
+    * skipped, mirroring the fused expression's exact-path shortcut.
+    *
+    * This split is what lets [[graft.operators.Similarity.knnJoinIvf]]'s
+    * directory exchange drop the raw vectors (the n·4·dims payload that,
+    * with the base cache, demanded a 2× protocol heap at 50M×64d): vectors
+    * ride only the second cell-keyed directory that [[CellRescoreTopK]]
+    * reads, and only the shortlist survivors get exact work. */
+  case class IvfPqCellShortlist(
+      first: Expression,  // idA
+      second: Expression, // vA
+      third: Expression,  // members: array<struct<id, code>>
+      kCand: Int,
+      codebooks: Array[Array[Array[Double]]],
+      subDim: Int
+  ) extends TernaryExpression with Serializable {
+    require(kCand > 0, "need positive kCand")
+    require(codebooks.nonEmpty, "empty PQ codebook")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (LongType, ArrayType(FloatType, _), ArrayType(_: StructType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"ivfpq_cell_shortlist expects (bigint, array<float>, array<struct>), got $other")
+      }
+
+    def compute(idA: Long, vAraw: ArrayData, members: ArrayData): ArrayData = {
+      val m = codebooks.length
+      val dims = vAraw.numElements()
+      val nMem = members.numElements()
+      if (nMem == 0) return new GenericArrayData(Array.empty[Any])
+      if (nMem <= kCand) {
+        // cap covers the cell: everything (except self) rescores exactly
+        val out = new Array[Long](nMem)
+        var filled = 0
+        var r = 0
+        while (r < nMem) {
+          val id = members.getStruct(r, 2).getLong(0)
+          if (id != idA) { out(filled) = id; filled += 1 }
+          r += 1
+        }
+        return new GenericArrayData(
+          (if (filled == nMem) out else java.util.Arrays.copyOf(out, filled))
+            .map(x => x: Any))
+      }
+      val vA = new Array[Double](dims)
+      var i = 0
+      while (i < dims) { vA(i) = vAraw.getFloat(i).toDouble; i += 1 }
+      // ADC tables: adc(s)(c) = squared L2 of vA's s-th slice to centroid c
+      val adc = Array.tabulate(m) { s =>
+        val cb = codebooks(s)
+        val lo = s * subDim
+        Array.tabulate(cb.length) { c =>
+          val cent = cb(c)
+          var d = 0.0; var j = 0
+          val nn = math.min(subDim, math.max(0, dims - lo))
+          while (j < nn) { val x = vA(lo + j) - cent(j); d += x * x; j += 1 }
+          d
+        }
+      }
+      // shortlist: kCand smallest ADC (ties id asc) by bounded insertion —
+      // identical rule and tie-breaks to IvfPqCellTopK's shortlist phase
+      val cap = math.min(kCand, nMem)
+      val slDist = new Array[Double](cap)
+      val slId = new Array[Long](cap)
+      var filled = 0
+      var r = 0
+      while (r < nMem) {
+        val row = members.getStruct(r, 2)
+        val id = row.getLong(0)
+        if (id != idA) {
+          val code = row.getArray(1)
+          var d = 0.0; var s = 0
+          val ms = math.min(m, code.numElements())
+          while (s < ms) {
+            val c = code.getInt(s)
+            val t = adc(s)
+            if (c >= 0 && c < t.length) d += t(c)
+            s += 1
+          }
+          if (filled < cap || d < slDist(filled - 1) ||
+              (d == slDist(filled - 1) && id < slId(filled - 1))) {
+            var p = if (filled < cap) filled else cap - 1
+            while (p > 0 && {
+                val pd = slDist(p - 1)
+                pd > d || (pd == d && slId(p - 1) > id)
+              }) {
+              slDist(p) = slDist(p - 1); slId(p) = slId(p - 1); p -= 1
+            }
+            slDist(p) = d; slId(p) = id
+            if (filled < cap) filled += 1
+          }
+        }
+        r += 1
+      }
+      new GenericArrayData(Array.tabulate[Any](filled)(q => slId(q)))
+    }
+
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      compute(a.asInstanceOf[Long], b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("ivfPqCellShortlist", this,
+        classOf[IvfPqCellShortlist].getName)
+      nullSafeCodeGen(ctx, ev, (a, b, c) => s"${ev.value} = $self.compute($a, $b, $c);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  def ivfpq_cell_shortlist(idA: Column, vA: Column, members: Column,
+      kCand: Int, codebooks: Array[Array[Array[Double]]], subDim: Int): Column =
+    GraftBridge.toColumn(IvfPqCellShortlist(
+      GraftBridge.toExpression(idA), GraftBridge.toExpression(vA),
+      GraftBridge.toExpression(members), kCand, codebooks, subDim))
+
+  /** The exact-rescore HALF of [[IvfPqCellTopK]]: given the query vector,
+    * an [[IvfPqCellShortlist]] id list, and the cell's VECTOR directory row
+    * (members as (id: bigint, norm: double, v: array<float>)), compute the
+    * exact rounded cosine of every shortlisted member and return the k best
+    * by (cosine desc, id asc) — arithmetic mirrored bit-for-bit from the
+    * fused expression (float→double widening, ascending-index accumulation,
+    * HALF_UP 6-dp rounding), so the split pipeline's output is
+    * byte-identical to the fused one over the same shortlist. Shortlist
+    * membership is checked against a sorted copy of the id list (binary
+    * search per member — the list is ≤ kCand entries). */
+  case class CellRescoreTopK(
+      first: Expression,  // vA
+      second: Expression, // shortlist ids: array<bigint>
+      third: Expression,  // members: array<struct<id, norm, v>>
+      k: Int
+  ) extends TernaryExpression with Serializable {
+    require(k > 0, "need positive k")
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("cosine", DoubleType, nullable = false))),
+      containsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(FloatType, _), ArrayType(LongType, _),
+            ArrayType(_: StructType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"cell_rescore_topk expects (array<float>, array<bigint>, array<struct>), got $other")
+      }
+
+    private def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+
+    def compute(vAraw: ArrayData, sl: ArrayData, members: ArrayData): ArrayData = {
+      val nSl = sl.numElements()
+      val nMem = members.numElements()
+      if (nSl == 0 || nMem == 0) return new GenericArrayData(Array.empty[Any])
+      val dims = vAraw.numElements()
+      val vA = new Array[Double](dims)
+      var i = 0
+      var nrm = 0.0
+      while (i < dims) {
+        vA(i) = vAraw.getFloat(i).toDouble; nrm += vA(i) * vA(i); i += 1
+      }
+      val normA = math.sqrt(nrm)
+      if (normA == 0.0) return new GenericArrayData(Array.empty[Any])
+      val slSorted = new Array[Long](nSl)
+      i = 0
+      while (i < nSl) { slSorted(i) = sl.getLong(i); i += 1 }
+      java.util.Arrays.sort(slSorted)
+      val resCos = new Array[Double](math.min(nSl, nMem))
+      val resId = new Array[Long](resCos.length)
+      var filled = 0
+      var r = 0
+      while (r < nMem) {
+        val row = members.getStruct(r, 3)
+        val id = row.getLong(0)
+        if (java.util.Arrays.binarySearch(slSorted, id) >= 0) {
+          val normB = row.getDouble(1)
+          val vB = row.getArray(2)
+          var dot = 0.0; var j = 0
+          val nn = math.min(dims, vB.numElements())
+          while (j < nn) { dot += vA(j) * vB.getFloat(j).toDouble; j += 1 }
+          resCos(filled) = if (normB == 0.0) 0.0 else round6(dot / (normA * normB))
+          resId(filled) = id
+          filled += 1
+        }
+        r += 1
+      }
+      val order = (0 until filled).sortBy(q => (-resCos(q), resId(q)))
+        .take(math.min(k, filled))
+      new GenericArrayData(order.map { q =>
+        InternalRow(resId(q), resCos(q)): Any
+      }.toArray)
+    }
+
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        c.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("cellRescoreTopK", this, classOf[CellRescoreTopK].getName)
+      nullSafeCodeGen(ctx, ev, (a, b, c) => s"${ev.value} = $self.compute($a, $b, $c);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  def cell_rescore_topk(vA: Column, shortlist: Column, members: Column, k: Int): Column =
+    GraftBridge.toColumn(CellRescoreTopK(
+      GraftBridge.toExpression(vA), GraftBridge.toExpression(shortlist),
+      GraftBridge.toExpression(members), k))
+
   /** Per-cell SemDeDup leader pass
     * ([[graft.operators.Similarity.semanticDedup]]): given one cluster's
     * members as an array of (id, norm, v) structs, drop every member with

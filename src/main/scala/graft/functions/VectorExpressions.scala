@@ -312,7 +312,25 @@ object VectorExpressions {
     * quantized-integer argmax (strict >, lowest index ties), so ANSI SQL
     * replays the hierarchical rule exactly (q112's oracle does). The gate
     * is part of the rule: a given nLists always resolves the same path, so
-    * results are reproducible for any fixed configuration. */
+    * results are reproducible for any fixed configuration.
+    *
+    * Above [[VectorExpressions.threeLevelThreshold]] lists the rule adds a
+    * THIRD level — the fix for the measured O(n^1.5) total assignment CPU
+    * when nLists ∝ n keeps growing (two-level is O(√nLists·dims)/row:
+    * 781k lists at 50M docs costs 1768 integer dots per row, and the
+    * per-stage probe attributed ~2/3 of the 3481 s 50M k-NN-join wall to
+    * exactly these map stages): cells group into mid-blocks of
+    * `B = ceil(cbrt(nLists))` cells, mid-blocks into top-groups of B
+    * mid-centroids (`md5("ivft-<t>-<i>")` parity — a third independent
+    * sign family; mid-centroids reuse the "ivfs" family indexed by global
+    * mid-block id). A row picks the best of `T = ceil(M/B)` top-centroids,
+    * then the best of that group's ≤ B mid-centroids, then scans only the
+    * winning mid-block's ≤ B cells — O(3·∛nLists·dims)/row (129 dots at
+    * 781k lists, a 13.7× cut), so total assignment is O(n^(4/3)·dims)
+    * under nLists ∝ n. Same quantized-integer argmax at every level;
+    * the thresholds are part of the deterministic rule, and every
+    * historical oracled configuration (q83 flat at 8, q112 two-level at
+    * 128) sits below them unchanged. */
   case class PortableIvfAssign(child: Expression, nLists: Int, dims: Int)
       extends UnaryExpression with Serializable {
     require(nLists > 0, "need positive nLists")
@@ -343,6 +361,16 @@ object VectorExpressions {
       Array.tabulate(VectorExpressions.superCells(nLists))(g =>
         Array.tabulate(dims)(i => VectorExpressions.md5SignIvfSuper(g, i + 1)))
 
+    // three-level regime: mid-centroids reuse the "ivfs" family indexed by
+    // global mid-block id (geometry differs from the two-level supers, so
+    // the arrays are regime-specific); tops are the "ivft" family
+    @transient private lazy val midSigns: Array[Array[Byte]] =
+      Array.tabulate(VectorExpressions.midCells(nLists))(g =>
+        Array.tabulate(dims)(i => VectorExpressions.md5SignIvfSuper(g, i + 1)))
+    @transient private lazy val topSigns: Array[Array[Byte]] =
+      Array.tabulate(VectorExpressions.topCells(nLists))(t =>
+        Array.tabulate(dims)(i => VectorExpressions.md5SignIvfTop(t, i + 1)))
+
     def compute(a: ArrayData): Int = {
       val n = math.min(a.numElements(), dims)
       val xq = new Array[Long](n)
@@ -369,9 +397,14 @@ object VectorExpressions {
       }
       if (nLists <= VectorExpressions.twoLevelThreshold)
         argmaxDot(signs, 0, nLists)
-      else {
+      else if (nLists <= VectorExpressions.threeLevelThreshold) {
         val b = VectorExpressions.blockSize(nLists)
         val g = argmaxDot(superSigns, 0, superSigns.length)
+        argmaxDot(signs, g * b, math.min(nLists, (g + 1) * b))
+      } else {
+        val b = VectorExpressions.cbrtBlock(nLists)
+        val t = argmaxDot(topSigns, 0, topSigns.length)
+        val g = argmaxDot(midSigns, t * b, math.min(midSigns.length, (t + 1) * b))
         argmaxDot(signs, g * b, math.min(nLists, (g + 1) * b))
       }
     }
@@ -414,7 +447,17 @@ object VectorExpressions {
     * near-tied cells — each lands in a different cell and neither probes
     * the other's. c=2 covers every single-position flip. Inert in the
     * flat regime, where the global top-nprobe ranking already keeps
-    * near-tied cells together. */
+    * near-tied cells together.
+    *
+    * In the THREE-level regime (above
+    * [[VectorExpressions.threeLevelThreshold]]) the mirror extends one
+    * level down: rank ALL T tops, and within each of the top
+    * `min(T, nprobe)` tops descend exactly as the assignment would — mid
+    * argmax, then the top-`cellsPerSuper` cells of the winning mid-block —
+    * O(T + nprobe·2·∛nLists) dots per row, head still ==
+    * [[PortableIvfAssign]]'s cell. The added miss mechanism (a mid-level
+    * argmax flip between near-tied mids) is measured on the grid's planted
+    * recall rows, with `nprobe`/`cellsPerSuper` the same dials. */
   case class PortableIvfProbe(child: Expression, nLists: Int, dims: Int, nprobe: Int,
       cellsPerSuper: Int = 1)
       extends UnaryExpression with Serializable {
@@ -449,6 +492,14 @@ object VectorExpressions {
       Array.tabulate(VectorExpressions.superCells(nLists))(g =>
         Array.tabulate(dims)(i => VectorExpressions.md5SignIvfSuper(g, i + 1)))
 
+    // three-level regime sign arrays — same families as the assignment's
+    @transient private lazy val midSigns: Array[Array[Byte]] =
+      Array.tabulate(VectorExpressions.midCells(nLists))(g =>
+        Array.tabulate(dims)(i => VectorExpressions.md5SignIvfSuper(g, i + 1)))
+    @transient private lazy val topSigns: Array[Array[Byte]] =
+      Array.tabulate(VectorExpressions.topCells(nLists))(t =>
+        Array.tabulate(dims)(i => VectorExpressions.md5SignIvfTop(t, i + 1)))
+
     def compute(a: ArrayData): ArrayData = {
       val n = math.min(a.numElements(), dims)
       val xq = new Array[Long](n)
@@ -471,49 +522,71 @@ object VectorExpressions {
       }
       if (nLists <= VectorExpressions.twoLevelThreshold) {
         val dots = Array.tabulate(nLists)(c => dotOf(signs(c)))
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
           topP(Array.tabulate(nLists)(identity), dots, nprobe))
-      } else {
+      }
+      // Hierarchical regimes share the per-block emission: the top
+      // `cellsPerSuper` cells of cell-block [from, until) by the
+      // assignment's own (dot desc, index asc) rule — bounded insertion,
+      // no allocation beyond the tiny slot arrays (see scaladoc).
+      val groups = math.min(
+        if (nLists <= VectorExpressions.threeLevelThreshold) superSigns.length
+        else topSigns.length, nprobe)
+      val out = new Array[Int](groups * cellsPerSuper)
+      var w = 0
+      val bi = new Array[Int](cellsPerSuper)
+      val bd = new Array[Long](cellsPerSuper)
+      def emitBlock(from: Int, until: Int): Unit = {
+        val m = math.min(cellsPerSuper, until - from)
+        var size = 0
+        var c = from
+        while (c < until) {
+          val d = dotOf(signs(c))
+          if (size < m) {
+            var pos = size
+            while (pos > 0 && d > bd(pos - 1)) {
+              bd(pos) = bd(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
+            }
+            bd(pos) = d; bi(pos) = c; size += 1
+          } else if (d > bd(m - 1)) {
+            var pos = m - 1
+            while (pos > 0 && d > bd(pos - 1)) {
+              bd(pos) = bd(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
+            }
+            bd(pos) = d; bi(pos) = c
+          }
+          c += 1
+        }
+        var r = 0
+        while (r < size) { out(w) = bi(r); w += 1; r += 1 }
+      }
+      if (nLists <= VectorExpressions.threeLevelThreshold) {
         val b = VectorExpressions.blockSize(nLists)
         val sDots = Array.tabulate(superSigns.length)(g => dotOf(superSigns(g)))
-        val gs = topP(Array.tabulate(superSigns.length)(identity), sDots,
-          math.min(superSigns.length, nprobe))
-        // top-`cellsPerSuper` cells per probed super by the assignment's
-        // own (dot desc, index asc) rule — bounded insertion, no
-        // allocation beyond the tiny slot arrays (see scaladoc)
-        val out = new Array[Int](gs.length * cellsPerSuper)
-        var w = 0
-        val bi = new Array[Int](cellsPerSuper)
-        val bd = new Array[Long](cellsPerSuper)
-        gs.foreach { g =>
-          val from = g * b
-          val until = math.min(nLists, (g + 1) * b)
-          val m = math.min(cellsPerSuper, until - from)
-          var size = 0
-          var c = from
-          while (c < until) {
-            val d = dotOf(signs(c))
-            if (size < m) {
-              var pos = size
-              while (pos > 0 && d > bd(pos - 1)) {
-                bd(pos) = bd(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
-              }
-              bd(pos) = d; bi(pos) = c; size += 1
-            } else if (d > bd(m - 1)) {
-              var pos = m - 1
-              while (pos > 0 && d > bd(pos - 1)) {
-                bd(pos) = bd(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
-              }
-              bd(pos) = d; bi(pos) = c
-            }
-            c += 1
+        val gs = topP(Array.tabulate(superSigns.length)(identity), sDots, groups)
+        gs.foreach(g => emitBlock(g * b, math.min(nLists, (g + 1) * b)))
+      } else {
+        // mirror of the three-level assignment: rank ALL tops, and within
+        // each probed top descend exactly as the assignment would — mid
+        // argmax, then the block emission (rank-1 = the assigned cell)
+        val b = VectorExpressions.cbrtBlock(nLists)
+        val tDots = Array.tabulate(topSigns.length)(t => dotOf(topSigns(t)))
+        val ts = topP(Array.tabulate(topSigns.length)(identity), tDots, groups)
+        ts.foreach { t =>
+          var g = t * b
+          var gd = Long.MinValue
+          var mi = t * b
+          val mUntil = math.min(midSigns.length, (t + 1) * b)
+          while (mi < mUntil) {
+            val d = dotOf(midSigns(mi))
+            if (d > gd) { gd = d; g = mi }
+            mi += 1
           }
-          var r = 0
-          while (r < size) { out(w) = bi(r); w += 1; r += 1 }
+          emitBlock(g * b, math.min(nLists, (g + 1) * b))
         }
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          if (w == out.length) out else java.util.Arrays.copyOf(out, w))
       }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        if (w == out.length) out else java.util.Arrays.copyOf(out, w))
     }
 
     override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
@@ -540,10 +613,22 @@ object VectorExpressions {
 
   /** Super-centroid sign family for the hierarchical rule: same parity
     * recipe over `md5("ivfs-<g>-<i>")` — the distinct prefix makes the S
-    * super-centroids independent of the nLists cell centroids. */
+    * super-centroids independent of the nLists cell centroids. In the
+    * three-level regime this family serves the MID level, indexed by
+    * global mid-block id. */
   private[graft] def md5SignIvfSuper(g: Int, i: Int): Byte = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s"ivfs-$g-$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val head = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    if (head % 2 == 0) 1 else -1
+  }
+
+  /** Top-centroid sign family for the three-level rule: same parity recipe
+    * over `md5("ivft-<t>-<i>")` — a third independent family. */
+  private[graft] def md5SignIvfTop(t: Int, i: Int): Byte = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ivft-$t-$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val head = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     if (head % 2 == 0) 1 else -1
@@ -553,6 +638,14 @@ object VectorExpressions {
     * than the two-level search and the historical (q83/q73) rule applies
     * unchanged. Part of the deterministic rule — see [[PortableIvfAssign]]. */
   private[graft] val twoLevelThreshold: Int = 64
+
+  /** Two-level ceiling: above this many lists the rule adds the third
+    * level. 65536 keeps every measured two-level configuration (all oracled
+    * queries, and every grid point through 500k docs under the nLists ∝ n
+    * policies) on the historical rule; 5M+ corpora — where the two-level
+    * O(√nLists·dims)/row term is the measured CPU wall — go three-level.
+    * Part of the deterministic rule like [[twoLevelThreshold]]. */
+  private[graft] val threeLevelThreshold: Int = 65536
 
   /** Hierarchical block size: B = ceil(sqrt(nLists)), computed in exact
     * integer arithmetic so every engine derives the identical split. */
@@ -569,8 +662,31 @@ object VectorExpressions {
     (nLists + b - 1) / b
   }
 
+  /** Three-level block size: B = ceil(cbrt(nLists)) in exact integer
+    * arithmetic — cells per mid-block, and mid-blocks per top-group. */
+  private[graft] def cbrtBlock(nLists: Int): Int = {
+    var b = math.cbrt(nLists.toDouble).toInt
+    while (b.toLong * b * b < nLists) b += 1
+    b
+  }
+
+  /** Mid-centroid count M = ceil(nLists / B); mid-block g owns the
+    * non-empty contiguous cell block [g·B, min(nLists, (g+1)·B)). */
+  private[graft] def midCells(nLists: Int): Int = {
+    val b = cbrtBlock(nLists)
+    (nLists + b - 1) / b
+  }
+
+  /** Top-centroid count T = ceil(M / B); top-group t owns the non-empty
+    * contiguous mid-block range [t·B, min(M, (t+1)·B)). */
+  private[graft] def topCells(nLists: Int): Int = {
+    val b = cbrtBlock(nLists)
+    (midCells(nLists) + b - 1) / b
+  }
+
   /** Driver-side mirror of [[PortableIvfAssign]] for specs — including the
-    * hierarchical rule above [[twoLevelThreshold]]. */
+    * hierarchical rules above [[twoLevelThreshold]] /
+    * [[threeLevelThreshold]]. */
   private[graft] def portableIvfAssignLocal(v: Seq[Double], nLists: Int): Int = {
     val xq = v.map(x => (if (x >= 0) math.floor(x * 1e6 + 0.5)
                          else math.ceil(x * 1e6 - 0.5)).toLong)
@@ -580,9 +696,15 @@ object VectorExpressions {
         (dot, c)
       }.maxBy { case (dot, c) => (dot, -c) }._2
     if (nLists <= twoLevelThreshold) bestCell(0 until nLists, md5SignIvf)
-    else {
+    else if (nLists <= threeLevelThreshold) {
       val b = blockSize(nLists)
       val g = bestCell(0 until superCells(nLists), md5SignIvfSuper)
+      bestCell(g * b until math.min(nLists, (g + 1) * b), md5SignIvf)
+    } else {
+      val b = cbrtBlock(nLists)
+      val t = bestCell(0 until topCells(nLists), md5SignIvfTop)
+      val g = bestCell(t * b until math.min(midCells(nLists), (t + 1) * b),
+        md5SignIvfSuper)
       bestCell(g * b until math.min(nLists, (g + 1) * b), md5SignIvf)
     }
   }

@@ -370,45 +370,58 @@ object Similarity {
     *    probe expression's near-tie knob) buys planted recall at a
     *    proportional candidate cost.
     *  - **There is NO candidate pair stream.** Each cell's members are
-    *    collected once into a directory row (cell → array of (id, norm,
-    *    PQ code, vector)); a probe row meets its cell's directory in ONE
-    *    sized SHUFFLE_HASH join and the whole per-candidate pipeline — PQ
-    *    shortlist, exact rescore, per-cell top-k — runs inside a scalar
-    *    expression ([[graft.functions.AnnExpressions.IvfPqCellTopK]]).
-    *    The exchanges are the probe rows (n·nprobe skinny+vector) and the
-    *    directory (n member payloads) — both linear in the corpus, never
-    *    in candidates — and no vector-laden stream ever RE-exchanges,
-    *    the measured 5M wall of every attach-to-pairs design.
-    *  - **PQ codes gate the exact work.** Per probe×cell row the expression
-    *    builds the query's ADC tables once (m·ks·subDim multiplies — less
-    *    than one exact member evaluation) and scores each member with m
-    *    table lookups; only the `kCand` shortlist gets exact cosines. The
-    *    codebook is k-means-trained on a deterministic xxhash64 sample
-    *    ([[Pq.train]]), so like the native IVF/PQ paths this operator is
-    *    spec-gated on recall (planted-neighbor + vs-exact specs) rather
-    *    than DuckDB-oracled.
+    *    collected into two directory rows — a CODES directory (cell →
+    *    array of (id, PQ code), ~40 B/member) and a VECTOR directory
+    *    (cell → array of (id, norm, vector)) — and a probe row meets both
+    *    in one pipelined pair of sized SHUFFLE_HASH joins on the same
+    *    cell key (the second join inserts no new probe-side exchange).
+    *    The per-candidate pipeline runs inside two scalar expressions:
+    *    the ADC shortlist over codes
+    *    ([[graft.functions.AnnExpressions.IvfPqCellShortlist]]) and the
+    *    exact rescore + per-cell top-k of only the ≤ kCand survivors
+    *    ([[graft.functions.AnnExpressions.CellRescoreTopK]]). The
+    *    exchanges are the probe rows (n·nprobe skinny+vector), the codes
+    *    directory (n·~40 B) and the vector directory (n·~4·dims B) — all
+    *    linear in the corpus, never in candidates — and no vector-laden
+    *    stream ever RE-exchanges, the measured 5M wall of every
+    *    attach-to-pairs design. (The split replaced a fused
+    *    single-directory expression whose member structs carried the raw
+    *    vectors: that vector-laden collect/exchange, on top of a
+    *    deserialized base cache, is what pushed the 50M×64d run to a 2×
+    *    protocol heap. Same shortlist rule, same arithmetic —
+    *    byte-identical output.)
+    *  - **PQ codes gate the exact work.** Per probe×cell row the shortlist
+    *    expression builds the query's ADC tables once (m·ks·subDim
+    *    multiplies — less than one exact member evaluation) and scores
+    *    each member with m table lookups; only the `kCand` shortlist gets
+    *    exact cosines. The codebook is k-means-trained on a deterministic
+    *    xxhash64 sample ([[Pq.train]]), so like the native IVF/PQ paths
+    *    this operator is spec-gated on recall (planted-neighbor + vs-exact
+    *    specs) rather than DuckDB-oracled.
     *
-    * At extreme scale the directory's vector payload can move to a second
-    * cell-keyed join (codes-only directory for the shortlist, vectors only
-    * for the ≤ kCand survivors); the single-directory form keeps one join
-    * and is right while n·(4·dims) bytes per executor-share of cells is
-    * affordable. The cell distribution inherits the quantizer's balance —
-    * near-uniform on the synthetic grid corpus; a skewed embedding space
-    * concentrates directory rows exactly as it would concentrate any
-    * cluster index, and `nLists` is the dial.
+    * The cell distribution inherits the quantizer's balance — near-uniform
+    * on the synthetic grid corpus; a skewed embedding space concentrates
+    * directory rows exactly as it would concentrate any cluster index, and
+    * `nLists` is the dial.
     *
-    * The skinny (id, v, norm) base is persisted (it feeds the sample, the
-    * directory, and the probe side); the cache entry lives until session
-    * eviction — long-lived sessions should `spark.catalog.clearCache()`
-    * between large invocations.
+    * The skinny (id, v, norm) base is persisted ONLY while its size
+    * estimate fits comfortably in executor memory (≤ 1 GB): it feeds the
+    * sample, both directories, and the probe side, but at 50M×64d the
+    * ~17 GB deserialized cache was the measured protocol-heap OOM — above
+    * the gate every consumer re-scans the (cheap, page-cached) source
+    * instead, and only the ~64k-vector training sample gets its own cache.
+    * The small-corpus cache entry lives until session eviction —
+    * long-lived sessions should `spark.catalog.clearCache()` between
+    * large invocations.
     *
     * Where the wall goes (per-stage probe, 5M×64d, local[32]): ~2/3 of the
     * CPU is the deterministic coarse quantizer itself — the probe/assign
-    * map stages' O(√nLists·dims) integer dots — and ~1/3 the per-cell
-    * scoring join; every one of those stages is scan-local or
-    * singly-exchanged map work, so the operator is CPU-bound on code that
-    * divides perfectly by executors, not on any shared shuffle or driver
-    * step.
+    * map stages' integer dots, O(∛nLists·dims)/row in the three-level
+    * regime ([[graft.functions.VectorExpressions.PortableIvfAssign]]) —
+    * and ~1/3 the per-cell scoring joins; every one of those stages is
+    * scan-local or singly-exchanged map work, so the operator is CPU-bound
+    * on code that divides perfectly by executors, not on any shared
+    * shuffle or driver step.
     *
     * Returns (id_a, id_b, cosine, rank), rank 1..k per id_a by exact
     * rounded cosine — same contract as [[knnJoin]]/[[knnJoinExact]]. */
@@ -435,10 +448,22 @@ object Similarity {
     // 133 → 190 s for zero spill benefit. Only the PROBE branch re-emits
     // the cache expanded; it gets its own pre-exchange below.
     val rawBytes = raw.queryExecution.analyzed.stats.sizeInBytes
-    val base = Stage.ensureWide(raw)
+    val statsKnown =
+      rawBytes < BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    // Cache gate: a deserialized MEMORY_AND_DISK cache of the vector base
+    // was the measured 50M×64d protocol-heap OOM (~17 GB of row objects
+    // churning an 8 GB heap during the cache-build stage). Above 1 GB of
+    // estimated source bytes the consumers re-scan the source instead —
+    // three extra parquet scans, each far cheaper than the quantizer CPU
+    // they feed — and unknown-stats inputs keep the cache (they have no
+    // file source to re-scan cheaply).
+    val cacheBase = !statsKnown || rawBytes <= (1L << 30)
+    val base0 = Stage.ensureWide(raw)
       .withColumn("norm", l2norm(col("v")))
       .filter(col("norm") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base =
+      if (cacheBase) base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
     val n = math.max(1L, base.count())
     val lists = if (nLists > 0) nLists else math.max(8L, n / 64L).toInt
     val cand = math.max(k, if (kCand > 0) kCand else 4 * k)
@@ -461,31 +486,47 @@ object Similarity {
     val codes = array((0 until pq.m).map(s =>
       graft.functions.VectorExpressions.nearest_centroid(
         slice(col("v"), s * pq.subDim + 1, pq.subDim), pq.codebooks(s).centroids)): _*)
-    val member = base.select(
-      graft.functions.VectorExpressions.portable_ivf_assign(col("v"), lists, dims)
-        .as("cell"),
-      struct(col("id"), col("norm"), codes.as("code"), col("v")).as("mem"))
+    val assignCell = graft.functions.VectorExpressions
+      .portable_ivf_assign(col("v"), lists, dims)
     val floor = spark.sessionState.conf.numShufflePartitions
     // The cell-join partition count is sized from BOTH of the stage's
     // memory consumers, each known exactly from n (no Generate blinding
     // the estimator):
-    //  - the per-task directory hash relation (id + norm + m code ints +
-    //    dims floats + struct overhead, 2× in-memory expansion, ≤ 32 MB);
+    //  - the per-task directory HASH RELATIONS — codes and vectors
+    //    coexist in the probe stage (two pipelined builds), so the count
+    //    prices their SUM (id + norm + m code ints + dims floats + two
+    //    structs of overhead, 2× in-memory expansion) at the unspillable-
+    //    build discipline of ≤ 16 MB of estimated bytes per task
+    //    (the gramExchangeParts lesson: relations can't spill and 32 run
+    //    concurrently);
     //  - the per-task RANK-EXCHANGE WRITER buffer — this stage's map side
     //    emits the n·nprobe·cellsPerSuper·k winner structs, and the
     //    shuffle writer's spill-capable pages hold a task's whole output.
     //    Sizing only for the build left ~120 MB of writer output per task
     //    at 5M×64d/k=20 against a ~75 MB execution share (32 concurrent
-    //    tasks, 8 GB heap, ~2.2 GB of it protected cache storage) — the
-    //    per-stage probe put ALL of the operator's spill there. ≤ 24 MB
-    //    of output per task keeps the writer inside its share.
-    val dirBytes = n * (dims * 4L + m * 4L + 60L) * 2
+    //    tasks, 8 GB heap) — the per-stage probe put ALL of the
+    //    operator's spill there. ≤ 24 MB of output per task keeps the
+    //    writer inside its share.
+    val dirBytes = n * (dims * 4L + m * 4L + 140L) * 2
     val outBytes = n * nprobe * cellsPerSuper * k * 32L
     val dirParts = math.max(floor, math.min(65536L,
-      math.max(dirBytes / (32L << 20), outBytes / (24L << 20))).toInt)
-    val dir = member.repartition(dirParts, col("cell"))
+      math.max(dirBytes / (16L << 20), outBytes / (24L << 20))).toInt)
+    // Two directories, separately exchanged: column pruning splits the
+    // shared member subtree anyway (each branch keeps only its payload),
+    // so the codes exchange ships ~40 B/member and only the vector
+    // exchange carries the 4·dims payload — the assign expression runs
+    // once per branch, a term the three-level quantizer keeps cheap.
+    val codesDir = base
+      .select(assignCell.as("cell"), struct(col("id"), codes.as("code")).as("mem"))
+      .repartition(dirParts, col("cell"))
       .groupBy(col("cell"))
       .agg(collect_list(col("mem")).as("members"))
+    val vecDir = base
+      .select(assignCell.as("cell"),
+        struct(col("id"), col("norm"), col("v")).as("vmem"))
+      .repartition(dirParts, col("cell"))
+      .groupBy(col("cell"))
+      .agg(collect_list(col("vmem")).as("vmembers"))
     // explode_outer defensively: filter inference over generators only fires
     // on ATTRIBUTE children (a direct expression child like this one is never
     // inferred on — verified in the optimized plan), but an alias-then-explode
@@ -508,7 +549,7 @@ object Similarity {
     // unknown-stats trap Stage.ensureWide guards). Unknown stats keep the
     // un-exchanged base: the probe writer then pages at the scan width,
     // which is only the pre-r11 behavior, never a 65536-part exchange.
-    val statsKnown = rawBytes < BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    // (`statsKnown` computed with the cache gate above.)
     val probeParts =
       if (!statsKnown) 0
       else (BigDecimal(rawBytes) * nprobe * cellsPerSuper /
@@ -523,10 +564,19 @@ object Similarity {
         .portable_ivf_probe(col("v"), lists, dims, nprobe, cellsPerSuper)).as("cell"))
       .filter(col("cell").isNotNull)
     val cb: Array[Array[Array[Double]]] = pq.codebooks.map(_.centroids)
-    val perCell = probe.join(dir.hint("SHUFFLE_HASH"), Seq("cell"))
+    // Pipelined pair of cell joins: the shortlist join reads the skinny
+    // codes directory, the rescore join the vector directory. Both builds
+    // key on cell at the same dirParts, so EnsureRequirements aligns the
+    // probe stream once — the (cell, id_a, v_a, sl) intermediate between
+    // the joins never re-exchanges.
+    val perCell = probe.join(codesDir.hint("SHUFFLE_HASH"), Seq("cell"))
+      .select(col("cell"), col("id_a"), col("v_a"),
+        graft.functions.AnnExpressions.ivfpq_cell_shortlist(col("id_a"),
+          col("v_a"), col("members"), cand, cb, pq.subDim).as("sl"))
+      .join(vecDir.hint("SHUFFLE_HASH"), Seq("cell"))
       .select(col("id_a"),
-        graft.functions.AnnExpressions.ivfpq_cell_topk(col("id_a"), col("v_a"),
-          col("members"), k, cand, cb, pq.subDim).as("tk"))
+        graft.functions.AnnExpressions.cell_rescore_topk(col("v_a"),
+          col("sl"), col("vmembers"), k).as("tk"))
     // explode_outer, NOT explode: a plain explode lets InferFiltersFromGenerate
     // conjure `size(tk) > 0 AND isnotnull(tk)` above this projection, and
     // predicate pushdown substitutes the alias and lands BOTH copies in the
@@ -563,6 +613,43 @@ object Similarity {
       .select(col("id_a"), col("nb.id").as("id_b"), col("nb.cosine").as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Route a batch k-NN join past the LSH cliff. [[knnJoin]] is the
+    * measured default while the vector payload fits a broadcast attach,
+    * but past that boundary it is a cliff, not a slowdown: at 5M×64d it
+    * needs a 2× protocol heap plus 4 GB of driver.maxResultSize and still
+    * spills 54 GB — a caller who picks it at 10M gets a dead JVM. This
+    * wrapper reads the same size estimate the attach strategy keys on
+    * (analyzed stats of the (id, vec) projection — file bytes for a
+    * source-backed frame) and dispatches: at or under `lshMaxBytes`
+    * (default 1 GB of source bytes ≈ 4M×64d, the measured boundary where
+    * the LSH path still completes on a protocol heap and default driver)
+    * the LSH join runs with its occupancy-sized plane count; above it —
+    * or when stats are unknown, since a statless input must not gamble on
+    * a driver-side broadcast collect — [[knnJoinIvf]] with its default
+    * occupancy-64 list policy. Same (id_a, id_b, cosine, rank) contract
+    * either way. */
+  def knnJoinAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lshMaxBytes: Long = 1L << 30,
+      dims: Int = 64
+  ): DataFrame = {
+    val raw = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val est = raw.queryExecution.analyzed.stats.sizeInBytes
+    val statsKnown =
+      est < BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (statsKnown && est <= BigInt(lshMaxBytes)) {
+      // occupancy-sized planes need a row-count estimate; derive it from
+      // the same bytes (4·dims B of floats + row overhead per vector) —
+      // planesFor is a log2, so small misestimates move nothing
+      val nEst = math.max(1L, (est / BigInt(dims * 4L + 16L)).toLong)
+      knnJoin(df, idCol, vecCol, k, planes = planesFor(nEst), tables = 4)
+    } else
+      knnJoinIvf(df, idCol, vecCol, k, dims = dims)
   }
 
   /** Hard-negative mining on the [[knnJoinIvf]] candidate engine — the

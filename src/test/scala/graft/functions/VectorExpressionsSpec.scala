@@ -143,6 +143,44 @@ class VectorExpressionsSpec extends SparkSpec {
       "cellsPerSuper must be inert in the flat regime"))
   }
 
+  test("three-level portable IVF (nLists > 65536): mirror parity, probe head, widening") {
+    // 100000 lists crosses the three-level threshold: B = 47 (47³ = 103823),
+    // M = ceil(100000/47) = 2128 mid-blocks, T = ceil(2128/47) = 46 tops
+    val lists = 100000
+    assert(VectorExpressions.cbrtBlock(lists) == 47)
+    assert(VectorExpressions.midCells(lists) == 2128)
+    assert(VectorExpressions.topCells(lists) == 46)
+    val rows = vecs.select($"vec_id", $"embedding",
+      portable_ivf_assign($"embedding", lists, 64).as("c"),
+      portable_ivf_probe($"embedding", lists, 64, 4).as("p"),
+      portable_ivf_probe($"embedding", lists, 64, 4, cellsPerSuper = 2).as("p2"))
+      .collect()
+    assert(rows.nonEmpty)
+    // the driver mirror hashes ~9k md5s per vector at this size — parity
+    // over a slice is the rule check; the full column pins the native path
+    rows.take(40).foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      assert(r.getInt(2) == VectorExpressions.portableIvfAssignLocal(v, lists),
+        s"three-level assignment mismatch for vec ${r.getLong(0)}")
+    }
+    rows.foreach { r =>
+      val c = r.getInt(2)
+      val p = r.getSeq[Int](3)
+      assert(p.head == c, s"probe head ${p.head} != assign $c")
+      assert(p.distinct.length == p.length && p.forall(x => x >= 0 && x < lists))
+      // each probed cell is its own mid-block's emission; the c=2 widening
+      // keeps the c=1 list as the per-block rank-1 prefix
+      val p2 = r.getSeq[Int](4)
+      assert(p2.head == c && p.toSet.subsetOf(p2.toSet),
+        s"c=2 $p2 must contain c=1 $p with same head")
+      (0 until p.length).foreach { g =>
+        assert(p2(2 * g) / 47 == p2(2 * g + 1) / 47, s"pair $g not same block in $p2")
+        assert(p2(2 * g) == p(g), s"block rank-1 ${p2(2 * g)} != c=1 ${p(g)}")
+      }
+    }
+    assert(rows.map(_.getInt(2)).distinct.length > 1)
+  }
+
   test("SQL registration: dot_product / l2_norm callable from SQL") {
     VectorExpressions.register(spark)
     vecs.createOrReplaceTempView("emb")

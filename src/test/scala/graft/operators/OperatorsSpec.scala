@@ -572,6 +572,73 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("knnJoinIvf split pipeline: shortlist+rescore is byte-identical to the fused expression") {
+    import graft.functions.AnnExpressions._
+    // 2 subspaces × 4 centroids over 8 dims; 40-member cell with kCand=6 so
+    // the ADC shortlist genuinely gates (and a second pass with kCand=64
+    // covering the cell, the exact-path shortcut)
+    val dims = 8; val m = 2; val subDim = 4
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      Array.tabulate(4)(c => Array.tabulate(subDim)(j =>
+        math.sin(s * 7.0 + c * 3.0 + j))))
+    val rnd = new scala.util.Random(7)
+    val mems = (0 until 40).map { i =>
+      val v = Array.fill(dims)(rnd.nextFloat() * 2 - 1)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val code = (0 until m).map(s =>
+        (0 until 4).minBy(c => (0 until subDim)
+          .map(j => v(s * subDim + j) - cb(s)(c)(j)).map(x => x * x).sum))
+      (i.toLong, norm, code, v.toSeq)
+    }
+    val qv = Seq.fill(dims)(rnd.nextFloat())
+    // idA = 5 is a member: self-exclusion must agree between the forms
+    val fusedDf = Seq((5L, qv,
+      mems.map { case (id, nrm, code, v) => FusedMem(id, nrm, code, v) }))
+      .toDF("id_a", "v_a", "members")
+    val splitDf = Seq((5L, qv,
+      mems.map { case (id, _, code, _) => CodeMem(id, code) },
+      mems.map { case (id, nrm, _, v) => VecMem(id, nrm, v) }))
+      .toDF("id_a", "v_a", "cm", "vm")
+    for (kCand <- Seq(6, 64)) {
+      val fused = fusedDf.select(
+        ivfpq_cell_topk($"id_a", $"v_a", $"members", 5, kCand, cb, subDim))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val split = splitDf.select(
+        cell_rescore_topk($"v_a",
+          ivfpq_cell_shortlist($"id_a", $"v_a", $"cm", kCand, cb, subDim),
+          $"vm", 5))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(fused == split, s"kCand=$kCand: fused $fused != split $split")
+      assert(fused.length == 5 && !fused.map(_._1).contains(5L))
+    }
+  }
+
+  test("knnJoinAuto: small corpora route to LSH, big estimates to IVF, same contract") {
+    val emb = sf(dir, "embeddings")
+    // sf0.001 (500 vectors, ~130 KB) is far under the 1 GB boundary → LSH
+    val auto = Similarity.knnJoinAuto(emb, "vec_id", "embedding", k = 3)
+    val autoPlan = auto.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(autoPlan.contains("hyperplanebuckets"), "small corpus must take the LSH path")
+    // forcing the boundary to 0 routes the same input to the IVF engine...
+    val ivfRoute = Similarity.knnJoinAuto(emb, "vec_id", "embedding", k = 3,
+      lshMaxBytes = 0L)
+    val ivfPlan = ivfRoute.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(ivfPlan.contains("cellrescoretopk"), "past the boundary must take the IVF path")
+    // ...with rows identical to a direct knnJoinIvf call at default policy
+    val direct = Similarity.knnJoinIvf(emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val routed = ivfRoute.as[(Long, Long, Double, Int)].collect().toSet
+    assert(routed == direct, "IVF route must equal the direct IVF call")
+    // contract holds on the LSH route too: ranks are 1..<=k per anchor
+    val lsh = auto.as[(Long, Long, Double, Int)].collect()
+    assert(lsh.nonEmpty)
+    lsh.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
   test("hardNegativesAnn: a near-identical different-label vector is the top negative") {
     val emb = sf(dir, "embeddings")
     val dup = emb.filter($"vec_id" < 3)
@@ -1302,3 +1369,9 @@ class OperatorsSpec extends SparkSpec {
     assert(got.forall(_._2 >= got.head._2), "copy ADC must be minimal")
   }
 }
+
+/** Row shapes for the split-vs-fused cell-expression parity test (top level
+  * so the Product encoders resolve). */
+private[operators] case class FusedMem(id: Long, norm: Double, code: Seq[Int], v: Seq[Float])
+private[operators] case class CodeMem(id: Long, code: Seq[Int])
+private[operators] case class VecMem(id: Long, norm: Double, v: Seq[Float])
