@@ -532,7 +532,8 @@ object VectorExpressions {
       val groups = math.min(
         if (nLists <= VectorExpressions.threeLevelThreshold) superSigns.length
         else topSigns.length, nprobe)
-      val out = new Array[Int](groups * cellsPerSuper)
+      val out = new Array[Int](
+        groups * VectorExpressions.probeMidsPerTop(nLists) * cellsPerSuper)
       var w = 0
       val bi = new Array[Int](cellsPerSuper)
       val bd = new Array[Long](cellsPerSuper)
@@ -567,22 +568,31 @@ object VectorExpressions {
         gs.foreach(g => emitBlock(g * b, math.min(nLists, (g + 1) * b)))
       } else {
         // mirror of the three-level assignment: rank ALL tops, and within
-        // each probed top descend exactly as the assignment would — mid
-        // argmax, then the block emission (rank-1 = the assigned cell)
+        // each probed top descend as the assignment would — but through the
+        // top TWO mids (fixed, part of the rule), each contributing its
+        // block emission. The second mid covers the miss mechanism the
+        // third level introduces: a near-identical pair whose mid-level
+        // argmax flips between two near-tied mids lands in different
+        // blocks, and a single greedy descent would probe neither's twin
+        // (measured 98.2% → 96.5% planted recall at 5M without it). The
+        // first emitted cell is still the assignment's pick (mid rank-1's
+        // block rank-1).
         val b = VectorExpressions.cbrtBlock(nLists)
         val tDots = Array.tabulate(topSigns.length)(t => dotOf(topSigns(t)))
         val ts = topP(Array.tabulate(topSigns.length)(identity), tDots, groups)
         ts.foreach { t =>
-          var g = t * b
-          var gd = Long.MinValue
+          var g1 = -1; var gd1 = Long.MinValue
+          var g2 = -1; var gd2 = Long.MinValue
           var mi = t * b
           val mUntil = math.min(midSigns.length, (t + 1) * b)
           while (mi < mUntil) {
             val d = dotOf(midSigns(mi))
-            if (d > gd) { gd = d; g = mi }
+            if (d > gd1) { gd2 = gd1; g2 = g1; gd1 = d; g1 = mi }
+            else if (d > gd2) { gd2 = d; g2 = mi }
             mi += 1
           }
-          emitBlock(g * b, math.min(nLists, (g + 1) * b))
+          emitBlock(g1 * b, math.min(nLists, (g1 + 1) * b))
+          if (g2 >= 0) emitBlock(g2 * b, math.min(nLists, (g2 + 1) * b))
         }
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -683,6 +693,14 @@ object VectorExpressions {
     val b = cbrtBlock(nLists)
     (midCells(nLists) + b - 1) / b
   }
+
+  /** Probe fan-out multiplier per probed group beyond cellsPerSuper: the
+    * three-level probe rule descends through its top-2 mids per probed top
+    * (see [[PortableIvfProbe]]), so its probe list is up to
+    * `nprobe · 2 · cellsPerSuper` cells — consumers sizing exchanges from
+    * the probe expansion multiply by this. */
+  private[graft] def probeMidsPerTop(nLists: Int): Int =
+    if (nLists > threeLevelThreshold) 2 else 1
 
   /** Driver-side mirror of [[PortableIvfAssign]] for specs — including the
     * hierarchical rules above [[twoLevelThreshold]] /

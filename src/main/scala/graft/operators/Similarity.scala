@@ -467,6 +467,9 @@ object Similarity {
     val n = math.max(1L, base.count())
     val lists = if (nLists > 0) nLists else math.max(8L, n / 64L).toInt
     val cand = math.max(k, if (kCand > 0) kCand else 4 * k)
+    // three-level probe lists descend through 2 mids per probed top — the
+    // probe expansion every sizing below must price (probeMidsPerTop)
+    val fanout = graft.functions.VectorExpressions.probeMidsPerTop(lists)
     // deterministic training sample: ~64k vectors regardless of corpus size.
     // Materialized for the duration of training: Pq.train runs m sub-space
     // k-means loops (m·(iters+1) driver-collected jobs), and without its own
@@ -508,7 +511,7 @@ object Similarity {
     //    operator's spill there. ≤ 24 MB of output per task keeps the
     //    writer inside its share.
     val dirBytes = n * (dims * 4L + m * 4L + 140L) * 2
-    val outBytes = n * nprobe * cellsPerSuper * k * 32L
+    val outBytes = n * nprobe * fanout * cellsPerSuper * k * 32L
     val dirParts = math.max(floor, math.min(65536L,
       math.max(dirBytes / (16L << 20), outBytes / (24L << 20))).toInt)
     // Two directories, separately exchanged: column pruning splits the
@@ -552,7 +555,7 @@ object Similarity {
     // (`statsKnown` computed with the cache gate above.)
     val probeParts =
       if (!statsKnown) 0
-      else (BigDecimal(rawBytes) * nprobe * cellsPerSuper /
+      else (BigDecimal(rawBytes) * nprobe * fanout * cellsPerSuper /
         BigDecimal(24L << 20)).toBigInt.min(BigInt(65536)).toInt
     val probeIn =
       if (statsKnown && rawBytes > 256L * 1024 * 1024 &&
@@ -603,7 +606,8 @@ object Similarity {
     // preserves the id_a hash partitioning), measured spill-free at 635
     // parts.
     val rankParts = math.max(floor,
-      math.min(65536L, n * nprobe * cellsPerSuper * k * 80L / (48L << 20)).toInt)
+      math.min(65536L,
+        n * nprobe * fanout * cellsPerSuper * k * 80L / (48L << 20)).toInt)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
     perCell
@@ -938,6 +942,115 @@ object Similarity {
       .filter(col("r").isNotNull)
       .select(col("r.id").as("vec_id"), col("cluster"),
         col("r.kept").cast("long").as("kept"))
+  }
+
+  /** Engine-portable IVF+PQ batch k-NN JOIN — the oracle-checkable twin of
+    * [[knnJoinIvf]], completing the portable family: q73/q74 oracle the
+    * single-query IVF and PQ prunings, this oracles the JOIN form
+    * end-to-end (cells → PQ shortlist → exact rescore → rank). Every
+    * pruning decision is exact integer arithmetic an ANSI engine replays:
+    *
+    *  - cells are the q73 md5-sign ±1 centroids over `round(x·1e6)::bigint`
+    *    components (argmax dot, ties to the lower cell; every row is both
+    *    indexed once and probed to its `nprobe` best cells);
+    *  - PQ codebooks are the q74 md5-LATTICE centroids (component j of
+    *    centroid c in subspace s is `(md5head("pq-s-c-j") % 2001 − 1000)
+    *    · 1000`), codes the per-subspace argmin of exact bigint squared
+    *    distance (ties to the lower code), and the ADC shortlist ranks
+    *    candidate pairs by the exact bigint ADC sum (ties id asc), cut at
+    *    `kCand`;
+    *  - only shortlist survivors get float cosines, ROUNDED to 6 dp
+    *    (HALF_UP) before the final (cosine desc, id asc) rank — the q55
+    *    convention that replays across engines.
+    *
+    * Same plan family as [[portableIvfTopK]] (dim-exploded joins against
+    * broadcast sign/codebook literals, partial-agg shuffles keyed (id, c) /
+    * (id, sub, code), rank windows on the high-cardinality pair anchors) —
+    * the at-scale production path is [[knnJoinIvf]]; this twin exists so
+    * the join's verdicts are DuckDB-replayable (q114) and so the native
+    * path has a cross-engine anchor beside its recall specs.
+    *
+    * Returns (id_a, id_b, cosine, rank), rank 1..k per id_a. */
+  def knnJoinIvfPqPortable(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nLists: Int = 8,
+      nprobe: Int = 2,
+      m: Int = 8,
+      ks: Int = 16,
+      kCand: Int = 20,
+      dims: Int = 64
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(dims % m == 0, "dims must divide into m subspaces")
+    val subDim = dims / m
+    def md5head(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val signDf = (for { c <- 0 until nLists; i <- 1 to dims } yield
+        (c, i, if (md5head(s"ivf-$c-$i") % 2 == 0) 1 else -1))
+      .toDF("c", "dim", "sgn")
+    val cbDf = (for { s <- 0 until m; c <- 0 until ks; j <- 1 to subDim } yield
+        (s, c, s * subDim + j, (md5head(s"pq-$s-$c-$j") % 2001 - 1000) * 1000L))
+      .toDF("sub", "code", "dim", "cq")
+    val base = Stage.ensureWide(df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v")))
+      .withColumn("norm", l2norm(col("v")))
+      .filter(col("norm") > 0)
+    val ve = base.select(col("id"), col("norm"), posexplode(col("v")))
+      .select(col("id"), col("norm"), (col("pos") + 1).as("dim"),
+        round(col("col").cast("double") * 1e6).cast("long").as("xq"),
+        col("col").cast("double").as("x"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("dot").desc, col("c").asc)
+    val ranked = ve.join(broadcast(signDf), "dim")
+      .groupBy(col("id"), col("c")).agg(sum(col("sgn") * col("xq")).as("dot"))
+      .withColumn("rk", row_number().over(wCell))
+    val assigned = ranked.filter(col("rk") === 1).select(col("id"), col("c"))
+    val probed = ranked.filter(col("rk") <= nprobe).select(col("id"), col("c"))
+    // per-(id, sub, code) exact bigint squared distance — the member's code
+    // argmin AND the query's ADC table come from this one aggregate
+    val dists = ve.join(broadcast(cbDf), "dim")
+      .groupBy(col("id"), col("sub"), col("code"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+    val wCode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("sub")).orderBy(col("d2").asc, col("code").asc)
+    val codes = dists.withColumn("rk", row_number().over(wCode))
+      .filter(col("rk") === 1).select(col("id"), col("sub"), col("code"))
+    // candidates: probe cells meet assigned cells (a member sits in exactly
+    // one cell, so no pair duplicates); ADC = Σ_sub queryDist(member code)
+    val cands = probed.select(col("id").as("id_a"), col("c"))
+      .join(assigned.select(col("id").as("id_b"), col("c")), "c")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val adc = cands
+      .join(codes.select(col("id").as("id_b"), col("sub"), col("code")),
+        Seq("id_b"))
+      .join(dists.select(col("id").as("id_a"), col("sub"), col("code"),
+        col("d2")), Seq("id_a", "sub", "code"))
+      .groupBy(col("id_a"), col("id_b")).agg(sum(col("d2")).as("adc"))
+    val wSl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("adc").asc, col("id_b").asc)
+    val shortlist = adc.withColumn("rk", row_number().over(wSl))
+      .filter(col("rk") <= kCand).select(col("id_a"), col("id_b"))
+    val dp = shortlist
+      .join(ve.select(col("id").as("id_a"), col("dim"), col("x").as("xa"),
+        col("norm").as("na")), Seq("id_a"))
+      .join(ve.select(col("id").as("id_b"), col("dim"), col("x").as("xb"),
+        col("norm").as("nb")), Seq("id_b", "dim"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(sum(col("xa") * col("xb")).as("d"))
+      .select(col("id_a"), col("id_b"),
+        round(col("d") / (col("na") * col("nb")), 6).as("cosine"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
+    dp.withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   def portableIvfTopK(

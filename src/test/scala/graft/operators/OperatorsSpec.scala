@@ -639,6 +639,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("knnJoinIvfPqPortable: native and portable joins agree on planted verdicts") {
+    val emb = sf(dir, "embeddings")
+    val dup = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding", $"label")
+    val all = emb.unionByName(dup)
+    val portable = Similarity.knnJoinIvfPqPortable(all, "vec_id", "embedding",
+        k = 3, nLists = 8, nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect()
+    val native = Similarity.knnJoinIvf(all, "vec_id", "embedding", k = 3,
+        nLists = 8, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect()
+    (0 until 3).foreach { i =>
+      val pt = portable.filter(p => p._1 == i && p._4 == 1L)
+      val nt = native.filter(p => p._1 == i && p._4 == 1)
+      assert(pt.nonEmpty && pt.head._2 == i + 10000 && pt.head._3 > 0.999,
+        s"portable rank-1 for $i should be its planted copy, got ${pt.toSeq}")
+      assert(nt.nonEmpty && pt.head._2 == nt.head._2,
+        s"native/portable verdict mismatch on planted pair $i")
+    }
+    portable.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length.toLong))
+    }
+  }
+
   test("hardNegativesAnn: a near-identical different-label vector is the top negative") {
     val emb = sf(dir, "embeddings")
     val dup = emb.filter($"vec_id" < 3)
