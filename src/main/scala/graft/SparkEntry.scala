@@ -1012,6 +1012,15 @@ object SparkEntry {
       // UTF-8 bytes, so the oracle's row_number window replays it exactly
       Dedup.editDistancePairs(TestTables.documents(s, dir), "doc_id", "text",
         maxDist = 3, maxLen = 40, rarestK = 4)),
+    "q115_editdist_stats" -> ((s, dir) =>
+      // q70's dedup as ACCOUNTING: the Levenshtein verify runs inside the
+      // blocked self-join (pair dedup via the row-local min-shared-gram
+      // rule) and only per-doc aggregates survive — the mode that produces
+      // exact duplicate counts at corpus sizes where the pair list itself
+      // is the infeasible artifact. Oracle = groupBy over q70's pair set,
+      // both endpoints
+      Dedup.editDistanceStats(TestTables.documents(s, dir), "doc_id", "text",
+        maxDist = 3, maxLen = 40, rarestK = 4)),
     "q71_repeated_windows" -> ((s, dir) =>
       // span-level dup analysis (Lee et al. 2022): 20-char windows at
       // stride 5, corpus frequency ≥ 2 ⇒ duplicated; per-doc duplicated
@@ -3196,6 +3205,37 @@ object SparkEntry {
          |FROM cand JOIN t ta ON ta.id = id_a JOIN t tb ON tb.id = id_b
          |WHERE abs(length(ta.s) - length(tb.s)) <= 3
          |  AND levenshtein(ta.s, tb.s) <= 3""").stripMargin,
+    // q115: per-doc accounting over exactly q70's verified pair set — each
+    // pair counted at both endpoints
+    "q115_editdist_stats" ->
+      ("""WITH t AS (
+         |  SELECT doc_id AS id, substring(trim(lower(text)), 1, 40) AS s
+         |  FROM documents WHERE length(substring(trim(lower(text)), 1, 40)) >= 3),
+         |g AS (
+         |  SELECT DISTINCT id, substring(s, i, 3) AS g
+         |  FROM (SELECT id, s, unnest(range(1, length(s) - 1)) AS i FROM t)),
+         |f AS (
+         |  SELECT g, count(*) AS freq FROM g GROUP BY g
+         |  HAVING count(*) >= 2 AND count(*) <= 1000),
+         |gk AS (
+         |  SELECT id, g FROM (
+         |    SELECT g.id, g.g,
+         |           row_number() OVER (PARTITION BY g.id ORDER BY f.freq, g.g) AS rk
+         |    FROM g JOIN f ON g.g = f.g)
+         |  WHERE rk <= 4),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM gk a JOIN gk b ON a.g = b.g AND a.id < b.id),
+         |pairs AS (
+         |  SELECT id_a, id_b, levenshtein(ta.s, tb.s) AS dist
+         |  FROM cand JOIN t ta ON ta.id = id_a JOIN t tb ON tb.id = id_b
+         |  WHERE abs(length(ta.s) - length(tb.s)) <= 3
+         |    AND levenshtein(ta.s, tb.s) <= 3)
+         |SELECT id, CAST(count(*) AS BIGINT) AS dup_pairs,
+         |  CAST(min(dist) AS BIGINT) AS min_dist
+         |FROM (SELECT id_a AS id, dist FROM pairs
+         |      UNION ALL SELECT id_b AS id, dist FROM pairs)
+         |GROUP BY id""").stripMargin,
     "q64_shuffle_order" ->
       ("""SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
          |FROM documents ORDER BY h, doc_id LIMIT 20""").stripMargin,

@@ -41,6 +41,14 @@ import graft.operators.{ConnectedComponents, Contamination, Dedup, Rank, Similar
   * on every operator here (G1 with an oversized heap and 32 local tasks) —
   * memory pressure is answered by the operators' own spill discipline, not
   * by heap. All recorded artifacts use the default.
+  *
+  * Grid JSONL conventions: append-only, newest row per (op, n_docs, config)
+  * wins. When a FIX re-lands a measured point (not a mere re-run), the
+  * obsoleted rows are annotated in place with `"superseded":true` so a
+  * one-row read can't mistake a pre-fix figure (e.g. a since-eliminated
+  * spill) for current behavior; failure rows carry `error`/`cause`/
+  * `cause_msg`, and rows measured under a non-protocol heap label
+  * themselves with `"heap"`.
   */
 object CorpusBench {
 
@@ -699,6 +707,21 @@ object CorpusBench {
           .count(),
         s"""$q6rarest,"corpus":"titles_hot_trigram","planted":${n / 20}""",
         valueField = "recovered")
+      // exact ACCOUNTING without the pair list (editDistanceStats): the
+      // verify runs inside the blocked join and only per-doc aggregates
+      // cross an exchange, so scale points where Σ_g C(df_g, 2) pair rows
+      // exceed the host disk (50M: the DiskBudgetExceeded row) still get
+      // exact duplicate counts. checksum = Σ dup_pairs (= 2·|pairs|)
+      // + Σ min_dist keeps both aggregate columns alive
+      benchAct("editdist_title_q6_counts", () =>
+        Dedup.editDistanceStats(titles, "doc_id", "text",
+            maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, rarestK = 4,
+            gramLen = 6)
+          .agg(coalesce(sum(col("dup_pairs")), lit(0L))
+            + coalesce(sum(col("min_dist")), lit(0L)))
+          .head().getLong(0),
+        """"variant":"rarest_k","max_trigram_freq":1000,"rarest_k":4,"gram_len":6,"impl":"inline_verify_no_pair_list","corpus":"titles_hot_trigram"""",
+        valueField = "checksum")
 
       // persisted positional trigram index (q109's production shape):
       // build once — range-clustered on tri, per-file min/max bounds in

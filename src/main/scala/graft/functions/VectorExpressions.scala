@@ -454,10 +454,15 @@ object VectorExpressions {
     * level down: rank ALL T tops, and within each of the top
     * `min(T, nprobe)` tops descend exactly as the assignment would — mid
     * argmax, then the top-`cellsPerSuper` cells of the winning mid-block —
-    * O(T + nprobe·2·∛nLists) dots per row, head still ==
-    * [[PortableIvfAssign]]'s cell. The added miss mechanism (a mid-level
-    * argmax flip between near-tied mids) is measured on the grid's planted
-    * recall rows, with `nprobe`/`cellsPerSuper` the same dials. */
+    * plus the RUNNER-UP mid's block when its dot is within σ/8 of the
+    * winner (exact integer rule: 8·gap ≤ ⌊√Σxq²⌋), which covers the
+    * mid-level argmax flips of near-identical pairs without the measured
+    * 2× candidate cost of an unconditional second descent. O(T +
+    * nprobe·(2..3)·∛nLists) dots per row, head still ==
+    * [[PortableIvfAssign]]'s cell, and the probe list is at most
+    * `nprobe·2·cellsPerSuper` cells ([[VectorExpressions.probeMidsPerTop]]
+    * is the sizing bound). Measured on the grid's planted recall rows,
+    * with `nprobe`/`cellsPerSuper` the same dials. */
   case class PortableIvfProbe(child: Expression, nLists: Int, dims: Int, nprobe: Int,
       cellsPerSuper: Int = 1)
       extends UnaryExpression with Serializable {
@@ -568,16 +573,29 @@ object VectorExpressions {
         gs.foreach(g => emitBlock(g * b, math.min(nLists, (g + 1) * b)))
       } else {
         // mirror of the three-level assignment: rank ALL tops, and within
-        // each probed top descend as the assignment would — but through the
-        // top TWO mids (fixed, part of the rule), each contributing its
-        // block emission. The second mid covers the miss mechanism the
-        // third level introduces: a near-identical pair whose mid-level
-        // argmax flips between two near-tied mids lands in different
-        // blocks, and a single greedy descent would probe neither's twin
-        // (measured 98.2% → 96.5% planted recall at 5M without it). The
-        // first emitted cell is still the assignment's pick (mid rank-1's
-        // block rank-1).
+        // each probed top descend as the assignment would — mid argmax,
+        // then the block emission — PLUS the runner-up mid's block when the
+        // two mid dots are NEAR-TIED: 8·(gd1 − gd2) ≤ ⌊√(Σ xq²)⌋, i.e. gap
+        // ≤ σ/8 where σ is the dot's own standard deviation under ±1
+        // signs. The gate targets the miss mechanism the third level
+        // introduces — a near-identical pair whose mid-level argmax flips
+        // between two near-tied mids lands in different blocks, and a
+        // single greedy descent would probe neither's twin (measured 98.2%
+        // → 96.5% planted recall at 5M). A cos ≥ 0.999 replica perturbs
+        // each mid dot by ≲ 0.05σ, so every flip-prone pair sits inside
+        // the σ/8 window, while genuinely separated mids (top-2 spacing of
+        // ~B Gaussian dots ≈ 0.3σ) mostly don't — the unconditional top-2
+        // emission was measured at 2× join wall for the same recall.
+        // Exact integer arithmetic (isqrt with correction loops), so the
+        // rule replays on any engine. The first emitted cell is still the
+        // assignment's pick (mid rank-1's block rank-1).
         val b = VectorExpressions.cbrtBlock(nLists)
+        var sumSq = 0L
+        var si = 0
+        while (si < n) { sumSq += xq(si) * xq(si); si += 1 }
+        var sigma = math.sqrt(sumSq.toDouble).toLong
+        while (sigma > 0 && sigma * sigma > sumSq) sigma -= 1
+        while ((sigma + 1) * (sigma + 1) <= sumSq) sigma += 1
         val tDots = Array.tabulate(topSigns.length)(t => dotOf(topSigns(t)))
         val ts = topP(Array.tabulate(topSigns.length)(identity), tDots, groups)
         ts.foreach { t =>
@@ -592,7 +610,8 @@ object VectorExpressions {
             mi += 1
           }
           emitBlock(g1 * b, math.min(nLists, (g1 + 1) * b))
-          if (g2 >= 0) emitBlock(g2 * b, math.min(nLists, (g2 + 1) * b))
+          if (g2 >= 0 && 8L * (gd1 - gd2) <= sigma)
+            emitBlock(g2 * b, math.min(nLists, (g2 + 1) * b))
         }
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -695,10 +714,11 @@ object VectorExpressions {
   }
 
   /** Probe fan-out multiplier per probed group beyond cellsPerSuper: the
-    * three-level probe rule descends through its top-2 mids per probed top
-    * (see [[PortableIvfProbe]]), so its probe list is up to
+    * three-level probe rule descends through up to TWO mids per probed top
+    * (the runner-up only under the σ/8 tie-gap gate — see
+    * [[PortableIvfProbe]]), so its probe list is up to
     * `nprobe · 2 · cellsPerSuper` cells — consumers sizing exchanges from
-    * the probe expansion multiply by this. */
+    * the probe expansion multiply by this worst case. */
   private[graft] def probeMidsPerTop(nLists: Int): Int =
     if (nLists > threeLevelThreshold) 2 else 1
 

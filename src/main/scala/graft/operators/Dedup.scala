@@ -797,6 +797,82 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Exact per-doc edit-distance dedup ACCOUNTING at pair-infeasible scale:
+    * the same blocking, gating, and Levenshtein verify as
+    * [[editDistancePairs]], but the verify runs INSIDE the blocked
+    * self-join and only aggregates survive — the global candidate-pair
+    * list (Σ_g C(df_g, 2) rows — 261M at 500k titles under rarest-k, and
+    * the measured multi-TB disk wall at 50M) is never materialized,
+    * exchanged, or deduplicated as a stream.
+    *
+    * The pair dedup that [[editDistanceCandidates]] does with an id_a-keyed
+    * window happens here ROW-LOCALLY instead: each join side carries its
+    * full gated gram set (≤ rarestK entries in rarest-k mode, ≤ maxLen−q+1
+    * otherwise — bytes, not a stream), and a candidate row is kept only at
+    * the pair's MINIMUM shared gram (`g == array_min(array_intersect(
+    * grams_a, grams_b))` — never null since the join key is in both sets).
+    * Both sides agree on the total order (plain substring grams, byte
+    * comparison), so each pair survives exactly once and Levenshtein runs
+    * exactly once per candidate pair — identical work to the pairs path,
+    * with the pair stream consumed inline by filters and a partial
+    * aggregate whose exchange is ~verified-duplicate-sized (2.5M rows at
+    * 50M titles, not 10¹¹ candidates).
+    *
+    * Plan shape: the [[editDistanceBlocked]] gram pipeline (sized
+    * exchanges, wide-born explode), one id-keyed collect_set + string
+    * attach (SHUFFLE_HASH, build = the compact (id, s) stream), one sized
+    * g-exchange of the ≤ n·rarestK set-carrying stream reused by both join
+    * sides, then filters → partial agg. On a cluster every stage is
+    * hash-partitioned and linear in corpus bytes except the join's filter
+    * scan, which is the same Σ_g C(df_g, 2) CPU term the pairs path pays.
+    *
+    * Returns per-doc rows (id, dup_pairs, min_dist) for docs with ≥ 1
+    * verified pair (each pair counted at BOTH endpoints, so
+    * Σ dup_pairs = 2 · |pairs|). */
+  def editDistanceStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      maxLen: Int = 40,
+      maxTrigramFreq: Int = 1000,
+      rarestK: Int = 0,
+      gramLen: Int = 3
+  ): DataFrame = {
+    val t = Stage.ensureWide(
+        df.select(col(idCol).as("id"),
+          substring(trim(lower(col(textCol))), 1, maxLen).as("s")))
+      .filter(length(col("s")) >= gramLen)
+    val p = gramExchangeParts(t, gramLen)
+    val blocked = editDistanceBlocked(t, maxTrigramFreq, rarestK, gramLen, p)
+    // per-id gated gram sets: the rarest-k path leaves `blocked` id-
+    // clustered (its window exchange), so this aggregate adds no exchange
+    // there; the df-gate path pays one sized id exchange
+    val sets = blocked.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("g"))).as("grams"))
+    val tKeyed = if (p > 0) t.repartition(p, col("id")) else t
+    val side0 = sets.join(tKeyed.hint("SHUFFLE_HASH"), "id")
+    // wide-born explode: side0 is already at the sized id width, so the
+    // ≤ |grams|× expansion is born in p map tasks and the g exchange's
+    // writer holds its share, not a file split's
+    val side = side0.select(col("id"), col("s"), col("grams"),
+      explode(col("grams")).as("g"))
+    val sideG =
+      if (p > 0) side.repartition(p, col("g")) else side.repartition(col("g"))
+    val verified = sideG.as("a")
+      .join(sideG.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          abs(length(col("a.s")) - length(col("b.s"))) <= maxDist &&
+          col("a.g") === array_min(array_intersect(col("a.grams"), col("b.grams"))))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.s"), col("b.s")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+    verified
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"), col("dist"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("dup_pairs"), min(col("dist")).as("min_dist"))
+  }
+
   /** Blocking stage of [[editDistancePairs]], exposed so benchmarks can
     * measure candidate volume directly. Input must be (id, s); returns
     * distinct (id_a, id_b) with id_a < id_b sharing at least one BLOCKING

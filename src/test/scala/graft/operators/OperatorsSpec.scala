@@ -162,6 +162,30 @@ class OperatorsSpec extends SparkSpec {
     assert(candRk >= 12L, "every planted pair must still be a candidate")
   }
 
+  test("editDistanceStats: inline-verify accounting ties to the materialized pairs") {
+    // accounting must equal groupBy over the pair list — per-doc degree AND
+    // min dist — on a corpus with multi-gram pair overlap (near-dups share
+    // nearly all grams, the row-local min-shared-gram dedup's hard case),
+    // in both rarest-k and df-gate-only modes, on real document text
+    val rows = docs.select($"doc_id", $"text")
+    for (rk <- Seq(0, 4)) {
+      val pairs = Dedup.editDistancePairs(rows, "doc_id", "text",
+          maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, rarestK = rk)
+        .as[(Long, Long, Long)].collect()
+      val expected = pairs.flatMap(p => Seq(p._1 -> p._3, p._2 -> p._3))
+        .groupBy(_._1)
+        .map { case (id, ds) => id -> ((ds.length.toLong, ds.map(_._2).min)) }
+      val got = Dedup.editDistanceStats(rows, "doc_id", "text",
+          maxDist = 3, maxLen = 40, maxTrigramFreq = 1000, rarestK = rk)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expected,
+        s"rarestK=$rk stats mismatch: got=${got.size} expected=${expected.size} " +
+          s"diff=${(got.toSet -- expected.toSet).take(3)} / ${(expected.toSet -- got.toSet).take(3)}")
+      assert(pairs.nonEmpty, s"rarestK=$rk: vacuous tie — no pairs on $dir documents")
+    }
+  }
+
   test("portableEmbeddingNearDups: identical vectors always pair, exact cosine") {
     val vecs = Seq(
       (1L, Array.tabulate(8)(i => (i + 1).toFloat)),
