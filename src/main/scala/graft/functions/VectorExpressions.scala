@@ -353,23 +353,25 @@ object VectorExpressions {
       case _                       => false
     }
 
+    // JVM-wide memoized sign tables (see [[VectorExpressions.signTable]]):
+    // every task deserialization creates a fresh expression instance, so a
+    // per-instance lazy val would rebuild the FULL nLists×dims md5 table
+    // (50M digests / 50 MB at 781k lists) once per task — with task count
+    // also ∝ n that init term alone is O(n²)-shaped and was the measured
+    // dominator of the 50M k-NN-join wall. The memo builds each family
+    // once per JVM (once per executor on a cluster), amortized across all
+    // its tasks.
     @transient private lazy val signs: Array[Array[Byte]] =
-      Array.tabulate(nLists)(c => Array.tabulate(dims)(i =>
-        VectorExpressions.md5SignIvf(c, i + 1)))
-
+      VectorExpressions.signTable("ivf", nLists, dims)
     @transient private lazy val superSigns: Array[Array[Byte]] =
-      Array.tabulate(VectorExpressions.superCells(nLists))(g =>
-        Array.tabulate(dims)(i => VectorExpressions.md5SignIvfSuper(g, i + 1)))
-
+      VectorExpressions.signTable("ivfs", VectorExpressions.superCells(nLists), dims)
     // three-level regime: mid-centroids reuse the "ivfs" family indexed by
     // global mid-block id (geometry differs from the two-level supers, so
     // the arrays are regime-specific); tops are the "ivft" family
     @transient private lazy val midSigns: Array[Array[Byte]] =
-      Array.tabulate(VectorExpressions.midCells(nLists))(g =>
-        Array.tabulate(dims)(i => VectorExpressions.md5SignIvfSuper(g, i + 1)))
+      VectorExpressions.signTable("ivfs", VectorExpressions.midCells(nLists), dims)
     @transient private lazy val topSigns: Array[Array[Byte]] =
-      Array.tabulate(VectorExpressions.topCells(nLists))(t =>
-        Array.tabulate(dims)(i => VectorExpressions.md5SignIvfTop(t, i + 1)))
+      VectorExpressions.signTable("ivft", VectorExpressions.topCells(nLists), dims)
 
     def compute(a: ArrayData): Int = {
       val n = math.min(a.numElements(), dims)
@@ -489,21 +491,18 @@ object VectorExpressions {
       case _                       => false
     }
 
+    // JVM-wide memoized sign tables — the per-task-init O(n²) trap, see
+    // the [[PortableIvfAssign]] field comment and
+    // [[VectorExpressions.signTable]]
     @transient private lazy val signs: Array[Array[Byte]] =
-      Array.tabulate(nLists)(c => Array.tabulate(dims)(i =>
-        VectorExpressions.md5SignIvf(c, i + 1)))
-
+      VectorExpressions.signTable("ivf", nLists, dims)
     @transient private lazy val superSigns: Array[Array[Byte]] =
-      Array.tabulate(VectorExpressions.superCells(nLists))(g =>
-        Array.tabulate(dims)(i => VectorExpressions.md5SignIvfSuper(g, i + 1)))
-
+      VectorExpressions.signTable("ivfs", VectorExpressions.superCells(nLists), dims)
     // three-level regime sign arrays — same families as the assignment's
     @transient private lazy val midSigns: Array[Array[Byte]] =
-      Array.tabulate(VectorExpressions.midCells(nLists))(g =>
-        Array.tabulate(dims)(i => VectorExpressions.md5SignIvfSuper(g, i + 1)))
+      VectorExpressions.signTable("ivfs", VectorExpressions.midCells(nLists), dims)
     @transient private lazy val topSigns: Array[Array[Byte]] =
-      Array.tabulate(VectorExpressions.topCells(nLists))(t =>
-        Array.tabulate(dims)(i => VectorExpressions.md5SignIvfTop(t, i + 1)))
+      VectorExpressions.signTable("ivft", VectorExpressions.topCells(nLists), dims)
 
     def compute(a: ArrayData): ArrayData = {
       val n = math.min(a.numElements(), dims)
@@ -662,6 +661,31 @@ object VectorExpressions {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     if (head % 2 == 0) 1 else -1
   }
+
+  /** JVM-wide sign-table memo for the IVF centroid families. A sign table
+    * is a pure function of (family, count, dims), but building one costs
+    * count·dims md5 digests — 50M digests / 50 MB for the cell family at
+    * 781k lists — and Spark deserializes a FRESH expression instance per
+    * task, so per-instance lazy vals pay that build once per task: with
+    * task count ∝ n under the nLists ∝ n policy the init alone is
+    * O(n²)-shaped (the measured dominator of the first 50M three-level
+    * k-NN-join run). `computeIfAbsent` builds each table once per JVM —
+    * once per executor on a cluster, amortized over all its tasks — and
+    * blocks concurrent first-touchers instead of duplicating the build.
+    * Retained for the JVM's life: one entry per (family, count, dims)
+    * configuration actually used, the largest being nLists·dims bytes. */
+  private val signTableCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Byte]]]()
+  private[graft] def signTable(family: String, count: Int, dims: Int): Array[Array[Byte]] =
+    signTableCache.computeIfAbsent((family, count, dims), _ => {
+      val f: (Int, Int) => Byte = family match {
+        case "ivf"  => md5SignIvf
+        case "ivfs" => md5SignIvfSuper
+        case "ivft" => md5SignIvfTop
+        case other  => throw new IllegalArgumentException(s"unknown sign family $other")
+      }
+      Array.tabulate(count)(c => Array.tabulate(dims)(i => f(c, i + 1)))
+    })
 
   /** Flat-scan ceiling: at or below this many lists a full argmax is cheaper
     * than the two-level search and the historical (q83/q73) rule applies

@@ -467,8 +467,9 @@ object Similarity {
     val n = math.max(1L, base.count())
     val lists = if (nLists > 0) nLists else math.max(8L, n / 64L).toInt
     val cand = math.max(k, if (kCand > 0) kCand else 4 * k)
-    // three-level probe lists descend through 2 mids per probed top — the
-    // probe expansion every sizing below must price (probeMidsPerTop)
+    // three-level probe lists descend through up to 2 mids per probed top
+    // (σ/8 tie-gap gate) — the sizings below price the worst case
+    // (probeMidsPerTop)
     val fanout = graft.functions.VectorExpressions.probeMidsPerTop(lists)
     // deterministic training sample: ~64k vectors regardless of corpus size.
     // Materialized for the duration of training: Pq.train runs m sub-space
