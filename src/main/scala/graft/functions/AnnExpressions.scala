@@ -400,8 +400,15 @@ object AnnExpressions {
       i = 0
       while (i < nSl) { slSorted(i) = sl.getLong(i); i += 1 }
       java.util.Arrays.sort(slSorted)
-      val resCos = new Array[Double](math.min(nSl, nMem))
-      val resId = new Array[Long](resCos.length)
+      // buffers sized to nMem, not min(nSl, nMem): `filled` counts every
+      // member row whose id binary-search-hits the shortlist, and the
+      // expression is independently callable — a members array carrying
+      // DUPLICATE ids (impossible inside knnJoinIvf's one-cell-per-member
+      // build, but legal input here) would overrun a min-sized buffer and
+      // crash the task; at nMem the worst case degrades to ranking the
+      // duplicates, never an ArrayIndexOutOfBoundsException
+      val resCos = new Array[Double](nMem)
+      val resId = new Array[Long](nMem)
       var filled = 0
       var r = 0
       while (r < nMem) {

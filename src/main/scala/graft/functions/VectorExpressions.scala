@@ -672,20 +672,47 @@ object VectorExpressions {
     * k-NN-join run). `computeIfAbsent` builds each table once per JVM —
     * once per executor on a cluster, amortized over all its tasks — and
     * blocks concurrent first-touchers instead of duplicating the build.
-    * Retained for the JVM's life: one entry per (family, count, dims)
-    * configuration actually used, the largest being nLists·dims bytes. */
-  private val signTableCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Byte]]]()
-  private[graft] def signTable(family: String, count: Int, dims: Int): Array[Array[Byte]] =
-    signTableCache.computeIfAbsent((family, count, dims), _ => {
-      val f: (Int, Int) => Byte = family match {
-        case "ivf"  => md5SignIvf
-        case "ivfs" => md5SignIvfSuper
-        case "ivft" => md5SignIvfTop
-        case other  => throw new IllegalArgumentException(s"unknown sign family $other")
-      }
-      Array.tabulate(count)(c => Array.tabulate(dims)(i => f(c, i + 1)))
-    })
+    *
+    * Entries are held through SOFT references: a table is a pure
+    * recomputable function, and under the default nLists = n/64 policy a
+    * long-lived session invoking over many distinct corpus sizes would
+    * otherwise pin one fresh ~nLists·dims-byte table per size (~50 MB at
+    * 781k lists) for the JVM's life — unbounded heap for cache hits that
+    * never recur. Soft refs keep every hot table resident (the collector
+    * only clears them under memory pressure) while a cleared entry merely
+    * re-pays its one-time build on next touch. */
+  private val signTableCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), java.lang.ref.SoftReference[Array[Array[Byte]]]]()
+  private[graft] def signTable(family: String, count: Int, dims: Int): Array[Array[Byte]] = {
+    val key = (family, count, dims)
+    val cached = signTableCache.get(key)
+    val hit = if (cached == null) null else cached.get()
+    if (hit != null) hit
+    else {
+      // compute under the map's per-key lock so concurrent first-touchers
+      // block on one build instead of duplicating it (the computeIfAbsent
+      // contract the memo was introduced for); re-check inside because a
+      // soft ref can be present-but-cleared
+      val ref = signTableCache.compute(key, (_, prev) => {
+        val live = if (prev == null) null else prev.get()
+        if (live != null) prev
+        else {
+          val f: (Int, Int) => Byte = family match {
+            case "ivf"  => md5SignIvf
+            case "ivfs" => md5SignIvfSuper
+            case "ivft" => md5SignIvfTop
+            case other  => throw new IllegalArgumentException(s"unknown sign family $other")
+          }
+          new java.lang.ref.SoftReference(
+            Array.tabulate(count)(c => Array.tabulate(dims)(i => f(c, i + 1))))
+        }
+      })
+      val t = ref.get()
+      // a clear between compute and get is theoretically possible under
+      // extreme pressure — recurse to rebuild rather than return null
+      if (t != null) t else signTable(family, count, dims)
+    }
+  }
 
   /** Flat-scan ceiling: at or below this many lists a full argmax is cheaper
     * than the two-level search and the historical (q83/q73) rule applies

@@ -1,0 +1,283 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent, incrementally-maintained IVF+PQ k-NN index — the production
+  * 100 TB shape for a corpus that INGESTS embeddings continuously.
+  *
+  * [[graft.operators.Similarity.knnJoinIvf]] is the right one-shot join, but
+  * it rebuilds both cell directories and retrains PQ per call: across an
+  * ingest campaign that is O(n) of quantizer CPU per delta batch — O(n²)
+  * total — for state that barely changes. This operator splits the
+  * lifecycle the way an LSM-style table does:
+  *
+  *  - [[build]] runs ONCE per index generation: trains the PQ codebook on a
+  *    deterministic sample, assigns every vector its md5-sign IVF cell
+  *    ([[graft.functions.VectorExpressions.PortableIvfAssign]] — a pure
+  *    function of the vector, which is what makes APPEND possible at all),
+  *    and writes one directory row per cell — `(cell, mem: array<(id,
+  *    code)>, vmem: array<(id, norm, v)>)` — as parquet partitioned by
+  *    `bucket = cell mod 256`.
+  *  - [[append]] ingests a delta batch with work ∝ |delta|: the STORED
+  *    codebook encodes the new vectors (no retraining), the deterministic
+  *    assign rule places them in the same cells the base run would have,
+  *    and the grouped delta rows append as NEW FILES into the bucket
+  *    layout — the base directories are never read, rewritten, or
+  *    re-encoded. A cell touched by several batches simply owns several
+  *    directory rows; [[knnJoinDelta]] merges them in its rank stage
+  *    (top-k-of-top-ks is exact — any global top-k member is within the
+  *    top-k of its own row).
+  *  - [[knnJoinDelta]] answers "k nearest index members for every delta
+  *    row" with ZERO base exchange: the delta's probe rows (id, vector,
+  *    probed cell) BROADCAST, the stored directory streams scan-local
+  *    through the join, and the per-cell ADC shortlist + exact rescore run
+  *    inside the same pipelined projection
+  *    ([[graft.functions.AnnExpressions.IvfPqCellShortlist]] /
+  *    [[graft.functions.AnnExpressions.CellRescoreTopK]] — the knnJoinIvf
+  *    expressions, unchanged). The only exchange is the rank merge of the
+  *    winner arrays, ∝ |delta|·nprobe·k. When the delta outgrows the
+  *    broadcast gate the join degrades to a cell-keyed SHUFFLE_HASH with
+  *    the probes as the (sized) build — one member exchange, still never a
+  *    vector-laden PAIR stream. Small deltas additionally prune the
+  *    directory READ to the probed buckets (partition pruning on the
+  *    bucket column — at 100 TB the bucket is the physical partition key
+  *    and a trickle delta touches a handful of them).
+  *
+  * The quantizer-CPU account (the measured 2/3 of knnJoinIvf's wall): per
+  * delta pass it is paid for |delta| rows only — assign + encode of the
+  * base happened once at [[build]] and lives in the files.
+  *
+  * Occupancy drift: `nLists` is fixed at build time (n/64 policy over the
+  * BASE), so a corpus that doubles via appends doubles expected cell
+  * occupancy — shortlist CPU per probe grows with it. That is the standard
+  * LSM compaction story: re-[[build]] (the `optimize` analogue) when
+  * occupancy drifts past the policy, amortized across the campaign.
+  *
+  * Like knnJoinIvf, the trained-PQ shortlist makes this family spec-gated
+  * on recall; the oracle anchor is the portable twin
+  * ([[graft.operators.Similarity.knnJoinIvfPqPortableIncremental]], q116),
+  * whose pruning decisions replay exactly in ANSI SQL. */
+object KnnIndex {
+
+  /** Bucket fan-out of the stored layout: cells map to `cell mod Buckets`
+    * physical partitions — few enough for directory listings, many enough
+    * that a small delta's probed-bucket pruning skips most of the data. */
+  val Buckets = 256
+
+  /** Index metadata, persisted as two tiny parquet tables (`meta`,
+    * `codebook`) next to the members — parquet rather than JSON so the
+    * round-trip needs no parser and stays engine-readable. */
+  final case class Meta(
+      nLists: Int,
+      dims: Int,
+      m: Int,
+      ks: Int,
+      subDim: Int,
+      codebooks: Array[Array[Array[Double]]])
+
+  private def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Stage.ensureWide(df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+      .withColumn("norm", graft.functions.VectorExpressions.l2_norm(col("v")))
+      .filter(col("norm") > 0)
+
+  /** Train + write a fresh index generation at `path` (overwrites any
+    * previous one). `nLists = 0` applies the knnJoinIvf occupancy-64
+    * policy; `dims = 0` derives the width from one sampled row. */
+  def build(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nLists: Int = 0,
+      m: Int = 8,
+      ks: Int = 16,
+      dims: Int = 0
+  ): Meta = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = prep(df, idCol, vecCol)
+    val dimsActual =
+      if (dims > 0) dims
+      else base.select(col("v")).head(1) match {
+        case Array(r) if !r.isNullAt(0) => r.getSeq[Any](0).size
+        case _ => throw new IllegalArgumentException("cannot derive dims from an empty input")
+      }
+    val n = math.max(1L, base.count())
+    val lists = if (nLists > 0) nLists else math.max(8L, n / 64L).toInt
+    // deterministic ~64k-vector training sample, the knnJoinIvf recipe —
+    // cached only for the duration of the m·(iters+1) training jobs
+    val sampleEvery = math.max(1L, n / 65536L)
+    val sampled = sampleEvery > 1L
+    val sample =
+      if (!sampled) base
+      else base.filter(pmod(xxhash64(col("id")), lit(sampleEvery)) === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pq =
+      try Pq.train(sample.select(col("v")), "v", dimsActual, m, ks, iters = 3)
+      finally if (sampled) sample.unpersist(false)
+    val meta = Meta(lists, dimsActual, m, ks, pq.subDim,
+      pq.codebooks.map(_.centroids))
+    Seq((meta.nLists, meta.dims, meta.m, meta.ks, meta.subDim))
+      .toDF("n_lists", "dims", "m", "ks", "sub_dim")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    meta.codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.flatMap { case (cent, c) =>
+        cent.zipWithIndex.map { case (x, j) => (s, c, j, x) }
+      }
+    }.toSeq.toDF("sub", "code", "dim", "value")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebook")
+    writeMembers(base, meta, n, path, SaveMode.Overwrite)
+    meta
+  }
+
+  /** Ingest a delta batch: encode + assign with the STORED codebook/rule
+    * and append grouped directory rows into the bucket layout. Work —
+    * quantizer CPU, exchange, bytes written — is ∝ |delta|; the base
+    * directories are untouched. */
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Meta = {
+    val meta = readMeta(df.sparkSession, path)
+    val base = prep(df, idCol, vecCol)
+    writeMembers(base, meta, math.max(1L, base.count()), path, SaveMode.Append)
+    meta
+  }
+
+  /** One directory row per (cell, batch): codes for the ADC shortlist and
+    * vectors for the exact rescore as two parquet COLUMNS of the same row —
+    * no exchange ever carries them (the delta probe join is scan-local /
+    * broadcast-built), so the knnJoinIvf two-directory split buys nothing
+    * at rest and one table keeps append atomicity per batch. The directory
+    * exchange is sized by the knnJoinIvf discipline (collect_list state ≤
+    * 16 MB of estimated member bytes per task). */
+  private def writeMembers(base: DataFrame, meta: Meta, n: Long,
+      path: String, mode: SaveMode): Unit = {
+    val floor = base.sparkSession.sessionState.conf.numShufflePartitions
+    val dirBytes = n * (meta.dims * 4L + meta.m * 4L + 140L) * 2
+    val dirParts = math.max(floor,
+      math.min(65536L, dirBytes / (16L << 20)).toInt)
+    val codes = array((0 until meta.m).map(s =>
+      graft.functions.VectorExpressions.nearest_centroid(
+        slice(col("v"), s * meta.subDim + 1, meta.subDim), meta.codebooks(s))): _*)
+    val assignCell = graft.functions.VectorExpressions
+      .portable_ivf_assign(col("v"), meta.nLists, meta.dims)
+    base
+      .select(assignCell.as("cell"),
+        struct(col("id"), codes.as("code")).as("m0"),
+        struct(col("id"), col("norm"), col("v")).as("v0"))
+      .repartition(dirParts, col("cell"))
+      .groupBy(col("cell"))
+      .agg(collect_list(col("m0")).as("mem"), collect_list(col("v0")).as("vmem"))
+      .withColumn("bucket", pmod(col("cell"), lit(Buckets)))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/members")
+  }
+
+  /** Load the persisted metadata + codebook. Two bounded driver collects
+    * (5 scalars; m·ks·subDim codebook doubles — ~1k values at the
+    * defaults). */
+  def readMeta(spark: SparkSession, path: String): Meta = {
+    val m0 = spark.read.parquet(s"$path/meta").head()
+    val (nLists, dims, m, ks, subDim) =
+      (m0.getInt(0), m0.getInt(1), m0.getInt(2), m0.getInt(3), m0.getInt(4))
+    val cb = Array.fill(m, ks)(Array.empty[Double])
+    spark.read.parquet(s"$path/codebook").collect().groupBy(r => (r.getInt(0), r.getInt(1)))
+      .foreach { case ((s, c), rows) =>
+        cb(s)(c) = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      }
+    Meta(nLists, dims, m, ks, subDim, cb)
+  }
+
+  /** k nearest INDEX members for every row of `newDf` — same
+    * (id_a, id_b, cosine, rank) contract and same per-cell arithmetic as
+    * [[graft.operators.Similarity.knnJoinIvf]], against the stored
+    * directories. Call [[append]] first when the delta should also be able
+    * to match itself (the incremental-dedup ingest shape); self-matches
+    * are excluded by id inside the shortlist either way.
+    *
+    * Plan shape: probes (delta × nprobe exploded cells, query vector
+    * attached) BROADCAST while they fit the driver-capped gate — the
+    * stored members then stream scan-local through one BroadcastHashJoin
+    * and the whole shortlist→rescore pipeline runs inside that stage's
+    * projection, so the base crosses NO exchange at any size. Past the
+    * gate both sides exchange once on cell (probes the SHUFFLE_HASH
+    * build, sized), which is the knnJoinIvf shape minus directory
+    * construction. */
+  def knnJoinDelta(
+      newDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      k: Int,
+      nprobe: Int = 4,
+      kCand: Int = 0,
+      cellsPerSuper: Int = 1
+  ): DataFrame = {
+    val spark = newDf.sparkSession
+    val meta = readMeta(spark, path)
+    val base = prep(newDf, idCol, vecCol)
+    val nDelta = math.max(1L, base.count())
+    val cand = math.max(k, if (kCand > 0) kCand else 4 * k)
+    val fanout = graft.functions.VectorExpressions.probeMidsPerTop(meta.nLists)
+    val probes = base.select(col("id").as("id_a"), col("v").as("v_a"),
+      explode_outer(graft.functions.VectorExpressions
+        .portable_ivf_probe(col("v"), meta.nLists, meta.dims, nprobe, cellsPerSuper))
+        .as("cell"))
+      .filter(col("cell").isNotNull)
+    val members = spark.read.parquet(s"$path/members")
+    // Bucket pruning for trickle deltas: the distinct probed-bucket set is
+    // a bounded collect (≤ Buckets rows). Pushing it as a partition filter
+    // prunes the member READ to the touched buckets — decisive when
+    // |delta|·nprobe ≪ nLists; a no-op (and skipped) once every bucket is
+    // probed.
+    val probedBuckets = probes
+      .select(pmod(col("cell"), lit(Buckets)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0))
+    val pruned =
+      if (probedBuckets.length < Buckets)
+        members.filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*))
+      else members
+    // Probe broadcast gate: the exploded probe stream collects through the
+    // driver, so cap the 2 GB executor-fit want at
+    // spark.driver.maxResultSize (the vectorBroadcastGate rule) and price
+    // the payload from counts — nDelta·nprobe·fanout·cells rows of
+    // (id, vector, cell) at 2× in-memory expansion.
+    val mrs = spark.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    val gate = if (mrs <= 0) 2L << 30 else math.min(2L << 30, mrs)
+    val probeBytes =
+      nDelta * nprobe * fanout * cellsPerSuper * (meta.dims * 4L + 40L) * 2
+    val joined =
+      if (probeBytes <= gate) pruned.join(broadcast(probes), Seq("cell"))
+      else {
+        // sized cell exchange: members priced at the 24 MB/task stream-
+        // writer discipline (file stats — the members are source-backed),
+        // probes at the 16 MB/task unspillable-build discipline
+        val floor = spark.sessionState.conf.numShufflePartitions
+        val memBytes = pruned.queryExecution.analyzed.stats.sizeInBytes
+        val want = (memBytes / BigInt(24L << 20))
+          .max(BigInt(probeBytes) / BigInt(16L << 20))
+        val parts = math.max(floor, want.min(BigInt(65536)).toInt)
+        pruned.repartition(parts, col("cell"))
+          .join(probes.repartition(parts, col("cell")).hint("SHUFFLE_HASH"),
+            Seq("cell"))
+      }
+    val perRow = joined.select(col("id_a"),
+      graft.functions.AnnExpressions.cell_rescore_topk(col("v_a"),
+        graft.functions.AnnExpressions.ivfpq_cell_shortlist(col("id_a"),
+          col("v_a"), col("mem"), cand, meta.codebooks, meta.subDim),
+        col("vmem"), k).as("tk"))
+    // rank merge of the per-(cell, batch-row) winner arrays — the delta's
+    // only exchange on the broadcast path, ∝ |delta| winner structs
+    val floor = spark.sessionState.conf.numShufflePartitions
+    val rankParts = math.max(floor, math.min(65536L,
+      nDelta * nprobe * fanout * cellsPerSuper * k * 80L / (48L << 20)).toInt)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
+    perRow
+      .repartition(rankParts, col("id_a"))
+      .select(col("id_a"), explode_outer(col("tk")).as("nb"))
+      .filter(col("nb").isNotNull)
+      .select(col("id_a"), col("nb.id").as("id_b"), col("nb.cosine").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

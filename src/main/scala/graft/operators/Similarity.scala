@@ -447,9 +447,15 @@ object Similarity {
     // downstream cache pass with 5× the task count — knn_join_ivf@5M went
     // 133 → 190 s for zero spill benefit. Only the PROBE branch re-emits
     // the cache expanded; it gets its own pre-exchange below.
+    // statsKnown is STRUCTURAL (every leaf carries real file bytes — see
+    // Stage.statsKnown): comparing the projected estimate against the
+    // sentinel mis-calls statless inputs with extra columns or wider types,
+    // because the width-ratio visitor scales Long.MaxValue into a
+    // huge-but-below-sentinel figure — which both fired the 65536-part
+    // probe exchange this guard exists to prevent AND skipped the cache
+    // the statless path is documented to keep.
+    val statsKnown = Stage.statsKnown(raw)
     val rawBytes = raw.queryExecution.analyzed.stats.sizeInBytes
-    val statsKnown =
-      rawBytes < BigInt(spark.sessionState.conf.defaultSizeInBytes)
     // Cache gate: a deserialized MEMORY_AND_DISK cache of the vector base
     // was the measured 50M×64d protocol-heap OOM (~17 GB of row objects
     // churning an 8 GB heap during the cache-build stage). Above 1 GB of
@@ -641,20 +647,48 @@ object Similarity {
       vecCol: String,
       k: Int,
       lshMaxBytes: Long = 1L << 30,
-      dims: Int = 64
+      dims: Int = 0
   ): DataFrame = {
     val raw = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // dims = 0 (the default) derives the dimensionality from one sampled
+    // row — a bounded LIMIT-1 job. The old fixed default of 64 silently
+    // mis-assigned IVF cells for any other width (short-read/truncated
+    // sign dots — a quiet recall degradation, not an error), and skewed
+    // the LSH row-size divisor the same way.
+    val dimsActual =
+      if (dims > 0) dims
+      else raw.select(col("v")).head(1) match {
+        case Array(r) if !r.isNullAt(0) => r.getSeq[Any](0).size
+        case _ => 64 // empty input: any value yields the same empty join
+      }
     val est = raw.queryExecution.analyzed.stats.sizeInBytes
-    val statsKnown =
-      est < BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
-    if (statsKnown && est <= BigInt(lshMaxBytes)) {
+    // structural leaf check, not an estimate-vs-sentinel comparison (see
+    // Stage.statsKnown) — a statless input must never gamble on the LSH
+    // path's driver-side broadcast collect
+    if (Stage.statsKnown(raw) && est <= BigInt(lshMaxBytes)) {
       // occupancy-sized planes need a row-count estimate; derive it from
       // the same bytes (4·dims B of floats + row overhead per vector) —
       // planesFor is a log2, so small misestimates move nothing
-      val nEst = math.max(1L, (est / BigInt(dims * 4L + 16L)).toLong)
+      val nEst = math.max(1L, (est / BigInt(dimsActual * 4L + 16L)).toLong)
       knnJoin(df, idCol, vecCol, k, planes = planesFor(nEst), tables = 4)
     } else
-      knnJoinIvf(df, idCol, vecCol, k, dims = dims)
+      knnJoinIvf(df, idCol, vecCol, k, dims = dimsActual)
+  }
+
+  /** The route [[knnJoinAuto]] would take for this input — "lsh" or "ivf" —
+    * exposed so the dispatch boundary is spec-assertable per regime
+    * (file-backed small → lsh; above `lshMaxBytes` → ivf; statless → ivf)
+    * without running either join. Same decision inputs as the dispatcher:
+    * the structural leaf-stats check and the analyzed size estimate. */
+  private[graft] def knnJoinAutoRoute(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      lshMaxBytes: Long = 1L << 30
+  ): String = {
+    val raw = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val est = raw.queryExecution.analyzed.stats.sizeInBytes
+    if (Stage.statsKnown(raw) && est <= BigInt(lshMaxBytes)) "lsh" else "ivf"
   }
 
   /** Hard-negative mining on the [[knnJoinIvf]] candidate engine — the
@@ -983,6 +1017,54 @@ object Similarity {
       ks: Int = 16,
       kCand: Int = 20,
       dims: Int = 64
+  ): DataFrame =
+    knnJoinIvfPqPortableCore(df, idCol, vecCol, k, nLists, nprobe, m, ks,
+      kCand, dims, probeIds = None)
+
+  /** The INCREMENTAL form of [[knnJoinIvfPqPortable]] — the oracle twin of
+    * the [[graft.operators.KnnIndex]] delta pass (q116), the same move q87
+    * made for the MinHash family: `newDf` is a delta batch arriving against
+    * an already-indexed `oldDf`, and only the NEW rows probe — every stage
+    * (cells, codes, ADC shortlist, rescore, rank) is the q114 pipeline with
+    * the probe side restricted, so candidate work is |new|-driven while
+    * members span old ∪ new (a new doc can match an old one or another
+    * arrival in its own batch; old docs never pair with each other).
+    * Every pruning decision stays exact integer arithmetic — an ANSI
+    * engine replays the whole delta verdict by adding one probe-side
+    * filter to the q114 SQL.
+    *
+    * Returns (id_a ∈ new, id_b ∈ old ∪ new, cosine, rank), rank 1..k. */
+  def knnJoinIvfPqPortableIncremental(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nLists: Int = 8,
+      nprobe: Int = 2,
+      m: Int = 8,
+      ks: Int = 16,
+      kCand: Int = 20,
+      dims: Int = 64
+  ): DataFrame = {
+    val o = oldDf.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val nw = newDf.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    knnJoinIvfPqPortableCore(o.unionByName(nw), "id", "v", k, nLists, nprobe,
+      m, ks, kCand, dims, probeIds = Some(nw.select(col("id"))))
+  }
+
+  private def knnJoinIvfPqPortableCore(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int,
+      nprobe: Int,
+      m: Int,
+      ks: Int,
+      kCand: Int,
+      dims: Int,
+      probeIds: Option[DataFrame]
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -1013,7 +1095,13 @@ object Similarity {
       .groupBy(col("id"), col("c")).agg(sum(col("sgn") * col("xq")).as("dot"))
       .withColumn("rk", row_number().over(wCell))
     val assigned = ranked.filter(col("rk") === 1).select(col("id"), col("c"))
-    val probed = ranked.filter(col("rk") <= nprobe).select(col("id"), col("c"))
+    // incremental mode: only delta ids probe (members stay the full union);
+    // the id set is the delta — broadcast-sized by construction
+    val probedAll = ranked.filter(col("rk") <= nprobe).select(col("id"), col("c"))
+    val probed = probeIds match {
+      case Some(ids) => probedAll.join(broadcast(ids.distinct()), Seq("id"))
+      case None => probedAll
+    }
     // per-(id, sub, code) exact bigint squared distance — the member's code
     // argmin AND the query's ADC table come from this one aggregate
     val dists = ve.join(broadcast(cbDf), "dim")

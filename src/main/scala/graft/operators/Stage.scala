@@ -62,6 +62,27 @@ object Stage {
     if (estParts < target) df.repartition(target) else df
   }
 
+  /** Whether every leaf of `df`'s analyzed plan carries a REAL size estimate.
+    *
+    * The idiom this replaces — comparing the frame's own
+    * `analyzed.stats.sizeInBytes` against `spark.sql.defaultSizeInBytes` —
+    * is unsound for PROJECTIONS of statless leaves: the size-only visitor
+    * scales the leaf's Long.MaxValue sentinel by the output/child row-width
+    * ratio, so a Project that narrows a LogicalRDD (or widens its types)
+    * reports a huge-but-below-sentinel figure and the comparison calls it
+    * "known". Consumers then trust a fabricated byte count — measured
+    * consequence in knnJoinIvf: probeParts saturated at the 65536 cap and
+    * the whole cached base re-exchanged, the exact pathological plan the
+    * statless guard exists to prevent. Checking the LEAVES is structural:
+    * a file-backed leaf propagates real file bytes, a LogicalRDD /
+    * localCheckpoint / memory-stream leaf reports exactly the sentinel,
+    * and no projection arithmetic has run yet at the leaf. */
+  def statsKnown(df: DataFrame): Boolean = {
+    val sentinel = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    !df.queryExecution.analyzed.collectLeaves()
+      .exists(_.stats.sizeInBytes >= sentinel)
+  }
+
   /** Join-side strategy for attaching a payload table (signatures, vectors)
     * to a skinny candidate-pair stream: BROADCAST when Catalyst's size
     * estimate says the payload fits comfortably on an executor — the

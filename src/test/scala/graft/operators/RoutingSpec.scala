@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The knnJoinAuto dispatch boundary and the structural stats check it
+  * rides on — asserted per regime so a mis-set default is a failing spec,
+  * not a silent 54 GB-spill LSH run (or a fabricated-estimate exchange). */
+class RoutingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = sf("sf0.001", "embeddings").cache()
+
+  test("statsKnown: file-backed projections yes; statless plans no, even when " +
+      "width-ratio arithmetic fabricates a below-sentinel estimate") {
+    assert(Stage.statsKnown(emb.select($"vec_id", $"embedding")))
+    // a LogicalRDD with NO propagated stats (localCheckpoint is the
+    // benign case in Spark 4 — it copies the parent plan's statistics
+    // into the leaf, so it stays "known"; a raw RDD-backed frame is the
+    // genuinely statless one)
+    val statless = spark.createDataFrame(emb.rdd, emb.schema)
+    assert(!Stage.statsKnown(statless))
+    assert(Stage.statsKnown(emb.localCheckpoint()),
+      "localCheckpoint carries propagated stats in Spark 4 — structural " +
+        "check must honor them, not blanket-distrust LogicalRDD")
+    // the trap the estimate-vs-sentinel idiom fell into: a narrowing
+    // Project over a statless leaf scales Long.MaxValue DOWN by the
+    // width ratio, so its own stats read as "known" while the leaf is not
+    val narrowed = statless.select(col("vec_id"))
+    val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    info(s"narrowed statless estimate = " +
+      s"${narrowed.queryExecution.analyzed.stats.sizeInBytes} (sentinel $sentinel)")
+    assert(!Stage.statsKnown(narrowed),
+      "projection arithmetic must not launder a statless leaf into known stats")
+  }
+
+  test("knnJoinAuto routes: small file-backed → lsh; above lshMaxBytes → ivf; " +
+      "statless → ivf (never gamble on a driver broadcast collect)") {
+    assert(Similarity.knnJoinAutoRoute(emb, "vec_id", "embedding") == "lsh")
+    assert(Similarity.knnJoinAutoRoute(emb, "vec_id", "embedding",
+      lshMaxBytes = 1L) == "ivf")
+    assert(Similarity.knnJoinAutoRoute(
+      spark.createDataFrame(emb.rdd, emb.schema), "vec_id",
+      "embedding") == "ivf")
+  }
+
+  test("knnJoinAuto derives dims from the data — a 16-dim corpus routed to IVF " +
+      "assigns cells on all 16 components, not a fabricated 64") {
+    // 16-dim slices of the fixture vectors, forced onto the IVF path
+    val short = emb.select($"vec_id", slice($"embedding", 1, 16).as("embedding"))
+    val auto = Similarity.knnJoinAuto(short, "vec_id", "embedding", k = 3,
+        lshMaxBytes = 1L)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val direct = Similarity.knnJoinIvf(short, "vec_id", "embedding", k = 3,
+        dims = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(auto == direct, "auto route with derived dims must equal an " +
+      "explicit dims=16 IVF join")
+    assert(auto.nonEmpty)
+  }
+
+  test("portable incremental twin: equals the full portable join restricted " +
+      "to the delta anchors (the probe filter IS the semantics)") {
+    val old = emb.filter($"vec_id" % 5 =!= 0)
+    val neu = emb.filter($"vec_id" % 5 === 0)
+    val inc = Similarity.knnJoinIvfPqPortableIncremental(old, neu,
+        "vec_id", "embedding", k = 3, nLists = 8, nprobe = 2, kCand = 20)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val full = Similarity.knnJoinIvfPqPortable(emb, "vec_id", "embedding",
+        k = 3, nLists = 8, nprobe = 2, kCand = 20)
+      .filter($"id_a" % 5 === 0)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(inc == full)
+    assert(inc.nonEmpty && inc.forall(_._1 % 5 == 0))
+  }
+}
