@@ -5,6 +5,29 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.HashExpressions
 
+/** Typed budget failure of the pair-MATERIALIZING edit-distance path: the
+  * exact pre-join candidate volume (Σ_g C(df_g, 2), one cheap aggregate
+  * over the blocked stream) exceeded the session's declared pair budget
+  * (`spark.graft.editdist.maxCandidatePairs`, default unlimited). Thrown
+  * BEFORE the self-join runs, carrying the arithmetic a planner needs —
+  * the alternative is an executor dying mid-join with a raw memory/disk
+  * error after minutes of work (the r12 50M-title failure mode). The
+  * accounting sibling ([[Dedup.editDistanceStats]]) computes exact per-doc
+  * duplicate counts WITHOUT materializing the pair list and is the
+  * documented route past this wall. */
+final case class SaturationBudgetExceeded(
+    candidatePairs: Long,
+    budgetPairs: Long,
+    windows: Long,
+    alphabet: Int,
+    gramSpace: Double,
+    meanDf: Double
+) extends RuntimeException(
+    f"edit-distance candidate volume $candidatePairs%d pairs exceeds " +
+      f"spark.graft.editdist.maxCandidatePairs=$budgetPairs%d " +
+      f"(windows=$windows%d, alphabet=$alphabet%d, gramSpace=$gramSpace%.0f, " +
+      f"meanDf=$meanDf%.2f${if (meanDf >= 1.5) " — SATURATED: widen gramLen or use editDistanceStats" else ""})")
+
 /** Deduplication operators for training-data pipelines, each designed for
   * the 100 TB case:
   *
@@ -765,6 +788,17 @@ object Dedup {
     * (len − q + 1) − maxDist·q ≥ 1 shared grams — at maxLen 40, q=5,
     * maxDist 3 that is 21; strings shorter than q never block.
     *
+    * Saturation + budget: the sizing job diagnoses a saturated gram space
+    * up front ([[gramSaturation]] — alphabet^q vs window count) and
+    * re-prices the unspillable gate build from the FULL window volume when
+    * the df ≥ 2 gate has stopped filtering; and because this path
+    * MATERIALIZES the candidate pair stream, a session may declare
+    * `spark.graft.editdist.maxCandidatePairs` (default unlimited) to turn
+    * a predictable blow-up into a typed [[SaturationBudgetExceeded]] —
+    * thrown before the self-join, carrying the full arithmetic — instead
+    * of an executor memory/disk death mid-join. [[editDistanceStats]] is
+    * the budget-free accounting route at pair-infeasible scale.
+    *
     * Cache note: above the sizing gate the blocking stream is persisted
     * (MEMORY_AND_DISK) so the volume job, both self-join sides, and the
     * verify join share one computation; the entry lives in the session
@@ -938,6 +972,23 @@ object Dedup {
     val volume = blocked.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
       .head().getLong(0)
+    // Pair-budget gate, BEFORE the self-join: `volume` is the exact
+    // pre-distinct pair count, so a session that declares a budget
+    // (`spark.graft.editdist.maxCandidatePairs` — e.g. free-disk/48 B on a
+    // measurement host; unlimited by default, clusters size their disks)
+    // gets a typed error carrying the full saturation arithmetic instead
+    // of an executor dying mid-join. Saturated corpora (meanDf ≥ 1.5 — the
+    // df gate passing ~everything) are pointed at the accounting mode.
+    val budget = t.sparkSession.conf
+      .get("spark.graft.editdist.maxCandidatePairs", Long.MaxValue.toString).toLong
+    if (volume > budget) {
+      val windows = t.agg(coalesce(sum(greatest(length(col("s")) - (gramLen - 1),
+        lit(0)).cast("long")), lit(0L))).head().getLong(0)
+      val sat = gramSaturation(t, gramLen, windows)
+      if (gramParts != 0) blocked.unpersist(false)
+      throw SaturationBudgetExceeded(volume, budget, sat.windows,
+        sat.alphabet, sat.gramSpace, sat.meanDf)
+    }
     val floor = t.sparkSession.sessionState.conf.numShufflePartitions
     // ~48 bytes of sort state per pair row (UnsafeRow + sorter pointer),
     // ~48 MB in-memory per task
@@ -965,6 +1016,53 @@ object Dedup {
     * sorting ~150M gated gram rows in 32-partition waves (41 GB of
     * measured spill at 5M titles, q=5, zero at 500k where the constant
     * happens to fit). */
+  /** Saturation diagnosis for the q-gram blocking stage: when the gram
+    * SPACE (≤ alphabet^q distinct grams) is small next to the corpus's
+    * window count, expected document frequency exceeds 1 and the df ≥ 2
+    * gate stops filtering — the gated stream jumps from "shared grams
+    * only" to ~the full gram volume, and every downstream consumer priced
+    * from a gated estimate undershoots (the measured r12 50M failure:
+    * 27⁶ ≈ 387M six-grams vs 1.05B windows ⇒ mean df 2.7 ⇒ the gate
+    * passes ~everything, and a per-task hash build sized for half the
+    * volume died mid-join with a raw executor memory error).
+    *
+    * The alphabet comes from a bounded 65,536-row sample (a LIMIT collect
+    * of ≤ maxLen-char strings — single-digit MB): characters too rare for
+    * a 64k-row sample carry negligible gram mass, and alphabet^q only
+    * needs order-of-magnitude accuracy against the window count. On text
+    * whose realized gram space is much sparser than alphabet^q (natural
+    * language vs these near-uniform synthetic titles) meanDf is
+    * UNDER-estimated and the diagnosis degrades to the historical
+    * behavior — never worse. */
+  private[graft] final case class GramSaturation(
+      windows: Long, alphabet: Int, gramSpace: Double, meanDf: Double) {
+    def saturated: Boolean = meanDf >= 1.5
+  }
+
+  private[graft] def gramSaturation(t: DataFrame, gramLen: Int,
+      windows: Long): GramSaturation = {
+    val sample = t.select(col("s")).limit(65536).collect()
+    val alphabet = math.max(1,
+      sample.iterator.flatMap(_.getString(0).iterator).toSet.size)
+    val space = math.min(math.pow(alphabet.toDouble, gramLen.toDouble),
+      math.max(1L, windows).toDouble)
+    GramSaturation(windows, alphabet, space,
+      if (space > 0) windows / space else windows.toDouble)
+  }
+
+  /** The pure pricing rule of [[gramExchangeParts]], exposed for specs:
+    * sorts at ~40 B/gram ≤ 48 MB spill-capable state per task; the gate's
+    * UNSPILLABLE SHUFFLE_HASH build at ~48 B/gated-row ≤ 12 MB per task —
+    * where the gated estimate is the FULL window volume once the space is
+    * saturated (df ≥ 2 passes ~everything) and vol/2 in the sparse regime
+    * (the historical figure, measured safe through 5M titles). */
+  private[graft] def priceGramParts(vol: Long, saturated: Boolean, floor: Int): Int = {
+    val gatedEst = if (saturated) vol else vol / 2
+    val sortParts = vol * 40L / (48L << 20)
+    val buildParts = gatedEst * 48L / (12L << 20)
+    math.max(floor, math.min(65536L, math.max(sortParts, buildParts)).toInt)
+  }
+
   private[graft] def gramExchangeParts(t: DataFrame, gramLen: Int): Int = {
     val est = t.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est <= 64L * 1024 * 1024) 0
@@ -973,19 +1071,14 @@ object Dedup {
         lit(0)).cast("long")), lit(0L))).head().getLong(0)
       val floor = t.sparkSession.sessionState.conf.numShufflePartitions
       // Price BOTH of the count's memory consumers (the knnJoinIvf dirParts
-      // discipline): the gram sorts (~40 B of sort state per gram row,
-      // ≤ 48 MB per task — spill-capable) AND the frequency gate's
-      // SHUFFLE_HASH build (≤ vol/2 gated rows — the df ≥ 2 filter — at
-      // ~48 B of UnsafeHashedRelation state each, ≤ 12 MB per task,
-      // UNSPILLABLE). The build term dominates and is the measured one:
-      // at 50M titles (1.05B gram windows) the sort-only count handed each
-      // task a ~29 MB hash build that died with "can't acquire memory to
-      // build hash relation" under 32 concurrent consumers on the 8 GB
-      // heap; per-task build bytes are CONSTANT in corpus size under this
-      // pricing because parts and volume scale together.
-      val sortParts = vol * 40L / (48L << 20)
-      val buildParts = (vol / 2) * 48L / (12L << 20)
-      math.max(floor, math.min(65536L, math.max(sortParts, buildParts)).toInt)
+      // discipline): the gram sorts (spill-capable) AND the frequency
+      // gate's SHUFFLE_HASH build (UNSPILLABLE — the measured failure
+      // mode; see [[priceGramParts]]). The gated-volume estimate feeding the
+      // build term is SATURATION-AWARE: pricing it at vol/2
+      // unconditionally is what handed each 50M-title task a ~29-32 MB
+      // hash build ("can't acquire memory to build hash relation") once
+      // the df ≥ 2 gate stopped filtering.
+      priceGramParts(vol, gramSaturation(t, gramLen, vol).saturated, floor)
     }
   }
 

@@ -162,6 +162,53 @@ class OperatorsSpec extends SparkSpec {
     assert(candRk >= 12L, "every planted pair must still be a candidate")
   }
 
+  test("editdist saturation: tiny-alphabet corpora are diagnosed, the build " +
+      "pricing re-prices from full volume, and the pair budget fails fast typed") {
+    // 400 strings over a 3-letter alphabet: 27 possible trigrams vs ~7,200
+    // windows → meanDf ≫ 1.5, the df ≥ 2 gate passes everything (the r12
+    // 50M regime in miniature). A 26-letter corpus of the same shape stays
+    // sparse.
+    def corpus(alpha: String) = (0 until 400).map { i =>
+      val rng = new scala.util.Random(i)
+      (i.toLong, (0 until 20).map(_ => alpha(rng.nextInt(alpha.length))).mkString)
+    }.toDF("doc_id", "text")
+    def t(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id").as("id"),
+      substring(trim(lower(col("text"))), 1, 40).as("s"))
+    val saturatedT = t(corpus("abc"))
+    val sparseT = t(corpus("abcdefghijklmnopqrstuvwxyz"))
+    val satDiag = Dedup.gramSaturation(saturatedT, 3, 400L * 18)
+    val sparseDiag = Dedup.gramSaturation(sparseT, 3, 400L * 18)
+    assert(satDiag.saturated && satDiag.alphabet == 3 && satDiag.gramSpace == 27.0,
+      s"saturation missed: $satDiag")
+    assert(!sparseDiag.saturated, s"false saturation: $sparseDiag")
+    // the re-priced build count: saturation prices the UNSPILLABLE gate
+    // build from the full window volume, not the sparse-regime half
+    val vol = 2L * 1000 * 1000 * 1000
+    val sat = Dedup.priceGramParts(vol, saturated = true, floor = 32)
+    val sparse = Dedup.priceGramParts(vol, saturated = false, floor = 32)
+    assert(sat >= 2 * sparse - 1 && sat > sparse,
+      s"saturated pricing must double the build count once the build term " +
+        s"dominates (mod integer division): $sat vs $sparse")
+    // the typed budget gate: volume is exact and checked BEFORE the pair
+    // join, so a declared budget yields arithmetic, not an executor OOM
+    spark.conf.set("spark.graft.editdist.maxCandidatePairs", "10")
+    try {
+      val e = intercept[SaturationBudgetExceeded] {
+        Dedup.editDistancePairs(corpus("abc"), "doc_id", "text", maxDist = 2)
+          .count()
+      }
+      assert(e.candidatePairs > 10 && e.budgetPairs == 10 && e.meanDf >= 1.5,
+        s"budget arithmetic wrong: $e")
+      assert(e.getMessage.contains("SATURATED"), e.getMessage)
+      // the accounting sibling is the documented route PAST the wall: no
+      // pair list, so the budget does not apply and counts stay exact
+      val stats = Dedup.editDistanceStats(corpus("abc"), "doc_id", "text",
+        maxDist = 2)
+      assert(stats.agg(coalesce(sum(col("dup_pairs")), lit(0L)))
+        .head().getLong(0) >= 0)
+    } finally spark.conf.unset("spark.graft.editdist.maxCandidatePairs")
+  }
+
   test("editDistanceStats: inline-verify accounting ties to the materialized pairs") {
     // accounting must equal groupBy over the pair list — per-doc degree AND
     // min dist — on a corpus with multi-gram pair overlap (near-dups share
