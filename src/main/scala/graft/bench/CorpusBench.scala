@@ -138,6 +138,116 @@ object CorpusBench {
           array_join(body, "")).as("text"))
   }
 
+  /** Deterministic synthetic 64-bit perceptual-hash corpus for the banded
+    * near-dup join at signature scale: positions 0,1,2 of each 20-id block
+    * share the block's base hash with 0 / 1 / 2 disjoint bit flips
+    * (pairwise Hamming ≤ 3 — inside the bands=4 pigeonhole guarantee), so
+    * planted recall is measurable without decoding any media; everything
+    * else is an independent xxhash64 draw. */
+  def hashCorpus(spark: SparkSession, n: Long): DataFrame = {
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      (n / 500000L).toInt)
+    val groupPos = pmod(col("id"), lit(20L))
+    val base = when(groupPos < 3, col("id") - groupPos).otherwise(col("id"))
+    val b1 = pmod(xxhash64(base, lit("b1")), lit(64L)).cast("int")
+    val b2 = pmod(xxhash64(base, lit("b2")), lit(63L)).cast("int")
+    val b3 = pmod(xxhash64(base, lit("b3")), lit(62L)).cast("int")
+    // three DISTINCT flip positions via collision-free remapping
+    val f1 = b1
+    val f2 = when(b2 >= f1, b2 + 1).otherwise(b2)
+    val f3p = when(b3 >= least(f1, f2), b3 + 1).otherwise(b3)
+    val f3 = when(f3p >= greatest(f1, f2), f3p + 1).otherwise(f3p)
+    spark.range(0, n, 1, parts).toDF("id")
+      .select(col("id"), pmod(col("id"), lit(20L)).as("gp"),
+        xxhash64(base, lit("h")).as("bh"),
+        f1.as("f1"), f2.as("f2"), f3.as("f3"))
+      .select(col("id"), expr(
+        "CASE WHEN gp = 1 THEN bh ^ shiftleft(1L, f1) " +
+          "WHEN gp = 2 THEN bh ^ shiftleft(1L, f2) ^ shiftleft(1L, f3) " +
+          "ELSE bh END").as("hash"))
+  }
+
+  /** Deterministic synthetic REAL-PNG image corpus: 32×24 block-pattern
+    * images whose content derives from the 20-id block base, with replicas
+    * (positions 0,1,2) brightness-shifted copies — dHash is gradient-based,
+    * so the planted copies collide exactly while distinct bases differ.
+    * Encoding runs in executors (javax.imageio, ~1 KB PNGs). */
+  def imageCorpus(spark: SparkSession, n: Long): org.apache.spark.sql.Dataset[
+      graft.multimodal.Multimodal.MediaRow] = {
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      (n / 100000L).toInt)
+    spark.range(0, n, 1, parts).map { id =>
+      val idL: Long = id
+      val groupPos = (idL % 20).toInt
+      val base: Long = if (groupPos < 3) idL - groupPos else idL
+      val shift = if (groupPos < 3) groupPos * 10 else 0
+      val im = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 24) {
+        var x = 0
+        while (x < 32) {
+          // 8×8 cells of block-derived luminance + per-replica brightness
+          val h = scala.util.hashing.MurmurHash3.productHash(
+            (base, x / 8, y / 8))
+          val l = math.min(235, math.abs(h % 200) + shift)
+          im.setRGB(x, y, (l << 16) | (l << 8) | l)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      graft.multimodal.Multimodal.MediaRow(id, "image", bos.toByteArray,
+        Some(32), Some(24), None)
+    }
+  }
+
+  /** Deterministic synthetic REAL-WAV audio corpus: 0.1 s of 8 kHz mono
+    * 16-bit PCM per row, a block-derived multi-tone envelope; replicas are
+    * GAIN-scaled copies (×1.0 / ×0.7 / ×0.4) — the energy-envelope hash is
+    * gain-invariant, so planted copies collide while distinct bases
+    * differ. */
+  def audioCorpus(spark: SparkSession, n: Long): org.apache.spark.sql.Dataset[
+      graft.multimodal.Multimodal.MediaRow] = {
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      (n / 100000L).toInt)
+    spark.range(0, n, 1, parts).map { id =>
+      val idL: Long = id
+      val groupPos = (idL % 20).toInt
+      val base: Long = if (groupPos < 3) idL - groupPos else idL
+      val gain = if (groupPos < 3) 1.0 - groupPos * 0.3 else 1.0
+      val rate = 8000f
+      val nFrames = 800
+      val rng = new scala.util.Random(base)
+      val f1 = 200 + rng.nextInt(1800)
+      val f2 = 200 + rng.nextInt(1800)
+      val data = new Array[Byte](nFrames * 2)
+      var i = 0
+      while (i < nFrames) {
+        val t = i / rate
+        // block-derived envelope: two tones with a mid-clip amplitude step
+        val env = if ((i * 8 / nFrames) % 2 == rng.nextInt(2)) 0.9 else 0.3
+        val x = gain * env * (math.sin(2 * math.Pi * f1 * t) * 0.6 +
+          math.sin(2 * math.Pi * f2 * t) * 0.4)
+        val s = math.max(-32767, math.min(32767, (x * 20000).toInt)).toShort
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, nFrames),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      graft.multimodal.Multimodal.MediaRow(id, "audio", bos.toByteArray,
+        None, None, Some(100L))
+    }
+  }
+
   /** Deterministic synthetic event stream for the sessionization / rolling
     * window grid rows: (event_id, user_id, us, event_type). Users own 50
     * consecutive event ids each (n/50 users — high-cardinality partition
@@ -197,6 +307,12 @@ object CorpusBench {
       .config("spark.sql.files.maxPartitionBytes", String.valueOf(32L << 20))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // declared pair budget for the pair-MATERIALIZING editdist path: on
+    // this host set it to ~free-disk/48 B so a saturated corpus records a
+    // typed SaturationBudgetExceeded row with the arithmetic instead of an
+    // executor memory/disk death mid-join (operators/Dedup.scala)
+    sys.env.get("EDITDIST_PAIR_BUDGET").foreach(b =>
+      spark.conf.set("spark.graft.editdist.maxCandidatePairs", b))
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
 
@@ -487,11 +603,21 @@ object CorpusBench {
       // a member directory — the attach-to-pairs form it replaced was the
       // measured broadcast-build failure at 5M on the protocol heap).
       // Sum over BOTH output columns so no stage prunes away
+      // impl tag derived from the assignment rule's own thresholds — the
+      // hardcoded "two_level_assign" went stale the round the three-level
+      // regime landed (50M's 195k lists route three-level)
+      val sdLists = math.max(8, (n / 256).toInt)
+      val sdImpl =
+        if (sdLists <= graft.functions.VectorExpressions.twoLevelThreshold)
+          "flat_assign"
+        else if (sdLists <= graft.functions.VectorExpressions.threeLevelThreshold)
+          "two_level_assign"
+        else "three_level_assign"
       benchAct("semantic_dedup", () => {
         Similarity.semanticDedup(embs, "vec_id", "embedding",
-            nLists = math.max(8, (n / 256).toInt), tau = 0.95)
+            nLists = sdLists, tau = 0.95)
           .agg(sum(col("cluster") + col("kept"))).head().getLong(0)
-      }, """"impl":"two_level_assign+cell_local"""", valueField = "checksum")
+      }, s""""impl":"$sdImpl+cell_local","n_lists":$sdLists""", valueField = "checksum")
       // IVF-candidate k-NN join: the measured handoff past knnJoin's
       // broadcast-attach ceiling — probed md5-sign cells for candidates,
       // PQ-coded in-cell shortlists, exact rescore, NO pair stream and NO
@@ -551,6 +677,115 @@ object CorpusBench {
             nLists = math.max(8, (n / 64).toInt), nprobe = 4)
           .count()
       }, """"impl":"cell_directory","labels":16""")
+      // knnJoinAuto boundary bracketing: the dispatcher's chosen route is
+      // recorded IN the row, with planted recall proving the routed join
+      // works at that regime — run at n either side of the ~1 GB source-
+      // bytes default (3M×64d ≈ 0.8 GB → lsh; 5M×64d ≈ 1.3 GB → ivf)
+      if (opFilter.exists(_.exists(_.startsWith("knn_join_auto_recall")))) {
+        benchAct("knn_join_auto_recall", () =>
+          plantedPairs(Similarity.knnJoinAuto(embs, "vec_id", "embedding", k = 5)),
+          s""""route":"${Similarity.knnJoinAutoRoute(embs, "vec_id", "embedding")}","planted":${6 * (n / 20)}""",
+          valueField = "recovered")
+      }
+      // the dims≠64 sanity point: 16-dim embeddings, dims DERIVED from the
+      // data (the silent-truncation regression guard at grid scale)
+      if (opFilter.exists(_.exists(_.startsWith("knn_join_auto_d16")))) {
+        val emb16Path = s"$stageDir/emb16_$n"
+        if (!Files.exists(Paths.get(emb16Path)))
+          embCorpus(spark, n, dims = 16).write.mode("overwrite").parquet(emb16Path)
+        val emb16 = spark.read.parquet(emb16Path)
+        benchAct("knn_join_auto_d16", () =>
+          plantedPairs(Similarity.knnJoinAuto(emb16, "vec_id", "embedding", k = 5)),
+          s""""route":"${Similarity.knnJoinAutoRoute(emb16, "vec_id", "embedding")}","dims":16,"planted":${6 * (n / 20)}""",
+          valueField = "recovered")
+      }
+      // Incremental IVF index lifecycle (KnnIndex): build once on 90%,
+      // then the delta row = append 10% + probe the delta against the
+      // stored directories — the work-∝-|delta| evidence next to the
+      // full-rebuild knn_join_ivf_recall row. Each delta iteration first
+      // restores the base generation (drops files a previous iteration
+      // appended) so appends don't compound across warmup/iters.
+      if (opFilter.exists(_.exists(_.startsWith("knn_index")))) {
+        val idxPath = s"$stageDir/knnidx_$n"
+        val baseEmb = embs.filter(col("vec_id") % 10 =!= 0)
+        val deltaEmb = embs.filter(col("vec_id") % 10 === 0)
+        benchAct("knn_index_build", () => {
+          graft.operators.KnnIndex.build(baseEmb, "vec_id", "embedding", idxPath)
+          n - n / 10
+        }, """"base_fraction":0.9""", valueField = "rows_indexed")
+        if (!Files.exists(Paths.get(s"$idxPath/meta")))
+          graft.operators.KnnIndex.build(baseEmb, "vec_id", "embedding", idxPath)
+        def memberFiles(): Set[String] = {
+          val out = scala.collection.mutable.Set[String]()
+          java.nio.file.Files.walk(Paths.get(s"$idxPath/members")).forEach { p =>
+            if (p.toString.endsWith(".parquet")) out += p.toString
+          }
+          out.toSet
+        }
+        val baseGeneration = memberFiles()
+        benchAct("knn_index_delta", () => {
+          (memberFiles() -- baseGeneration)
+            .foreach(f => Files.deleteIfExists(Paths.get(f)))
+          graft.operators.KnnIndex.append(deltaEmb, "vec_id", "embedding", idxPath)
+          plantedPairs(graft.operators.KnnIndex.knnJoinDelta(
+            deltaEmb, "vec_id", "embedding", idxPath, k = 5, nprobe = 4))
+        }, s""""delta_fraction":0.1,"impl":"stored_dirs+broadcast_probes","planted":${2 * (n / 20)}""",
+          valueField = "recovered")
+      }
+      // banded perceptual-hash near-dup join at SIGNATURE scale (no
+      // decode): planted ≤3-bit-flip replicas recovered through the
+      // bands=4 pigeonhole; volume records the 2^16-bucket saturation law
+      if (opFilter.exists(_.exists(_.startsWith("hash_near_dups")))) {
+        val hashPath = s"$stageDir/hashes_$n"
+        if (!Files.exists(Paths.get(hashPath)))
+          hashCorpus(spark, n).write.mode("overwrite").parquet(hashPath)
+        val hashes = spark.read.parquet(hashPath)
+        benchAct("hash_near_dups", () =>
+          graft.multimodal.Multimodal.hashNearDups(hashes, maxHamming = 3,
+              bands = 4)
+            .filter(pmod(col("id_a"), lit(20L)) < 3 && pmod(col("id_b"), lit(20L)) < 3
+              && (col("id_a") - pmod(col("id_a"), lit(20L)))
+                === (col("id_b") - pmod(col("id_b"), lit(20L))))
+            .count(),
+          s""""bands":4,"impl":"first_band_dedup+sized_exchange","planted":${3 * (n / 20)}""",
+          valueField = "recovered")
+      }
+      // the decode-then-join faces over REAL media bytes (JDK codecs in
+      // executors): brightness-shifted PNG copies / gain-scaled WAV copies
+      // must pair; decode runs inside the scan projection, so these rows
+      // price decode + join together
+      if (opFilter.exists(_.exists(_.startsWith("image_near_dups")))) {
+        val mPath = s"$stageDir/media_img_$n"
+        if (!Files.exists(Paths.get(mPath)))
+          imageCorpus(spark, n).write.mode("overwrite").parquet(mPath)
+        import spark.implicits._
+        val media = spark.read.parquet(mPath)
+          .as[graft.multimodal.Multimodal.MediaRow]
+        benchAct("image_near_dups", () =>
+          graft.multimodal.Multimodal.imageNearDups(media, maxHamming = 3)
+            .filter(pmod(col("id_a"), lit(20L)) < 3 && pmod(col("id_b"), lit(20L)) < 3
+              && (col("id_a") - pmod(col("id_a"), lit(20L)))
+                === (col("id_b") - pmod(col("id_b"), lit(20L))))
+            .count(),
+          s""""impl":"jdk_decode+banded_dhash","planted":${3 * (n / 20)}""",
+          valueField = "recovered")
+      }
+      if (opFilter.exists(_.exists(_.startsWith("audio_near_dups")))) {
+        val mPath = s"$stageDir/media_aud_$n"
+        if (!Files.exists(Paths.get(mPath)))
+          audioCorpus(spark, n).write.mode("overwrite").parquet(mPath)
+        import spark.implicits._
+        val media = spark.read.parquet(mPath)
+          .as[graft.multimodal.Multimodal.MediaRow]
+        benchAct("audio_near_dups", () =>
+          graft.multimodal.Multimodal.audioNearDups(media, maxHamming = 3)
+            .filter(pmod(col("id_a"), lit(20L)) < 3 && pmod(col("id_b"), lit(20L)) < 3
+              && (col("id_a") - pmod(col("id_a"), lit(20L)))
+                === (col("id_b") - pmod(col("id_b"), lit(20L))))
+            .count(),
+          s""""impl":"jdk_decode+banded_ahash","planted":${3 * (n / 20)}""",
+          valueField = "recovered")
+      }
 
       // Edit-distance dedup over the 40-char doc prefixes. This corpus is
       // the planted-hot-trigram hazard by construction: the u³-warped Zipf

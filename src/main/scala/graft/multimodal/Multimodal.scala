@@ -159,36 +159,88 @@ object Multimodal {
     }
   }
 
-  /** Shared banded near-dup machinery over any 64-bit perceptual hash:
-    * split the hash into `bands` equal slices, self-join on (band, slice)
-    * so only hash-sharing candidates ever pair, verify full Hamming ≤
-    * `maxHamming`. Any pair within Hamming `bands − 1` shares at least one
-    * intact band (pigeonhole), so candidate generation is EXACT for
-    * maxHamming ≤ bands − 1 and documented-approximate beyond. The join
-    * ships only (id, hash, band, bits) — media bytes never cross the
-    * exchange. Input (id, hash); returns (id_a, id_b, hamming), id_a <
-    * id_b. */
-  private def bandedHashPairs(hashes: DataFrame, maxHamming: Int,
-      bands: Int): DataFrame = {
-    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+  /** Banded near-dup join over any 64-bit perceptual hash — the public
+    * signature-level operator ([[imageNearDups]]/[[audioNearDups]] are the
+    * decode-then-join faces): split the hash into `bands` equal slices,
+    * self-join on (band, slice) so only hash-sharing candidates ever pair,
+    * verify full Hamming ≤ `maxHamming`. Any pair within Hamming
+    * `bands − 1` shares at least one intact band (pigeonhole), so
+    * candidate generation is EXACT for maxHamming ≤ bands − 1 and
+    * documented-approximate beyond. The join ships only (id, hash, band,
+    * bits) — media bytes never cross the exchange. Input (id, hash);
+    * returns (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Scale shape (the editDistanceStats moves, applied to hashes):
+    *
+    *  - **No global pair `distinct()`.** A pair sharing several intact
+    *    bands would emit once per band; instead each candidate row is
+    *    kept only at the pair's FIRST matching band — a row-local filter
+    *    over the two hashes the row already carries (both sides compute
+    *    the same band set, so each pair survives exactly once). The
+    *    distinct's map-side hash state — one entry per candidate pair per
+    *    JVM — was the measured spill hazard of every pair stream this
+    *    size (cf. Dedup.editDistanceCandidates' 45.8 GB).
+    *  - **Sized, reused band exchange.** Both self-join sides read ONE
+    *    canonical (band, bits)-keyed exchange (ReusedExchange), priced
+    *    from the row-count estimate at the unspillable-build discipline
+    *    (n·bands rows × ~96 B in-relation, ≤ 16 MB per task) — the
+    *    session constant would hand each task the whole corpus/32 at 5M+
+    *    signatures.
+    *
+    * Volume honesty: with 64-bit hashes and `bands` slices, each band has
+    * 2^(64/bands) buckets; once n ≫ 2^(64/bands) (65,536 at bands = 4)
+    * RANDOM hashes collide and candidate volume grows ~n²·bands/2^width —
+    * the same saturation law as q-gram blocking
+    * ([[graft.operators.Dedup.gramSaturation]]), with bands the
+    * exactness/volume dial: bands = 2 (32-bit slices) stays sparse to
+    * ~10⁹ signatures but is exact only to Hamming 1. Perceptual-hash
+    * corpora are gentler than random (near-dups cluster; unrelated media
+    * rarely collide on 16 bits of gradient signs) — the grid rows record
+    * the measured volume at 500k/5M signatures either way. */
+  def hashNearDups(hashes: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4, nRows: Long = 0L): DataFrame = {
+    require(bands > 1 && 64 % bands == 0, "bands must divide 64 (and be > 1)")
     val width = 64 / bands
-    val banded = hashes.select(col("id"), col("hash"),
+    val mask = (1L << width) - 1
+    val spark = hashes.sparkSession
+    val floor = spark.sessionState.conf.numShufflePartitions
+    // row-count estimate for the band exchange: explicit hint, else the
+    // analyzed estimate over ~24 B/row for stats-backed plans, else one
+    // count job (decode-derived frames are priced by their media source's
+    // scaled estimate — overestimates only widen, which is benign)
+    val n =
+      if (nRows > 0) nRows
+      else if (graft.operators.Stage.statsKnown(hashes))
+        (hashes.queryExecution.analyzed.stats.sizeInBytes / 24).toLong
+      else hashes.count()
+    val parts = math.max(floor,
+      math.min(65536L, n * bands * 96L / (16L << 20)).toInt)
+    val banded0 = hashes.select(col("id"), col("hash"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bits",
-        expr(s"shiftrightunsigned(hash, band * $width) & ${(1L << width) - 1}"))
-    val candidates = banded.as("l")
+        expr(s"shiftrightunsigned(hash, band * $width) & $mask"))
+    val banded =
+      if (parts > floor) banded0.repartition(parts, col("band"), col("bits"))
+      else banded0
+    banded.as("l")
       .join(banded.as("r").hint("SHUFFLE_HASH"),
         col("l.band") === col("r.band") && col("l.bits") === col("r.bits")
           && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.hash").as("hash_a"), col("r.hash").as("hash_b"))
-      .distinct()
-    candidates
+        col("l.hash").as("hash_a"), col("r.hash").as("hash_b"), col("l.band").as("band"))
+      // keep the pair ONLY at its first matching band — a deterministic
+      // function of the two hashes both rows agree on, so no distinct
+      .filter(expr(s"band = array_min(filter(sequence(0, ${bands - 1}), " +
+        s"b -> (shiftrightunsigned(hash_a, b * $width) & $mask) = " +
+        s"(shiftrightunsigned(hash_b, b * $width) & $mask)))"))
       .withColumn("hamming",
         bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  private def bandedHashPairs(hashes: DataFrame, maxHamming: Int,
+      bands: Int): DataFrame = hashNearDups(hashes, maxHamming, bands)
 
   /** Image near-duplicate pairs by banded dHash — the multimodal face of
     * the SimHash text pipeline. Decode happens ONCE, in the scan
