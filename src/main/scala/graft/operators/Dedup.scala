@@ -21,9 +21,11 @@ final case class SaturationBudgetExceeded(
     windows: Long,
     alphabet: Int,
     gramSpace: Double,
-    meanDf: Double
+    meanDf: Double,
+    exactVolume: Boolean
 ) extends RuntimeException(
-    f"edit-distance candidate volume $candidatePairs%d pairs exceeds " +
+    f"edit-distance ${if (exactVolume) "candidate volume" else "PREDICTED candidate volume (windows·meanDf/2, saturated regime)"} " +
+      f"$candidatePairs%d pairs exceeds " +
       f"spark.graft.editdist.maxCandidatePairs=$budgetPairs%d " +
       f"(windows=$windows%d, alphabet=$alphabet%d, gramSpace=$gramSpace%.0f, " +
       f"meanDf=$meanDf%.2f${if (meanDf >= 1.5) " — SATURATED: widen gramLen or use editDistanceStats" else ""})")
@@ -950,7 +952,22 @@ object Dedup {
     // cache and both join sides read it with their distribution already
     // satisfied, so the join's sorts run per sized partition instead of
     // in session-constant waves.
-    val gramParts = gramExchangeParts(t, gramLen)
+    val (gramParts, satDiag) = gramPlan(t, gramLen)
+    val budget = t.sparkSession.conf
+      .get("spark.graft.editdist.maxCandidatePairs", Long.MaxValue.toString).toLong
+    // PREDICTIVE budget gate, before any heavy stage: in the saturated
+    // regime Σ_g C(df_g, 2) ≈ windows·meanDf/2 (Σ df² over a ~uniformly
+    // loaded space), so a breach is known from the sizing job's own
+    // arithmetic — the typed error costs two cheap jobs instead of the
+    // full gram pipeline the exact-volume check below must run. The
+    // exact check still guards the non-saturated blow-ups (mid-frequency
+    // mass the prediction can't see).
+    satDiag.filter(_.saturated).foreach { sat =>
+      val predicted = (sat.windows * sat.meanDf / 2).toLong
+      if (predicted > budget)
+        throw SaturationBudgetExceeded(predicted, budget, sat.windows,
+          sat.alphabet, sat.gramSpace, sat.meanDf, exactVolume = false)
+    }
     val blockedRaw = editDistanceBlocked(t, maxTrigramFreq, rarestK, gramLen, gramParts)
     val blocked =
       if (gramParts == 0) blockedRaw
@@ -972,22 +989,20 @@ object Dedup {
     val volume = blocked.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
       .head().getLong(0)
-    // Pair-budget gate, BEFORE the self-join: `volume` is the exact
+    // EXACT pair-budget gate, before the self-join: `volume` is the exact
     // pre-distinct pair count, so a session that declares a budget
     // (`spark.graft.editdist.maxCandidatePairs` — e.g. free-disk/48 B on a
     // measurement host; unlimited by default, clusters size their disks)
-    // gets a typed error carrying the full saturation arithmetic instead
-    // of an executor dying mid-join. Saturated corpora (meanDf ≥ 1.5 — the
-    // df gate passing ~everything) are pointed at the accounting mode.
-    val budget = t.sparkSession.conf
-      .get("spark.graft.editdist.maxCandidatePairs", Long.MaxValue.toString).toLong
+    // gets a typed error carrying the full arithmetic instead of an
+    // executor dying mid-join. Saturated corpora usually fail the cheap
+    // predictive gate above first; this catches the rest.
     if (volume > budget) {
       val windows = t.agg(coalesce(sum(greatest(length(col("s")) - (gramLen - 1),
         lit(0)).cast("long")), lit(0L))).head().getLong(0)
       val sat = gramSaturation(t, gramLen, windows)
       if (gramParts != 0) blocked.unpersist(false)
       throw SaturationBudgetExceeded(volume, budget, sat.windows,
-        sat.alphabet, sat.gramSpace, sat.meanDf)
+        sat.alphabet, sat.gramSpace, sat.meanDf, exactVolume = true)
     }
     val floor = t.sparkSession.sessionState.conf.numShufflePartitions
     // ~48 bytes of sort state per pair row (UnsafeRow + sorter pointer),
@@ -1063,9 +1078,18 @@ object Dedup {
     math.max(floor, math.min(65536L, math.max(sortParts, buildParts)).toInt)
   }
 
-  private[graft] def gramExchangeParts(t: DataFrame, gramLen: Int): Int = {
+  private[graft] def gramExchangeParts(t: DataFrame, gramLen: Int): Int =
+    gramPlan(t, gramLen)._1
+
+  /** [[gramExchangeParts]] plus the saturation diagnosis it priced from —
+    * callers that gate on the arithmetic ([[editDistanceCandidates]]'s
+    * predictive pair budget) read it without a second sampling/volume
+    * pass. `(0, None)` on the small path: nothing priced, nothing
+    * diagnosed. */
+  private[graft] def gramPlan(t: DataFrame,
+      gramLen: Int): (Int, Option[GramSaturation]) = {
     val est = t.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est <= 64L * 1024 * 1024) 0
+    if (est <= 64L * 1024 * 1024) (0, None)
     else {
       val vol = t.agg(coalesce(sum(greatest(length(col("s")) - (gramLen - 1),
         lit(0)).cast("long")), lit(0L))).head().getLong(0)
@@ -1078,7 +1102,8 @@ object Dedup {
       // unconditionally is what handed each 50M-title task a ~29-32 MB
       // hash build ("can't acquire memory to build hash relation") once
       // the df ≥ 2 gate stopped filtering.
-      priceGramParts(vol, gramSaturation(t, gramLen, vol).saturated, floor)
+      val sat = gramSaturation(t, gramLen, vol)
+      (priceGramParts(vol, sat.saturated, floor), Some(sat))
     }
   }
 
