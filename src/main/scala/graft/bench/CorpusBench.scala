@@ -723,13 +723,21 @@ object CorpusBench {
           out.toSet
         }
         val baseGeneration = memberFiles()
+        // probe-attach tag from the operator's own gate arithmetic
+        // (knnJoinDelta broadcasts the exploded probes under ~2 GB)
+        val idxLists = math.max(8L, (n - n / 10) / 64L).toInt
+        val idxFanout = graft.functions.VectorExpressions.probeMidsPerTop(idxLists)
+        val probePath =
+          if ((n / 10) * 4 * idxFanout * (64 * 4L + 40L) * 2 <= (2L << 30))
+            "broadcast_probes"
+          else "shuffled_probes"
         benchAct("knn_index_delta", () => {
           (memberFiles() -- baseGeneration)
             .foreach(f => Files.deleteIfExists(Paths.get(f)))
           graft.operators.KnnIndex.append(deltaEmb, "vec_id", "embedding", idxPath)
           plantedPairs(graft.operators.KnnIndex.knnJoinDelta(
             deltaEmb, "vec_id", "embedding", idxPath, k = 5, nprobe = 4))
-        }, s""""delta_fraction":0.1,"impl":"stored_dirs+broadcast_probes","planted":${2 * (n / 20)}""",
+        }, s""""delta_fraction":0.1,"impl":"stored_dirs+$probePath","planted":${2 * (n / 20)}""",
           valueField = "recovered")
       }
       // banded perceptual-hash near-dup join at SIGNATURE scale (no

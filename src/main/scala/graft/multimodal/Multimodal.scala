@@ -211,7 +211,10 @@ object Multimodal {
     val n =
       if (nRows > 0) nRows
       else if (graft.operators.Stage.statsKnown(hashes))
-        (hashes.queryExecution.analyzed.stats.sizeInBytes / 24).toLong
+        // ~12 B/row divisor: an (id, hash) row is 16 B raw but parquet
+        // stats report compressed bytes — overestimating n only widens
+        // the exchange, which is benign; undersizing builds is not
+        (hashes.queryExecution.analyzed.stats.sizeInBytes / 12).toLong
       else hashes.count()
     val parts = math.max(floor,
       math.min(65536L, n * bands * 96L / (16L << 20)).toInt)

@@ -216,4 +216,27 @@ class MultimodalSpec extends SparkSpec {
     val parts = repartitionForMedia(df, targetBytesPerTask = 16 * 1024).rdd.getNumPartitions
     assert(parts >= spark.sparkContext.defaultParallelism)
   }
+
+  test("hashNearDups: multi-band-sharing pairs emit exactly once, Hamming " +
+      "verified, pigeonhole bound respected") {
+    import spark.implicits._
+    // 1 & 2 identical (share ALL 4 bands — the duplicate hazard the
+    // first-matching-band filter exists for); 3 at Hamming 2 from 1
+    // (flips in bands 0 and 1, shares bands 2,3); 4 at Hamming 8 spread
+    // 2-per-band (shares NO band → unreachable by construction even
+    // though > maxHamming anyway); 5 unrelated
+    val h1 = 0x0123456789abcdefL
+    val rows = Seq(
+      (1L, h1), (2L, h1),
+      (3L, h1 ^ (1L << 3) ^ (1L << 17)),
+      (4L, h1 ^ 0x0018001800180018L),
+      (5L, 0x7edcba9876543210L)
+    ).toDF("id", "hash")
+    val got = hashNearDups(rows, maxHamming = 3, bands = 4)
+      .as[(Long, Long, Int)].collect().sorted
+    assert(got.toSeq == Seq((1L, 2L, 0), (1L, 3L, 2), (2L, 3L, 2)),
+      s"got ${got.toSeq}")
+    // no duplicate (id_a, id_b) rows even though (1,2) matched on 4 bands
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
+  }
 }
