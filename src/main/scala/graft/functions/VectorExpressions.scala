@@ -673,45 +673,45 @@ object VectorExpressions {
     * once per executor on a cluster, amortized over all its tasks — and
     * blocks concurrent first-touchers instead of duplicating the build.
     *
-    * Entries are held through SOFT references: a table is a pure
-    * recomputable function, and under the default nLists = n/64 policy a
-    * long-lived session invoking over many distinct corpus sizes would
-    * otherwise pin one fresh ~nLists·dims-byte table per size (~50 MB at
-    * 781k lists) for the JVM's life — unbounded heap for cache hits that
-    * never recur. Soft refs keep every hot table resident (the collector
-    * only clears them under memory pressure) while a cleared entry merely
-    * re-pays its one-time build on next touch. */
+    * Retention is BOUNDED without GC coupling: after each lookup the
+    * cache keeps only the TWO largest entries per family (a session
+    * alternating between two corpus sizes ping-pongs nothing; a campaign
+    * over many distinct sizes retains ≤ 6 tables, the largest being
+    * nLists·dims bytes). Under the default nLists = n/64 policy an
+    * UNBOUNDED memo would pin one fresh ~nLists·dims-byte table per
+    * distinct corpus size for the JVM's life (~50 MB each at 781k
+    * lists). Soft references were MEASURED AND REVERTED for this: an
+    * 8 GB heap under cache pressure cleared them repeatedly mid-query
+    * and each clear re-paid the ~10 s 195k-list build —
+    * semantic_dedup@50M regressed 586 → 686 s on the soft-ref variant,
+    * back under the deterministic rule (docs/corpusbench_local32.jsonl
+    * round-13 rows). */
   private val signTableCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int), java.lang.ref.SoftReference[Array[Array[Byte]]]]()
+    (String, Int, Int), Array[Array[Byte]]]()
   private[graft] def signTable(family: String, count: Int, dims: Int): Array[Array[Byte]] = {
-    val key = (family, count, dims)
-    val cached = signTableCache.get(key)
-    val hit = if (cached == null) null else cached.get()
-    if (hit != null) hit
-    else {
-      // compute under the map's per-key lock so concurrent first-touchers
-      // block on one build instead of duplicating it (the computeIfAbsent
-      // contract the memo was introduced for); re-check inside because a
-      // soft ref can be present-but-cleared
-      val ref = signTableCache.compute(key, (_, prev) => {
-        val live = if (prev == null) null else prev.get()
-        if (live != null) prev
-        else {
-          val f: (Int, Int) => Byte = family match {
-            case "ivf"  => md5SignIvf
-            case "ivfs" => md5SignIvfSuper
-            case "ivft" => md5SignIvfTop
-            case other  => throw new IllegalArgumentException(s"unknown sign family $other")
-          }
-          new java.lang.ref.SoftReference(
-            Array.tabulate(count)(c => Array.tabulate(dims)(i => f(c, i + 1))))
-        }
-      })
-      val t = ref.get()
-      // a clear between compute and get is theoretically possible under
-      // extreme pressure — recurse to rebuild rather than return null
-      if (t != null) t else signTable(family, count, dims)
+    val t = signTableCache.computeIfAbsent((family, count, dims), _ => {
+      val f: (Int, Int) => Byte = family match {
+        case "ivf"  => md5SignIvf
+        case "ivfs" => md5SignIvfSuper
+        case "ivft" => md5SignIvfTop
+        case other  => throw new IllegalArgumentException(s"unknown sign family $other")
+      }
+      Array.tabulate(count)(c => Array.tabulate(dims)(i => f(c, i + 1)))
+    })
+    // retention rule: drop all but the 2 largest counts per family —
+    // eviction of a table some straggler task still references is safe
+    // (it holds the array; only the map entry goes)
+    val sameFamily = new java.util.ArrayList[(String, Int, Int)]()
+    signTableCache.forEachKey(Long.MaxValue, k =>
+      if (k._1 == family) { sameFamily.add(k); () })
+    if (sameFamily.size > 2) {
+      val keep = {
+        import scala.jdk.CollectionConverters._
+        sameFamily.asScala.sortBy(-_._2).take(2).toSet + ((family, count, dims))
+      }
+      sameFamily.forEach(k => if (!keep(k)) { signTableCache.remove(k); () })
     }
+    t
   }
 
   /** Flat-scan ceiling: at or below this many lists a full argmax is cheaper

@@ -634,13 +634,23 @@ object Similarity {
     * wrapper reads the same size estimate the attach strategy keys on
     * (analyzed stats of the (id, vec) projection — file bytes for a
     * source-backed frame) and dispatches: at or under `lshMaxBytes`
-    * (default 1 GB of source bytes ≈ 4M×64d, the measured boundary where
-    * the LSH path still completes on a protocol heap and default driver)
-    * the LSH join runs with its occupancy-sized plane count; above it —
-    * or when stats are unknown, since a statless input must not gamble on
-    * a driver-side broadcast collect — [[knnJoinIvf]] with its default
-    * occupancy-64 list policy. Same (id_a, id_b, cosine, rank) contract
-    * either way. */
+    * (default 1 GB of source bytes ≈ 4M×64d) the LSH join runs with its
+    * occupancy-sized plane count; above it — or when stats are unknown
+    * STRUCTURALLY ([[Stage.statsKnown]]), since a statless input must not
+    * gamble on a driver-side broadcast collect — [[knnJoinIvf]] with its
+    * default occupancy-64 list policy.
+    *
+    * The boundary is BRACKETED in the grid (docs/corpusbench_local32
+    * .jsonl, knn_join_auto_recall rows): at 3M×64d (~0.8 GB source
+    * bytes, just under the default) the routed LSH join completes on the
+    * protocol 8 GB heap at 100% planted recall (54.1 s, 5.6 GB spill);
+    * at 5M×64d (~1.3 GB, just over) the routed IVF join runs 48.3 s /
+    * 98.2% / ZERO spill — and the r11 measurement of LSH forced at 5M
+    * (2× heap, 54 GB spill) is the cliff the dispatch avoids. A dims≠64
+    * profile is covered by the dims-derivation rule below and the
+    * knn_join_auto_d16 row (dims read from the data, 100% recall).
+    *
+    * Same (id_a, id_b, cosine, rank) contract either way. */
   def knnJoinAuto(
       df: DataFrame,
       idCol: String,
