@@ -1205,6 +1205,22 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nLists = 8, nprobe = 2,
         m = 8, ks = 16, kCand = 20)
     }),
+    "q117_semantic_dedup_delta" -> ((s, dir) => {
+      // incremental SEMANTIC dedup verdicts — the KnnIndex.dedupDelta
+      // oracle anchor: q116's candidate pipeline with the rank cut
+      // removed, folded by the q87 rule (dup of the min qualifying stored
+      // id, else of a lower-id same-batch arrival; τ=0.35 sits inside the
+      // testdata's shortlist-cosine range — max 0.443 at sf0.01 — so the
+      // verdict mixes keeps and drops). The native index path stays spec-gated
+      // (trained PQ); this twin makes every ingest-batch keep/drop
+      // verdict DuckDB-replayable
+      val e = TestTables.embeddings(s, dir)
+      Similarity.semanticDedupIncrementalPortable(
+        e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", tau = 0.35, nLists = 8, nprobe = 2,
+        m = 8, ks = 16, kCand = 20)
+        .withColumnRenamed("id", "vec_id")
+    }),
     "q64_shuffle_order" -> ((s, dir) =>
       // deterministic corpus shuffle — the pre-training reorder: sort by
       // content hash, reproducible on any engine/run. At scale this is a
@@ -1592,6 +1608,80 @@ object SparkEntry {
   }
 
   private val minhashPairsSql: String = s"$minhashCtes\n$minhashPairSelect"
+
+  /** Shared CTE prefix of the q116/q117 oracles — the q114 portable IVF+PQ
+    * pipeline with the probe side restricted to the NEW batch
+    * (vec_id % 5 = 0), ending at `sc`: every rescored shortlist pair with
+    * its exact rounded cosine. q116 rank-cuts it to the incremental k-NN
+    * join rows; q117 folds it with the q87 incremental-dedup verdict
+    * rule. */
+  private val incrementalIvfPqCtes: String =
+    ("""WITH v AS (
+       |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |nrm AS (SELECT id, sqrt(sum(x * x)) AS n FROM v GROUP BY id),
+       |keep AS (SELECT id FROM nrm WHERE n > 0),
+       |signs AS (
+       |  SELECT c.c AS c, i.i AS dim,
+       |    CASE WHEN CAST(('0x' || substring(
+       |        md5('ivf-' || c.c || '-' || i.i), 1, 8)) AS BIGINT) % 2 = 0
+       |      THEN 1 ELSE -1 END AS sgn
+       |  FROM (SELECT unnest(range(0, 8)) AS c) c,
+       |       (SELECT unnest(range(1, 65)) AS i) i),
+       |ranked AS (
+       |  SELECT id, c,
+       |    row_number() OVER (PARTITION BY id ORDER BY dot DESC, c ASC) AS rk
+       |  FROM (
+       |    SELECT id, c, sum(sgn * xq) AS dot
+       |    FROM v JOIN keep USING (id) JOIN signs USING (dim)
+       |    GROUP BY id, c)),
+       |assigned AS (SELECT id, c FROM ranked WHERE rk = 1),
+       |probed AS (SELECT id, c FROM ranked WHERE rk <= 2 AND id % 5 = 0),
+       |cb AS (
+       |  SELECT s.s AS sub, c.c AS code, s.s * 8 + j.j AS dim,
+       |    (CAST(('0x' || substring(
+       |        md5('pq-' || s.s || '-' || c.c || '-' || j.j), 1, 8)) AS BIGINT)
+       |      % 2001 - 1000) * 1000 AS cq
+       |  FROM (SELECT unnest(range(0, 8)) AS s) s,
+       |       (SELECT unnest(range(0, 16)) AS c) c,
+       |       (SELECT unnest(range(1, 9)) AS j) j),
+       |dists AS (
+       |  SELECT id, sub, code, sum((xq - cq) * (xq - cq)) AS d2
+       |  FROM v JOIN cb USING (dim)
+       |  GROUP BY id, sub, code),
+       |codes AS (
+       |  SELECT id, sub, code FROM (
+       |    SELECT id, sub, code,
+       |      row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rk
+       |    FROM dists)
+       |  WHERE rk = 1),
+       |cands AS (
+       |  SELECT p.id AS id_a, a.id AS id_b
+       |  FROM probed p JOIN assigned a ON p.c = a.c AND p.id <> a.id),
+       |adc AS (
+       |  SELECT cd.id_a, cd.id_b, sum(da.d2) AS adc
+       |  FROM cands cd
+       |  JOIN codes cb2 ON cb2.id = cd.id_b
+       |  JOIN dists da ON da.id = cd.id_a AND da.sub = cb2.sub AND da.code = cb2.code
+       |  GROUP BY cd.id_a, cd.id_b),
+       |sl AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b,
+       |      row_number() OVER (PARTITION BY id_a ORDER BY adc ASC, id_b ASC) AS rk
+       |    FROM adc)
+       |  WHERE rk <= 20),
+       |dp AS (
+       |  SELECT sl.id_a, sl.id_b, sum(va.x * vb.x) AS d
+       |  FROM sl
+       |  JOIN v va ON va.id = sl.id_a
+       |  JOIN v vb ON vb.id = sl.id_b AND vb.dim = va.dim
+       |  GROUP BY sl.id_a, sl.id_b),
+       |sc AS (
+       |  SELECT id_a, id_b, round(d / (na.n * nb.n), 6) AS cosine
+       |  FROM dp JOIN nrm na ON na.id = id_a JOIN nrm nb ON nb.id = id_b)""")
+      .stripMargin
 
   /** DuckDB replica of q87: the q54 signature/band CTEs over the full
     * table, candidates restricted to new-vs-old and new-vs-earlier-new at
@@ -2780,77 +2870,36 @@ object SparkEntry {
     // incremental semantics (|new|-driven candidates, old docs never pair
     // together)
     "q116_knn_join_incremental" ->
-      ("""WITH v AS (
-         |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
-         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
-         |    CAST(unnest(embedding) AS DOUBLE) AS x
-         |  FROM embeddings),
-         |nrm AS (SELECT id, sqrt(sum(x * x)) AS n FROM v GROUP BY id),
-         |keep AS (SELECT id FROM nrm WHERE n > 0),
-         |signs AS (
-         |  SELECT c.c AS c, i.i AS dim,
-         |    CASE WHEN CAST(('0x' || substring(
-         |        md5('ivf-' || c.c || '-' || i.i), 1, 8)) AS BIGINT) % 2 = 0
-         |      THEN 1 ELSE -1 END AS sgn
-         |  FROM (SELECT unnest(range(0, 8)) AS c) c,
-         |       (SELECT unnest(range(1, 65)) AS i) i),
-         |ranked AS (
-         |  SELECT id, c,
-         |    row_number() OVER (PARTITION BY id ORDER BY dot DESC, c ASC) AS rk
-         |  FROM (
-         |    SELECT id, c, sum(sgn * xq) AS dot
-         |    FROM v JOIN keep USING (id) JOIN signs USING (dim)
-         |    GROUP BY id, c)),
-         |assigned AS (SELECT id, c FROM ranked WHERE rk = 1),
-         |probed AS (SELECT id, c FROM ranked WHERE rk <= 2 AND id % 5 = 0),
-         |cb AS (
-         |  SELECT s.s AS sub, c.c AS code, s.s * 8 + j.j AS dim,
-         |    (CAST(('0x' || substring(
-         |        md5('pq-' || s.s || '-' || c.c || '-' || j.j), 1, 8)) AS BIGINT)
-         |      % 2001 - 1000) * 1000 AS cq
-         |  FROM (SELECT unnest(range(0, 8)) AS s) s,
-         |       (SELECT unnest(range(0, 16)) AS c) c,
-         |       (SELECT unnest(range(1, 9)) AS j) j),
-         |dists AS (
-         |  SELECT id, sub, code, sum((xq - cq) * (xq - cq)) AS d2
-         |  FROM v JOIN cb USING (dim)
-         |  GROUP BY id, sub, code),
-         |codes AS (
-         |  SELECT id, sub, code FROM (
-         |    SELECT id, sub, code,
-         |      row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rk
-         |    FROM dists)
-         |  WHERE rk = 1),
-         |cands AS (
-         |  SELECT p.id AS id_a, a.id AS id_b
-         |  FROM probed p JOIN assigned a ON p.c = a.c AND p.id <> a.id),
-         |adc AS (
-         |  SELECT cd.id_a, cd.id_b, sum(da.d2) AS adc
-         |  FROM cands cd
-         |  JOIN codes cb2 ON cb2.id = cd.id_b
-         |  JOIN dists da ON da.id = cd.id_a AND da.sub = cb2.sub AND da.code = cb2.code
-         |  GROUP BY cd.id_a, cd.id_b),
-         |sl AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT id_a, id_b,
-         |      row_number() OVER (PARTITION BY id_a ORDER BY adc ASC, id_b ASC) AS rk
-         |    FROM adc)
-         |  WHERE rk <= 20),
-         |dp AS (
-         |  SELECT sl.id_a, sl.id_b, sum(va.x * vb.x) AS d
-         |  FROM sl
-         |  JOIN v va ON va.id = sl.id_a
-         |  JOIN v vb ON vb.id = sl.id_b AND vb.dim = va.dim
-         |  GROUP BY sl.id_a, sl.id_b),
-         |sc AS (
-         |  SELECT id_a, id_b, round(d / (na.n * nb.n), 6) AS cosine
-         |  FROM dp JOIN nrm na ON na.id = id_a JOIN nrm nb ON nb.id = id_b)
+      (incrementalIvfPqCtes + """
          |SELECT id_a, id_b, cosine, CAST(rank AS BIGINT) AS rank
          |FROM (
          |  SELECT id_a, id_b, cosine,
          |    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rank
          |  FROM sc)
          |WHERE rank <= 5""").stripMargin,
+    // q117: the q116 shortlist pairs (rank cut removed — `sc` IS the full
+    // rescored shortlist) folded by the q87 incremental-dedup rule: a new
+    // doc is dropped when a shortlisted neighbor clears τ=0.45 and is
+    // stored (min id → dup_of_old) or a lower-id same-batch arrival
+    // (dup_of_new); τ=0.35 (non-trivial at sf0.01), -1 coalescing, every
+    // new id exactly once
+    "q117_semantic_dedup_delta" ->
+      (incrementalIvfPqCtes + """,
+         |newids AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 5 = 0),
+         |oldq AS (
+         |  SELECT id_a, min(id_b) AS min_old FROM sc
+         |  WHERE cosine >= 0.35 AND id_b % 5 <> 0 GROUP BY id_a),
+         |newq AS (
+         |  SELECT id_a, min(id_b) AS min_new FROM sc
+         |  WHERE cosine >= 0.35 AND id_b % 5 = 0 AND id_b < id_a GROUP BY id_a)
+         |SELECT n.id AS vec_id,
+         |  coalesce(o.min_old, -1) AS dup_of_old,
+         |  coalesce(q.min_new, -1) AS dup_of_new,
+         |  CAST(CASE WHEN o.min_old IS NULL AND q.min_new IS NULL
+         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM newids n
+         |LEFT JOIN oldq o ON o.id_a = n.id
+         |LEFT JOIN newq q ON q.id_a = n.id""").stripMargin,
     "q55_knn_brute" ->
       ("""WITH v AS (
          |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i

@@ -705,7 +705,9 @@ object CorpusBench {
       // full-rebuild knn_join_ivf_recall row. Each delta iteration first
       // restores the base generation (drops files a previous iteration
       // appended) so appends don't compound across warmup/iters.
-      if (opFilter.exists(_.exists(_.startsWith("knn_index")))) {
+      if (opFilter.exists(_.exists(p =>
+          (p.startsWith("knn_index") && !p.startsWith("knn_index_compact")) ||
+            p == "semantic_dedup_delta"))) {
         val idxPath = s"$stageDir/knnidx_$n"
         val baseEmb = embs.filter(col("vec_id") % 10 =!= 0)
         val deltaEmb = embs.filter(col("vec_id") % 10 === 0)
@@ -739,6 +741,66 @@ object CorpusBench {
             deltaEmb, "vec_id", "embedding", idxPath, k = 5, nprobe = 4))
         }, s""""delta_fraction":0.1,"impl":"stored_dirs+$probePath","planted":${2 * (n / 20)}""",
           valueField = "recovered")
+        // incremental SEMANTIC-DEDUP verdicts on the same stored index —
+        // the ingest-batch keep/drop consumer (KnnIndex.dedupDelta, q117
+        // twin): every 20-block's position-0 row arrives in the delta and
+        // must name its position-1 base copy as dup_of_old
+        benchAct("semantic_dedup_delta", () => {
+          (memberFiles() -- baseGeneration)
+            .foreach(f => Files.deleteIfExists(Paths.get(f)))
+          graft.operators.KnnIndex.append(deltaEmb, "vec_id", "embedding", idxPath)
+          graft.operators.KnnIndex.dedupDelta(deltaEmb, "vec_id", "embedding",
+              idxPath, tau = 0.9, k = 8, nprobe = 4)
+            .filter(col("kept") === 0 && col("dup_of_old") === col("id") + 1)
+            .count()
+        }, s""""tau":0.9,"impl":"stored_dirs+$probePath","planted":${n / 20}""",
+          valueField = "recovered")
+      }
+      // LSM tail of the index lifecycle: fragment a generation (4 delta
+      // appends + a 2% tombstone log), hard-link a snapshot aside, then
+      // each measured iteration restores the fragmented tree by re-linking
+      // (metadata-only, no byte copy) and compacts — one row per cell
+      // again, tombstones applied physically, files coalesced per bucket,
+      // PQ codebook REUSED (no retrain: the cost gap vs knn_index_build is
+      // the point of the row)
+      if (opFilter.exists(_.exists(_.startsWith("knn_index_compact")))) {
+        val idxPath = s"$stageDir/knnidxc_$n"
+        val fragSave = s"$stageDir/knnidxc_frag_$n"
+        def deleteTree(dir: String): Unit = {
+          val p = Paths.get(dir)
+          if (Files.exists(p))
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.deleteIfExists(f))
+        }
+        def linkTree(src: String, dst: String): Unit = {
+          val s0 = Paths.get(src)
+          Files.walk(s0).forEach { p =>
+            val t = Paths.get(dst).resolve(s0.relativize(p))
+            if (Files.isDirectory(p)) Files.createDirectories(t)
+            else Files.createLink(t, p)
+          }
+        }
+        def parquetCount(dir: String): Long =
+          Files.walk(Paths.get(dir)).filter(_.toString.endsWith(".parquet")).count()
+        if (!Files.exists(Paths.get(s"$fragSave/meta"))) {
+          deleteTree(idxPath)
+          graft.operators.KnnIndex.build(
+            embs.filter(col("vec_id") % 10 <= 5), "vec_id", "embedding", idxPath)
+          (6 to 9).foreach(i => graft.operators.KnnIndex.append(
+            embs.filter(col("vec_id") % 10 === i), "vec_id", "embedding", idxPath))
+          graft.operators.KnnIndex.delete(
+            embs.filter(col("vec_id") % 50 === 7).select(col("vec_id")),
+            "vec_id", idxPath)
+          linkTree(idxPath, fragSave)
+        }
+        val filesBefore = parquetCount(s"$fragSave/members")
+        benchAct("knn_index_compact", () => {
+          deleteTree(idxPath)
+          linkTree(fragSave, idxPath)
+          graft.operators.KnnIndex.compact(spark, idxPath)
+          parquetCount(s"$idxPath/members")
+        }, s""""appends":4,"tombstones":${n / 50},"files_before":$filesBefore,"impl":"codebook_reuse+bucket_coalesce"""",
+          valueField = "files_after")
       }
       // banded perceptual-hash near-dup join at SIGNATURE scale (no
       // decode): planted ≤3-bit-flip replicas recovered through the

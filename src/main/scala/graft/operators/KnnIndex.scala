@@ -48,11 +48,27 @@ import org.apache.spark.sql.functions._
   * delta pass it is paid for |delta| rows only — assign + encode of the
   * base happened once at [[build]] and lives in the files.
   *
-  * Occupancy drift: `nLists` is fixed at build time (n/64 policy over the
-  * BASE), so a corpus that doubles via appends doubles expected cell
-  * occupancy — shortlist CPU per probe grows with it. That is the standard
-  * LSM compaction story: re-[[build]] (the `optimize` analogue) when
-  * occupancy drifts past the policy, amortized across the campaign.
+  * The rest of the LSM lifecycle:
+  *
+  *  - [[delete]] appends id tombstones to a side log — O(|ids|), no
+  *    directory rewrite. [[knnJoinDelta]] honors the log logically
+  *    (rescore deepened to `kCand`, tombstoned ids filtered before the
+  *    rank cut — exact while live-members-per-probed-cell ≥ the shortlist
+  *    depth; the LSM read-amplification story).
+  *  - [[compact]] is the `EXECUTE optimize` analogue: merges each cell's
+  *    accumulated per-batch directory rows back to ONE row, applies
+  *    tombstones PHYSICALLY (then truncates the log), coalesces the
+  *    bucket files, and — when occupancy has drifted past the build-time
+  *    policy — RESPLITS to a new `nLists` while REUSING the stored
+  *    codebook: PQ training (the expensive float-iterative piece of
+  *    [[build]]) is never re-paid; only deterministic assign + encode CPU
+  *    over the stored vectors plus one sized exchange. Crash-safe via the
+  *    rename-first swap ([[graft.load.Loader.optimize]]'s ordering), and
+  *    consistent under resplit because the members tree is
+  *    SELF-DESCRIBING: its `nl=<nLists>` partition level carries the one
+  *    parameter its cells were computed with, so members and their
+  *    nLists swap in the same rename — there is no window where a stale
+  *    `meta` row could aim probes at re-split cells.
   *
   * Like knnJoinIvf, the trained-PQ shortlist makes this family spec-gated
   * on recall; the oracle anchor is the portable twin
@@ -127,18 +143,88 @@ object KnnIndex {
       }
     }.toSeq.toDF("sub", "code", "dim", "value")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebook")
-    writeMembers(base, meta, n, path, SaveMode.Overwrite)
+    writeMembersTo(base, meta, n * rowBytes(meta) * 2, s"$path/members",
+      SaveMode.Overwrite)
     meta
   }
+
+  /** Estimated in-memory bytes of one directory member (vector + code +
+    * struct overhead) — the unit the exchange sizing prices from. */
+  private def rowBytes(meta: Meta): Long = meta.dims * 4L + meta.m * 4L + 140L
 
   /** Ingest a delta batch: encode + assign with the STORED codebook/rule
     * and append grouped directory rows into the bucket layout. Work —
     * quantizer CPU, exchange, bytes written — is ∝ |delta|; the base
-    * directories are untouched. */
+    * directories are untouched. The assign rule's `nLists` is read from
+    * the members tree itself (the `nl` partition level), so an append
+    * after a resplitting [[compact]] lands in the re-split cells. */
   def append(df: DataFrame, idCol: String, vecCol: String, path: String): Meta = {
-    val meta = readMeta(df.sparkSession, path)
+    val meta = metaFor(df.sparkSession, path)
     val base = prep(df, idCol, vecCol)
-    writeMembers(base, meta, math.max(1L, base.count()), path, SaveMode.Append)
+    val n = math.max(1L, base.count())
+    writeMembersTo(base, meta, n * rowBytes(meta) * 2, s"$path/members",
+      SaveMode.Append)
+    meta
+  }
+
+  /** Tombstone a set of member ids — O(|ids|) append to a side log, no
+    * directory rewrite (the LSM delete). [[knnJoinDelta]] filters the ids
+    * logically from that point on; [[compact]] applies them physically and
+    * truncates the log. A tombstone wins over any append of the same id
+    * (old generation or re-ingested) until the next compact — re-adding a
+    * deleted id requires compacting first, the standard tombstone
+    * semantics. */
+  def delete(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+
+  /** Compact the index in place: one directory row per cell again (delta
+    * appends leave one per (cell, batch)), tombstones applied physically,
+    * files coalesced per bucket, and — with `nLists > 0` — the cell space
+    * re-split under a new occupancy policy. The stored codebook is REUSED:
+    * cell assignment and PQ codes are pure functions of the vector, so a
+    * resplit pays deterministic assign/encode CPU and one sized exchange,
+    * never the k-means retrain that makes [[build]] expensive. Work is
+    * ∝ |stored bytes| — the amortized cost that keeps a long append
+    * campaign's read path at its build-time shape.
+    *
+    * Crash-safe (the [[graft.load.Loader]] rename-first ordering): the
+    * compacted tree is written beside the live one, the live tree renamed
+    * aside, the new one renamed in, then the old tree and the tombstone
+    * log deleted. A crash at any point leaves a complete generation on
+    * disk, and a crash before the log delete merely re-applies
+    * already-removed ids (the anti-join of an absent id is a no-op). */
+  def compact(spark: SparkSession, path: String, nLists: Int = 0): Meta = {
+    val meta0 = metaFor(spark, path)
+    val meta = if (nLists > 0) meta0.copy(nLists = nLists) else meta0
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/members")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/members.compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/members.compact.old")
+    // residue from a crashed run: tmp is incomplete by definition; an old
+    // tree survives only a crash between the two renames, in which case
+    // the live tree may be missing — restore it first
+    if (fs.exists(old)) {
+      if (!fs.exists(live)) fs.rename(old, live) else fs.delete(old, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val rows = spark.read.parquet(live.toString)
+      .select(explode(col("vmem")).as("r"))
+      .select(col("r.id").as("id"), col("r.norm").as("norm"), col("r.v").as("v"))
+    val kept = tombstonesDf(spark, path)
+      .fold(rows)(ts => rows.join(ts, Seq("id"), "left_anti"))
+    // size the rebuild exchange from the stored file bytes (×2 in-memory
+    // expansion) — no count job over the base; a tombstone-heavy log only
+    // overestimates, which costs nothing
+    val bytes = fs.getContentSummary(live).getLength * 2
+    writeMembersTo(kept, meta, bytes, tmp.toString, SaveMode.Overwrite,
+      coalesceByBucket = true)
+    fs.rename(live, old)
+    fs.rename(tmp, live)
+    fs.delete(old, true)
+    val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (fs.exists(ts)) fs.delete(ts, true)
     meta
   }
 
@@ -148,11 +234,18 @@ object KnnIndex {
     * broadcast-built), so the knnJoinIvf two-directory split buys nothing
     * at rest and one table keeps append atomicity per batch. The directory
     * exchange is sized by the knnJoinIvf discipline (collect_list state ≤
-    * 16 MB of estimated member bytes per task). */
-  private def writeMembers(base: DataFrame, meta: Meta, n: Long,
-      path: String, mode: SaveMode): Unit = {
+    * 16 MB of estimated member bytes per task).
+    *
+    * The tree is written `nl=<nLists>/bucket=<cell mod 256>/…`: the first
+    * level makes the directory self-describing (see [[compact]]'s swap
+    * consistency), the second is the pruning key. `coalesceByBucket` adds
+    * one bucket-keyed exchange before the write so each bucket lands in
+    * O(1) files — the file-merging half of compaction; build/append skip
+    * it (a delta batch's files ARE the per-batch increments the compact
+    * later folds). */
+  private def writeMembersTo(base: DataFrame, meta: Meta, dirBytes: Long,
+      dest: String, mode: SaveMode, coalesceByBucket: Boolean = false): Unit = {
     val floor = base.sparkSession.sessionState.conf.numShufflePartitions
-    val dirBytes = n * (meta.dims * 4L + meta.m * 4L + 140L) * 2
     val dirParts = math.max(floor,
       math.min(65536L, dirBytes / (16L << 20)).toInt)
     val codes = array((0 until meta.m).map(s =>
@@ -160,7 +253,7 @@ object KnnIndex {
         slice(col("v"), s * meta.subDim + 1, meta.subDim), meta.codebooks(s))): _*)
     val assignCell = graft.functions.VectorExpressions
       .portable_ivf_assign(col("v"), meta.nLists, meta.dims)
-    base
+    val grouped = base
       .select(assignCell.as("cell"),
         struct(col("id"), codes.as("code")).as("m0"),
         struct(col("id"), col("norm"), col("v")).as("v0"))
@@ -168,7 +261,51 @@ object KnnIndex {
       .groupBy(col("cell"))
       .agg(collect_list(col("m0")).as("mem"), collect_list(col("v0")).as("vmem"))
       .withColumn("bucket", pmod(col("cell"), lit(Buckets)))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$path/members")
+      .withColumn("nl", lit(meta.nLists))
+    val out =
+      if (!coalesceByBucket) grouped
+      else {
+        // target ~128 MB parquet files: each write task holds whole
+        // buckets, so files-per-bucket ≈ 1 at small scale and
+        // bytes/128 MB at large
+        val fileParts = math.max(1L, math.min(Buckets.toLong,
+          dirBytes / (128L << 20))).toInt
+        grouped.repartition(fileParts, col("bucket"))
+      }
+    out.write.mode(mode).partitionBy("nl", "bucket").parquet(dest)
+  }
+
+  /** The nLists the stored members were assigned with — read from the
+    * tree's `nl=` partition level (one FS listing, no job), falling back
+    * to the build-time `meta` row for a pre-resplit layout. */
+  private def storedNLists(spark: SparkSession, path: String,
+      fallback: Int): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val members = new org.apache.hadoop.fs.Path(s"$path/members")
+    if (!fs.exists(members)) fallback
+    else fs.listStatus(members).iterator
+      .map(_.getPath.getName)
+      .collectFirst { case n if n.startsWith("nl=") => n.drop(3).toInt }
+      .getOrElse(fallback)
+  }
+
+  /** [[readMeta]] with `nLists` overridden by the members tree's own
+    * `nl=` level — what every operation that touches stored cells must
+    * use, so a resplitting [[compact]]'s swap is the single source of
+    * truth for the assign rule. */
+  private def metaFor(spark: SparkSession, path: String): Meta = {
+    val m = readMeta(spark, path)
+    m.copy(nLists = storedNLists(spark, path, m.nLists))
+  }
+
+  /** The tombstone log as a DataFrame, when any deletes are pending. */
+  private def tombstonesDf(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+      Some(spark.read.parquet(s"$path/tombstones"))
+    else None
   }
 
   /** Load the persisted metadata + codebook. Two bounded driver collects
@@ -212,10 +349,16 @@ object KnnIndex {
       cellsPerSuper: Int = 1
   ): DataFrame = {
     val spark = newDf.sparkSession
-    val meta = readMeta(spark, path)
+    val meta = metaFor(spark, path)
     val base = prep(newDf, idCol, vecCol)
     val nDelta = math.max(1L, base.count())
     val cand = math.max(k, if (kCand > 0) kCand else 4 * k)
+    // pending deletes: deepen the exact rescore to the full shortlist so
+    // tombstoned winners can be dropped WITHOUT promoting unseen members —
+    // exact while live members per probed cell ≥ `cand`, the LSM
+    // read-amplification tradeoff compact() resets
+    val tombs = tombstonesDf(spark, path)
+    val rescoreK = if (tombs.isDefined) cand else k
     val fanout = graft.functions.VectorExpressions.probeMidsPerTop(meta.nLists)
     val probes = base.select(col("id").as("id_a"), col("v").as("v_a"),
       explode_outer(graft.functions.VectorExpressions
@@ -264,20 +407,78 @@ object KnnIndex {
       graft.functions.AnnExpressions.cell_rescore_topk(col("v_a"),
         graft.functions.AnnExpressions.ivfpq_cell_shortlist(col("id_a"),
           col("v_a"), col("mem"), cand, meta.codebooks, meta.subDim),
-        col("vmem"), k).as("tk"))
+        col("vmem"), rescoreK).as("tk"))
     // rank merge of the per-(cell, batch-row) winner arrays — the delta's
     // only exchange on the broadcast path, ∝ |delta| winner structs
     val floor = spark.sessionState.conf.numShufflePartitions
     val rankParts = math.max(floor, math.min(65536L,
-      nDelta * nprobe * fanout * cellsPerSuper * k * 80L / (48L << 20)).toInt)
+      nDelta * nprobe * fanout * cellsPerSuper * rescoreK * 80L / (48L << 20)).toInt)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
-    perRow
+    val flat = perRow
       .repartition(rankParts, col("id_a"))
       .select(col("id_a"), explode_outer(col("tk")).as("nb"))
       .filter(col("nb").isNotNull)
       .select(col("id_a"), col("nb.id").as("id_b"), col("nb.cosine").as("cosine"))
+    // tombstone filter before the rank cut — a file-backed anti-join the
+    // planner broadcasts while the log is small (its normal state; a log
+    // big enough to shuffle is the signal to compact)
+    val liveFlat = tombs.fold(flat)(ts =>
+      flat.join(ts.select(col("id").as("id_b")), Seq("id_b"), "left_anti"))
+    liveFlat
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      // the anti-join moves its key first — restate the contract order
+      .select(col("id_a"), col("id_b"), col("cosine"), col("rank"))
+  }
+
+  /** Incremental semantic dedup — the [[graft.operators.Dedup
+    * .incrementalMinhashDedup]] verdict contract on the EMBEDDING index:
+    * classify an arriving batch against the stored corpus (and against its
+    * own earlier arrivals) without ever pairing stored members together.
+    * Call [[append]] with the batch FIRST (the ingest order); self-matches
+    * are excluded by id inside the shortlist.
+    *
+    * A batch row is a duplicate when any of its k approximate nearest
+    * neighbors clears `tau` and is either a STORED member or a LOWER-id
+    * row of the same batch (the greedy leader rule — the min-id copy of a
+    * within-batch group survives, [[graft.operators.Similarity
+    * .semanticDedup]]'s ordering). Returns the q87 shape:
+    * (id, dup_of_old, dup_of_new, kept) with -1 for no match. Work is
+    * |delta|-driven end-to-end: one [[knnJoinDelta]] (zero base exchange
+    * on the broadcast-probe path) plus |delta|-sized verdict joins.
+    *
+    * Like the native ANN family this is spec-gated (trained PQ shortlist);
+    * its oracle anchor is [[graft.operators.Similarity
+    * .semanticDedupIncrementalPortable]] (q117), which replays the same
+    * verdict rule over the exact-arithmetic portable pipeline in ANSI
+    * SQL. */
+  def dedupDelta(
+      newDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      tau: Double,
+      k: Int = 8,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val deltaIds = newDf.select(col(idCol).cast("long").as("id"))
+    val nn = knnJoinDelta(newDf, idCol, vecCol, path, k, nprobe)
+    val qual = nn
+      .join(deltaIds.select(col("id").as("id_b"), lit(1).as("b_new")),
+        Seq("id_b"), "left")
+      .filter(col("cosine") >= tau)
+    val oldQ = qual.filter(col("b_new").isNull)
+      .groupBy(col("id_a")).agg(min(col("id_b")).as("min_old"))
+    val newQ = qual.filter(col("b_new") === 1 && col("id_b") < col("id_a"))
+      .groupBy(col("id_a")).agg(min(col("id_b")).as("min_new"))
+    deltaIds
+      .join(oldQ, col("id") === oldQ("id_a"), "left").drop("id_a")
+      .join(newQ, col("id") === newQ("id_a"), "left").drop("id_a")
+      .select(col("id"),
+        coalesce(col("min_old"), lit(-1L)).as("dup_of_old"),
+        coalesce(col("min_new"), lit(-1L)).as("dup_of_new"),
+        when(col("min_old").isNull && col("min_new").isNull, 1L).otherwise(0L)
+          .as("kept"))
   }
 }

@@ -80,6 +80,136 @@ class KnnIndexSpec extends SparkSpec {
     }
   }
 
+  private def parquetFiles(path: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    java.nio.file.Files.walk(java.nio.file.Paths.get(path)).forEach { p =>
+      if (p.toString.endsWith(".parquet")) out += p.toString
+    }
+    out.toSeq
+  }
+
+  private def deltaRows(path: String, neu: org.apache.spark.sql.DataFrame,
+      k: Int = 3, kCand: Int = 100000): Set[(Long, Long, Double, Int)] =
+    KnnIndex.knnJoinDelta(neu, "vec_id", "embedding", path, k = k,
+      nprobe = 4, kCand = kCand)
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+  test("compact folds per-batch directory rows to one per cell, merges " +
+      "files, and changes no delta-join answer") {
+    val path = tmpDir()
+    val old = emb.filter($"vec_id" % 5 =!= 0)
+    val neu = emb.filter($"vec_id" % 5 === 0)
+    KnnIndex.build(old.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      path, nLists = 8)
+    KnnIndex.append(old.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding", path)
+    KnnIndex.append(neu, "vec_id", "embedding", path)
+    val before = deltaRows(path, neu)
+    val members = s"$path/members"
+    val rowsPerCellBefore = spark.read.parquet(members)
+      .groupBy($"cell").count().agg(max($"count")).head().getLong(0)
+    assert(rowsPerCellBefore > 1, "three batches should leave multi-row cells")
+    val filesBefore = parquetFiles(members).size
+    KnnIndex.compact(spark, path)
+    val after = deltaRows(path, neu)
+    assert(after == before, "compact changed delta-join answers")
+    val perCell = spark.read.parquet(members).groupBy($"cell").count()
+      .agg(max($"count")).head().getLong(0)
+    assert(perCell == 1L, s"compact left $perCell rows in some cell")
+    val filesAfter = parquetFiles(members).size
+    assert(filesAfter < filesBefore,
+      s"compact did not merge files ($filesBefore -> $filesAfter)")
+  }
+
+  test("compact(nLists) resplits the cell space with the STORED codebook: " +
+      "append and delta join follow the new assign rule exactly") {
+    val path = tmpDir()
+    val old = emb.filter($"vec_id" % 5 =!= 0)
+    val neu = emb.filter($"vec_id" % 5 === 0)
+    KnnIndex.build(old, "vec_id", "embedding", path, nLists = 8)
+    val meta = KnnIndex.compact(spark, path, nLists = 16)
+    assert(meta.nLists == 16)
+    // the members tree is self-describing: the append after the resplit
+    // must land in 16-list cells, and the delta join must probe them
+    KnnIndex.append(neu, "vec_id", "embedding", path)
+    val inc = deltaRows(path, neu)
+    // whole-cell shortlist ⇒ trained-PQ codes cannot cut, and the md5-sign
+    // assign rule is a pure function of (vector, nLists): a fresh one-shot
+    // rebuild at nLists=16 must agree row-for-row
+    val full = Similarity.knnJoinIvf(emb, "vec_id", "embedding", k = 3,
+        nLists = 16, nprobe = 4, kCand = 100000)
+      .filter($"id_a" % 5 === 0)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(inc == full, s"resplit index diverged from an nLists=16 rebuild: " +
+      s"only-inc=${(inc -- full).take(5)} only-full=${(full -- inc).take(5)}")
+  }
+
+  test("delete tombstones: filtered from the join immediately, applied " +
+      "physically by compact, and the log is truncated") {
+    val path = tmpDir()
+    val gone = emb.filter($"vec_id" < 5).select($"vec_id")
+    val keptBase = emb.filter($"vec_id" % 5 =!= 0 && $"vec_id" >= 5)
+    KnnIndex.build(emb.filter($"vec_id" % 5 =!= 0), "vec_id", "embedding",
+      path, nLists = 8)
+    KnnIndex.delete(gone, "vec_id", path)
+    val neu = emb.filter($"vec_id" % 5 === 0)
+    val nn = deltaRows(path, neu)
+    assert(nn.forall(_._2 >= 5), "tombstoned ids still surfaced as neighbors")
+    // with the rescore deepened to the whole cell, dropping tombstones is
+    // EXACT: identical to an index that never held them
+    val path2 = tmpDir()
+    KnnIndex.build(keptBase, "vec_id", "embedding", path2, nLists = 8)
+    assert(nn == deltaRows(path2, neu),
+      "tombstone filtering diverged from an index built without the ids")
+    KnnIndex.compact(spark, path)
+    val storedIds = spark.read.parquet(s"$path/members")
+      .select(explode($"vmem.id").as("id")).as[Long].collect().toSet
+    assert(gone.as[Long].collect().forall(!storedIds.contains(_)),
+      "compact left tombstoned ids in the directory")
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/tombstones")),
+      "compact did not truncate the tombstone log")
+    assert(nn == deltaRows(path, neu), "answers changed across compact")
+  }
+
+  test("dedupDelta verdicts: planted copies fold by the q87 rule and match " +
+      "the portable twin at whole-cell depth") {
+    val path = tmpDir()
+    val old = emb.filter($"vec_id" % 5 =!= 0)
+    KnnIndex.build(old, "vec_id", "embedding", path, nLists = 8)
+    // the arriving batch: a copy of stored 1 (id 20001), two mutual copies
+    // of stored 2's vector (ids 20003/20004 — a new-new pair), and the
+    // genuinely-new %5 rows
+    val planted = emb.filter($"vec_id" === 1)
+      .select(($"vec_id" + 20000).as("vec_id"), $"embedding")
+      .union(emb.filter($"vec_id" === 2)
+        .select(($"vec_id" + 20001).as("vec_id"), $"embedding"))
+      .union(emb.filter($"vec_id" === 2)
+        .select(($"vec_id" + 20002).as("vec_id"), $"embedding"))
+    val neu = emb.filter($"vec_id" % 5 === 0)
+      .select($"vec_id", $"embedding").union(planted)
+    KnnIndex.append(neu, "vec_id", "embedding", path)
+    val v = KnnIndex.dedupDelta(neu, "vec_id", "embedding", path,
+        tau = 0.999, k = 1000, nprobe = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(v(20001L) == ((1L, -1L, 0L)), s"copy of stored 1 got ${v(20001L)}")
+    assert(v(20003L) == ((2L, -1L, 0L)), s"copy of stored 2 got ${v(20003L)}")
+    assert(v(20004L) == ((2L, 20003L, 0L)),
+      s"second copy should name stored 2 AND its lower-id twin, got ${v(20004L)}")
+    // portable twin agreement on the SAME batch at whole-cell settings:
+    // same probe rule, same rounded cosine, shortlist deep enough that
+    // trained-vs-lattice PQ codes cannot cut — verdict sets must align on
+    // the planted rows
+    val p = Similarity.semanticDedupIncrementalPortable(old, neu,
+        "vec_id", "embedding", tau = 0.999, nLists = 8, nprobe = 4,
+        kCand = 100000)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    Seq(20001L, 20003L, 20004L).foreach { id =>
+      assert(v(id) == p(id), s"native $id=${v(id)} != portable ${p(id)}")
+    }
+  }
+
   test("meta round-trips: stored codebook equals the trained one") {
     val path = tmpDir()
     val written = KnnIndex.build(emb, "vec_id", "embedding", path, nLists = 8)
