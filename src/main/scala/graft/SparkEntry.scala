@@ -1191,6 +1191,19 @@ object SparkEntry {
       Similarity.knnJoinIvfPqPortable(TestTables.embeddings(s, dir),
         "vec_id", "embedding", k = 5, nLists = 8, nprobe = 2,
         m = 8, ks = 16, kCand = 20)),
+    "q118_knn_join_restricted" -> ((s, dir) => {
+      // member-ALLOW-LIST k-NN join — the filtered-search face of the
+      // family ("rank only the license-clean third of the corpus"):
+      // q114's pipeline with the rescored shortlist semi-joined to the
+      // allowed ids before the rank re-numbers. The native path is
+      // KnnIndex.knnJoinDelta(restrict = …) (deepened rescore + the
+      // tombstone filter position); this twin replays the same decision
+      // order in ANSI SQL
+      val e = TestTables.embeddings(s, dir)
+      Similarity.knnJoinIvfPqPortableRestricted(e, "vec_id", "embedding",
+        restrictIds = e.filter(col("vec_id") % 3 === 0).select(col("vec_id")),
+        k = 5, nLists = 8, nprobe = 2, m = 8, ks = 16, kCand = 20)
+    }),
     "q116_knn_join_incremental" -> ((s, dir) => {
       // the INCREMENTAL delta pass's oracle anchor (the KnnIndex lifecycle:
       // stored directories + delta probes): every 5th vector arrives as
@@ -1609,14 +1622,13 @@ object SparkEntry {
 
   private val minhashPairsSql: String = s"$minhashCtes\n$minhashPairSelect"
 
-  /** Shared CTE prefix of the q116/q117 oracles — the q114 portable IVF+PQ
-    * pipeline with the probe side restricted to the NEW batch
-    * (vec_id % 5 = 0), ending at `sc`: every rescored shortlist pair with
-    * its exact rounded cosine. q116 rank-cuts it to the incremental k-NN
-    * join rows; q117 folds it with the q87 incremental-dedup verdict
-    * rule. */
-  private val incrementalIvfPqCtes: String =
-    ("""WITH v AS (
+  /** The q114 portable IVF+PQ join pipeline as a CTE prefix ending at `sc`
+    * (every rescored shortlist pair with its exact rounded cosine), with a
+    * pluggable probe-side predicate — `""` is the full self-join (q114,
+    * and q118 filters its `sc`); `" AND id % 5 = 0"` is the incremental
+    * form whose probes are the new batch (q116/q117). */
+  private def ivfPqJoinCtes(probeFilter: String): String =
+    (s"""WITH v AS (
        |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
        |    CAST(unnest(embedding) AS DOUBLE) AS x
@@ -1638,7 +1650,7 @@ object SparkEntry {
        |    FROM v JOIN keep USING (id) JOIN signs USING (dim)
        |    GROUP BY id, c)),
        |assigned AS (SELECT id, c FROM ranked WHERE rk = 1),
-       |probed AS (SELECT id, c FROM ranked WHERE rk <= 2 AND id % 5 = 0),
+       |probed AS (SELECT id, c FROM ranked WHERE rk <= 2$probeFilter),
        |cb AS (
        |  SELECT s.s AS sub, c.c AS code, s.s * 8 + j.j AS dim,
        |    (CAST(('0x' || substring(
@@ -1682,6 +1694,9 @@ object SparkEntry {
        |  SELECT id_a, id_b, round(d / (na.n * nb.n), 6) AS cosine
        |  FROM dp JOIN nrm na ON na.id = id_a JOIN nrm nb ON nb.id = id_b)""")
       .stripMargin
+
+  /** q116/q117's shared prefix — probes restricted to the new batch. */
+  private val incrementalIvfPqCtes: String = ivfPqJoinCtes(" AND id % 5 = 0")
 
   /** DuckDB replica of q87: the q54 signature/band CTEs over the full
     * table, candidates restricted to new-vs-old and new-vs-earlier-new at
@@ -2863,6 +2878,19 @@ object SparkEntry {
          |  SELECT id_a, id_b, cosine,
          |    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rank
          |  FROM sc)
+         |WHERE rank <= 5""").stripMargin,
+    // q118: q114's pipeline with a member ALLOW-LIST (id_b % 3 = 0) — the
+    // filter sits between the rescored shortlist and the rank window, so
+    // rank re-numbers over the allowed survivors (the native
+    // KnnIndex.knnJoinDelta(restrict) decision order: shortlist and
+    // rescore over all members, filter, then cut)
+    "q118_knn_join_restricted" ->
+      (ivfPqJoinCtes("") + """
+         |SELECT id_a, id_b, cosine, CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT id_a, id_b, cosine,
+         |    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rank
+         |  FROM sc WHERE id_b % 3 = 0)
          |WHERE rank <= 5""").stripMargin,
     // q116: q114's pipeline with the probe side restricted to the NEW
     // batch (vec_id % 5 = 0) — members, cells, codes, ADC and rescore are

@@ -741,6 +741,22 @@ object CorpusBench {
             deltaEmb, "vec_id", "embedding", idxPath, k = 5, nprobe = 4))
         }, s""""delta_fraction":0.1,"impl":"stored_dirs+$probePath","planted":${2 * (n / 20)}""",
           valueField = "recovered")
+        // TRICKLE delta — the other side of the probe-broadcast gate: a
+        // 32-row batch (16 planted blocks) must take the broadcast-probes
+        // path AND prune the member READ to its probed buckets (the
+        // knnJoinDelta partition filter — decisive exactly here, where
+        // |delta|·nprobe ≪ nLists). Wall ∝ |delta| at the small end is
+        // the claim this row pins: vs the 10%-delta row above, the base
+        // never re-reads beyond the touched buckets.
+        benchAct("knn_index_trickle", () => {
+          (memberFiles() -- baseGeneration)
+            .foreach(f => Files.deleteIfExists(Paths.get(f)))
+          val trickle = deltaEmb.filter(col("vec_id") < 320)
+          graft.operators.KnnIndex.append(trickle, "vec_id", "embedding", idxPath)
+          plantedPairs(graft.operators.KnnIndex.knnJoinDelta(
+            trickle, "vec_id", "embedding", idxPath, k = 5, nprobe = 4))
+        }, """"delta_rows":32,"impl":"stored_dirs+broadcast_probes+bucket_pruned","planted":32""",
+          valueField = "recovered")
         // incremental SEMANTIC-DEDUP verdicts on the same stored index —
         // the ingest-batch keep/drop consumer (KnnIndex.dedupDelta, q117
         // twin): every 20-block's position-0 row arrives in the delta and

@@ -167,6 +167,117 @@ object KnnIndex {
     meta
   }
 
+  private def hadoopFs(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  /** Has `batchId` already been committed by [[appendBatch]]? */
+  def ingestCommitted(spark: SparkSession, path: String, batchId: Long): Boolean =
+    hadoopFs(spark, path).exists(
+      new org.apache.hadoop.fs.Path(s"$path/ingest_log/batch-$batchId"))
+
+  /** EXACTLY-ONCE [[append]]: ingest a delta batch under a caller-supplied
+    * batch id (Structured Streaming's `foreachBatch` id — the unit the
+    * engine replays after a failure). Returns false (and does nothing) when
+    * the batch is already committed.
+    *
+    * A plain [[append]] is at-least-once under replay: a crash after its
+    * files commit but before the caller records progress re-appends the
+    * batch, and duplicate members mean duplicate ids in shortlists —
+    * degraded answers, silently. This path makes the replay a no-op:
+    *
+    *  1. committed-marker check (`ingest_log/batch-<id>`) — a fully
+    *     committed batch short-circuits;
+    *  2. the grouped directory rows stage to `staging/batch-<id>`
+    *     (Overwrite — a half-written staging tree from a crashed attempt is
+    *     simply rewritten);
+    *  3. any `ingest-b<id>-*` files a PARTIAL previous move left in the
+    *     live tree are deleted (one FS glob, no data read);
+    *  4. the staged files RENAME into the bucket layout under
+    *     deterministic batch-scoped names (`ingest-b<id>-<seq>.parquet`) —
+    *     metadata-only moves, no byte copy;
+    *  5. the marker commits, the staging tree deletes.
+    *
+    * A crash between 4 and 5 replays 2–4 over the same deterministic names
+    * — idempotent; a crash earlier leaves the live tree untouched. Work is
+    * ∝ |delta| like [[append]] (one staging write + O(files) renames). */
+  def appendBatch(df: DataFrame, idCol: String, vecCol: String, path: String,
+      batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    if (ingestCommitted(spark, path, batchId)) return false
+    val meta = metaFor(spark, path)
+    val base = prep(df, idCol, vecCol)
+    val n = math.max(1L, base.count())
+    val staging = s"$path/staging/batch-$batchId"
+    writeMembersTo(base, meta, n * rowBytes(meta) * 2, staging,
+      SaveMode.Overwrite)
+    val fs = hadoopFs(spark, path)
+    val membersRoot = new org.apache.hadoop.fs.Path(s"$path/members")
+    val leftovers = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$path/members/nl=*/bucket=*/ingest-b$batchId-*.parquet"))
+    if (leftovers != null) leftovers.foreach(st => fs.delete(st.getPath, false))
+    val staged = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$staging/nl=*/bucket=*/*.parquet"))
+    var seq = 0
+    if (staged != null) staged.foreach { st =>
+      val bucketDir = st.getPath.getParent
+      val destDir = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(membersRoot, bucketDir.getParent.getName),
+        bucketDir.getName)
+      fs.mkdirs(destDir)
+      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(destDir,
+        s"ingest-b$batchId-$seq.parquet"))
+      seq += 1
+    }
+    val marker = new org.apache.hadoop.fs.Path(s"$path/ingest_log/batch-$batchId")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    true
+  }
+
+  /** Continuous ingest: a `foreachBatch` writer that [[appendBatch]]es
+    * every micro-batch of an embedding STREAM into the stored index —
+    * exactly-once end-to-end (the sink is idempotent per batch id, the
+    * engine's checkpoint replays failed batches). With `verdictsDir` set,
+    * each batch's [[dedupDelta]] keep/drop verdicts (threshold `tau`) also
+    * land at `verdictsDir/batch=<id>` — the ingest-time dedup ledger,
+    * itself idempotent (Overwrite per batch directory, checked
+    * independently of the member marker so a crash between the two
+    * completes on replay). Verdicts run AFTER the append, so a batch can
+    * match both the stored corpus and its own earlier arrivals (the q87
+    * ordering).
+    *
+    * The caller starts it with a checkpoint:
+    * {{{
+    * KnnIndex.ingestStream(embStream, "vec_id", "embedding", idxPath,
+    *     verdictsDir = s"\$out/verdicts", tau = 0.9)
+    *   .option("checkpointLocation", ckpt).start()
+    * }}} */
+  def ingestStream(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      verdictsDir: String = null,
+      tau: Double = 0.9,
+      k: Int = 8,
+      nprobe: Int = 4
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    emb.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      appendBatch(batch, idCol, vecCol, path, batchId)
+      if (verdictsDir != null) {
+        val spark = batch.sparkSession
+        val done = new org.apache.hadoop.fs.Path(
+          s"$verdictsDir/batch=$batchId/_SUCCESS")
+        if (!hadoopFs(spark, verdictsDir).exists(done))
+          dedupDelta(batch, idCol, vecCol, path, tau, k, nprobe)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$verdictsDir/batch=$batchId")
+      }
+      ()
+    }
+
   /** Tombstone a set of member ids — O(|ids|) append to a side log, no
     * directory rewrite (the LSM delete). [[knnJoinDelta]] filters the ids
     * logically from that point on; [[compact]] applies them physically and
@@ -330,6 +441,17 @@ object KnnIndex {
     * to match itself (the incremental-dedup ingest shape); self-matches
     * are excluded by id inside the shortlist either way.
     *
+    * `restrict`, when given, limits ANSWERS to members whose id is in the
+    * frame (an allow-list — "search only the license-clean / same-language
+    * subset"). It rides the tombstone machinery: the exact rescore deepens
+    * to the full shortlist and disallowed ids are dropped before the rank
+    * cut, so the result is exact while allowed-members-per-probed-cell ≥
+    * the shortlist depth — past that, raise `kCand` (the documented LSM
+    * read-amplification knob, same arithmetic as a tombstone-heavy log).
+    * Oracle anchor: [[graft.operators.Similarity
+    * .knnJoinIvfPqPortableRestricted]] (q118) replays the same
+    * shortlist→rescore→filter→rank decision order in ANSI SQL.
+    *
     * Plan shape: probes (delta × nprobe exploded cells, query vector
     * attached) BROADCAST while they fit the driver-capped gate — the
     * stored members then stream scan-local through one BroadcastHashJoin
@@ -346,19 +468,20 @@ object KnnIndex {
       k: Int,
       nprobe: Int = 4,
       kCand: Int = 0,
-      cellsPerSuper: Int = 1
+      cellsPerSuper: Int = 1,
+      restrict: Option[DataFrame] = None
   ): DataFrame = {
     val spark = newDf.sparkSession
     val meta = metaFor(spark, path)
     val base = prep(newDf, idCol, vecCol)
     val nDelta = math.max(1L, base.count())
     val cand = math.max(k, if (kCand > 0) kCand else 4 * k)
-    // pending deletes: deepen the exact rescore to the full shortlist so
-    // tombstoned winners can be dropped WITHOUT promoting unseen members —
-    // exact while live members per probed cell ≥ `cand`, the LSM
+    // pending deletes (and member allow-lists): deepen the exact rescore to
+    // the full shortlist so dropped winners don't promote unseen members —
+    // exact while surviving members per probed cell ≥ `cand`, the LSM
     // read-amplification tradeoff compact() resets
     val tombs = tombstonesDf(spark, path)
-    val rescoreK = if (tombs.isDefined) cand else k
+    val rescoreK = if (tombs.isDefined || restrict.isDefined) cand else k
     val fanout = graft.functions.VectorExpressions.probeMidsPerTop(meta.nLists)
     val probes = base.select(col("id").as("id_a"), col("v").as("v_a"),
       explode_outer(graft.functions.VectorExpressions
@@ -425,7 +548,13 @@ object KnnIndex {
     // big enough to shuffle is the signal to compact)
     val liveFlat = tombs.fold(flat)(ts =>
       flat.join(ts.select(col("id").as("id_b")), Seq("id_b"), "left_anti"))
-    liveFlat
+    // allow-list filter, same position: a semi-join the planner broadcasts
+    // while the restriction is dim-sized; the rank below re-numbers over
+    // the survivors (the deepened rescore supplied the depth)
+    val allowedFlat = restrict.fold(liveFlat)(r =>
+      liveFlat.join(r.select(col(r.columns.head).cast("long").as("id_b"))
+        .distinct(), Seq("id_b"), "left_semi"))
+    allowedFlat
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       // the anti-join moves its key first — restate the contract order

@@ -1031,6 +1031,32 @@ object Similarity {
     knnJoinIvfPqPortableCore(df, idCol, vecCol, k, nLists, nprobe, m, ks,
       kCand, dims, probeIds = None)
 
+  /** [[knnJoinIvfPqPortable]] with a member ALLOW-LIST — the oracle twin of
+    * [[graft.operators.KnnIndex.knnJoinDelta]]'s `restrict` option (q118):
+    * answers are limited to ids in `restrictIds` ("search only the
+    * license-clean / same-language subset"). The decision ORDER is the
+    * native path's: the integer ADC shortlist and the rounded-cosine
+    * rescore run over ALL members (restriction must not change which
+    * candidates are scored — that is what keeps the two paths comparable),
+    * the allow-list filters the rescored pairs, and rank re-numbers over
+    * the survivors. One extra semi-join over the q114 SQL replays it in
+    * any ANSI engine. */
+  def knnJoinIvfPqPortableRestricted(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      restrictIds: DataFrame,
+      k: Int = 5,
+      nLists: Int = 8,
+      nprobe: Int = 2,
+      m: Int = 8,
+      ks: Int = 16,
+      kCand: Int = 20,
+      dims: Int = 64
+  ): DataFrame =
+    knnJoinIvfPqPortableCore(df, idCol, vecCol, k, nLists, nprobe, m, ks,
+      kCand, dims, probeIds = None, restrictIds = Some(restrictIds))
+
   /** The INCREMENTAL form of [[knnJoinIvfPqPortable]] — the oracle twin of
     * the [[graft.operators.KnnIndex]] delta pass (q116), the same move q87
     * made for the MinHash family: `newDf` is a delta batch arriving against
@@ -1074,7 +1100,8 @@ object Similarity {
       ks: Int,
       kCand: Int,
       dims: Int,
-      probeIds: Option[DataFrame]
+      probeIds: Option[DataFrame],
+      restrictIds: Option[DataFrame] = None
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -1146,10 +1173,20 @@ object Similarity {
       .agg(sum(col("xa") * col("xb")).as("d"))
       .select(col("id_a"), col("id_b"),
         round(col("d") / (col("na") * col("nb")), 6).as("cosine"))
+    // member allow-list: filter the rescored shortlist BEFORE the rank so
+    // rank re-numbers over allowed survivors — the exact position the
+    // native path's deepened-rescore + semi-join applies it at
+    val allowed = restrictIds match {
+      case Some(r) => dp.join(
+        r.select(col(r.columns.head).cast("long").as("id_b")).distinct(),
+        Seq("id_b"), "left_semi")
+      case None => dp
+    }
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
-    dp.withColumn("rank", row_number().over(wRank).cast("long"))
+    allowed.withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("cosine"), col("rank"))
   }
 
   /** Incremental SEMANTIC-DEDUP verdicts on the portable IVF+PQ pipeline —

@@ -210,6 +210,103 @@ class KnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("restricted delta join: answers limited to the allow-list, exact vs " +
+      "the restricted brute force at whole-cell depth") {
+    val path = tmpDir()
+    KnnIndex.build(emb, "vec_id", "embedding", path, nLists = 8)
+    val probes = emb.filter($"vec_id" % 5 === 0)
+    val allowed = emb.filter($"vec_id" % 3 === 0).select($"vec_id")
+    val res = KnnIndex.knnJoinDelta(probes, "vec_id", "embedding", path,
+        k = 3, nprobe = 8, kCand = 100000, restrict = Some(allowed))
+      .as[(Long, Long, Double, Int)].collect()
+    assert(res.nonEmpty && res.forall(_._2 % 3 == 0),
+      "disallowed ids surfaced through the restriction")
+    // every cell probed + whole-cell rescore ⇒ the restriction is EXACT:
+    // identical to brute-force cosine top-k over the allowed members only
+    // (rank re-numbered over survivors — not a post-filter of the
+    // unrestricted top-k, which would LOSE answers)
+    val bf = Similarity.knnJoinExact(emb, "vec_id", "embedding", k = 100000)
+      .filter($"id_a" % 5 === 0 && $"id_b" % 3 === 0)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (a, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case ((_, b, c, _), i) => (a, b, c, i + 1) }.toSeq
+      }.toSet
+    assert(res.toSet == bf, s"restricted join diverged from brute force: " +
+      s"only-res=${(res.toSet -- bf).take(5)} only-bf=${(bf -- res.toSet).take(5)}")
+  }
+
+  test("appendBatch: committed replay is a no-op; a lost marker replays " +
+      "onto the same deterministic files — never duplicate members") {
+    val path = tmpDir()
+    KnnIndex.build(emb.filter($"vec_id" % 5 =!= 0), "vec_id", "embedding",
+      path, nLists = 8)
+    val neu = emb.filter($"vec_id" % 5 === 0)
+    assert(KnnIndex.appendBatch(neu, "vec_id", "embedding", path, 7L),
+      "first appendBatch should commit")
+    val files1 = parquetFiles(s"$path/members").toSet
+    assert(files1.exists(_.contains("ingest-b7-")),
+      "batch files should carry the batch-scoped names")
+    val rows1 = deltaRows(path, neu)
+    // fully committed: the replay must not touch the tree
+    assert(!KnnIndex.appendBatch(neu, "vec_id", "embedding", path, 7L))
+    assert(parquetFiles(s"$path/members").toSet == files1)
+    // crash between the file moves and the marker commit: the marker is
+    // missing but the files landed — the replay re-stages and re-renames
+    // onto the SAME names, so the member set (and every answer) is stable
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$path/ingest_log/batch-7"))
+    assert(KnnIndex.appendBatch(neu, "vec_id", "embedding", path, 7L),
+      "replay after a lost marker should re-commit")
+    assert(parquetFiles(s"$path/members").toSet == files1,
+      "replay changed the member file set")
+    assert(deltaRows(path, neu) == rows1, "replay changed answers")
+  }
+
+  test("ingestStream: exactly-once micro-batch appends with a per-batch " +
+      "verdict ledger (dup-of-stored, dup-of-earlier-batch, kept)") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpDir(); val out = tmpDir(); val ckpt = tmpDir()
+    KnnIndex.build(emb.filter($"vec_id" % 5 =!= 0), "vec_id", "embedding",
+      path, nLists = 8)
+    def vecOf(id: Long): Seq[Float] =
+      emb.filter($"vec_id" === id).head().getSeq[Float](1)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = KnnIndex.ingestStream(mem.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", path, verdictsDir = out, tau = 0.999,
+        k = 8, nprobe = 8)
+      .option("checkpointLocation", ckpt).start()
+    // batch 0: a copy of stored 1, and a genuinely-new vector (negated
+    // stored 7 — cosine −1 to its source, ~0 to everything else)
+    mem.addData((30000L, vecOf(1)), (30001L, vecOf(7).map(x => -x)))
+    q.processAllAvailable()
+    // batch 1: another copy of the same vector — by now BOTH the stored
+    // original (id 1) and the batch-0 arrival (30000) are index members
+    mem.addData((30002L, vecOf(1)))
+    q.processAllAvailable()
+    q.stop()
+    val b0 = spark.read.parquet(s"$out/batch=0")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(b0(30000L) == ((1L, -1L, 0L)),
+      s"batch-0 copy of stored 1 got ${b0(30000L)}")
+    assert(b0(30001L) == ((-1L, -1L, 1L)),
+      s"batch-0 fresh vector got ${b0(30001L)}")
+    val b1 = spark.read.parquet(s"$out/batch=1")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(b1(30002L) == ((1L, -1L, 0L)),
+      s"batch-1 copy should name the min stored id, got ${b1(30002L)}")
+    // both batches are committed members under their batch-scoped names
+    val files = parquetFiles(s"$path/members")
+    assert(files.exists(_.contains("ingest-b0-")) &&
+      files.exists(_.contains("ingest-b1-")),
+      "streamed batches missing from the members tree")
+    assert(KnnIndex.ingestCommitted(spark, path, 0L) &&
+      KnnIndex.ingestCommitted(spark, path, 1L))
+  }
+
   test("meta round-trips: stored codebook equals the trained one") {
     val path = tmpDir()
     val written = KnnIndex.build(emb, "vec_id", "embedding", path, nLists = 8)
