@@ -1204,6 +1204,19 @@ object SparkEntry {
         restrictIds = e.filter(col("vec_id") % 3 === 0).select(col("vec_id")),
         k = 5, nLists = 8, nprobe = 2, m = 8, ks = 16, kCand = 20)
     }),
+    "q119_ann_recall" -> ((s, dir) => {
+      // recall@k evaluation as a first-class operator (Metrics.recallAtK):
+      // the portable IVF+PQ join scored against the exact brute force —
+      // micro-averaged recall, tail minimum, perfect fraction, all
+      // single-division figures that replay bit-exactly in ANSI SQL. The
+      // same harness grades the native ANN family in its specs; this
+      // entry pins the metric arithmetic itself cross-engine
+      val e = TestTables.embeddings(s, dir)
+      graft.operators.Metrics.recallAtK(
+        Similarity.knnJoinIvfPqPortable(e, "vec_id", "embedding", k = 5,
+          nLists = 8, nprobe = 2, m = 8, ks = 16, kCand = 20),
+        Similarity.knnJoinExact(e, "vec_id", "embedding", k = 5), k = 5)
+    }),
     "q116_knn_join_incremental" -> ((s, dir) => {
       // the INCREMENTAL delta pass's oracle anchor (the KnnIndex lifecycle:
       // stored directories + delta probes): every 5th vector arrives as
@@ -2892,6 +2905,43 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rank
          |  FROM sc WHERE id_b % 3 = 0)
          |WHERE rank <= 5""").stripMargin,
+    // q119: recall@5 of the portable IVF+PQ join vs the exact brute force
+    // — approx top-k from the q114 CTEs, exact top-k from the q55 shape
+    // (rounded-cosine rank), per-anchor hits via one left join, and the
+    // three summary figures each a single division (micro recall, tail
+    // min, perfect fraction) so they replay bit-exactly
+    "q119_ann_recall" ->
+      (ivfPqJoinCtes("") + """,
+         |appr AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rank
+         |    FROM sc)
+         |  WHERE rank <= 5),
+         |edp AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, sum(a.x * b.x) AS d
+         |  FROM v a JOIN keep ka ON ka.id = a.id
+         |  JOIN v b ON b.dim = a.dim AND b.id <> a.id
+         |  JOIN keep kb ON kb.id = b.id
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      row_number() OVER (PARTITION BY id_a
+         |        ORDER BY round(d / (na.n * nb.n), 6) DESC, id_b ASC) AS rank
+         |    FROM edp JOIN nrm na ON na.id = id_a JOIN nrm nb ON nb.id = id_b)
+         |  WHERE rank <= 5),
+         |per AS (
+         |  SELECT e.id_a, count(*) AS total,
+         |    sum(CASE WHEN a.id_b IS NOT NULL THEN 1 ELSE 0 END) AS hits
+         |  FROM ex e LEFT JOIN appr a ON a.id_a = e.id_a AND a.id_b = e.id_b
+         |  GROUP BY e.id_a)
+         |SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+         |  round(CAST(sum(hits) AS DOUBLE) / sum(total), 6) AS recall_micro,
+         |  round(min(CAST(hits AS DOUBLE) / total), 6) AS min_recall,
+         |  round(CAST(sum(CASE WHEN hits = total THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS perfect_frac
+         |FROM per""").stripMargin,
     // q116: q114's pipeline with the probe side restricted to the NEW
     // batch (vec_id % 5 = 0) — members, cells, codes, ADC and rescore are
     // unchanged over the full union, so the one-line probe filter IS the

@@ -44,4 +44,42 @@ object Metrics {
           .as("auc"),
         col("n_pos"), col("n_neg"))
   }
+
+  /** Recall\@k of an approximate k-NN result against an exact one — the
+    * evaluation harness the whole ANN family (LSH / IVF / PQ / index
+    * lifecycle) is judged by, as a first-class distributed operator
+    * instead of spec-local arithmetic. Both inputs carry the family's
+    * (id_a, id_b, …, rank) contract; rows past `k` are ignored so a
+    * deeper result can be evaluated at a shallower cut.
+    *
+    * Per anchor, recall = |approx ∩ exact| / |exact| (anchors are the
+    * EXACT side's — an anchor the approximate path dropped entirely scores
+    * 0, it doesn't vanish from the denominator). The summary row reports
+    * the micro-averaged recall (Σhits / Σtotal — one division, so the
+    * figure replays bit-exactly across engines; with every anchor at the
+    * same k it equals the macro mean), the minimum per-anchor recall (the
+    * tail the mean hides), and the fraction of anchors with perfect
+    * recall.
+    *
+    * Scale shape: one (id_a, id_b)-keyed semi-join at n·k rows and two
+    * id_a aggregates — partial-agg shuffles, no window, nothing driver-
+    * side. Returns one row: (n_anchors, recall_micro, min_recall,
+    * perfect_frac). */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.filter(col("rank") <= k).select(col("id_a"), col("id_b"))
+    val e = exact.filter(col("rank") <= k).select(col("id_a"), col("id_b"))
+    val hits = e.join(a, Seq("id_a", "id_b"), "left_semi")
+      .groupBy(col("id_a")).agg(count(lit(1)).as("hits"))
+    val per = e.groupBy(col("id_a")).agg(count(lit(1)).as("total"))
+      .join(hits, Seq("id_a"), "left")
+      .select(col("id_a"), coalesce(col("hits"), lit(0L)).as("hits"),
+        col("total"))
+    per.agg(
+      count(lit(1)).as("n_anchors"),
+      round(sum(col("hits")).cast("double") / sum(col("total")), 6)
+        .as("recall_micro"),
+      round(min(col("hits").cast("double") / col("total")), 6).as("min_recall"),
+      round(sum(when(col("hits") === col("total"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)), 6).as("perfect_frac"))
+  }
 }

@@ -60,4 +60,27 @@ class ClassifierSpec extends SparkSpec {
     // constant score: every pair is a tie → exactly 0.5
     assert(Metrics.rocAuc(df, $"y", lit(7.0)).head().getDouble(0) == 0.5)
   }
+
+  test("recallAtK: hand-built approx/exact — micro mean, tail min, " +
+      "perfect fraction, dropped anchors score zero") {
+    def knn(rows: (Long, Long)*) = rows.groupBy(_._1).toSeq
+      .flatMap { case (a, ns) => ns.zipWithIndex.map { case ((_, b), i) =>
+        (a, b, 1.0 - 0.1 * i, i + 1) } }
+      .toDF("id_a", "id_b", "cosine", "rank")
+    // exact: anchors 1 (nbrs 10,11), 2 (nbrs 20,21), 3 (nbrs 30,31)
+    val exact = knn((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L),
+      (3L, 30L), (3L, 31L))
+    // approx: anchor 1 perfect, anchor 2 half right, anchor 3 MISSING —
+    // and a rank-3 row on anchor 1 that the k=2 cut must ignore
+    val approx = knn((1L, 10L), (1L, 11L), (1L, 99L), (2L, 20L), (2L, 99L))
+    val r = Metrics.recallAtK(approx, exact, k = 2).head()
+    assert(r.getLong(0) == 3L, s"anchors: $r")
+    assert(r.getDouble(1) == 0.5, s"micro recall (3 of 6 hits): $r")
+    assert(r.getDouble(2) == 0.0, s"min recall (dropped anchor 3): $r")
+    assert(math.abs(r.getDouble(3) - 0.333333) < 1e-9, s"perfect frac: $r")
+    // self-evaluation is perfect across the board
+    val self = Metrics.recallAtK(exact, exact, k = 2).head()
+    assert(self.getDouble(1) == 1.0 && self.getDouble(2) == 1.0 &&
+      self.getDouble(3) == 1.0)
+  }
 }
