@@ -410,6 +410,37 @@ object KnnIndex {
     m.copy(nLists = storedNLists(spark, path, m.nLists))
   }
 
+  /** Index health introspection — the `\$files`/`\$manifests` analogue for
+    * the stored directory tree, and the inputs a compaction policy reads:
+    * one row of (cells, members, mean/max directory rows per cell — 1.0
+    * means fully compacted, higher means append fragmentation the rank
+    * stage re-merges on every query — mean/max cell occupancy vs the
+    * nLists policy, parquet file count, pending tombstones). One
+    * members-tree aggregate (codes column only — vectors never load) plus
+    * two FS listings; nothing driver-side beyond the summary row. */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    val perCell = spark.read.parquet(s"$path/members")
+      .select(col("cell"), size(col("mem")).as("batch_members"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("dir_rows"), sum(col("batch_members")).as("occ"))
+    val tombs = tombstonesDf(spark, path)
+      .map(_.count()).getOrElse(0L)
+    val fs = hadoopFs(spark, path)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$path/members/nl=*/bucket=*/*.parquet"))
+    val nFiles = if (files == null) 0 else files.length
+    perCell.agg(
+      count(lit(1)).as("cells"),
+      coalesce(sum(col("occ")), lit(0L)).as("members"),
+      round(avg(col("dir_rows")), 3).as("mean_dir_rows"),
+      max(col("dir_rows")).as("max_dir_rows"),
+      round(avg(col("occ")), 2).as("mean_occupancy"),
+      max(col("occ")).as("max_occupancy"))
+      .withColumn("files", lit(nFiles))
+      .withColumn("tombstones", lit(tombs))
+      .withColumn("n_lists", lit(metaFor(spark, path).nLists))
+  }
+
   /** The tombstone log as a DataFrame, when any deletes are pending. */
   private def tombstonesDf(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(

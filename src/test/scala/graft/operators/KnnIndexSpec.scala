@@ -108,7 +108,12 @@ class KnnIndexSpec extends SparkSpec {
     val rowsPerCellBefore = spark.read.parquet(members)
       .groupBy($"cell").count().agg(max($"count")).head().getLong(0)
     assert(rowsPerCellBefore > 1, "three batches should leave multi-row cells")
+    val stBefore = KnnIndex.stats(spark, path).head()
+    assert(stBefore.getDouble(2) > 1.0,
+      s"stats should surface append fragmentation, got $stBefore")
     val filesBefore = parquetFiles(members).size
+    assert(stBefore.getInt(6) == filesBefore,
+      s"stats file count ${stBefore.getInt(6)} != walked $filesBefore")
     KnnIndex.compact(spark, path)
     val after = deltaRows(path, neu)
     assert(after == before, "compact changed delta-join answers")
@@ -118,6 +123,12 @@ class KnnIndexSpec extends SparkSpec {
     val filesAfter = parquetFiles(members).size
     assert(filesAfter < filesBefore,
       s"compact did not merge files ($filesBefore -> $filesAfter)")
+    val stAfter = KnnIndex.stats(spark, path).head()
+    assert(stAfter.getDouble(2) == 1.0 && stAfter.getLong(3) == 1L,
+      s"stats should read fully-compacted, got $stAfter")
+    assert(stAfter.getLong(7) == 0L, s"tombstone backlog after compact: $stAfter")
+    assert(stAfter.getLong(1) == stBefore.getLong(1),
+      s"member count changed across compact: $stBefore -> $stAfter")
   }
 
   test("compact(nLists) resplits the cell space with the STORED codebook: " +
