@@ -2821,71 +2821,7 @@ object SparkEntry {
     // codes, exact-bigint ADC shortlist at kCand=20, rounded-cosine rescore
     // and (cosine desc, id asc) rank at k=5
     "q114_knn_join_ivfpq_portable" ->
-      ("""WITH v AS (
-         |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
-         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
-         |    CAST(unnest(embedding) AS DOUBLE) AS x
-         |  FROM embeddings),
-         |nrm AS (SELECT id, sqrt(sum(x * x)) AS n FROM v GROUP BY id),
-         |keep AS (SELECT id FROM nrm WHERE n > 0),
-         |signs AS (
-         |  SELECT c.c AS c, i.i AS dim,
-         |    CASE WHEN CAST(('0x' || substring(
-         |        md5('ivf-' || c.c || '-' || i.i), 1, 8)) AS BIGINT) % 2 = 0
-         |      THEN 1 ELSE -1 END AS sgn
-         |  FROM (SELECT unnest(range(0, 8)) AS c) c,
-         |       (SELECT unnest(range(1, 65)) AS i) i),
-         |ranked AS (
-         |  SELECT id, c,
-         |    row_number() OVER (PARTITION BY id ORDER BY dot DESC, c ASC) AS rk
-         |  FROM (
-         |    SELECT id, c, sum(sgn * xq) AS dot
-         |    FROM v JOIN keep USING (id) JOIN signs USING (dim)
-         |    GROUP BY id, c)),
-         |assigned AS (SELECT id, c FROM ranked WHERE rk = 1),
-         |probed AS (SELECT id, c FROM ranked WHERE rk <= 2),
-         |cb AS (
-         |  SELECT s.s AS sub, c.c AS code, s.s * 8 + j.j AS dim,
-         |    (CAST(('0x' || substring(
-         |        md5('pq-' || s.s || '-' || c.c || '-' || j.j), 1, 8)) AS BIGINT)
-         |      % 2001 - 1000) * 1000 AS cq
-         |  FROM (SELECT unnest(range(0, 8)) AS s) s,
-         |       (SELECT unnest(range(0, 16)) AS c) c,
-         |       (SELECT unnest(range(1, 9)) AS j) j),
-         |dists AS (
-         |  SELECT id, sub, code, sum((xq - cq) * (xq - cq)) AS d2
-         |  FROM v JOIN cb USING (dim)
-         |  GROUP BY id, sub, code),
-         |codes AS (
-         |  SELECT id, sub, code FROM (
-         |    SELECT id, sub, code,
-         |      row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rk
-         |    FROM dists)
-         |  WHERE rk = 1),
-         |cands AS (
-         |  SELECT p.id AS id_a, a.id AS id_b
-         |  FROM probed p JOIN assigned a ON p.c = a.c AND p.id <> a.id),
-         |adc AS (
-         |  SELECT cd.id_a, cd.id_b, sum(da.d2) AS adc
-         |  FROM cands cd
-         |  JOIN codes cb2 ON cb2.id = cd.id_b
-         |  JOIN dists da ON da.id = cd.id_a AND da.sub = cb2.sub AND da.code = cb2.code
-         |  GROUP BY cd.id_a, cd.id_b),
-         |sl AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT id_a, id_b,
-         |      row_number() OVER (PARTITION BY id_a ORDER BY adc ASC, id_b ASC) AS rk
-         |    FROM adc)
-         |  WHERE rk <= 20),
-         |dp AS (
-         |  SELECT sl.id_a, sl.id_b, sum(va.x * vb.x) AS d
-         |  FROM sl
-         |  JOIN v va ON va.id = sl.id_a
-         |  JOIN v vb ON vb.id = sl.id_b AND vb.dim = va.dim
-         |  GROUP BY sl.id_a, sl.id_b),
-         |sc AS (
-         |  SELECT id_a, id_b, round(d / (na.n * nb.n), 6) AS cosine
-         |  FROM dp JOIN nrm na ON na.id = id_a JOIN nrm nb ON nb.id = id_b)
+      (ivfPqJoinCtes("") + """
          |SELECT id_a, id_b, cosine, CAST(rank AS BIGINT) AS rank
          |FROM (
          |  SELECT id_a, id_b, cosine,

@@ -16,7 +16,11 @@ import org.apache.spark.sql.SparkSession
   * file count, tombstone backlog) a compaction policy reads; `compact`
   * runs the crash-safe fold (optionally resplitting to a new `nLists`)
   * and prints before/after stats; `build` trains a fresh generation from
-  * an `(vec_id, embedding)` parquet. */
+  * an `(vec_id, embedding)` parquet.
+  *
+  * `compact` and `build` require the path quiesced — stop any
+  * [[graft.operators.KnnIndex.ingestStream]] query first (the
+  * single-maintainer contract on [[graft.operators.KnnIndex.compact]]). */
 object IndexMaint {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,

@@ -121,6 +121,14 @@ object KnnIndex {
       }
     val n = math.max(1L, base.count())
     val lists = if (nLists > 0) nLists else math.max(8L, n / 64L).toInt
+    // a fresh generation invalidates every piece of the OLD one's
+    // lifecycle state: stale tombstones would filter new members that
+    // happen to reuse an id, and stale ingest markers would make
+    // [[appendBatch]] silently drop a new campaign's batches whose engine
+    // batch ids collide with the previous stream's
+    val fsb = hadoopFs(spark, path)
+    Seq("tombstones", "ingest_log", "staging").foreach(d =>
+      fsb.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
     // deterministic ~64k-vector training sample, the knnJoinIvf recipe —
     // cached only for the duration of the m·(iters+1) training jobs
     val sampleEvery = math.max(1L, n / 65536L)
@@ -204,7 +212,14 @@ object KnnIndex {
   def appendBatch(df: DataFrame, idCol: String, vecCol: String, path: String,
       batchId: Long): Boolean = {
     val spark = df.sparkSession
-    if (ingestCommitted(spark, path, batchId)) return false
+    if (ingestCommitted(spark, path, batchId)) {
+      // a crash between the marker commit and the staging delete leaves
+      // the staged copy behind; the committed replay is where it gets
+      // cleaned (the only code path guaranteed to run after such a crash)
+      hadoopFs(spark, path).delete(
+        new org.apache.hadoop.fs.Path(s"$path/staging/batch-$batchId"), true)
+      return false
+    }
     val meta = metaFor(spark, path)
     val base = prep(df, idCol, vecCol)
     val n = math.max(1L, base.count())
@@ -253,7 +268,10 @@ object KnnIndex {
     * KnnIndex.ingestStream(embStream, "vec_id", "embedding", idxPath,
     *     verdictsDir = s"\$out/verdicts", tau = 0.9)
     *   .option("checkpointLocation", ckpt).start()
-    * }}} */
+    * }}}
+    *
+    * Stop the query before running [[compact]] or [[build]] on the same
+    * path (the single-maintainer contract — see [[compact]]). */
   def ingestStream(
       emb: DataFrame,
       idCol: String,
@@ -304,7 +322,14 @@ object KnnIndex {
     * aside, the new one renamed in, then the old tree and the tombstone
     * log deleted. A crash at any point leaves a complete generation on
     * disk, and a crash before the log delete merely re-applies
-    * already-removed ids (the anti-join of an absent id is a no-op). */
+    * already-removed ids (the anti-join of an absent id is a no-op).
+    *
+    * SINGLE-MAINTAINER CONTRACT: compact must not run concurrently with
+    * [[append]]/[[appendBatch]]/[[ingestStream]] — a batch landing between
+    * compact's read and its swap is deleted with the old tree while its
+    * exactly-once marker survives, so the engine will not replay it. Stop
+    * the ingest stream (or quiesce the appender) first; this is the
+    * standard LSM coordination point, not a crash-safety gap. */
   def compact(spark: SparkSession, path: String, nLists: Int = 0): Meta = {
     val meta0 = metaFor(spark, path)
     val meta = if (nLists > 0) meta0.copy(nLists = nLists) else meta0
@@ -476,9 +501,13 @@ object KnnIndex {
     * frame (an allow-list — "search only the license-clean / same-language
     * subset"). It rides the tombstone machinery: the exact rescore deepens
     * to the full shortlist and disallowed ids are dropped before the rank
-    * cut, so the result is exact while allowed-members-per-probed-cell ≥
-    * the shortlist depth — past that, raise `kCand` (the documented LSM
-    * read-amplification knob, same arithmetic as a tombstone-heavy log).
+    * cut. The filter is exact when the shortlist covers the probed cells
+    * (`kCand` ≥ members-per-probed-cell, the spec's setting); with a
+    * PARTIAL shortlist, disallowed members that win ADC slots crowd
+    * allowed ones out of the shortlist, so a heavily-disallowed corpus
+    * needs `kCand` raised toward cell occupancy ÷ allowed-fraction — the
+    * LSM read-amplification knob, same arithmetic as a tombstone-heavy
+    * log.
     * Oracle anchor: [[graft.operators.Similarity
     * .knnJoinIvfPqPortableRestricted]] (q118) replays the same
     * shortlist→rescore→filter→rank decision order in ANSI SQL.
@@ -509,8 +538,9 @@ object KnnIndex {
     val cand = math.max(k, if (kCand > 0) kCand else 4 * k)
     // pending deletes (and member allow-lists): deepen the exact rescore to
     // the full shortlist so dropped winners don't promote unseen members —
-    // exact while surviving members per probed cell ≥ `cand`, the LSM
-    // read-amplification tradeoff compact() resets
+    // exact while `cand` covers the probed cells' surviving members (see
+    // the restrict scaladoc), the LSM read-amplification tradeoff
+    // compact() resets
     val tombs = tombstonesDf(spark, path)
     val rescoreK = if (tombs.isDefined || restrict.isDefined) cand else k
     val fanout = graft.functions.VectorExpressions.probeMidsPerTop(meta.nLists)
