@@ -1247,6 +1247,21 @@ object SparkEntry {
         m = 8, ks = 16, kCand = 20)
         .withColumnRenamed("id", "vec_id")
     }),
+    "q120_hard_negatives_portable" -> ((s, dir) => {
+      // hard-negative mining's oracle anchor: q114's pipeline with
+      // same-label pairs excluded BEFORE the kCand ADC cut (labels =
+      // vec_id % 16) — the decision position hardNegativesAnnCell's
+      // in-cell shortlist gate holds, so every integer-shortlist slot is
+      // spent on candidate negatives and the whole verdict (which k
+      // different-label vectors each anchor is nearest to) replays in
+      // ANSI SQL. The native cell path stays spec-gated (trained PQ);
+      // this twin pins the label-gate POSITION cross-engine
+      val e = TestTables.embeddings(s, dir)
+      Similarity.hardNegativesPortable(
+        e.withColumn("lbl", pmod(col("vec_id"), lit(16L))),
+        "vec_id", "embedding", "lbl", k = 5, nLists = 8, nprobe = 2,
+        m = 8, ks = 16, kCand = 20)
+    }),
     "q64_shuffle_order" -> ((s, dir) =>
       // deterministic corpus shuffle — the pre-training reorder: sort by
       // content hash, reproducible on any engine/run. At scale this is a
@@ -1639,8 +1654,11 @@ object SparkEntry {
     * (every rescored shortlist pair with its exact rounded cosine), with a
     * pluggable probe-side predicate — `""` is the full self-join (q114,
     * and q118 filters its `sc`); `" AND id % 5 = 0"` is the incremental
-    * form whose probes are the new batch (q116/q117). */
-  private def ivfPqJoinCtes(probeFilter: String): String =
+    * form whose probes are the new batch (q116/q117) — and a pluggable
+    * candidate predicate applied BEFORE the kCand ADC cut — q120's
+    * label-mismatch gate (`" AND p.id % 16 <> a.id % 16"`), the decision
+    * position hardNegativesAnnCell's in-cell shortlist holds. */
+  private def ivfPqJoinCtes(probeFilter: String, candFilter: String = ""): String =
     (s"""WITH v AS (
        |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq,
@@ -1684,7 +1702,7 @@ object SparkEntry {
        |  WHERE rk = 1),
        |cands AS (
        |  SELECT p.id AS id_a, a.id AS id_b
-       |  FROM probed p JOIN assigned a ON p.c = a.c AND p.id <> a.id),
+       |  FROM probed p JOIN assigned a ON p.c = a.c AND p.id <> a.id$candFilter),
        |adc AS (
        |  SELECT cd.id_a, cd.id_b, sum(da.d2) AS adc
        |  FROM cands cd
@@ -2914,6 +2932,19 @@ object SparkEntry {
          |FROM newids n
          |LEFT JOIN oldq o ON o.id_a = n.id
          |LEFT JOIN newq q ON q.id_a = n.id""").stripMargin,
+    // q120: hard-negative mining — q114's pipeline with same-label pairs
+    // (labels = id % 16) excluded in the candidate CTE, BEFORE the kCand
+    // ADC cut (the hardNegativesAnnCell decision order: the shortlist is
+    // spent entirely on candidate negatives), then rescore + rank as q114
+    "q120_hard_negatives_portable" ->
+      (ivfPqJoinCtes("", " AND p.id % 16 <> a.id % 16") + """
+         |SELECT id_a, id_a % 16 AS label_a, id_b, id_b % 16 AS label_b,
+         |  cosine, CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT id_a, id_b, cosine,
+         |    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5""").stripMargin,
     "q55_knn_brute" ->
       ("""WITH v AS (
          |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i

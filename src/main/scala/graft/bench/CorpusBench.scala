@@ -677,6 +677,19 @@ object CorpusBench {
             nLists = math.max(8, (n / 64).toInt), nprobe = 4)
           .count()
       }, """"impl":"cell_directory","labels":16""")
+      // the in-cell label gate: same k=5 mining task, but same-label
+      // members are excluded INSIDE the ADC shortlist (no oversample, no
+      // label attach joins, label_b rides the winner struct) — the winner
+      // exchange is the plain k-NN join's n·nprobe·k, which is what makes
+      // the 50M row measurable where the oversample composition's ~141 GB
+      // arithmetic row was not
+      benchAct("hard_negatives_cell", () => {
+        Similarity.hardNegativesAnnCell(
+            embs.withColumn("lbl", pmod(xxhash64(col("vec_id"), lit("hn")), lit(16L))),
+            "vec_id", "embedding", "lbl", k = 5,
+            nLists = math.max(8, (n / 64).toInt), nprobe = 4)
+          .count()
+      }, """"impl":"in_cell_label_gate","labels":16""")
       // knnJoinAuto boundary bracketing: the dispatcher's chosen route is
       // recorded IN the row, with planted recall proving the routed join
       // works at that regime — run at n either side of the ~1 GB source-

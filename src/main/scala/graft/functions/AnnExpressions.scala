@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -554,4 +554,265 @@ object AnnExpressions {
 
   def leader_dedup_cell(members: Column, tau: Double): Column =
     GraftBridge.toColumn(LeaderDedupCell(GraftBridge.toExpression(members), tau))
+
+  /** [[IvfPqCellShortlist]] with a LABEL-MISMATCH gate applied BEFORE the
+    * `kCand` cut — the in-cell half of
+    * [[graft.operators.Similarity.hardNegativesAnnCell]]. Members carry
+    * (id: bigint, code: array<int>, lbl: <any atomic>); a member whose
+    * label equals the probe row's `lblA` never enters the shortlist, so
+    * the ADC budget is spent entirely on candidate NEGATIVES. The
+    * alternative — filter labels after a label-blind shortlist — needs an
+    * `oversample×` deeper shortlist (and, in the join form, an
+    * oversample× larger winner exchange plus two label attach joins) to
+    * reach the same negative depth, and still misses when more than
+    * oversample·k same-label members crowd the ADC ranking.
+    *
+    * Selection rule and tie-breaks (ADC asc, id asc; cap-covers-cell exact
+    * path) are [[IvfPqCellShortlist]]'s verbatim — over the label-mismatch
+    * survivors. Null member labels never match (a null label can't be a
+    * verified negative); callers filter null-label PROBE rows (the exact
+    * baseline's `=!=` predicate rejects them the same way). */
+  case class IvfPqCellShortlistLabel(
+      first: Expression,  // idA
+      second: Expression, // lblA: any atomic type
+      third: Expression,  // vA
+      fourth: Expression, // members: array<struct<id, code, lbl>>
+      kCand: Int,
+      codebooks: Array[Array[Array[Double]]],
+      subDim: Int
+  ) extends QuaternaryExpression with Serializable {
+    require(kCand > 0, "need positive kCand")
+    require(codebooks.nonEmpty, "empty PQ codebook")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    @transient private lazy val lblType: DataType = second.dataType
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (first.dataType, third.dataType, fourth.dataType) match {
+        case (LongType, ArrayType(FloatType, _), ArrayType(s: StructType, _))
+            if s.length == 3 && s.fields(2).dataType == second.dataType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"ivfpq_cell_shortlist_label expects (bigint, lbl, array<float>, " +
+              s"array<struct<id, code, lbl>>) with matching label types, got $other " +
+              s"vs label ${second.dataType}")
+      }
+
+    def compute(idA: Long, lblA: Any, vAraw: ArrayData, members: ArrayData): ArrayData = {
+      val m = codebooks.length
+      val dims = vAraw.numElements()
+      val nMem = members.numElements()
+      if (nMem == 0) return new GenericArrayData(Array.empty[Any])
+      // label-mismatch survivors (self excluded); indexes into members
+      val surv = new Array[Int](nMem)
+      var nSurv = 0
+      var r = 0
+      while (r < nMem) {
+        val row = members.getStruct(r, 3)
+        if (row.getLong(0) != idA && !row.isNullAt(2) &&
+            row.get(2, lblType) != lblA) {
+          surv(nSurv) = r; nSurv += 1
+        }
+        r += 1
+      }
+      if (nSurv == 0) return new GenericArrayData(Array.empty[Any])
+      if (nSurv <= kCand) {
+        // cap covers the survivors: everything rescores exactly
+        return new GenericArrayData(Array.tabulate[Any](nSurv)(q =>
+          members.getStruct(surv(q), 3).getLong(0)))
+      }
+      val vA = new Array[Double](dims)
+      var i = 0
+      while (i < dims) { vA(i) = vAraw.getFloat(i).toDouble; i += 1 }
+      val adc = Array.tabulate(m) { s =>
+        val cb = codebooks(s)
+        val lo = s * subDim
+        Array.tabulate(cb.length) { c =>
+          val cent = cb(c)
+          var d = 0.0; var j = 0
+          val nn = math.min(subDim, math.max(0, dims - lo))
+          while (j < nn) { val x = vA(lo + j) - cent(j); d += x * x; j += 1 }
+          d
+        }
+      }
+      // bounded insertion over survivors — identical rule/tie-breaks to
+      // IvfPqCellShortlist (ADC distance asc, id asc)
+      val cap = math.min(kCand, nSurv)
+      val slDist = new Array[Double](cap)
+      val slId = new Array[Long](cap)
+      var filled = 0
+      var q = 0
+      while (q < nSurv) {
+        val row = members.getStruct(surv(q), 3)
+        val id = row.getLong(0)
+        val code = row.getArray(1)
+        var d = 0.0; var s = 0
+        val ms = math.min(m, code.numElements())
+        while (s < ms) {
+          val c = code.getInt(s)
+          val t = adc(s)
+          if (c >= 0 && c < t.length) d += t(c)
+          s += 1
+        }
+        if (filled < cap || d < slDist(filled - 1) ||
+            (d == slDist(filled - 1) && id < slId(filled - 1))) {
+          var p = if (filled < cap) filled else cap - 1
+          while (p > 0 && {
+              val pd = slDist(p - 1)
+              pd > d || (pd == d && slId(p - 1) > id)
+            }) {
+            slDist(p) = slDist(p - 1); slId(p) = slId(p - 1); p -= 1
+          }
+          slDist(p) = d; slId(p) = id
+          if (filled < cap) filled += 1
+        }
+        q += 1
+      }
+      new GenericArrayData(Array.tabulate[Any](filled)(q => slId(q)))
+    }
+
+    override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+      compute(a.asInstanceOf[Long], b, c.asInstanceOf[ArrayData],
+        d.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("ivfPqCellShortlistLabel", this,
+        classOf[IvfPqCellShortlistLabel].getName)
+      nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+        s"${ev.value} = $self.compute($a, $b, $c, $d);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression, newFourth: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird,
+        fourth = newFourth)
+  }
+
+  def ivfpq_cell_shortlist_label(idA: Column, lblA: Column, vA: Column,
+      members: Column, kCand: Int, codebooks: Array[Array[Array[Double]]],
+      subDim: Int): Column =
+    GraftBridge.toColumn(IvfPqCellShortlistLabel(
+      GraftBridge.toExpression(idA), GraftBridge.toExpression(lblA),
+      GraftBridge.toExpression(vA), GraftBridge.toExpression(members),
+      kCand, codebooks, subDim))
+
+  /** [[CellRescoreTopK]] over a PAYLOAD-carrying vector directory: members
+    * are (id: bigint, norm: double, v: array<float>, payload: <any type>)
+    * and each winner struct carries the member's payload out —
+    * (id, payload, cosine) — so a consumer needing a per-neighbor
+    * attribute (the hard-negative join's label_b, a source tag, a snippet)
+    * never pays an id-keyed attach join over the winner stream. Rescore
+    * arithmetic, ordering, tie-breaks, and the duplicate-id-tolerant
+    * buffer sizing are [[CellRescoreTopK]]'s verbatim. */
+  case class CellRescorePayloadTopK(
+      first: Expression,  // vA
+      second: Expression, // shortlist ids: array<bigint>
+      third: Expression,  // members: array<struct<id, norm, v, payload>>
+      k: Int
+  ) extends TernaryExpression with Serializable {
+    require(k > 0, "need positive k")
+
+    @transient private lazy val payloadField: StructField =
+      third.dataType match {
+        case ArrayType(s: StructType, _) if s.length == 4 => s.fields(3)
+        case _ => StructField("payload", NullType)
+      }
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("payload", payloadField.dataType, payloadField.nullable),
+        StructField("cosine", DoubleType, nullable = false))),
+      containsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(FloatType, _), ArrayType(LongType, _),
+            ArrayType(s: StructType, _)) if s.length == 4 =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"cell_rescore_payload_topk expects (array<float>, array<bigint>, " +
+              s"array<struct<id, norm, v, payload>>), got $other")
+      }
+
+    private def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+
+    def compute(vAraw: ArrayData, sl: ArrayData, members: ArrayData): ArrayData = {
+      val nSl = sl.numElements()
+      val nMem = members.numElements()
+      if (nSl == 0 || nMem == 0) return new GenericArrayData(Array.empty[Any])
+      val dims = vAraw.numElements()
+      val vA = new Array[Double](dims)
+      var i = 0
+      var nrm = 0.0
+      while (i < dims) {
+        vA(i) = vAraw.getFloat(i).toDouble; nrm += vA(i) * vA(i); i += 1
+      }
+      val normA = math.sqrt(nrm)
+      if (normA == 0.0) return new GenericArrayData(Array.empty[Any])
+      val slSorted = new Array[Long](nSl)
+      i = 0
+      while (i < nSl) { slSorted(i) = sl.getLong(i); i += 1 }
+      java.util.Arrays.sort(slSorted)
+      val pt = payloadField.dataType
+      val resCos = new Array[Double](nMem)
+      val resId = new Array[Long](nMem)
+      val resPay = new Array[Any](nMem)
+      var filled = 0
+      var r = 0
+      while (r < nMem) {
+        val row = members.getStruct(r, 4)
+        val id = row.getLong(0)
+        if (java.util.Arrays.binarySearch(slSorted, id) >= 0) {
+          val normB = row.getDouble(1)
+          val vB = row.getArray(2)
+          var dot = 0.0; var j = 0
+          val nn = math.min(dims, vB.numElements())
+          while (j < nn) { dot += vA(j) * vB.getFloat(j).toDouble; j += 1 }
+          resCos(filled) = if (normB == 0.0) 0.0 else round6(dot / (normA * normB))
+          resId(filled) = id
+          // copy out of the (Unsafe) member buffer: the output array
+          // outlives this row's backing bytes
+          resPay(filled) =
+            if (row.isNullAt(3)) null
+            else InternalRow.copyValue(row.get(3, pt))
+          filled += 1
+        }
+        r += 1
+      }
+      val order = (0 until filled).sortBy(q => (-resCos(q), resId(q)))
+        .take(math.min(k, filled))
+      new GenericArrayData(order.map { q =>
+        InternalRow(resId(q), resPay(q), resCos(q)): Any
+      }.toArray)
+    }
+
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        c.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("cellRescorePayloadTopK", this,
+        classOf[CellRescorePayloadTopK].getName)
+      nullSafeCodeGen(ctx, ev, (a, b, c) => s"${ev.value} = $self.compute($a, $b, $c);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  def cell_rescore_payload_topk(vA: Column, shortlist: Column, members: Column,
+      k: Int): Column =
+    GraftBridge.toColumn(CellRescorePayloadTopK(
+      GraftBridge.toExpression(vA), GraftBridge.toExpression(shortlist),
+      GraftBridge.toExpression(members), k))
 }

@@ -437,9 +437,77 @@ object Similarity {
       kCand: Int = 0,
       dims: Int = 64,
       cellsPerSuper: Int = 1
+  ): DataFrame =
+    ivfJoinCore(df, idCol, vecCol, k, nLists, nprobe, m, ks, kCand, dims,
+      cellsPerSuper, labelCol = None)
+
+  /** Hard-negative mining with the label gate pushed INSIDE the IVF cell —
+    * the 50M-shape sibling of [[hardNegativesAnn]]. That wrapper composes
+    * `knnJoinIvf(k = oversample·k)` with two label attach joins and a
+    * re-ranked window, so its winner exchange and rank input are
+    * oversample× the k-NN join's and the attach adds an n·oversample·k
+    * re-key — measured-linear arithmetic put its 50M form at ~141 GB of
+    * concurrent shuffle (the honest DiskBudgetExceeded grid row). Here the
+    * label rides the two cell directories instead (~+9 B/member on codes,
+    * +label bytes on vectors) and same-label members are excluded BEFORE
+    * the ADC `kCand` cut ([[graft.functions.AnnExpressions.IvfPqCellShortlistLabel]]),
+    * so every shortlist slot, every exact rescore, and every winner struct
+    * is already a candidate negative: the winner exchange is the plain
+    * k-NN join's n·nprobe·k — oversample never exists — and label_b rides
+    * the winner struct itself
+    * ([[graft.functions.AnnExpressions.CellRescorePayloadTopK]]), so no
+    * attach join ever touches the output stream.
+    *
+    * Semantics: per anchor, the k best different-label members of its
+    * probed cells by exact rounded cosine — a STRONGER candidate set than
+    * [[hardNegativesAnn]]'s at equal k (that path loses any negative
+    * ranked below oversample·k same-label crowders; this one spends its
+    * whole shortlist on negatives). Approximation remains the IVF family's:
+    * probing recall, plus ADC shortlist ranking above `kCand` occupancy.
+    * Null-label rows never pair on either side — the exact baseline's
+    * `=!=` predicate rejects them identically.
+    *
+    * Returns (id_a, label_a, id_b, label_b, cosine, rank), rank 1..k per
+    * anchor — [[hardNegatives]]' schema. */
+  def hardNegativesAnnCell(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      nLists: Int = 0,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ks: Int = 16,
+      kCand: Int = 0,
+      dims: Int = 64,
+      cellsPerSuper: Int = 1
+  ): DataFrame =
+    ivfJoinCore(df, idCol, vecCol, k, nLists, nprobe, m, ks, kCand, dims,
+      cellsPerSuper, labelCol = Some(labelCol))
+
+  private def ivfJoinCore(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int,
+      nprobe: Int,
+      m: Int,
+      ks: Int,
+      kCand: Int,
+      dims: Int,
+      cellsPerSuper: Int,
+      labelCol: Option[String]
   ): DataFrame = {
     val spark = df.sparkSession
-    val raw = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val raw = labelCol match {
+      case None =>
+        df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      case Some(l) =>
+        df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+          col(l).as("lbl"))
+    }
     // The base persists at its ARRIVAL width (ensureWide only guards the
     // degenerate narrow case). Widening the cache itself was measured and
     // REVERTED: sizing it for the probe expansion (206 partitions at
@@ -464,9 +532,14 @@ object Similarity {
     // they feed — and unknown-stats inputs keep the cache (they have no
     // file source to re-scan cheaply).
     val cacheBase = !statsKnown || rawBytes <= (1L << 30)
-    val base0 = Stage.ensureWide(raw)
+    val base1 = Stage.ensureWide(raw)
       .withColumn("norm", l2norm(col("v")))
       .filter(col("norm") > 0)
+    // label mode: a null label can never satisfy the mismatch predicate on
+    // either side (the exact baseline's =!= rejects it identically) — drop
+    // such rows before they cost directory or probe work
+    val base0 =
+      if (labelCol.isDefined) base1.filter(col("lbl").isNotNull) else base1
     val base =
       if (cacheBase) base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else base0
@@ -517,8 +590,13 @@ object Similarity {
     //    tasks, 8 GB heap) — the per-stage probe put ALL of the
     //    operator's spill there. ≤ 24 MB of output per task keeps the
     //    writer inside its share.
-    val dirBytes = n * (dims * 4L + m * 4L + 140L) * 2
-    val outBytes = n * nprobe * fanout * cellsPerSuper * k * 32L
+    // label mode prices the label into BOTH directory builds (it rides the
+    // codes struct for the shortlist gate and the vector struct as the
+    // winner payload) and into the winner exchange's struct width
+    val lblW = labelCol.map(_ =>
+      raw.schema("lbl").dataType.defaultSize + 8L).getOrElse(0L)
+    val dirBytes = n * (dims * 4L + m * 4L + 140L + 2 * lblW) * 2
+    val outBytes = n * nprobe * fanout * cellsPerSuper * k * (32L + lblW)
     val dirParts = math.max(floor, math.min(65536L,
       math.max(dirBytes / (16L << 20), outBytes / (24L << 20))).toInt)
     // Two directories, separately exchanged: column pruning splits the
@@ -526,14 +604,21 @@ object Similarity {
     // so the codes exchange ships ~40 B/member and only the vector
     // exchange carries the 4·dims payload — the assign expression runs
     // once per branch, a term the three-level quantizer keeps cheap.
+    val codesMem = labelCol match {
+      case None => struct(col("id"), codes.as("code"))
+      case Some(_) => struct(col("id"), codes.as("code"), col("lbl"))
+    }
+    val vecMem = labelCol match {
+      case None => struct(col("id"), col("norm"), col("v"))
+      case Some(_) => struct(col("id"), col("norm"), col("v"), col("lbl"))
+    }
     val codesDir = base
-      .select(assignCell.as("cell"), struct(col("id"), codes.as("code")).as("mem"))
+      .select(assignCell.as("cell"), codesMem.as("mem"))
       .repartition(dirParts, col("cell"))
       .groupBy(col("cell"))
       .agg(collect_list(col("mem")).as("members"))
     val vecDir = base
-      .select(assignCell.as("cell"),
-        struct(col("id"), col("norm"), col("v")).as("vmem"))
+      .select(assignCell.as("cell"), vecMem.as("vmem"))
       .repartition(dirParts, col("cell"))
       .groupBy(col("cell"))
       .agg(collect_list(col("vmem")).as("vmembers"))
@@ -569,24 +654,42 @@ object Similarity {
           probeParts > spark.sparkContext.defaultParallelism)
         base.repartition(probeParts, col("id"))
       else base
-    val probe = probeIn.select(col("id").as("id_a"), col("v").as("v_a"),
+    val probeCols = Seq(col("id").as("id_a"), col("v").as("v_a")) ++
+      labelCol.map(_ => col("lbl").as("lbl_a")).toSeq
+    val probe = probeIn.select(probeCols :+
       explode_outer(graft.functions.VectorExpressions
-        .portable_ivf_probe(col("v"), lists, dims, nprobe, cellsPerSuper)).as("cell"))
+        .portable_ivf_probe(col("v"), lists, dims, nprobe, cellsPerSuper)).as("cell"): _*)
       .filter(col("cell").isNotNull)
     val cb: Array[Array[Array[Double]]] = pq.codebooks.map(_.centroids)
     // Pipelined pair of cell joins: the shortlist join reads the skinny
     // codes directory, the rescore join the vector directory. Both builds
     // key on cell at the same dirParts, so EnsureRequirements aligns the
     // probe stream once — the (cell, id_a, v_a, sl) intermediate between
-    // the joins never re-exchanges.
-    val perCell = probe.join(codesDir.hint("SHUFFLE_HASH"), Seq("cell"))
-      .select(col("cell"), col("id_a"), col("v_a"),
-        graft.functions.AnnExpressions.ivfpq_cell_shortlist(col("id_a"),
-          col("v_a"), col("members"), cand, cb, pq.subDim).as("sl"))
-      .join(vecDir.hint("SHUFFLE_HASH"), Seq("cell"))
-      .select(col("id_a"),
-        graft.functions.AnnExpressions.cell_rescore_topk(col("v_a"),
-          col("sl"), col("vmembers"), k).as("tk"))
+    // the joins never re-exchanges. Label mode swaps in the
+    // label-mismatch shortlist (same ADC rule over the mismatch
+    // survivors) and the payload rescore (label_b rides each winner
+    // struct), leaving the join/exchange shape untouched.
+    val perCell = labelCol match {
+      case None =>
+        probe.join(codesDir.hint("SHUFFLE_HASH"), Seq("cell"))
+          .select(col("cell"), col("id_a"), col("v_a"),
+            graft.functions.AnnExpressions.ivfpq_cell_shortlist(col("id_a"),
+              col("v_a"), col("members"), cand, cb, pq.subDim).as("sl"))
+          .join(vecDir.hint("SHUFFLE_HASH"), Seq("cell"))
+          .select(col("id_a"),
+            graft.functions.AnnExpressions.cell_rescore_topk(col("v_a"),
+              col("sl"), col("vmembers"), k).as("tk"))
+      case Some(_) =>
+        probe.join(codesDir.hint("SHUFFLE_HASH"), Seq("cell"))
+          .select(col("cell"), col("id_a"), col("lbl_a"), col("v_a"),
+            graft.functions.AnnExpressions.ivfpq_cell_shortlist_label(
+              col("id_a"), col("lbl_a"), col("v_a"), col("members"), cand,
+              cb, pq.subDim).as("sl"))
+          .join(vecDir.hint("SHUFFLE_HASH"), Seq("cell"))
+          .select(col("id_a"), col("lbl_a"),
+            graft.functions.AnnExpressions.cell_rescore_payload_topk(
+              col("v_a"), col("sl"), col("vmembers"), k).as("tk"))
+    }
     // explode_outer, NOT explode: a plain explode lets InferFiltersFromGenerate
     // conjure `size(tk) > 0 AND isnotnull(tk)` above this projection, and
     // predicate pushdown substitutes the alias and lands BOTH copies in the
@@ -614,16 +717,29 @@ object Similarity {
     // parts.
     val rankParts = math.max(floor,
       math.min(65536L,
-        n * nprobe * fanout * cellsPerSuper * k * 80L / (48L << 20)).toInt)
+        n * nprobe * fanout * cellsPerSuper * k * (80L + lblW) / (48L << 20)).toInt)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
-    perCell
-      .repartition(rankParts, col("id_a"))
-      .select(col("id_a"), explode_outer(col("tk")).as("nb"))
-      .filter(col("nb").isNotNull)
-      .select(col("id_a"), col("nb.id").as("id_b"), col("nb.cosine").as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    labelCol match {
+      case None =>
+        perCell
+          .repartition(rankParts, col("id_a"))
+          .select(col("id_a"), explode_outer(col("tk")).as("nb"))
+          .filter(col("nb").isNotNull)
+          .select(col("id_a"), col("nb.id").as("id_b"), col("nb.cosine").as("cosine"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+      case Some(_) =>
+        perCell
+          .repartition(rankParts, col("id_a"))
+          .select(col("id_a"), col("lbl_a"), explode_outer(col("tk")).as("nb"))
+          .filter(col("nb").isNotNull)
+          .select(col("id_a"), col("lbl_a").as("label_a"),
+            col("nb.id").as("id_b"), col("nb.payload").as("label_b"),
+            col("nb.cosine").as("cosine"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+    }
   }
 
   /** Route a batch k-NN join past the LSH cliff. [[knnJoin]] is the
@@ -1089,6 +1205,34 @@ object Similarity {
       m, ks, kCand, dims, probeIds = Some(nw.select(col("id"))))
   }
 
+  /** Engine-portable hard-negative mining — the oracle-checkable twin of
+    * [[hardNegativesAnnCell]] (q120), mirroring its decision ORDER exactly:
+    * same-label candidate pairs are excluded BEFORE the `kCand` ADC cut,
+    * so the integer shortlist is spent entirely on candidate negatives,
+    * then only survivors get the rounded-cosine rescore and the final
+    * (cosine desc, id asc) rank. One label-mismatch predicate over the
+    * q114 candidate CTE replays the whole verdict in ANSI SQL. Labels are
+    * read from `labelCol`; null-label rows never pair (the `=!=`
+    * convention of the exact baseline). Returns
+    * (id_a, label_a, id_b, label_b, cosine, rank), rank 1..k. */
+  def hardNegativesPortable(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int = 5,
+      nLists: Int = 8,
+      nprobe: Int = 2,
+      m: Int = 8,
+      ks: Int = 16,
+      kCand: Int = 20,
+      dims: Int = 64
+  ): DataFrame =
+    knnJoinIvfPqPortableCore(df, idCol, vecCol, k, nLists, nprobe, m, ks,
+      kCand, dims, probeIds = None,
+      labelDf = Some(df.select(col(idCol).cast("long").as("id"),
+        col(labelCol).as("lbl"))))
+
   private def knnJoinIvfPqPortableCore(
       df: DataFrame,
       idCol: String,
@@ -1101,7 +1245,8 @@ object Similarity {
       kCand: Int,
       dims: Int,
       probeIds: Option[DataFrame],
-      restrictIds: Option[DataFrame] = None
+      restrictIds: Option[DataFrame] = None,
+      labelDf: Option[DataFrame] = None
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -1150,10 +1295,25 @@ object Similarity {
       .filter(col("rk") === 1).select(col("id"), col("sub"), col("code"))
     // candidates: probe cells meet assigned cells (a member sits in exactly
     // one cell, so no pair duplicates); ADC = Σ_sub queryDist(member code)
-    val cands = probed.select(col("id").as("id_a"), col("c"))
+    val cands0 = probed.select(col("id").as("id_a"), col("c"))
       .join(assigned.select(col("id").as("id_b"), col("c")), "c")
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
+    // hard-negative mode: same-label pairs are excluded BEFORE the kCand
+    // ADC cut — the decision position hardNegativesAnnCell's in-cell
+    // shortlist gate holds, so an ANSI engine replays the verdict by one
+    // mismatch predicate on the q114 candidate CTE
+    val cands = labelDf match {
+      case Some(lb) =>
+        cands0
+          .join(broadcast(lb.select(col("id").as("id_a"), col("lbl").as("la"))),
+            Seq("id_a"))
+          .join(broadcast(lb.select(col("id").as("id_b"), col("lbl").as("lb"))),
+            Seq("id_b"))
+          .filter(col("la") =!= col("lb"))
+          .select(col("id_a"), col("id_b"))
+      case None => cands0
+    }
     val adc = cands
       .join(codes.select(col("id").as("id_b"), col("sub"), col("code")),
         Seq("id_b"))
@@ -1184,9 +1344,20 @@ object Similarity {
     }
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
-    allowed.withColumn("rank", row_number().over(wRank).cast("long"))
+    val rankedOut = allowed.withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("id_a"), col("id_b"), col("cosine"), col("rank"))
+    labelDf match {
+      case Some(lb) =>
+        rankedOut
+          .join(broadcast(lb.select(col("id").as("id_a"), col("lbl").as("la"))),
+            Seq("id_a"))
+          .join(broadcast(lb.select(col("id").as("id_b"), col("lbl").as("lb"))),
+            Seq("id_b"))
+          .select(col("id_a"), col("la").as("label_a"), col("id_b"),
+            col("lb").as("label_b"), col("cosine"), col("rank"))
+      case None =>
+        rankedOut.select(col("id_a"), col("id_b"), col("cosine"), col("rank"))
+    }
   }
 
   /** Incremental SEMANTIC-DEDUP verdicts on the portable IVF+PQ pipeline —

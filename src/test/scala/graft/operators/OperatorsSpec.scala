@@ -752,6 +752,122 @@ class OperatorsSpec extends SparkSpec {
     out.foreach(r => assert(r._2 != r._4, s"same-label pair leaked: $r"))
   }
 
+  test("hardNegativesAnnCell: planted different-label copy is rank 1; no same-label leaks") {
+    val emb = sf(dir, "embeddings")
+    val dup = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding",
+        lit(-7).as("label"))
+    val all = emb.unionByName(dup)
+    val out = Similarity.hardNegativesAnnCell(all, "vec_id", "embedding",
+        "label", k = 3, nLists = 8, nprobe = 4)
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+    (0 until 3).foreach { i =>
+      val top = out.filter(r => r._1 == i && r._6 == 1)
+      assert(top.nonEmpty && top.head._3 == i + 10000 && top.head._5 > 0.999,
+        s"anchor $i's top hard negative should be its different-label copy, got ${top.toSeq}")
+    }
+    out.foreach { r =>
+      assert(r._2 != r._4, s"same-label pair leaked: $r")
+    }
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._6).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
+  test("hardNegativesAnnCell ≡ exact hardNegatives when probing covers every cell") {
+    // nprobe = nLists probes every cell and kCand covers any occupancy, so
+    // the in-cell gate's candidate set IS the full corpus: output must
+    // equal the O(N²) baseline row for row (same rounding, same
+    // tie-breaks) — the exact-path anchor the approximate regimes
+    // degrade from
+    val emb = sf(dir, "embeddings")
+    val cell = Similarity.hardNegativesAnnCell(emb, "vec_id", "embedding",
+        "label", k = 3, nLists = 8, nprobe = 8, kCand = 100000)
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSet
+    val exact = Similarity.hardNegatives(emb, "vec_id", "embedding",
+        "label", k = 3)
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSet
+    assert(cell == exact,
+      s"missing=${(exact -- cell).take(5)} extra=${(cell -- exact).take(5)}")
+  }
+
+  test("hardNegativesAnnCell vs hardNegativesPortable: planted verdicts agree") {
+    val emb = sf(dir, "embeddings")
+    val dup = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding",
+        lit(-7).as("label"))
+    val all = emb.unionByName(dup)
+    val portable = Similarity.hardNegativesPortable(all, "vec_id",
+        "embedding", "label", k = 3, nLists = 8, nprobe = 2)
+      .as[(Long, Int, Long, Int, Double, Long)].collect()
+    val native = Similarity.hardNegativesAnnCell(all, "vec_id", "embedding",
+        "label", k = 3, nLists = 8, nprobe = 4)
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+    (0 until 3).foreach { i =>
+      val pt = portable.filter(p => p._1 == i && p._6 == 1L)
+      val nt = native.filter(p => p._1 == i && p._6 == 1)
+      assert(pt.nonEmpty && pt.head._3 == i + 10000 && pt.head._5 > 0.999,
+        s"portable rank-1 negative for $i should be its planted copy, got ${pt.toSeq}")
+      assert(nt.nonEmpty && pt.head._3 == nt.head._3,
+        s"native/portable hard-negative verdict mismatch on planted pair $i")
+    }
+    portable.foreach(r => assert(r._2 != r._4, s"same-label pair leaked: $r"))
+  }
+
+  test("label-gated cell expressions: mismatch-only shortlist, null labels skipped, payload rides out") {
+    import graft.functions.AnnExpressions._
+    val dims = 8; val m = 2; val subDim = 4
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      Array.tabulate(4)(c => Array.tabulate(subDim)(j =>
+        math.sin(s * 7.0 + c * 3.0 + j))))
+    val rnd = new scala.util.Random(11)
+    // 12 members: ids 0-11; labels: even id → "pos", odd → "neg", id 9 null
+    val mems = (0 until 12).map { i =>
+      val v = Array.fill(dims)(rnd.nextFloat() * 2 - 1)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val code = (0 until m).map(s =>
+        (0 until 4).minBy(c => (0 until subDim)
+          .map(j => v(s * subDim + j) - cb(s)(c)(j)).map(x => x * x).sum))
+      val lbl = if (i == 9) null else if (i % 2 == 0) "pos" else "neg"
+      (i.toLong, norm, code, v.toSeq, lbl)
+    }
+    val qv = Seq.fill(dims)(rnd.nextFloat())
+    val df = Seq((0L, "pos", qv,
+      mems.map { case (id, _, code, _, l) => LblCodeMem(id, code, l) },
+      mems.map { case (id, nrm, _, v, l) => LblVecMem(id, nrm, v, l) }))
+      .toDF("id_a", "lbl_a", "v_a", "cm", "vm")
+    val winners = df.select(
+      cell_rescore_payload_topk($"v_a",
+        ivfpq_cell_shortlist_label($"id_a", $"lbl_a", $"v_a", $"cm", 4, cb, subDim),
+        $"vm", 3))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // only odd-id ("neg") members are eligible: evens share the probe
+    // label, id 9's null label never matches, id 0 is self
+    assert(winners.nonEmpty && winners.length <= 3)
+    winners.foreach { case (id, lbl, _) =>
+      assert(id % 2 == 1 && id != 9L, s"ineligible member shortlisted: $id")
+      assert(lbl == "neg", s"payload mismatch for $id: $lbl")
+    }
+    // shortlist depth gates genuinely: kCand=4 over 5 eligible members —
+    // winners must be ordered by (cosine desc, id asc)
+    assert(winners.sliding(2).forall {
+      case Seq(a, b) => a._3 > b._3 || (a._3 == b._3 && a._1 < b._1)
+      case _ => true
+    })
+    // duplicate member ids degrade gracefully (buffer sized to nMem)
+    val dupDf = Seq((0L, "pos", qv,
+      (mems ++ mems.take(3)).map { case (id, _, code, _, l) => LblCodeMem(id, code, l) },
+      (mems ++ mems.take(3)).map { case (id, nrm, _, v, l) => LblVecMem(id, nrm, v, l) }))
+      .toDF("id_a", "lbl_a", "v_a", "cm", "vm")
+    val dupWinners = dupDf.select(
+      cell_rescore_payload_topk($"v_a",
+        ivfpq_cell_shortlist_label($"id_a", $"lbl_a", $"v_a", $"cm", 100, cb, subDim),
+        $"vm", 3))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(dupWinners.nonEmpty) // no ArrayIndexOutOfBounds on duplicate ids
+  }
+
   test("knnJoin: bounded-heap aggregate top-k ≡ window top-k, row for row") {
     val emb = sf(dir, "embeddings")
     val win = Similarity.knnJoin(emb, "vec_id", "embedding", k = 4)
@@ -1470,3 +1586,5 @@ class OperatorsSpec extends SparkSpec {
 private[operators] case class FusedMem(id: Long, norm: Double, code: Seq[Int], v: Seq[Float])
 private[operators] case class CodeMem(id: Long, code: Seq[Int])
 private[operators] case class VecMem(id: Long, norm: Double, v: Seq[Float])
+private[operators] case class LblCodeMem(id: Long, code: Seq[Int], lbl: String)
+private[operators] case class LblVecMem(id: Long, norm: Double, v: Seq[Float], lbl: String)
