@@ -1262,6 +1262,20 @@ object SparkEntry {
         "vec_id", "embedding", "lbl", k = 5, nLists = 8, nprobe = 2,
         m = 8, ks = 16, kCand = 20)
     }),
+    "q121_hard_negatives_incremental" -> ((s, dir) => {
+      // the DELTA mining shape's oracle anchor (KnnIndex.hardNegativesDelta:
+      // mine negatives for an arriving batch against the stored index):
+      // q116's probe restriction (anchors = the new batch, vec_id % 5 = 0)
+      // composed with q120's label gate (same-label pairs excluded before
+      // the kCand cut, labels = vec_id % 16) on the one portable pipeline —
+      // two predicates over the q114 SQL replay every verdict
+      val e = TestTables.embeddings(s, dir)
+        .withColumn("lbl", pmod(col("vec_id"), lit(16L)))
+      Similarity.hardNegativesPortableIncremental(
+        e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", "lbl", k = 5, nLists = 8, nprobe = 2,
+        m = 8, ks = 16, kCand = 20)
+    }),
     "q64_shuffle_order" -> ((s, dir) =>
       // deterministic corpus shuffle — the pre-training reorder: sort by
       // content hash, reproducible on any engine/run. At scale this is a
@@ -2938,6 +2952,17 @@ object SparkEntry {
     // spent entirely on candidate negatives), then rescore + rank as q114
     "q120_hard_negatives_portable" ->
       (ivfPqJoinCtes("", " AND p.id % 16 <> a.id % 16") + """
+         |SELECT id_a, id_a % 16 AS label_a, id_b, id_b % 16 AS label_b,
+         |  cosine, CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT id_a, id_b, cosine,
+         |    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5""").stripMargin,
+    // q121: delta hard-negative mining — q116's probe restriction composed
+    // with q120's label-mismatch candidate gate, both on the q114 pipeline
+    "q121_hard_negatives_incremental" ->
+      (ivfPqJoinCtes(" AND id % 5 = 0", " AND p.id % 16 <> a.id % 16") + """
          |SELECT id_a, id_a % 16 AS label_a, id_b, id_b % 16 AS label_b,
          |  cosine, CAST(rank AS BIGINT) AS rank
          |FROM (

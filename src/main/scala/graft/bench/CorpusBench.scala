@@ -718,8 +718,36 @@ object CorpusBench {
       // full-rebuild knn_join_ivf_recall row. Each delta iteration first
       // restores the base generation (drops files a previous iteration
       // appended) so appends don't compound across warmup/iters.
+      // Stored-index hard-negative mining (KnnIndex.hardNegativesDelta):
+      // a label-payload index generation staged once (untimed, like the
+      // corpus itself), then the timed row mines a 10% anchor batch
+      // against it — the production shape where the corpus is the index
+      // and each training batch pays only |delta| probe work. Labels live
+      // IN the stored directories (build payloadCol), so no attach join
+      // touches the corpus at any scale.
+      if (opFilter.exists(_.exists(_.startsWith("knn_index_negatives")))) {
+        val payPath = s"$stageDir/knnidx_pay_$n"
+        val labeled = embs.filter(col("vec_id") % 10 =!= 0)
+          .withColumn("lbl", pmod(xxhash64(col("vec_id"), lit("hn")), lit(16L)))
+        if (!Files.exists(Paths.get(s"$payPath/meta")))
+          graft.operators.KnnIndex.build(labeled, "vec_id", "embedding",
+            payPath, payloadCol = "lbl")
+        val anchors = embs.filter(col("vec_id") % 10 === 0)
+          .withColumn("lbl", pmod(xxhash64(col("vec_id"), lit("hn")), lit(16L)))
+        val payLists = math.max(8L, (n - n / 10) / 64L).toInt
+        val payFanout = graft.functions.VectorExpressions.probeMidsPerTop(payLists)
+        val payProbePath =
+          if ((n / 10) * 4 * payFanout * (64 * 4L + 64L) * 2 <= (2L << 30))
+            "broadcast_probes"
+          else "shuffled_probes"
+        benchAct("knn_index_negatives", () =>
+          graft.operators.KnnIndex.hardNegativesDelta(anchors, "vec_id",
+            "embedding", "lbl", payPath, k = 5, nprobe = 4).count(),
+          s""""impl":"stored_dirs+$payProbePath+in_cell_label_gate","labels":16,"anchor_fraction":0.1""")
+      }
       if (opFilter.exists(_.exists(p =>
-          (p.startsWith("knn_index") && !p.startsWith("knn_index_compact")) ||
+          (p.startsWith("knn_index") && !p.startsWith("knn_index_compact") &&
+            !p.startsWith("knn_index_negatives")) ||
             p == "semantic_dedup_delta"))) {
         val idxPath = s"$stageDir/knnidx_$n"
         val baseEmb = embs.filter(col("vec_id") % 10 =!= 0)

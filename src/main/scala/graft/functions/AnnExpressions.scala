@@ -242,6 +242,15 @@ object AnnExpressions {
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+    // derived, not hardcoded: a PAYLOAD-bearing member struct (the KnnIndex
+    // label/payload layout appends fields after (id, code)) reads correctly
+    // through the same expression — getStruct must be told the struct's
+    // true width or the positional reads corrupt
+    @transient private lazy val memWidth: Int = third.dataType match {
+      case ArrayType(s: StructType, _) => s.length
+      case _ => 2
+    }
+
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       (first.dataType, second.dataType, third.dataType) match {
@@ -263,7 +272,7 @@ object AnnExpressions {
         var filled = 0
         var r = 0
         while (r < nMem) {
-          val id = members.getStruct(r, 2).getLong(0)
+          val id = members.getStruct(r, memWidth).getLong(0)
           if (id != idA) { out(filled) = id; filled += 1 }
           r += 1
         }
@@ -294,7 +303,7 @@ object AnnExpressions {
       var filled = 0
       var r = 0
       while (r < nMem) {
-        val row = members.getStruct(r, 2)
+        val row = members.getStruct(r, memWidth)
         val id = row.getLong(0)
         if (id != idA) {
           val code = row.getArray(1)
@@ -383,6 +392,13 @@ object AnnExpressions {
       java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
         .doubleValue()
 
+    // derived width, as in [[IvfPqCellShortlist]]: payload-bearing member
+    // structs (fields appended after (id, norm, v)) read correctly here
+    @transient private lazy val memWidth: Int = third.dataType match {
+      case ArrayType(s: StructType, _) => s.length
+      case _ => 3
+    }
+
     def compute(vAraw: ArrayData, sl: ArrayData, members: ArrayData): ArrayData = {
       val nSl = sl.numElements()
       val nMem = members.numElements()
@@ -412,7 +428,7 @@ object AnnExpressions {
       var filled = 0
       var r = 0
       while (r < nMem) {
-        val row = members.getStruct(r, 3)
+        val row = members.getStruct(r, memWidth)
         val id = row.getLong(0)
         if (java.util.Arrays.binarySearch(slSorted, id) >= 0) {
           val normB = row.getDouble(1)
@@ -588,6 +604,17 @@ object AnnExpressions {
 
     @transient private lazy val lblType: DataType = second.dataType
 
+    // specialized label equality for the atomic fast paths — the generic
+    // `row.get(2, lblType)` boxes one value per member per probe row, a
+    // measured hot-loop term at grid scale (long labels are the common
+    // mining shape)
+    @transient private lazy val sameLbl: (InternalRow, Any) => Boolean =
+      lblType match {
+        case LongType => (row, a) => row.getLong(2) == a.asInstanceOf[Long]
+        case IntegerType => (row, a) => row.getInt(2) == a.asInstanceOf[Int]
+        case _ => (row, a) => row.get(2, lblType) == a
+      }
+
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       (first.dataType, third.dataType, fourth.dataType) match {
@@ -613,7 +640,7 @@ object AnnExpressions {
       while (r < nMem) {
         val row = members.getStruct(r, 3)
         if (row.getLong(0) != idA && !row.isNullAt(2) &&
-            row.get(2, lblType) != lblA) {
+            !sameLbl(row, lblA)) {
           surv(nSurv) = r; nSurv += 1
         }
         r += 1

@@ -92,14 +92,26 @@ object KnnIndex {
       subDim: Int,
       codebooks: Array[Array[Array[Double]]])
 
-  private def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    Stage.ensureWide(df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+  private def prep(df: DataFrame, idCol: String, vecCol: String,
+      payloadCol: String = null): DataFrame = {
+    val cols = Seq(col(idCol).cast("long").as("id"), col(vecCol).as("v")) ++
+      Option(payloadCol).map(p => col(p).as("pay")).toSeq
+    Stage.ensureWide(df.select(cols: _*))
       .withColumn("norm", graft.functions.VectorExpressions.l2_norm(col("v")))
       .filter(col("norm") > 0)
+  }
 
   /** Train + write a fresh index generation at `path` (overwrites any
     * previous one). `nLists = 0` applies the knnJoinIvf occupancy-64
-    * policy; `dims = 0` derives the width from one sampled row. */
+    * policy; `dims = 0` derives the width from one sampled row.
+    *
+    * `payloadCol`, when given, stores one per-member attribute (a label, a
+    * source tag, a license class) INSIDE both directory columns —
+    * `mem:(id, code, pay)` / `vmem:(id, norm, v, pay)` — so payload-aware
+    * queries ([[hardNegativesDelta]]'s label gate) never attach-join
+    * against the corpus, and payload-blind queries read the same tree
+    * unchanged (the cell expressions derive member width from the
+    * schema). Appends into a payload tree must supply the same column. */
   def build(
       df: DataFrame,
       idCol: String,
@@ -108,11 +120,12 @@ object KnnIndex {
       nLists: Int = 0,
       m: Int = 8,
       ks: Int = 16,
-      dims: Int = 0
+      dims: Int = 0,
+      payloadCol: String = null
   ): Meta = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = prep(df, idCol, vecCol)
+    val base = prep(df, idCol, vecCol, payloadCol)
     val dimsActual =
       if (dims > 0) dims
       else base.select(col("v")).head(1) match {
@@ -166,9 +179,10 @@ object KnnIndex {
     * directories are untouched. The assign rule's `nLists` is read from
     * the members tree itself (the `nl` partition level), so an append
     * after a resplitting [[compact]] lands in the re-split cells. */
-  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Meta = {
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String,
+      payloadCol: String = null): Meta = {
     val meta = metaFor(df.sparkSession, path)
-    val base = prep(df, idCol, vecCol)
+    val base = prep(df, idCol, vecCol, payloadCol)
     val n = math.max(1L, base.count())
     writeMembersTo(base, meta, n * rowBytes(meta) * 2, s"$path/members",
       SaveMode.Append)
@@ -210,7 +224,7 @@ object KnnIndex {
     * — idempotent; a crash earlier leaves the live tree untouched. Work is
     * ∝ |delta| like [[append]] (one staging write + O(files) renames). */
   def appendBatch(df: DataFrame, idCol: String, vecCol: String, path: String,
-      batchId: Long): Boolean = {
+      batchId: Long, payloadCol: String = null): Boolean = {
     val spark = df.sparkSession
     if (ingestCommitted(spark, path, batchId)) {
       // a crash between the marker commit and the staging delete leaves
@@ -221,7 +235,7 @@ object KnnIndex {
       return false
     }
     val meta = metaFor(spark, path)
-    val base = prep(df, idCol, vecCol)
+    val base = prep(df, idCol, vecCol, payloadCol)
     val n = math.max(1L, base.count())
     val staging = s"$path/staging/batch-$batchId"
     writeMembersTo(base, meta, n * rowBytes(meta) * 2, staging,
@@ -280,10 +294,11 @@ object KnnIndex {
       verdictsDir: String = null,
       tau: Double = 0.9,
       k: Int = 8,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      payloadCol: String = null
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     emb.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      appendBatch(batch, idCol, vecCol, path, batchId)
+      appendBatch(batch, idCol, vecCol, path, batchId, payloadCol)
       if (verdictsDir != null) {
         val spark = batch.sparkSession
         val done = new org.apache.hadoop.fs.Path(
@@ -345,9 +360,19 @@ object KnnIndex {
       if (!fs.exists(live)) fs.rename(old, live) else fs.delete(old, true)
     }
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    val rows = spark.read.parquet(live.toString)
+    val stored = spark.read.parquet(live.toString)
+    // a payload tree re-compacts with its payload intact (the vmem element
+    // carries it as the 4th field)
+    val hasPay = stored.schema("vmem").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        s: org.apache.spark.sql.types.StructType, _) => s.length >= 4
+      case _ => false
+    }
+    val rowCols = Seq(col("r.id").as("id"), col("r.norm").as("norm"),
+      col("r.v").as("v")) ++ (if (hasPay) Seq(col("r.pay").as("pay")) else Nil)
+    val rows = stored
       .select(explode(col("vmem")).as("r"))
-      .select(col("r.id").as("id"), col("r.norm").as("norm"), col("r.v").as("v"))
+      .select(rowCols: _*)
     val kept = tombstonesDf(spark, path)
       .fold(rows)(ts => rows.join(ts, Seq("id"), "left_anti"))
     // size the rebuild exchange from the stored file bytes (×2 in-memory
@@ -389,10 +414,19 @@ object KnnIndex {
         slice(col("v"), s * meta.subDim + 1, meta.subDim), meta.codebooks(s))): _*)
     val assignCell = graft.functions.VectorExpressions
       .portable_ivf_assign(col("v"), meta.nLists, meta.dims)
+    // payload column, when prep attached one, rides both member structs
+    // LAST — the cell expressions read (id, code)/(id, norm, v)
+    // positionally and derive the true width from the schema, so
+    // payload-blind readers see the same tree
+    val hasPay = base.columns.contains("pay")
+    val memStruct =
+      if (hasPay) struct(col("id"), codes.as("code"), col("pay"))
+      else struct(col("id"), codes.as("code"))
+    val vmemStruct =
+      if (hasPay) struct(col("id"), col("norm"), col("v"), col("pay"))
+      else struct(col("id"), col("norm"), col("v"))
     val grouped = base
-      .select(assignCell.as("cell"),
-        struct(col("id"), codes.as("code")).as("m0"),
-        struct(col("id"), col("norm"), col("v")).as("v0"))
+      .select(assignCell.as("cell"), memStruct.as("m0"), vmemStruct.as("v0"))
       .repartition(dirParts, col("cell"))
       .groupBy(col("cell"))
       .agg(collect_list(col("m0")).as("mem"), collect_list(col("v0")).as("vmem"))
@@ -620,6 +654,114 @@ object KnnIndex {
       .filter(col("rank") <= k)
       // the anti-join moves its key first — restate the contract order
       .select(col("id_a"), col("id_b"), col("cosine"), col("rank"))
+  }
+
+  /** Hard-negative mining for an arriving batch against the STORED index —
+    * [[graft.operators.Similarity.hardNegativesAnnCell]]'s in-cell label
+    * gate on the [[knnJoinDelta]] lifecycle: for every delta row, the k
+    * most-similar stored members carrying a DIFFERENT label, labels read
+    * from the index's own payload column (a [[build]]/[[append]] with
+    * `payloadCol` — no corpus attach join at any point; the gate runs
+    * inside the ADC shortlist
+    * ([[graft.functions.AnnExpressions.IvfPqCellShortlistLabel]]) so every
+    * shortlist slot is a candidate negative, and label_b rides the winner
+    * struct ([[graft.functions.AnnExpressions.CellRescorePayloadTopK]]).
+    *
+    * This is the production mining shape: the anchor stream (a training
+    * batch needing negatives) is |delta|-sized, the corpus is the index,
+    * and the probe side broadcasts under the knnJoinDelta gate — the
+    * stored members cross ZERO exchange. Tombstones are honored the
+    * knnJoinDelta way (deepened rescore + anti-join before the rank cut).
+    * Null-label anchors and members never pair.
+    *
+    * Oracle anchor: [[graft.operators.Similarity
+    * .hardNegativesPortableIncremental]] (q121) replays the same
+    * probe-restricted, label-gated decision order in ANSI SQL.
+    *
+    * Returns (id_a, label_a, id_b, label_b, cosine, rank), rank 1..k. */
+  def hardNegativesDelta(
+      newDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      path: String,
+      k: Int,
+      nprobe: Int = 4,
+      kCand: Int = 0,
+      cellsPerSuper: Int = 1
+  ): DataFrame = {
+    val spark = newDf.sparkSession
+    val meta = metaFor(spark, path)
+    val base = prep(newDf, idCol, vecCol, labelCol)
+      .filter(col("pay").isNotNull)
+    val nDelta = math.max(1L, base.count())
+    val cand = math.max(k, if (kCand > 0) kCand else 4 * k)
+    val tombs = tombstonesDf(spark, path)
+    val rescoreK = if (tombs.isDefined) cand else k
+    val fanout = graft.functions.VectorExpressions.probeMidsPerTop(meta.nLists)
+    val probes = base.select(col("id").as("id_a"), col("pay").as("lbl_a"),
+      col("v").as("v_a"),
+      explode_outer(graft.functions.VectorExpressions
+        .portable_ivf_probe(col("v"), meta.nLists, meta.dims, nprobe, cellsPerSuper))
+        .as("cell"))
+      .filter(col("cell").isNotNull)
+    val members = spark.read.parquet(s"$path/members")
+    require(members.schema("mem").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          s: org.apache.spark.sql.types.StructType, _) => s.length >= 3
+        case _ => false
+      }, s"index at $path was built without a payload column — " +
+        "hardNegativesDelta needs build/append(payloadCol = ...)")
+    val probedBuckets = probes
+      .select(pmod(col("cell"), lit(Buckets)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0))
+    val pruned =
+      if (probedBuckets.length < Buckets)
+        members.filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*))
+      else members
+    // same probe broadcast gate as knnJoinDelta, label payload priced in
+    val mrs = spark.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    val gate = if (mrs <= 0) 2L << 30 else math.min(2L << 30, mrs)
+    val probeBytes =
+      nDelta * nprobe * fanout * cellsPerSuper * (meta.dims * 4L + 64L) * 2
+    val joined =
+      if (probeBytes <= gate) pruned.join(broadcast(probes), Seq("cell"))
+      else {
+        val floor = spark.sessionState.conf.numShufflePartitions
+        val memBytes = pruned.queryExecution.analyzed.stats.sizeInBytes
+        val want = (memBytes / BigInt(24L << 20))
+          .max(BigInt(probeBytes) / BigInt(16L << 20))
+        val parts = math.max(floor, want.min(BigInt(65536)).toInt)
+        pruned.repartition(parts, col("cell"))
+          .join(probes.repartition(parts, col("cell")).hint("SHUFFLE_HASH"),
+            Seq("cell"))
+      }
+    val perRow = joined.select(col("id_a"), col("lbl_a"),
+      graft.functions.AnnExpressions.cell_rescore_payload_topk(col("v_a"),
+        graft.functions.AnnExpressions.ivfpq_cell_shortlist_label(col("id_a"),
+          col("lbl_a"), col("v_a"), col("mem"), cand, meta.codebooks,
+          meta.subDim),
+        col("vmem"), rescoreK).as("tk"))
+    val floor = spark.sessionState.conf.numShufflePartitions
+    val rankParts = math.max(floor, math.min(65536L,
+      nDelta * nprobe * fanout * cellsPerSuper * rescoreK * 100L / (48L << 20)).toInt)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
+    val flat = perRow
+      .repartition(rankParts, col("id_a"))
+      .select(col("id_a"), col("lbl_a"), explode_outer(col("tk")).as("nb"))
+      .filter(col("nb").isNotNull)
+      .select(col("id_a"), col("lbl_a").as("label_a"),
+        col("nb.id").as("id_b"), col("nb.payload").as("label_b"),
+        col("nb.cosine").as("cosine"))
+    val liveFlat = tombs.fold(flat)(ts =>
+      flat.join(ts.select(col("id").as("id_b")), Seq("id_b"), "left_anti"))
+    liveFlat
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("label_a"), col("id_b"), col("label_b"),
+        col("cosine"), col("rank"))
   }
 
   /** Incremental semantic dedup — the [[graft.operators.Dedup

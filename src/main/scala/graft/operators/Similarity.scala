@@ -1233,6 +1233,38 @@ object Similarity {
       labelDf = Some(df.select(col(idCol).cast("long").as("id"),
         col(labelCol).as("lbl"))))
 
+  /** The INCREMENTAL form of [[hardNegativesPortable]] — the oracle twin of
+    * [[graft.operators.KnnIndex.hardNegativesDelta]] (q121): anchors are the
+    * arriving batch only (the q116 probe restriction), candidates span
+    * old ∪ new, and same-label pairs are excluded before the kCand ADC cut
+    * (the q120 gate) — both options composed on the one portable pipeline,
+    * so one probe filter plus one mismatch predicate over the q114 SQL
+    * replays every delta mining verdict in an ANSI engine. Returns
+    * (id_a ∈ new, label_a, id_b ∈ old ∪ new, label_b, cosine, rank). */
+  def hardNegativesPortableIncremental(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int = 5,
+      nLists: Int = 8,
+      nprobe: Int = 2,
+      m: Int = 8,
+      ks: Int = 16,
+      kCand: Int = 20,
+      dims: Int = 64
+  ): DataFrame = {
+    val o = oldDf.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      col(labelCol).as("lbl"))
+    val nw = newDf.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      col(labelCol).as("lbl"))
+    val union = o.unionByName(nw)
+    knnJoinIvfPqPortableCore(union, "id", "v", k, nLists, nprobe, m, ks,
+      kCand, dims, probeIds = Some(nw.select(col("id"))),
+      labelDf = Some(union.select(col("id"), col("lbl"))))
+  }
+
   private def knnJoinIvfPqPortableCore(
       df: DataFrame,
       idCol: String,

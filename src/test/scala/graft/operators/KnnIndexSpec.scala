@@ -318,6 +318,74 @@ class KnnIndexSpec extends SparkSpec {
       KnnIndex.ingestCommitted(spark, path, 1L))
   }
 
+  test("payload tree: hardNegativesDelta ≡ hardNegativesAnnCell when the " +
+      "shortlist covers whole cells") {
+    val path = tmpDir()
+    KnnIndex.build(emb, "vec_id", "embedding", path, nLists = 8,
+      payloadCol = "label")
+    // the stored-index mining pass and the one-shot in-cell operator make
+    // the same decisions (same assign rule, same label gate position, same
+    // rescore arithmetic); with kCand covering every cell both are exact
+    // within probed cells — rows must match exactly
+    val delta = KnnIndex.hardNegativesDelta(emb, "vec_id", "embedding",
+        "label", path, k = 3, nprobe = 4, kCand = 100000)
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSet
+    val oneShot = Similarity.hardNegativesAnnCell(emb, "vec_id", "embedding",
+        "label", k = 3, nLists = 8, nprobe = 4, kCand = 100000)
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSet
+    assert(delta == oneShot, s"stored-index mining diverged: " +
+      s"only-delta=${(delta -- oneShot).take(5)} only-one-shot=${(oneShot -- delta).take(5)}")
+    delta.foreach(r => assert(r._2 != r._4, s"same-label pair leaked: $r"))
+  }
+
+  test("payload is optional to READERS: knnJoinDelta answers identically " +
+      "over payload and plain trees") {
+    val plain = tmpDir(); val pay = tmpDir()
+    val old = emb.filter($"vec_id" % 5 =!= 0)
+    val neu = emb.filter($"vec_id" % 5 === 0)
+    KnnIndex.build(old, "vec_id", "embedding", plain, nLists = 8)
+    KnnIndex.build(old, "vec_id", "embedding", pay, nLists = 8,
+      payloadCol = "label")
+    KnnIndex.append(neu, "vec_id", "embedding", plain)
+    KnnIndex.append(neu, "vec_id", "embedding", pay, payloadCol = "label")
+    assert(deltaRows(pay, neu) == deltaRows(plain, neu),
+      "payload-blind reads must not see the payload column")
+  }
+
+  test("payload survives compact; tombstoned members are never mined as " +
+      "negatives; a payload-less tree fails fast") {
+    val path = tmpDir()
+    val old = emb.filter($"vec_id" % 5 =!= 0)
+    val neu = emb.filter($"vec_id" % 5 === 0)
+    KnnIndex.build(old, "vec_id", "embedding", path, nLists = 8,
+      payloadCol = "label")
+    KnnIndex.append(neu, "vec_id", "embedding", path, payloadCol = "label")
+    val before = KnnIndex.hardNegativesDelta(neu, "vec_id", "embedding",
+        "label", path, k = 3, nprobe = 4, kCand = 100000)
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSet
+    KnnIndex.compact(spark, path)
+    val after = KnnIndex.hardNegativesDelta(neu, "vec_id", "embedding",
+        "label", path, k = 3, nprobe = 4, kCand = 100000)
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSet
+    assert(after == before, "compact changed mining answers (payload lost?)")
+    // tombstone the current winners: none may be mined again
+    val killed = before.map(_._3).take(20).toSeq
+    KnnIndex.delete(killed.toDF("vec_id"), "vec_id", path)
+    val mined = KnnIndex.hardNegativesDelta(neu, "vec_id", "embedding",
+        "label", path, k = 3, nprobe = 4, kCand = 100000)
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+    mined.foreach(r => assert(!killed.contains(r._3),
+      s"tombstoned member ${r._3} mined as a negative"))
+    // a tree built without payload refuses label mining with a typed error
+    val plain = tmpDir()
+    KnnIndex.build(old, "vec_id", "embedding", plain, nLists = 8)
+    val err = intercept[IllegalArgumentException] {
+      KnnIndex.hardNegativesDelta(neu, "vec_id", "embedding", "label",
+        plain, k = 3).collect()
+    }
+    assert(err.getMessage.contains("payload"))
+  }
+
   test("meta round-trips: stored codebook equals the trained one") {
     val path = tmpDir()
     val written = KnnIndex.build(emb, "vec_id", "embedding", path, nLists = 8)
