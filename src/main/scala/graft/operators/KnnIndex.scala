@@ -311,6 +311,36 @@ object KnnIndex {
       ()
     }
 
+  /** Continuous hard-negative mining: a `foreachBatch` writer that runs
+    * [[hardNegativesDelta]] for every micro-batch of an anchor STREAM
+    * against the stored label-payload index, landing each batch's mined
+    * negatives at `outDir/batch=<id>` — the training-data shape where
+    * anchors arrive as batches and each needs its contrastive negatives
+    * attached before it ships. Idempotent per batch id (Overwrite into the
+    * batch directory, `_SUCCESS`-checked), so the engine's replay after a
+    * failure rewrites rather than duplicates. The index is read-only here —
+    * safe to run beside [[ingestStream]] on a DIFFERENT index path; the
+    * single-maintainer contract still applies to the index being mined
+    * (don't [[compact]] it mid-stream). */
+  def miningStream(
+      anchors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      path: String,
+      outDir: String,
+      k: Int = 5,
+      nprobe: Int = 4
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    anchors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val done = new org.apache.hadoop.fs.Path(s"$outDir/batch=$batchId/_SUCCESS")
+      if (!hadoopFs(spark, outDir).exists(done))
+        hardNegativesDelta(batch, idCol, vecCol, labelCol, path, k, nprobe)
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+      ()
+    }
+
   /** Tombstone a set of member ids — O(|ids|) append to a side log, no
     * directory rewrite (the LSM delete). [[knnJoinDelta]] filters the ids
     * logically from that point on; [[compact]] applies them physically and

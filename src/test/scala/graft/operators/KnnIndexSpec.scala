@@ -318,6 +318,36 @@ class KnnIndexSpec extends SparkSpec {
       KnnIndex.ingestCommitted(spark, path, 1L))
   }
 
+  test("miningStream: per-batch negatives equal the batch operator; replayed " +
+      "batches rewrite, never duplicate") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpDir(); val out = tmpDir(); val ckpt = tmpDir()
+    KnnIndex.build(emb, "vec_id", "embedding", path, nLists = 8,
+      payloadCol = "label")
+    val anchors = emb.filter($"vec_id" < 40)
+      .select($"vec_id", $"embedding", $"label").as[(Long, Seq[Float], Int)]
+      .collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float], Int)]
+    val q = KnnIndex.miningStream(mem.toDF().toDF("vec_id", "embedding", "lbl"),
+        "vec_id", "embedding", "lbl", path, out, k = 3, nprobe = 4)
+      .option("checkpointLocation", ckpt).start()
+    mem.addData(anchors.take(20).toSeq)
+    q.processAllAvailable()
+    mem.addData(anchors.drop(20).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$out/batch=0", s"$out/batch=1")
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSet
+    val direct = KnnIndex.hardNegativesDelta(emb.filter($"vec_id" < 40)
+          .withColumnRenamed("label", "lbl"),
+        "vec_id", "embedding", "lbl", path, k = 3, nprobe = 4)
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSet
+    assert(streamed == direct, s"stream/batch mining parity broke: " +
+      s"only-stream=${(streamed -- direct).take(3)} only-batch=${(direct -- streamed).take(3)}")
+    streamed.foreach(r => assert(r._2 != r._4, s"same-label pair leaked: $r"))
+  }
+
   test("payload tree: hardNegativesDelta ≡ hardNegativesAnnCell when the " +
       "shortlist covers whole cells") {
     val path = tmpDir()
