@@ -734,12 +734,11 @@ object CorpusBench {
             payPath, payloadCol = "lbl")
         val anchors = embs.filter(col("vec_id") % 10 === 0)
           .withColumn("lbl", pmod(xxhash64(col("vec_id"), lit("hn")), lit(16L)))
-        val payLists = math.max(8L, (n - n / 10) / 64L).toInt
-        val payFanout = graft.functions.VectorExpressions.probeMidsPerTop(payLists)
-        val payProbePath =
-          if ((n / 10) * 4 * payFanout * (64 * 4L + 64L) * 2 <= (2L << 30))
-            "broadcast_probes"
-          else "shuffled_probes"
+        // the route tag comes from the OPERATOR's own gate decision
+        // (deltaProbeRoute — same meta, same maxResultSize cap), so the
+        // recorded impl can't drift from the executed plan
+        val payProbePath = graft.operators.KnnIndex.deltaProbeRoute(
+          spark, payPath, n / 10, nprobe = 4, payload = true)
         benchAct("knn_index_negatives", () =>
           graft.operators.KnnIndex.hardNegativesDelta(anchors, "vec_id",
             "embedding", "lbl", payPath, k = 5, nprobe = 4).count(),

@@ -21,6 +21,24 @@ import org.apache.spark.sql.types._
   */
 object AnnExpressions {
 
+  /** ADC tables for a query vector — adc(s)(c) = squared L2 of vA's s-th
+    * subDim slice to centroid c. The one copy of the arithmetic every
+    * shortlist expression builds its per-row tables from (m·ks·subDim
+    * multiplies — cheaper than a single exact member evaluation). */
+  private def adcTables(vA: Array[Double], dims: Int,
+      codebooks: Array[Array[Array[Double]]], subDim: Int): Array[Array[Double]] =
+    Array.tabulate(codebooks.length) { s =>
+      val cb = codebooks(s)
+      val lo = s * subDim
+      Array.tabulate(cb.length) { c =>
+        val cent = cb(c)
+        var d = 0.0; var j = 0
+        val nn = math.min(subDim, math.max(0, dims - lo))
+        while (j < nn) { val x = vA(lo + j) - cent(j); d += x * x; j += 1 }
+        d
+      }
+    }
+
   /** Per-(probe row × cell) top-k: ADC-shortlist the cell's members with the
     * PQ codebook, exact-rescore the shortlist with full vectors, return the
     * k best by (cosine desc, id asc) as an array of (id, cosine) structs.
@@ -125,18 +143,7 @@ object AnnExpressions {
           InternalRow(ids(q), cos(q)): Any
         }.toArray)
       }
-      // ADC tables: adc(s)(c) = squared L2 of vA's s-th slice to centroid c
-      val adc = Array.tabulate(m) { s =>
-        val cb = codebooks(s)
-        val lo = s * subDim
-        Array.tabulate(cb.length) { c =>
-          val cent = cb(c)
-          var d = 0.0; var j = 0
-          val nn = math.min(subDim, math.max(0, dims - lo))
-          while (j < nn) { val x = vA(lo + j) - cent(j); d += x * x; j += 1 }
-          d
-        }
-      }
+      val adc = adcTables(vA, dims, codebooks, subDim)
       // shortlist: kCand smallest ADC (ties id asc) by bounded insertion
       val cap = math.min(kCand, nMem)
       val slDist = new Array[Double](cap)
@@ -283,18 +290,7 @@ object AnnExpressions {
       val vA = new Array[Double](dims)
       var i = 0
       while (i < dims) { vA(i) = vAraw.getFloat(i).toDouble; i += 1 }
-      // ADC tables: adc(s)(c) = squared L2 of vA's s-th slice to centroid c
-      val adc = Array.tabulate(m) { s =>
-        val cb = codebooks(s)
-        val lo = s * subDim
-        Array.tabulate(cb.length) { c =>
-          val cent = cb(c)
-          var d = 0.0; var j = 0
-          val nn = math.min(subDim, math.max(0, dims - lo))
-          while (j < nn) { val x = vA(lo + j) - cent(j); d += x * x; j += 1 }
-          d
-        }
-      }
+      val adc = adcTables(vA, dims, codebooks, subDim)
       // shortlist: kCand smallest ADC (ties id asc) by bounded insertion —
       // identical rule and tie-breaks to IvfPqCellTopK's shortlist phase
       val cap = math.min(kCand, nMem)
@@ -618,12 +614,22 @@ object AnnExpressions {
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       (first.dataType, third.dataType, fourth.dataType) match {
+        // ATOMIC labels only: the generic equality arm compares Catalyst
+        // values with ==, which is reference equality for MapData and
+        // byte-array (BinaryType) values and representation-sensitive for
+        // nested rows — such a label would silently leak same-label pairs
+        // instead of gating them. The exact baseline's =!= rejects map
+        // types at analysis; this gate must be at least as loud.
         case (LongType, ArrayType(FloatType, _), ArrayType(s: StructType, _))
-            if s.length == 3 && s.fields(2).dataType == second.dataType =>
+            if s.length == 3 && s.fields(2).dataType == second.dataType &&
+              (second.dataType match {
+                case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+                case _ => true
+              }) =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
         case other =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-            s"ivfpq_cell_shortlist_label expects (bigint, lbl, array<float>, " +
+            s"ivfpq_cell_shortlist_label expects (bigint, ATOMIC lbl, array<float>, " +
               s"array<struct<id, code, lbl>>) with matching label types, got $other " +
               s"vs label ${second.dataType}")
       }
@@ -654,17 +660,7 @@ object AnnExpressions {
       val vA = new Array[Double](dims)
       var i = 0
       while (i < dims) { vA(i) = vAraw.getFloat(i).toDouble; i += 1 }
-      val adc = Array.tabulate(m) { s =>
-        val cb = codebooks(s)
-        val lo = s * subDim
-        Array.tabulate(cb.length) { c =>
-          val cent = cb(c)
-          var d = 0.0; var j = 0
-          val nn = math.min(subDim, math.max(0, dims - lo))
-          while (j < nn) { val x = vA(lo + j) - cent(j); d += x * x; j += 1 }
-          d
-        }
-      }
+      val adc = adcTables(vA, dims, codebooks, subDim)
       // bounded insertion over survivors — identical rule/tie-breaks to
       // IvfPqCellShortlist (ADC distance asc, id asc)
       val cap = math.min(kCand, nSurv)

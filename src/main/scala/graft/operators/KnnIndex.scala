@@ -182,11 +182,39 @@ object KnnIndex {
   def append(df: DataFrame, idCol: String, vecCol: String, path: String,
       payloadCol: String = null): Meta = {
     val meta = metaFor(df.sparkSession, path)
+    requirePayloadParity(df.sparkSession, path, payloadCol)
     val base = prep(df, idCol, vecCol, payloadCol)
     val n = math.max(1L, base.count())
     writeMembersTo(base, meta, n * rowBytes(meta) * 2, s"$path/members",
       SaveMode.Append)
     meta
+  }
+
+  /** Does the stored members tree carry a payload field? One footer-schema
+    * read, no data job. */
+  private def storedHasPayload(spark: SparkSession, path: String): Boolean =
+    spark.read.parquet(s"$path/members").schema("mem").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        s: org.apache.spark.sql.types.StructType, _) => s.length >= 3
+      case _ => false
+    }
+
+  /** An append whose payload presence disagrees with the stored tree would
+    * mix member-struct widths inside one parquet directory — and with
+    * schema merging off, which footer wins is arbitrary: appended members
+    * either silently lose their payload to a null or make every read throw,
+    * and a later [[compact]] sampling the narrow schema would DROP every
+    * stored payload during the rebuild. Fail fast instead, both ways. */
+  private def requirePayloadParity(spark: SparkSession, path: String,
+      payloadCol: String): Unit = {
+    val stored = storedHasPayload(spark, path)
+    require(stored == (payloadCol != null),
+      if (stored)
+        s"index at $path stores a member payload — append/appendBatch must " +
+          "supply the same payloadCol"
+      else
+        s"index at $path was built without a payload column — rebuild with " +
+          "build(payloadCol = ...) before appending payloads")
   }
 
   private def hadoopFs(spark: SparkSession, path: String) =
@@ -235,6 +263,7 @@ object KnnIndex {
       return false
     }
     val meta = metaFor(spark, path)
+    requirePayloadParity(spark, path, payloadCol)
     val base = prep(df, idCol, vecCol, payloadCol)
     val n = math.max(1L, base.count())
     val staging = s"$path/staging/batch-$batchId"
@@ -554,6 +583,40 @@ object KnnIndex {
     Meta(nLists, dims, m, ks, subDim, cb)
   }
 
+  /** The broadcast gate both delta joins share: the 2 GB executor-fit want
+    * CAPPED at spark.driver.maxResultSize (the vectorBroadcastGate rule —
+    * the probe collect passes through the driver). */
+  private def probeGate(spark: SparkSession): Long = {
+    val mrs = spark.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    if (mrs <= 0) 2L << 30 else math.min(2L << 30, mrs)
+  }
+
+  /** Estimated broadcast payload of the exploded probe stream —
+    * nDelta·nprobe·fanout·cells rows of (id, vector, cell[, label]) at 2×
+    * in-memory expansion; `rowOver` is the per-row non-vector overhead
+    * (40 B plain, 64 B with the label the mining probes carry). */
+  private def probeBytesFor(meta: Meta, nDelta: Long, nprobe: Int,
+      cellsPerSuper: Int, rowOver: Long): Long = {
+    val fanout = graft.functions.VectorExpressions.probeMidsPerTop(meta.nLists)
+    nDelta * nprobe * fanout * cellsPerSuper * (meta.dims * 4L + rowOver) * 2
+  }
+
+  /** The probe-attach route [[knnJoinDelta]] (payload = false) or
+    * [[hardNegativesDelta]] (payload = true) will take for a delta of
+    * `nDelta` rows — "broadcast_probes" or "shuffled_probes" — computed
+    * from the SAME inputs the operators gate on (stored meta, the
+    * maxResultSize-capped gate), so recorded evidence and scaladoc claims
+    * cannot drift from the executed plan (the knnJoinAutoRoute move). */
+  def deltaProbeRoute(spark: SparkSession, path: String, nDelta: Long,
+      nprobe: Int = 4, cellsPerSuper: Int = 1, payload: Boolean = false): String = {
+    val meta = metaFor(spark, path)
+    val over = if (payload) 64L else 40L
+    if (probeBytesFor(meta, nDelta, nprobe, cellsPerSuper, over) <= probeGate(spark))
+      "broadcast_probes"
+    else "shuffled_probes"
+  }
+
   /** k nearest INDEX members for every row of `newDf` — same
     * (id_a, id_b, cosine, rank) contract and same per-cell arithmetic as
     * [[graft.operators.Similarity.knnJoinIvf]], against the stored
@@ -626,16 +689,10 @@ object KnnIndex {
       if (probedBuckets.length < Buckets)
         members.filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*))
       else members
-    // Probe broadcast gate: the exploded probe stream collects through the
-    // driver, so cap the 2 GB executor-fit want at
-    // spark.driver.maxResultSize (the vectorBroadcastGate rule) and price
-    // the payload from counts — nDelta·nprobe·fanout·cells rows of
-    // (id, vector, cell) at 2× in-memory expansion.
-    val mrs = spark.sparkContext.getConf
-      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
-    val gate = if (mrs <= 0) 2L << 30 else math.min(2L << 30, mrs)
-    val probeBytes =
-      nDelta * nprobe * fanout * cellsPerSuper * (meta.dims * 4L + 40L) * 2
+    // Probe broadcast gate — the shared probeGate/probeBytesFor arithmetic
+    // (deltaProbeRoute reports this exact decision to callers)
+    val gate = probeGate(spark)
+    val probeBytes = probeBytesFor(meta, nDelta, nprobe, cellsPerSuper, 40L)
     val joined =
       if (probeBytes <= gate) pruned.join(broadcast(probes), Seq("cell"))
       else {
@@ -736,11 +793,8 @@ object KnnIndex {
         .as("cell"))
       .filter(col("cell").isNotNull)
     val members = spark.read.parquet(s"$path/members")
-    require(members.schema("mem").dataType match {
-        case org.apache.spark.sql.types.ArrayType(
-          s: org.apache.spark.sql.types.StructType, _) => s.length >= 3
-        case _ => false
-      }, s"index at $path was built without a payload column — " +
+    require(storedHasPayload(spark, path),
+      s"index at $path was built without a payload column — " +
         "hardNegativesDelta needs build/append(payloadCol = ...)")
     val probedBuckets = probes
       .select(pmod(col("cell"), lit(Buckets)).cast("int").as("bucket"))
@@ -749,12 +803,10 @@ object KnnIndex {
       if (probedBuckets.length < Buckets)
         members.filter(col("bucket").isin(probedBuckets.map(Integer.valueOf): _*))
       else members
-    // same probe broadcast gate as knnJoinDelta, label payload priced in
-    val mrs = spark.sparkContext.getConf
-      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
-    val gate = if (mrs <= 0) 2L << 30 else math.min(2L << 30, mrs)
-    val probeBytes =
-      nDelta * nprobe * fanout * cellsPerSuper * (meta.dims * 4L + 64L) * 2
+    // same probe broadcast gate as knnJoinDelta, the label's probe-row
+    // width priced in (shared probeGate/probeBytesFor arithmetic)
+    val gate = probeGate(spark)
+    val probeBytes = probeBytesFor(meta, nDelta, nprobe, cellsPerSuper, 64L)
     val joined =
       if (probeBytes <= gate) pruned.join(broadcast(probes), Seq("cell"))
       else {

@@ -414,6 +414,17 @@ class KnnIndexSpec extends SparkSpec {
         plain, k = 3).collect()
     }
     assert(err.getMessage.contains("payload"))
+    // ...and appends whose payload presence disagrees with the stored tree
+    // fail fast BOTH ways (a mixed-width members directory would read
+    // nondeterministically and compact would drop payloads silently)
+    val e1 = intercept[IllegalArgumentException] {
+      KnnIndex.append(neu, "vec_id", "embedding", plain, payloadCol = "label")
+    }
+    assert(e1.getMessage.contains("without a payload"))
+    val e2 = intercept[IllegalArgumentException] {
+      KnnIndex.append(neu, "vec_id", "embedding", path) // payload tree, no col
+    }
+    assert(e2.getMessage.contains("must supply"))
   }
 
   test("meta round-trips: stored codebook equals the trained one") {
