@@ -690,6 +690,36 @@ object CorpusBench {
             nLists = math.max(8, (n / 64).toInt), nprobe = 4)
           .count()
       }, """"impl":"in_cell_label_gate","labels":16""")
+      // the at-scale evidence row, the knn_join_ivf_recall convention: the
+      // count() form above materializes the FULL n·k winner stream through
+      // the rank exchange (~3.7× the pipeline's own volume — the measured
+      // host-disk wall at 50M, exactly as for knn_join_ivf); here the
+      // planted-pair filter (a function of the window partition key id_a)
+      // pushes below the rank window and the probe scan, so the identical
+      // join pipeline runs with the planted slice of anchors — recovery of
+      // planted DIFFERENT-LABEL pairs is the recall figure. The planted
+      // figure is computed EXACTLY (labels are a pure function of vec_id,
+      // so the differing-label planted-pair count is one cheap self-join,
+      // outside the timed window).
+      if (opFilter.exists(_.exists(_.startsWith("hard_negatives_cell_recall")))) {
+        val lblOf = pmod(xxhash64(col("vec_id"), lit("hn")), lit(16L))
+        val pos = embs.filter(pmod(col("vec_id"), lit(20L)) < 3)
+          .select(col("vec_id"),
+            (col("vec_id") - pmod(col("vec_id"), lit(20L))).as("blk"),
+            lblOf.as("l"))
+        val plantedNeg = pos.as("x").join(pos.as("y"),
+            col("x.blk") === col("y.blk") &&
+              col("x.vec_id") =!= col("y.vec_id") &&
+              col("x.l") =!= col("y.l"))
+          .count()
+        benchAct("hard_negatives_cell_recall", () =>
+          plantedPairs(Similarity.hardNegativesAnnCell(
+            embs.withColumn("lbl", lblOf),
+            "vec_id", "embedding", "lbl", k = 5,
+            nLists = math.max(8, (n / 64).toInt), nprobe = 4)),
+          s""""impl":"in_cell_label_gate","labels":16,"planted":$plantedNeg""",
+          valueField = "recovered")
+      }
       // knnJoinAuto boundary bracketing: the dispatcher's chosen route is
       // recorded IN the row, with planted recall proving the routed join
       // works at that regime — run at n either side of the ~1 GB source-
