@@ -817,14 +817,23 @@ object Similarity {
     if (Stage.statsKnown(raw) && est <= BigInt(lshMaxBytes)) "lsh" else "ivf"
   }
 
-  /** Hard-negative mining on the [[knnJoinIvf]] candidate engine — the
-    * scale path beside the exact [[hardNegatives]] baseline: mine each
-    * anchor's `oversample·k` approximate nearest neighbors, keep those with
-    * a DIFFERENT label, re-rank, cut at k. Approximate in two honest ways:
-    * candidates come from probed cells (ANN recall), and an anchor whose
-    * `oversample·k` nearest are ALL same-label yields fewer than k rows —
-    * raise `oversample` when labels are few and clustered. Returns the
-    * [[hardNegatives]] schema (id_a, label_a, id_b, label_b, cosine, rank). */
+  /** Hard-negative mining as an oversample COMPOSITION over [[knnJoinIvf]]:
+    * mine each anchor's `oversample·k` approximate nearest neighbors, keep
+    * those with a DIFFERENT label, re-rank, cut at k. Approximate in two
+    * honest ways: candidates come from probed cells (ANN recall), and an
+    * anchor whose `oversample·k` nearest are ALL same-label yields fewer
+    * than k rows — raise `oversample` when labels are few and clustered.
+    *
+    * PREFER [[hardNegativesAnnCell]] at scale: it pushes the label gate
+    * inside the ADC shortlist, so its winner exchange is 1/oversample of
+    * this one's and no label attach joins exist — measured same-session at
+    * 5M×64d: 136.2 s / 12.4 GB vs this path's 202.9 s / 17.2 GB, and at
+    * 50M this path's exchange volume (~141 GB concurrent) exceeds a single
+    * host's disk where the cell gate runs 547.6 s / 36.4 GB / 0 spill /
+    * 97.89% planted recall (docs/corpusbench_local32.jsonl). This wrapper
+    * stays as the composition baseline its spec and the cell operator's
+    * parity checks reference. Returns the [[hardNegatives]] schema
+    * (id_a, label_a, id_b, label_b, cosine, rank). */
   def hardNegativesAnn(
       df: DataFrame,
       idCol: String,
