@@ -73,4 +73,27 @@ class RoutingSpec extends SparkSpec {
     assert(inc == full)
     assert(inc.nonEmpty && inc.forall(_._1 % 5 == 0))
   }
+
+  test("deltaProbeRoute matches the executed probe attach, both regimes") {
+    val path = java.nio.file.Files.createTempDirectory("graft_route").toString
+    KnnIndex.build(emb, "vec_id", "embedding", path, nLists = 8,
+      payloadCol = "label")
+    val tiny = emb.filter($"vec_id" < 50)
+    // tiny delta: the route says broadcast, and the executed plan IS a
+    // broadcast join (the stored members cross no exchange)
+    assert(KnnIndex.deltaProbeRoute(spark, path, 50) == "broadcast_probes")
+    val plan = KnnIndex.knnJoinDelta(tiny, "vec_id", "embedding", path, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tiny delta must broadcast probes, plan was:\n$plan")
+    val planMine = KnnIndex.hardNegativesDelta(tiny, "vec_id", "embedding",
+        "label", path, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(planMine.contains("BroadcastHashJoin"),
+      s"tiny mining delta must broadcast probes, plan was:\n$planMine")
+    // a delta big enough to blow the gate routes shuffled — the same
+    // arithmetic the operator gates on, so the bench tag cannot drift
+    assert(KnnIndex.deltaProbeRoute(spark, path, 500L * 1000 * 1000) ==
+      "shuffled_probes")
+  }
 }
