@@ -795,14 +795,11 @@ object CorpusBench {
           out.toSet
         }
         val baseGeneration = memberFiles()
-        // probe-attach tag from the operator's own gate arithmetic
-        // (knnJoinDelta broadcasts the exploded probes under ~2 GB)
-        val idxLists = math.max(8L, (n - n / 10) / 64L).toInt
-        val idxFanout = graft.functions.VectorExpressions.probeMidsPerTop(idxLists)
-        val probePath =
-          if ((n / 10) * 4 * idxFanout * (64 * 4L + 40L) * 2 <= (2L << 30))
-            "broadcast_probes"
-          else "shuffled_probes"
+        // probe-attach tag from the operator's OWN gate decision
+        // (deltaProbeRoute — stored meta, maxResultSize-capped gate), so
+        // the recorded impl cannot drift from the executed plan
+        val probePath = graft.operators.KnnIndex.deltaProbeRoute(
+          spark, idxPath, n / 10, nprobe = 4)
         benchAct("knn_index_delta", () => {
           (memberFiles() -- baseGeneration)
             .foreach(f => Files.deleteIfExists(Paths.get(f)))
