@@ -758,7 +758,11 @@ object KnnIndex {
     * batch needing negatives) is |delta|-sized, the corpus is the index,
     * and the probe side broadcasts under the knnJoinDelta gate — the
     * stored members cross ZERO exchange. Tombstones are honored the
-    * knnJoinDelta way (deepened rescore + anti-join before the rank cut).
+    * knnJoinDelta way (deepened rescore + anti-join before the rank cut),
+    * and `restrict` limits mined negatives to an id ALLOW-LIST ("mine
+    * only from the license-clean subset") at the same position and with
+    * the same exactness condition as [[knnJoinDelta]]'s — shortlist and
+    * rescore over all members, filter, rank re-numbers.
     * Null-label anchors and members never pair.
     *
     * Oracle anchor: [[graft.operators.Similarity
@@ -775,7 +779,8 @@ object KnnIndex {
       k: Int,
       nprobe: Int = 4,
       kCand: Int = 0,
-      cellsPerSuper: Int = 1
+      cellsPerSuper: Int = 1,
+      restrict: Option[DataFrame] = None
   ): DataFrame = {
     val spark = newDf.sparkSession
     val meta = metaFor(spark, path)
@@ -784,7 +789,7 @@ object KnnIndex {
     val nDelta = math.max(1L, base.count())
     val cand = math.max(k, if (kCand > 0) kCand else 4 * k)
     val tombs = tombstonesDf(spark, path)
-    val rescoreK = if (tombs.isDefined) cand else k
+    val rescoreK = if (tombs.isDefined || restrict.isDefined) cand else k
     val fanout = graft.functions.VectorExpressions.probeMidsPerTop(meta.nLists)
     val probes = base.select(col("id").as("id_a"), col("pay").as("lbl_a"),
       col("v").as("v_a"),
@@ -839,7 +844,12 @@ object KnnIndex {
         col("nb.cosine").as("cosine"))
     val liveFlat = tombs.fold(flat)(ts =>
       flat.join(ts.select(col("id").as("id_b")), Seq("id_b"), "left_anti"))
-    liveFlat
+    // allow-list at the knnJoinDelta position: after rescore, before the
+    // rank cut — rank re-numbers over allowed survivors
+    val allowedFlat = restrict.fold(liveFlat)(r =>
+      liveFlat.join(r.select(col(r.columns.head).cast("long").as("id_b"))
+        .distinct(), Seq("id_b"), "left_semi"))
+    allowedFlat
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id_a"), col("label_a"), col("id_b"), col("label_b"),

@@ -427,6 +427,38 @@ class KnnIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("must supply"))
   }
 
+  test("restricted mining: negatives limited to the allow-list, exact vs the " +
+      "restricted brute force at whole-cell depth") {
+    val path = tmpDir()
+    KnnIndex.build(emb, "vec_id", "embedding", path, nLists = 8,
+      payloadCol = "label")
+    val allowed = emb.filter($"vec_id" % 3 === 0).select($"vec_id")
+    val mined = KnnIndex.hardNegativesDelta(emb, "vec_id", "embedding",
+        "label", path, k = 3, nprobe = 8, kCand = 100000,
+        restrict = Some(allowed))
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+    assert(mined.nonEmpty)
+    mined.foreach { r =>
+      assert(r._3 % 3 == 0, s"disallowed member mined: $r")
+      assert(r._2 != r._4, s"same-label pair leaked: $r")
+    }
+    // reference: the O(N²) different-label pairs, filtered to the
+    // allow-list, re-ranked per anchor — nprobe = nLists and kCand over
+    // occupancy make the index path exact within probed cells
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.partitionBy($"id_a").orderBy($"cosine".desc, $"id_b".asc)
+    val ref = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        k = 100000)
+      .filter($"id_b" % 3 === 0)
+      .withColumn("rank2", org.apache.spark.sql.functions.row_number().over(wr))
+      .filter($"rank2" <= 3)
+      .select($"id_a", $"label_a", $"id_b", $"label_b", $"cosine",
+        $"rank2".as("rank"))
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSet
+    assert(mined.toSet == ref, s"restricted mining diverged: " +
+      s"only-mined=${(mined.toSet -- ref).take(5)} only-ref=${(ref -- mined.toSet).take(5)}")
+  }
+
   test("meta round-trips: stored codebook equals the trained one") {
     val path = tmpDir()
     val written = KnnIndex.build(emb, "vec_id", "embedding", path, nLists = 8)
