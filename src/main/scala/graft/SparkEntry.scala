@@ -1191,6 +1191,14 @@ object SparkEntry {
       Similarity.knnJoinIvfPqPortable(TestTables.embeddings(s, dir),
         "vec_id", "embedding", k = 5, nLists = 8, nprobe = 2,
         m = 8, ks = 16, kCand = 20)),
+    "q122_hard_negatives_cell" -> ((s, dir) =>
+      // the NATIVE in-cell label-gated miner (trained-PQ shortlist →
+      // spec-gated like q113; the q120 portable twin is the family's
+      // oracle anchor): same-label members excluded inside the ADC
+      // shortlist, label_b riding the winner struct — no oversample, no
+      // attach joins
+      Similarity.hardNegativesAnnCell(TestTables.embeddings(s, dir),
+        "vec_id", "embedding", "label", k = 3, nLists = 8, nprobe = 4)),
     "q118_knn_join_restricted" -> ((s, dir) => {
       // member-ALLOW-LIST k-NN join — the filtered-search face of the
       // family ("rank only the license-clean third of the corpus"):
