@@ -1284,6 +1284,18 @@ object SparkEntry {
         "vec_id", "embedding", "lbl", k = 5, nLists = 8, nprobe = 2,
         m = 8, ks = 16, kCand = 20)
     }),
+    "q123_hard_negatives_balanced" -> ((s, dir) => {
+      // class-BALANCED mining's oracle anchor: the q120 rescored mismatch
+      // shortlist re-ranked per (anchor, foreign label) and cut at k=2
+      // within each class — one extra window partition key over the q120
+      // SQL replays every balanced verdict (the native
+      // hardNegativesAnnCellBalanced's per-cell quota stays spec-gated)
+      val e = TestTables.embeddings(s, dir)
+      Similarity.hardNegativesPortableBalanced(
+        e.withColumn("lbl", pmod(col("vec_id"), lit(16L))),
+        "vec_id", "embedding", "lbl", k = 2, nLists = 8, nprobe = 2,
+        m = 8, ks = 16, kCand = 20)
+    }),
     "q64_shuffle_order" -> ((s, dir) =>
       // deterministic corpus shuffle — the pre-training reorder: sort by
       // content hash, reproducible on any engine/run. At scale this is a
@@ -2978,6 +2990,18 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rank
          |  FROM sc)
          |WHERE rank <= 5""").stripMargin,
+    // q123: class-balanced mining — q120's gated shortlist re-ranked per
+    // (anchor, foreign label), cut at k=2 within each class
+    "q123_hard_negatives_balanced" ->
+      (ivfPqJoinCtes("", " AND p.id % 16 <> a.id % 16") + """
+         |SELECT id_a, id_a % 16 AS label_a, id_b, id_b % 16 AS label_b,
+         |  cosine, CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT id_a, id_b, cosine,
+         |    row_number() OVER (PARTITION BY id_a, id_b % 16
+         |      ORDER BY cosine DESC, id_b ASC) AS rank
+         |  FROM sc)
+         |WHERE rank <= 2""").stripMargin,
     "q55_knn_brute" ->
       ("""WITH v AS (
          |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i

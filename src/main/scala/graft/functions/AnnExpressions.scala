@@ -838,4 +838,135 @@ object AnnExpressions {
     GraftBridge.toColumn(CellRescorePayloadTopK(
       GraftBridge.toExpression(vA), GraftBridge.toExpression(shortlist),
       GraftBridge.toExpression(members), k))
+
+  /** [[CellRescorePayloadTopK]] with a PER-PAYLOAD quota: the k best
+    * shortlisted members FOR EACH DISTINCT payload value (cosine desc, id
+    * asc within a payload) instead of k overall — the in-cell half of
+    * class-BALANCED hard-negative mining, where a foreign class that
+    * dominates the cosine ranking must not crowd the other classes out of
+    * an anchor's negative set. Winners are emitted in global
+    * (cosine desc, id asc) order, so a cross-cell merge that re-ranks per
+    * (anchor, payload) is exact: any global per-payload top-k member is
+    * within its own cell's per-payload top-k. Rescore arithmetic is
+    * [[CellRescoreTopK]]'s verbatim. Payloads must be ATOMIC (enforced by
+    * the label gate upstream and re-checked here — map/binary equality is
+    * referential and would split one class into spurious singletons). */
+  case class CellRescorePayloadQuotaTopK(
+      first: Expression,  // vA
+      second: Expression, // shortlist ids: array<bigint>
+      third: Expression,  // members: array<struct<id, norm, v, payload>>
+      k: Int
+  ) extends TernaryExpression with Serializable {
+    require(k > 0, "need positive k")
+
+    @transient private lazy val payloadField: StructField =
+      third.dataType match {
+        case ArrayType(s: StructType, _) if s.length == 4 => s.fields(3)
+        case _ => StructField("payload", NullType)
+      }
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("payload", payloadField.dataType, payloadField.nullable),
+        StructField("cosine", DoubleType, nullable = false))),
+      containsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(FloatType, _), ArrayType(LongType, _),
+            ArrayType(s: StructType, _))
+            if s.length == 4 && (s.fields(3).dataType match {
+              case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+              case _ => true
+            }) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"cell_rescore_payload_quota_topk expects (array<float>, array<bigint>, " +
+              s"array<struct<id, norm, v, ATOMIC payload>>), got $other")
+      }
+
+    private def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+
+    def compute(vAraw: ArrayData, sl: ArrayData, members: ArrayData): ArrayData = {
+      val nSl = sl.numElements()
+      val nMem = members.numElements()
+      if (nSl == 0 || nMem == 0) return new GenericArrayData(Array.empty[Any])
+      val dims = vAraw.numElements()
+      val vA = new Array[Double](dims)
+      var i = 0
+      var nrm = 0.0
+      while (i < dims) {
+        vA(i) = vAraw.getFloat(i).toDouble; nrm += vA(i) * vA(i); i += 1
+      }
+      val normA = math.sqrt(nrm)
+      if (normA == 0.0) return new GenericArrayData(Array.empty[Any])
+      val slSorted = new Array[Long](nSl)
+      i = 0
+      while (i < nSl) { slSorted(i) = sl.getLong(i); i += 1 }
+      java.util.Arrays.sort(slSorted)
+      val pt = payloadField.dataType
+      val resCos = new Array[Double](nMem)
+      val resId = new Array[Long](nMem)
+      val resPay = new Array[Any](nMem)
+      var filled = 0
+      var r = 0
+      while (r < nMem) {
+        val row = members.getStruct(r, 4)
+        val id = row.getLong(0)
+        if (java.util.Arrays.binarySearch(slSorted, id) >= 0) {
+          val normB = row.getDouble(1)
+          val vB = row.getArray(2)
+          var dot = 0.0; var j = 0
+          val nn = math.min(dims, vB.numElements())
+          while (j < nn) { dot += vA(j) * vB.getFloat(j).toDouble; j += 1 }
+          resCos(filled) = if (normB == 0.0) 0.0 else round6(dot / (normA * normB))
+          resId(filled) = id
+          resPay(filled) =
+            if (row.isNullAt(3)) null
+            else InternalRow.copyValue(row.get(3, pt))
+          filled += 1
+        }
+        r += 1
+      }
+      // global (cosine desc, id asc) order, then a per-payload counter cut:
+      // the emitted winners stay globally ordered, which is what makes the
+      // cross-cell per-(anchor, payload) re-rank exact
+      val order = (0 until filled).sortBy(q => (-resCos(q), resId(q)))
+      val quota = new java.util.HashMap[Any, Int]()
+      val out = new scala.collection.mutable.ArrayBuffer[Any](math.min(filled, k * 4))
+      order.foreach { q =>
+        val c = quota.getOrDefault(resPay(q), 0)
+        if (c < k) {
+          quota.put(resPay(q), c + 1)
+          out += InternalRow(resId(q), resPay(q), resCos(q))
+        }
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        c.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("cellRescorePayloadQuotaTopK", this,
+        classOf[CellRescorePayloadQuotaTopK].getName)
+      nullSafeCodeGen(ctx, ev, (a, b, c) => s"${ev.value} = $self.compute($a, $b, $c);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  def cell_rescore_payload_quota_topk(vA: Column, shortlist: Column,
+      members: Column, k: Int): Column =
+    GraftBridge.toColumn(CellRescorePayloadQuotaTopK(
+      GraftBridge.toExpression(vA), GraftBridge.toExpression(shortlist),
+      GraftBridge.toExpression(members), k))
 }

@@ -486,6 +486,39 @@ object Similarity {
     ivfJoinCore(df, idCol, vecCol, k, nLists, nprobe, m, ks, kCand, dims,
       cellsPerSuper, labelCol = Some(labelCol))
 
+  /** Class-BALANCED hard-negative mining: per anchor, the `k` nearest
+    * different-label members FOR EACH foreign label (rank 1..k within each
+    * (anchor, label_b)), not k overall — the contrastive-training shape
+    * where one dominant nearby class must not crowd the other classes out
+    * of an anchor's negative set. Same pipeline as [[hardNegativesAnnCell]]
+    * with the per-cell cut swapped for a per-payload quota
+    * ([[graft.functions.AnnExpressions.CellRescorePayloadQuotaTopK]] —
+    * winners stay globally ordered, so the cross-cell per-(anchor, label)
+    * re-rank is exact) and the final window partitioned by
+    * (id_a, label_b). The quota multiplies the winner exchange by the
+    * number of foreign labels present per probed cell (bounded by kCand);
+    * `kCand` defaults to 16·k here — with many classes raise it toward
+    * classes·k·4 so shortlist depth covers every class's candidates.
+    * Returns (id_a, label_a, id_b, label_b, cosine, rank), rank 1..k per
+    * (anchor, label_b). */
+  def hardNegativesAnnCellBalanced(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      nLists: Int = 0,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ks: Int = 16,
+      kCand: Int = 0,
+      dims: Int = 64,
+      cellsPerSuper: Int = 1
+  ): DataFrame =
+    ivfJoinCore(df, idCol, vecCol, k, nLists, nprobe, m, ks,
+      if (kCand > 0) kCand else 16 * k, dims, cellsPerSuper,
+      labelCol = Some(labelCol), balancedPerLabel = true)
+
   private def ivfJoinCore(
       df: DataFrame,
       idCol: String,
@@ -498,7 +531,8 @@ object Similarity {
       kCand: Int,
       dims: Int,
       cellsPerSuper: Int,
-      labelCol: Option[String]
+      labelCol: Option[String],
+      balancedPerLabel: Boolean = false
   ): DataFrame = {
     val spark = df.sparkSession
     val raw = labelCol match {
@@ -596,7 +630,10 @@ object Similarity {
     val lblW = labelCol.map(_ =>
       raw.schema("lbl").dataType.defaultSize + 8L).getOrElse(0L)
     val dirBytes = n * (dims * 4L + m * 4L + 140L + 2 * lblW) * 2
-    val outBytes = n * nprobe * fanout * cellsPerSuper * k * (32L + lblW)
+    // balanced mode's per-cell winner count is k PER LABEL, bounded by the
+    // shortlist depth — price the exchange at that bound
+    val outPerCell = if (balancedPerLabel) cand.toLong else k.toLong
+    val outBytes = n * nprobe * fanout * cellsPerSuper * outPerCell * (32L + lblW)
     val dirParts = math.max(floor, math.min(65536L,
       math.max(dirBytes / (16L << 20), outBytes / (24L << 20))).toInt)
     // Two directories, separately exchanged: column pruning splits the
@@ -680,15 +717,20 @@ object Similarity {
             graft.functions.AnnExpressions.cell_rescore_topk(col("v_a"),
               col("sl"), col("vmembers"), k).as("tk"))
       case Some(_) =>
-        probe.join(codesDir.hint("SHUFFLE_HASH"), Seq("cell"))
+        val joined = probe.join(codesDir.hint("SHUFFLE_HASH"), Seq("cell"))
           .select(col("cell"), col("id_a"), col("lbl_a"), col("v_a"),
             graft.functions.AnnExpressions.ivfpq_cell_shortlist_label(
               col("id_a"), col("lbl_a"), col("v_a"), col("members"), cand,
               cb, pq.subDim).as("sl"))
           .join(vecDir.hint("SHUFFLE_HASH"), Seq("cell"))
-          .select(col("id_a"), col("lbl_a"),
+        val rescore =
+          if (balancedPerLabel)
+            graft.functions.AnnExpressions.cell_rescore_payload_quota_topk(
+              col("v_a"), col("sl"), col("vmembers"), k)
+          else
             graft.functions.AnnExpressions.cell_rescore_payload_topk(
-              col("v_a"), col("sl"), col("vmembers"), k).as("tk"))
+              col("v_a"), col("sl"), col("vmembers"), k)
+        joined.select(col("id_a"), col("lbl_a"), rescore.as("tk"))
     }
     // explode_outer, NOT explode: a plain explode lets InferFiltersFromGenerate
     // conjure `size(tk) > 0 AND isnotnull(tk)` above this projection, and
@@ -717,7 +759,7 @@ object Similarity {
     // parts.
     val rankParts = math.max(floor,
       math.min(65536L,
-        n * nprobe * fanout * cellsPerSuper * k * (80L + lblW) / (48L << 20)).toInt)
+        n * nprobe * fanout * cellsPerSuper * outPerCell * (80L + lblW) / (48L << 20)).toInt)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
     labelCol match {
@@ -730,6 +772,15 @@ object Similarity {
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= k)
       case Some(_) =>
+        // balanced mode ranks within (anchor, foreign label) — the per-cell
+        // quota bounded each label's candidates, and hash partitioning on
+        // id_a still satisfies the (id_a, label_b) window's required
+        // clustering, so no extra exchange appears
+        val wOut =
+          if (balancedPerLabel)
+            Window.partitionBy(col("id_a"), col("label_b"))
+              .orderBy(col("cosine").desc, col("id_b").asc)
+          else w
         perCell
           .repartition(rankParts, col("id_a"))
           .select(col("id_a"), col("lbl_a"), explode_outer(col("tk")).as("nb"))
@@ -737,7 +788,7 @@ object Similarity {
           .select(col("id_a"), col("lbl_a").as("label_a"),
             col("nb.id").as("id_b"), col("nb.payload").as("label_b"),
             col("nb.cosine").as("cosine"))
-          .withColumn("rank", row_number().over(w))
+          .withColumn("rank", row_number().over(wOut))
           .filter(col("rank") <= k)
     }
   }
@@ -1241,6 +1292,35 @@ object Similarity {
       kCand, dims, probeIds = None,
       labelDf = Some(df.select(col(idCol).cast("long").as("id"),
         col(labelCol).as("lbl"))))
+
+  /** The class-BALANCED form of [[hardNegativesPortable]] — the oracle twin
+    * of [[hardNegativesAnnCellBalanced]] (q123): the full rescored
+    * mismatch shortlist (the q120 pipeline with the rank cut at `kCand`,
+    * i.e. uncut), re-ranked per (anchor, foreign label) and cut at `k`
+    * within each class. One extra window partition key over the q120 SQL
+    * replays every balanced verdict in an ANSI engine. */
+  def hardNegativesPortableBalanced(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int = 2,
+      nLists: Int = 8,
+      nprobe: Int = 2,
+      m: Int = 8,
+      ks: Int = 16,
+      kCand: Int = 20,
+      dims: Int = 64
+  ): DataFrame = {
+    val all = hardNegativesPortable(df, idCol, vecCol, labelCol, k = kCand,
+      nLists, nprobe, m, ks, kCand, dims)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("label_b"))
+      .orderBy(col("cosine").desc, col("id_b").asc)
+    all.drop("rank")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 
   /** The INCREMENTAL form of [[hardNegativesPortable]] — the oracle twin of
     * [[graft.operators.KnnIndex.hardNegativesDelta]] (q121): anchors are the

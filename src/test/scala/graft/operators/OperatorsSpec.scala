@@ -814,6 +814,45 @@ class OperatorsSpec extends SparkSpec {
     portable.foreach(r => assert(r._2 != r._4, s"same-label pair leaked: $r"))
   }
 
+  test("hardNegativesAnnCellBalanced ≡ exact per-class reference at whole-cell " +
+      "depth; quota holds per (anchor, foreign label)") {
+    val emb = sf(dir, "embeddings")
+    val balanced = Similarity.hardNegativesAnnCellBalanced(emb, "vec_id",
+        "embedding", "label", k = 2, nLists = 8, nprobe = 8, kCand = 100000)
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+    // quota: at most k rows per (anchor, foreign label), ranks 1..<=k
+    balanced.groupBy(r => (r._1, r._4)).foreach { case (_, rows) =>
+      assert(rows.length <= 2 && rows.map(_._6).sorted.toSeq == (1 to rows.length))
+    }
+    balanced.foreach(r => assert(r._2 != r._4, s"same-label pair leaked: $r"))
+    // exact reference: all different-label pairs, re-ranked per
+    // (anchor, label_b), cut at k — whole-cell depth makes the index path
+    // exact within probed cells, and nprobe = nLists probes everything
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.partitionBy($"id_a", $"label_b")
+      .orderBy($"cosine".desc, $"id_b".asc)
+    val ref = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        k = 100000)
+      .withColumn("rank2", row_number().over(wr))
+      .filter($"rank2" <= 2)
+      .select($"id_a", $"label_a", $"id_b", $"label_b", $"cosine",
+        $"rank2".as("rank"))
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSet
+    assert(balanced.toSet == ref, s"balanced mining diverged: " +
+      s"only-bal=${(balanced.toSet -- ref).take(5)} only-ref=${(ref -- balanced.toSet).take(5)}")
+    // the balance property: the plain top-k can be crowded by one class;
+    // per anchor the balanced output covers at least as many classes
+    val plain = Similarity.hardNegativesAnnCell(emb, "vec_id", "embedding",
+        "label", k = 2, nLists = 8, nprobe = 8, kCand = 100000)
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+    val classesPlain = plain.groupBy(_._1).view.mapValues(_.map(_._4).toSet.size)
+    val classesBal = balanced.groupBy(_._1).view.mapValues(_.map(_._4).toSet.size)
+    classesPlain.foreach { case (a, c) =>
+      assert(classesBal.getOrElse(a, 0) >= c,
+        s"anchor $a lost class coverage under the quota")
+    }
+  }
+
   test("label-gated cell expressions: mismatch-only shortlist, null labels skipped, payload rides out") {
     import graft.functions.AnnExpressions._
     val dims = 8; val m = 2; val subDim = 4
