@@ -701,6 +701,16 @@ object CorpusBench {
       // figure is computed EXACTLY (labels are a pure function of vec_id,
       // so the differing-label planted-pair count is one cheap self-join,
       // outside the timed window).
+      // class-balanced mining: k=2 per (anchor, foreign label) — the
+      // per-cell quota's winner stream is bounded by kCand, so the row
+      // prices the balanced shape's real exchange
+      benchAct("hard_negatives_balanced", () => {
+        Similarity.hardNegativesAnnCellBalanced(
+            embs.withColumn("lbl", pmod(xxhash64(col("vec_id"), lit("hn")), lit(16L))),
+            "vec_id", "embedding", "lbl", k = 2,
+            nLists = math.max(8, (n / 64).toInt), nprobe = 4)
+          .count()
+      }, """"impl":"in_cell_label_quota","labels":16,"k_per_label":2""")
       if (opFilter.exists(_.exists(_.startsWith("hard_negatives_cell_recall")))) {
         val lblOf = pmod(xxhash64(col("vec_id"), lit("hn")), lit(16L))
         val pos = embs.filter(pmod(col("vec_id"), lit(20L)) < 3)
