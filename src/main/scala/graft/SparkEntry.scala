@@ -695,7 +695,7 @@ object SparkEntry {
       // assertions. Integer-quantized projections: the bit decision is
       // exact cross-engine, no float-ordering hazard.
       Dedup.portableEmbeddingNearDups(TestTables.embeddings(s, dir), "vec_id",
-        "embedding", threshold = 0.45, planes = 4, tables = 4, dims = 64)),
+        "embedding", threshold = 0.45, planes = 4, tables = 4, dims0 = 64)),
     "q23_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccard(TestTables.documents(s, dir), "doc_id", "text", threshold = 0.3)),
     "q24_cosine_topk" -> ((s, dir) => {
@@ -1295,6 +1295,19 @@ object SparkEntry {
         e.withColumn("lbl", pmod(col("vec_id"), lit(16L))),
         "vec_id", "embedding", "lbl", k = 2, nLists = 8, nprobe = 2,
         m = 8, ks = 16, kCand = 20)
+    }),
+    "q124_knn_join_payload_filtered" -> ((s, dir) => {
+      // payload-PREDICATE-filtered ANN — the oracle anchor of
+      // KnnIndex.knnJoinDelta(payloadIn = …): answers limited to members
+      // whose stored payload (here vec_id % 16) is in {1, 3, 5}, the
+      // filter at the q118 restrict position (shortlist + rescore over
+      // ALL members, predicate, rank re-numbers) — one more predicate
+      // over the q114 CTE prefix replays every verdict in ANSI SQL
+      val e = TestTables.embeddings(s, dir)
+      Similarity.knnJoinIvfPqPortablePayloadFiltered(
+        e.withColumn("pay", pmod(col("vec_id"), lit(16L))),
+        "vec_id", "embedding", "pay", allowed = Seq(1L, 3L, 5L),
+        k = 5, nLists = 8, nprobe = 2, m = 8, ks = 16, kCand = 20)
     }),
     "q64_shuffle_order" -> ((s, dir) =>
       // deterministic corpus shuffle — the pre-training reorder: sort by
@@ -3002,6 +3015,19 @@ object SparkEntry {
          |      ORDER BY cosine DESC, id_b ASC) AS rank
          |  FROM sc)
          |WHERE rank <= 2""").stripMargin,
+    // q124: payload-predicate-filtered ANN — q114's pipeline with the
+    // member's stored payload (id % 16) gating the rescored pairs at the
+    // q118 restrict position (BEFORE the rank window, so rank re-numbers
+    // over allowed survivors); the surviving payload rides out
+    "q124_knn_join_payload_filtered" ->
+      (ivfPqJoinCtes("") + """
+         |SELECT id_a, id_b, id_b % 16 AS payload_b, cosine,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT id_a, id_b, cosine,
+         |    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rank
+         |  FROM sc WHERE id_b % 16 IN (1, 3, 5))
+         |WHERE rank <= 5""").stripMargin,
     "q55_knn_brute" ->
       ("""WITH v AS (
          |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i

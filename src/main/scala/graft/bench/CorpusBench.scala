@@ -1254,7 +1254,8 @@ object CorpusBench {
         else {
           val parts = math.max(spark.sessionState.conf.numShufflePartitions,
             (BigDecimal(evEst) * 6 / BigDecimal(24L << 20))
-              .toBigInt.min(BigInt(65536)).toInt)
+              .toBigInt.min(BigInt(
+                graft.operators.Stage.maxExchangeParts(events))).toInt)
           events.repartition(parts, col("user_id"))
         }
       }

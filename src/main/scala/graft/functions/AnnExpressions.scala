@@ -755,13 +755,24 @@ object AnnExpressions {
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       (first.dataType, second.dataType, third.dataType) match {
+        // fields 0-2 matched explicitly (bigint id, double norm,
+        // array<float> vector): a mis-shaped directory row would otherwise
+        // fail with an opaque ClassCastException inside codegen instead of
+        // an analysis-time error (the IvfPqCellShortlistLabel discipline)
         case (ArrayType(FloatType, _), ArrayType(LongType, _),
-            ArrayType(s: StructType, _)) if s.length == 4 =>
+            ArrayType(s: StructType, _))
+            if s.length == 4 && s.fields(0).dataType == LongType &&
+              s.fields(1).dataType == DoubleType &&
+              (s.fields(2).dataType match {
+                case ArrayType(FloatType, _) => true
+                case _ => false
+              }) =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
         case other =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
             s"cell_rescore_payload_topk expects (array<float>, array<bigint>, " +
-              s"array<struct<id, norm, v, payload>>), got $other")
+              s"array<struct<id: bigint, norm: double, v: array<float>, payload>>), " +
+              s"got $other")
       }
 
     private def round6(x: Double): Double =
@@ -875,17 +886,25 @@ object AnnExpressions {
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       (first.dataType, second.dataType, third.dataType) match {
+        // fields 0-2 matched explicitly, as in CellRescorePayloadTopK
         case (ArrayType(FloatType, _), ArrayType(LongType, _),
             ArrayType(s: StructType, _))
-            if s.length == 4 && (s.fields(3).dataType match {
-              case _: ArrayType | _: MapType | _: StructType | BinaryType => false
-              case _ => true
-            }) =>
+            if s.length == 4 && s.fields(0).dataType == LongType &&
+              s.fields(1).dataType == DoubleType &&
+              (s.fields(2).dataType match {
+                case ArrayType(FloatType, _) => true
+                case _ => false
+              }) &&
+              (s.fields(3).dataType match {
+                case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+                case _ => true
+              }) =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
         case other =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
             s"cell_rescore_payload_quota_topk expects (array<float>, array<bigint>, " +
-              s"array<struct<id, norm, v, ATOMIC payload>>), got $other")
+              s"array<struct<id: bigint, norm: double, v: array<float>, " +
+              s"ATOMIC payload>>), got $other")
       }
 
     private def round6(x: Double): Double =

@@ -217,7 +217,8 @@ object Multimodal {
         (hashes.queryExecution.analyzed.stats.sizeInBytes / 12).toLong
       else hashes.count()
     val parts = math.max(floor,
-      math.min(65536L, n * bands * 96L / (16L << 20)).toInt)
+      math.min(graft.operators.Stage.maxExchangeParts(hashes),
+        n * bands * 96L / (16L << 20)).toInt)
     val banded0 = hashes.select(col("id"), col("hash"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bits",
@@ -410,6 +411,153 @@ object Multimodal {
         case _ => decodeStub(Seq(r)).head
       }
     }
+
+  /** Bucket fan-out of the stored signature index: band slices map to
+    * `bits mod SigBuckets` physical partitions under each band directory,
+    * so a trickle delta's probed-(band, bucket) pruning skips most of the
+    * stored bytes — the [[graft.operators.KnnIndex]] bucket move in
+    * Hamming space. */
+  val SigBuckets = 256
+
+  /** Build a persistent banded-signature index at `path` (overwrites any
+    * previous one): the media dedup analogue of
+    * [[graft.operators.KnnIndex.build]]. Input is (id, hash) — any 64-bit
+    * perceptual hash ([[dHash64]], [[aHash64]], SimHash). Each hash is
+    * sliced into `bands` keys and stored as (id, hash, band, bits) rows
+    * partitioned `band=<b>/bucket=<bits mod 256>`; banding is a pure
+    * function of the hash, which is what makes [[appendSigIndex]] possible
+    * — an arriving batch lands in exactly the directories the base build
+    * would have put it. A `meta` row pins `bands` so every later
+    * operation slices identically. */
+  def buildSigIndex(hashes: DataFrame, path: String, bands: Int = 4): Unit = {
+    require(bands > 1 && 64 % bands == 0, "bands must divide 64 (and be > 1)")
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    Seq(bands).toDF("bands").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+    writeSigMembers(hashes, bands, s"$path/members", "overwrite")
+  }
+
+  /** Ingest a delta batch of signatures into the stored index — work
+    * (banding CPU, bytes written) ∝ |delta|; the base directories are
+    * never read or rewritten (new files into the band/bucket layout, the
+    * KnnIndex.append contract). */
+  def appendSigIndex(newHashes: DataFrame, path: String): Unit =
+    writeSigMembers(newHashes, sigIndexBands(newHashes.sparkSession, path),
+      s"$path/members", "append")
+
+  /** The stored index's band count — one tiny parquet read. */
+  def sigIndexBands(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/meta").head().getInt(0)
+
+  private def writeSigMembers(hashes: DataFrame, bands: Int, dest: String,
+      mode: String): Unit = {
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    hashes
+      .select(col("id").cast("long").as("id"), col("hash").cast("long").as("hash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bits", expr(s"shiftrightunsigned(hash, band * $width) & $mask"))
+      .withColumn("bucket", pmod(col("bits"), lit(SigBuckets)).cast("int"))
+      .write.mode(mode).partitionBy("band", "bucket").parquet(dest)
+  }
+
+  /** Near-dup verdicts for an arriving media batch against the STORED
+    * signature corpus — [[graft.operators.KnnIndex.dedupDelta]]'s shape in
+    * Hamming space: a batch row is a duplicate when some hash within
+    * `maxHamming` belongs to a STORED member (`dup_of_old` = min such id)
+    * or to a LOWER-id row of its own batch (`dup_of_new` — the greedy
+    * leader ordering, decided by one [[hashNearDups]] over the |delta|
+    * batch alone). Returns (id, dup_of_old, dup_of_new, kept) with -1 for
+    * no match; every batch id appears exactly once. Candidate generation
+    * is the pigeonhole rule's, so it is EXACT for maxHamming ≤ bands − 1
+    * — identical to running [[hashNearDups]] over stored ∪ batch, without
+    * ever re-banding or re-scanning the stored corpus beyond the probed
+    * buckets.
+    *
+    * Call BEFORE [[appendSigIndex]]-ing the batch (the stored side is
+    * "old" by definition here; within-batch matches are computed
+    * internally) — the inverse of KnnIndex.dedupDelta's append-first
+    * order, chosen because signatures need no stored-side state to compare
+    * a batch with itself.
+    *
+    * Plan shape: the banded delta (|delta|·bands skinny rows) BROADCASTS
+    * under the maxResultSize-capped gate — the stored members then stream
+    * scan-local through one BroadcastHashJoin with ZERO base exchange —
+    * and the distinct probed (band, bucket) set (a bounded ≤ bands·256-row
+    * collect) prunes the member READ to the touched partitions, decisive
+    * for trickle batches. Past the gate both sides exchange once on
+    * (band, bits), the hashNearDups shape. The min-id verdict aggregates
+    * make cross-band pair multiplicity irrelevant, so no global pair
+    * distinct exists on either path. */
+  def nearDupDelta(newHashes: DataFrame, path: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = newHashes.sparkSession
+    val bands = sigIndexBands(spark, path)
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming needs bands > maxHamming for exact candidates " +
+        s"(stored index has bands=$bands)")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val delta = newHashes.select(col("id").cast("long").as("id"),
+      col("hash").cast("long").as("hash"))
+    val deltaIds = delta.select(col("id"))
+    val banded = delta
+      .select(col("id").as("id_d"), col("hash").as("hash_d"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bits", expr(s"shiftrightunsigned(hash_d, band * $width) & $mask"))
+    val members = spark.read.parquet(s"$path/members")
+    // bucket pruning: distinct probed (band, bucket) — bounded collect
+    val probed = banded
+      .select(col("band"), pmod(col("bits"), lit(SigBuckets)).cast("int").as("bucket"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+    val pruned =
+      if (probed.length < bands * SigBuckets) {
+        // composite partition-column key — prunable (deterministic
+        // expression over partition attributes only)
+        val keys = probed.map { case (b, bk) => b * SigBuckets + bk }
+        members.filter((col("band") * lit(SigBuckets) + col("bucket"))
+          .isin(keys.map(Integer.valueOf): _*))
+      } else members
+    // broadcast gate, the KnnIndex probeGate rule: |delta|·bands skinny
+    // rows at ~48 B × 2 in-memory expansion vs min(2 GB, maxResultSize)
+    val nDelta = math.max(1L, delta.count())
+    val mrs = spark.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    val gate = if (mrs <= 0) 2L << 30 else math.min(2L << 30, mrs)
+    val joined =
+      if (nDelta * bands * 48L * 2 <= gate)
+        pruned.join(broadcast(banded), Seq("band", "bits"))
+      else {
+        val floor = spark.sessionState.conf.numShufflePartitions
+        val memBytes = pruned.queryExecution.analyzed.stats.sizeInBytes
+        val want = (memBytes / BigInt(24L << 20))
+          .max(BigInt(nDelta * bands * 96L) / BigInt(16L << 20))
+        val parts = math.max(floor, want.min(BigInt(
+          graft.operators.Stage.maxExchangeParts(pruned))).toInt)
+        pruned.repartition(parts, col("band"), col("bits"))
+          .join(banded.repartition(parts, col("band"), col("bits"))
+            .hint("SHUFFLE_HASH"), Seq("band", "bits"))
+      }
+    val oldQ = joined
+      .filter(col("id") =!= col("id_d"))
+      .withColumn("hamming",
+        bit_count(col("hash").bitwiseXOR(col("hash_d"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_d")).agg(min(col("id")).as("min_old"))
+    // within-batch leaders: one |delta|-sized banded self-join — pairs
+    // come back (id_a < id_b), so each row's candidate leader is min id_a
+    val newQ = hashNearDups(delta, maxHamming, bands, nRows = nDelta)
+      .groupBy(col("id_b").as("id_d")).agg(min(col("id_a")).as("min_new"))
+    deltaIds
+      .join(oldQ, col("id") === oldQ("id_d"), "left").drop("id_d")
+      .join(newQ, col("id") === newQ("id_d"), "left").drop("id_d")
+      .select(col("id"),
+        coalesce(col("min_old"), lit(-1L)).as("dup_of_old"),
+        coalesce(col("min_new"), lit(-1L)).as("dup_of_new"),
+        when(col("min_old").isNull && col("min_new").isNull, 1L).otherwise(0L)
+          .as("kept"))
+  }
 
   /** Repartition media so each task holds ~`targetBytesPerTask` of payload.
     * Uses a cheap pre-aggregated byte count, not a row count — media sizes

@@ -97,7 +97,7 @@ object ConnectedComponents {
     val floor = edges.sparkSession.sessionState.conf.numShufflePartitions
     // ~48 B of join/sort state per (src, dst) edge row, ~32 MB per task
     val parts = math.max(floor,
-      math.min(65536L, m * 48L / (32L << 20)).toInt)
+      math.min(Stage.maxExchangeParts(edges), m * 48L / (32L << 20)).toInt)
     val sym =
       if (parts > floor) {
         val rekeyed = sym0.repartition(parts, col("dst")).localCheckpoint(true)

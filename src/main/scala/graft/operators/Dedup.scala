@@ -214,7 +214,7 @@ object Dedup {
           .agg(coalesce(sum(expr("bdf * (bdf - 1) div 2")), lit(0L)))
           .head().getLong(0)
         Seq(df.sparkSession.sessionState.conf.numShufflePartitions,
-          math.min(65536L, volume / (1L << 20)).toInt,
+          math.min(Stage.maxExchangeParts(df), volume / (1L << 20)).toInt,
           Stage.sizedBuildParts(sig)).max
       }
     val candidates =
@@ -619,7 +619,7 @@ object Dedup {
     val shParts = {
       val floor = df.sparkSession.sessionState.conf.numShufflePartitions
       val want = (BigDecimal(textEst) * 24 / BigDecimal(48L << 20))
-        .toBigInt.min(BigInt(65536)).toInt
+        .toBigInt.min(BigInt(Stage.maxExchangeParts(df))).toInt
       math.max(floor, want)
     }
     // Large shape: exchange the COMPACT 1× raw (id, text) stream to the
@@ -1007,7 +1007,8 @@ object Dedup {
     val floor = t.sparkSession.sessionState.conf.numShufflePartitions
     // ~48 bytes of sort state per pair row (UnsafeRow + sorter pointer),
     // ~48 MB in-memory per task
-    val parts = math.max(floor, math.min(65536L, volume / (1L << 20)).toInt)
+    val parts = math.max(floor,
+      math.min(Stage.maxExchangeParts(blocked), volume / (1L << 20)).toInt)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a")).orderBy(col("id_b"))
     blocked.as("a")
@@ -1071,11 +1072,13 @@ object Dedup {
     * where the gated estimate is the FULL window volume once the space is
     * saturated (df ≥ 2 passes ~everything) and vol/2 in the sparse regime
     * (the historical figure, measured safe through 5M titles). */
-  private[graft] def priceGramParts(vol: Long, saturated: Boolean, floor: Int): Int = {
+  private[graft] def priceGramParts(vol: Long, saturated: Boolean, floor: Int,
+      maxParts: Long = 65536L): Int = {
     val gatedEst = if (saturated) vol else vol / 2
     val sortParts = vol * 40L / (48L << 20)
     val buildParts = gatedEst * 48L / (12L << 20)
-    math.max(floor, math.min(65536L, math.max(sortParts, buildParts)).toInt)
+    math.max(floor,
+      math.min(maxParts, math.max(sortParts, buildParts)).toInt)
   }
 
   private[graft] def gramExchangeParts(t: DataFrame, gramLen: Int): Int =
@@ -1103,7 +1106,8 @@ object Dedup {
       // hash build ("can't acquire memory to build hash relation") once
       // the df ≥ 2 gate stopped filtering.
       val sat = gramSaturation(t, gramLen, vol)
-      (priceGramParts(vol, sat.saturated, floor), Some(sat))
+      (priceGramParts(vol, sat.saturated, floor,
+        Stage.maxExchangeParts(t)), Some(sat))
     }
   }
 
@@ -1260,10 +1264,13 @@ object Dedup {
       threshold: Double = 0.45,
       planes: Int = 4,
       tables: Int = 4,
-      dims: Int = 64
+      dims0: Int = 0
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // family-wide dims rule: 0 derives from one sampled row, an explicit
+    // width that disagrees raises (Stage.deriveDims)
+    val dims = Stage.deriveDims(df.select(col(vecCol).as("v")), "v", dims0)
     def md5hex(s: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -126,12 +126,9 @@ object KnnIndex {
     val spark = df.sparkSession
     import spark.implicits._
     val base = prep(df, idCol, vecCol, payloadCol)
-    val dimsActual =
-      if (dims > 0) dims
-      else base.select(col("v")).head(1) match {
-        case Array(r) if !r.isNullAt(0) => r.getSeq[Any](0).size
-        case _ => throw new IllegalArgumentException("cannot derive dims from an empty input")
-      }
+    // family-wide dims rule (Stage.deriveDims): 0 derives from one sampled
+    // row, an explicit width that disagrees raises a typed error
+    val dimsActual = Stage.deriveDims(base, "v", dims, requireNonEmpty = true)
     val n = math.max(1L, base.count())
     val lists = if (nLists > 0) nLists else math.max(8L, n / 64L).toInt
     // a fresh generation invalidates every piece of the OLD one's
@@ -182,7 +179,7 @@ object KnnIndex {
   def append(df: DataFrame, idCol: String, vecCol: String, path: String,
       payloadCol: String = null): Meta = {
     val meta = metaFor(df.sparkSession, path)
-    requirePayloadParity(df.sparkSession, path, payloadCol)
+    requirePayloadParity(df, path, payloadCol)
     val base = prep(df, idCol, vecCol, payloadCol)
     val n = math.max(1L, base.count())
     writeMembersTo(base, meta, n * rowBytes(meta) * 2, s"$path/members",
@@ -190,31 +187,49 @@ object KnnIndex {
     meta
   }
 
+  /** The stored members tree's payload TYPE, when it carries one — read
+    * from the `mem` struct's third field. One footer-schema read, no data
+    * job. */
+  private def storedPayloadType(spark: SparkSession,
+      path: String): Option[org.apache.spark.sql.types.DataType] =
+    spark.read.parquet(s"$path/members").schema("mem").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        s: org.apache.spark.sql.types.StructType, _) if s.length >= 3 =>
+        Some(s.fields(2).dataType)
+      case _ => None
+    }
+
   /** Does the stored members tree carry a payload field? One footer-schema
     * read, no data job. */
   private def storedHasPayload(spark: SparkSession, path: String): Boolean =
-    spark.read.parquet(s"$path/members").schema("mem").dataType match {
-      case org.apache.spark.sql.types.ArrayType(
-        s: org.apache.spark.sql.types.StructType, _) => s.length >= 3
-      case _ => false
-    }
+    storedPayloadType(spark, path).isDefined
 
-  /** An append whose payload presence disagrees with the stored tree would
-    * mix member-struct widths inside one parquet directory — and with
-    * schema merging off, which footer wins is arbitrary: appended members
-    * either silently lose their payload to a null or make every read throw,
-    * and a later [[compact]] sampling the narrow schema would DROP every
-    * stored payload during the rebuild. Fail fast instead, both ways. */
-  private def requirePayloadParity(spark: SparkSession, path: String,
+  /** An append whose payload presence — or TYPE — disagrees with the stored
+    * tree would mix member-struct widths inside one parquet directory, and
+    * with schema merging off, which footer wins is arbitrary: appended
+    * members either silently lose their payload to a null or make every
+    * read throw, and a later [[compact]] sampling the narrow schema would
+    * DROP every stored payload during the rebuild. A type-mismatched
+    * payload (a string into a long-payload tree) is the same hazard one
+    * level down. Fail fast instead, all three ways. */
+  private def requirePayloadParity(df: DataFrame, path: String,
       payloadCol: String): Unit = {
-    val stored = storedHasPayload(spark, path)
-    require(stored == (payloadCol != null),
-      if (stored)
+    val spark = df.sparkSession
+    val stored = storedPayloadType(spark, path)
+    require(stored.isDefined == (payloadCol != null),
+      if (stored.isDefined)
         s"index at $path stores a member payload — append/appendBatch must " +
           "supply the same payloadCol"
       else
         s"index at $path was built without a payload column — rebuild with " +
           "build(payloadCol = ...) before appending payloads")
+    stored.foreach { st =>
+      val incoming = df.select(col(payloadCol)).schema.head.dataType
+      require(st == incoming,
+        s"index at $path stores a $st payload — appending a $incoming " +
+          s"payload ('$payloadCol') would mix member-struct schemas in one " +
+          "directory; cast the column or rebuild the index")
+    }
   }
 
   private def hadoopFs(spark: SparkSession, path: String) =
@@ -263,7 +278,7 @@ object KnnIndex {
       return false
     }
     val meta = metaFor(spark, path)
-    requirePayloadParity(spark, path, payloadCol)
+    requirePayloadParity(df, path, payloadCol)
     val base = prep(df, idCol, vecCol, payloadCol)
     val n = math.max(1L, base.count())
     val staging = s"$path/staging/batch-$batchId"
@@ -467,7 +482,7 @@ object KnnIndex {
       dest: String, mode: SaveMode, coalesceByBucket: Boolean = false): Unit = {
     val floor = base.sparkSession.sessionState.conf.numShufflePartitions
     val dirParts = math.max(floor,
-      math.min(65536L, dirBytes / (16L << 20)).toInt)
+      math.min(Stage.maxExchangeParts(base), dirBytes / (16L << 20)).toInt)
     val codes = array((0 until meta.m).map(s =>
       graft.functions.VectorExpressions.nearest_centroid(
         slice(col("v"), s * meta.subDim + 1, meta.subDim), meta.codebooks(s))): _*)
@@ -559,6 +574,67 @@ object KnnIndex {
       .withColumn("n_lists", lit(metaFor(spark, path).nLists))
   }
 
+  /** The compaction-policy inputs, extracted from one [[stats]] row:
+    * append fragmentation (mean directory rows per cell — 1.0 when fully
+    * compacted) and the pending-tombstone fraction of stored members. */
+  final case class Health(
+      cells: Long,
+      members: Long,
+      meanDirRows: Double,
+      tombstones: Long) {
+    def tombstoneFrac: Double =
+      if (members <= 0) 0.0 else tombstones.toDouble / members
+  }
+
+  /** One bounded collect over [[stats]] — the policy read. */
+  def health(spark: SparkSession, path: String): Health = {
+    val r = stats(spark, path).head()
+    Health(r.getAs[Long]("cells"), r.getAs[Long]("members"),
+      r.getAs[Double]("mean_dir_rows"), r.getAs[Long]("tombstones"))
+  }
+
+  /** Does the index need a [[compact]]? The stats-driven trigger of the
+    * LSM lifecycle, with thresholds set from the measured
+    * read-amplification curve (docs/corpusbench_local32.jsonl,
+    * `knn_index_read_amp` rows — 5M base, 10 × 1% appends, 2 tombstone
+    * batches):
+    *
+    *  - `maxMeanDirRows` (default 4.0): append fragmentation multiplies
+    *    the per-(cell, batch) directory rows the delta join's rank stage
+    *    re-merges; the measured curve prices each extra directory row
+    *    generation at roughly +4–7% of delta-search wall (shuffle grows
+    *    ∝ winner rows), so ~4 generations ≈ the cost of the compact that
+    *    resets them, amortized over the campaign.
+    *  - `maxTombstoneFrac` (default 0.02): ANY pending tombstone deepens
+    *    every delta rescore to the full shortlist (`rescoreK = cand` —
+    *    the exactness contract), the single largest step on the measured
+    *    curve; the fraction threshold keeps one tiny delete from forcing
+    *    an immediate full rewrite while bounding how long the deepened
+    *    rescore is paid.
+    *
+    * Pure read — one stats aggregate, no data rewrite. */
+  def shouldCompact(spark: SparkSession, path: String,
+      maxMeanDirRows: Double = 4.0,
+      maxTombstoneFrac: Double = 0.02): Boolean = {
+    val h = health(spark, path)
+    h.meanDirRows > maxMeanDirRows ||
+      (h.tombstones > 0 && h.tombstoneFrac > maxTombstoneFrac)
+  }
+
+  /** The policy face of [[compact]]: compacts IFF [[shouldCompact]]'s
+    * thresholds are crossed, returning whether it ran. An ingest campaign
+    * calls this between batches (quiesced — the single-maintainer
+    * contract); the curve-measured thresholds mean the campaign pays the
+    * compact exactly when continuing NOT to pay it costs more. */
+  def maintain(spark: SparkSession, path: String,
+      maxMeanDirRows: Double = 4.0,
+      maxTombstoneFrac: Double = 0.02,
+      nLists: Int = 0): Boolean = {
+    val go = shouldCompact(spark, path, maxMeanDirRows, maxTombstoneFrac)
+    if (go) compact(spark, path, nLists)
+    go
+  }
+
   /** The tombstone log as a DataFrame, when any deletes are pending. */
   private def tombstonesDf(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -595,23 +671,37 @@ object KnnIndex {
   /** Estimated broadcast payload of the exploded probe stream —
     * nDelta·nprobe·fanout·cells rows of (id, vector, cell[, label]) at 2×
     * in-memory expansion; `rowOver` is the per-row non-vector overhead
-    * (40 B plain, 64 B with the label the mining probes carry). */
+    * (40 B plain; mining probes add the label's own width — see
+    * [[probeRowOver]], never a flat constant: a wide string label priced
+    * at a fixed 64 B would undercount the gate and push an oversized
+    * exploded stream through the driver collect). */
   private def probeBytesFor(meta: Meta, nDelta: Long, nprobe: Int,
       cellsPerSuper: Int, rowOver: Long): Long = {
     val fanout = graft.functions.VectorExpressions.probeMidsPerTop(meta.nLists)
     nDelta * nprobe * fanout * cellsPerSuper * (meta.dims * 4L + rowOver) * 2
   }
 
+  /** Per-probe-row non-vector overhead: 40 B plain; with a label, its
+    * schema-priced width on top (the ivfJoinCore lblW rule —
+    * `defaultSize + 8`, read from the STORED payload type, which analysis
+    * requires to equal the mining labels' type). */
+  private def probeRowOver(spark: SparkSession, path: String,
+      payload: Boolean): Long =
+    if (!payload) 40L
+    else 40L + storedPayloadType(spark, path)
+      .map(_.defaultSize + 8L).getOrElse(24L)
+
   /** The probe-attach route [[knnJoinDelta]] (payload = false) or
     * [[hardNegativesDelta]] (payload = true) will take for a delta of
     * `nDelta` rows — "broadcast_probes" or "shuffled_probes" — computed
     * from the SAME inputs the operators gate on (stored meta, the
-    * maxResultSize-capped gate), so recorded evidence and scaladoc claims
-    * cannot drift from the executed plan (the knnJoinAutoRoute move). */
+    * maxResultSize-capped gate, the stored payload type's width), so
+    * recorded evidence and scaladoc claims cannot drift from the executed
+    * plan (the knnJoinAutoRoute move). */
   def deltaProbeRoute(spark: SparkSession, path: String, nDelta: Long,
       nprobe: Int = 4, cellsPerSuper: Int = 1, payload: Boolean = false): String = {
     val meta = metaFor(spark, path)
-    val over = if (payload) 64L else 40L
+    val over = probeRowOver(spark, path, payload)
     if (probeBytesFor(meta, nDelta, nprobe, cellsPerSuper, over) <= probeGate(spark))
       "broadcast_probes"
     else "shuffled_probes"
@@ -639,6 +729,19 @@ object KnnIndex {
     * .knnJoinIvfPqPortableRestricted]] (q118) replays the same
     * shortlist→rescore→filter→rank decision order in ANSI SQL.
     *
+    * `payloadIn`, when given, filters ANSWERS by the stored per-member
+    * payload (set membership — "search only license-clean ∧ lang=en
+    * members"): the payload rides each winner struct out of the cell
+    * ([[graft.functions.AnnExpressions.CellRescorePayloadTopK]]), the
+    * predicate evaluates scan-local on the flat winner stream (no attach
+    * join of any kind), and the output gains a `payload_b` column. The
+    * exactness contract is `restrict`'s verbatim — rescore deepens to the
+    * full shortlist, the filter sits between rescore and the rank cut,
+    * and a corpus where the allowed fraction is small needs `kCand`
+    * raised toward occupancy ÷ allowed-fraction. Oracle anchor:
+    * [[graft.operators.Similarity.knnJoinIvfPqPortablePayloadFiltered]]
+    * (q124) — one more predicate over the q114 CTE prefix.
+    *
     * Plan shape: probes (delta × nprobe exploded cells, query vector
     * attached) BROADCAST while they fit the driver-capped gate — the
     * stored members then stream scan-local through one BroadcastHashJoin
@@ -656,20 +759,27 @@ object KnnIndex {
       nprobe: Int = 4,
       kCand: Int = 0,
       cellsPerSuper: Int = 1,
-      restrict: Option[DataFrame] = None
+      restrict: Option[DataFrame] = None,
+      payloadIn: Option[Seq[Any]] = None
   ): DataFrame = {
     val spark = newDf.sparkSession
     val meta = metaFor(spark, path)
+    if (payloadIn.isDefined)
+      require(storedHasPayload(spark, path),
+        s"index at $path was built without a payload column — " +
+          "payloadIn needs build/append(payloadCol = ...)")
     val base = prep(newDf, idCol, vecCol)
     val nDelta = math.max(1L, base.count())
     val cand = math.max(k, if (kCand > 0) kCand else 4 * k)
-    // pending deletes (and member allow-lists): deepen the exact rescore to
-    // the full shortlist so dropped winners don't promote unseen members —
-    // exact while `cand` covers the probed cells' surviving members (see
-    // the restrict scaladoc), the LSM read-amplification tradeoff
-    // compact() resets
+    // pending deletes (and member allow-lists / payload predicates): deepen
+    // the exact rescore to the full shortlist so dropped winners don't
+    // promote unseen members — exact while `cand` covers the probed cells'
+    // surviving members (see the restrict scaladoc), the LSM
+    // read-amplification tradeoff compact() resets
     val tombs = tombstonesDf(spark, path)
-    val rescoreK = if (tombs.isDefined || restrict.isDefined) cand else k
+    val rescoreK =
+      if (tombs.isDefined || restrict.isDefined || payloadIn.isDefined) cand
+      else k
     val fanout = graft.functions.VectorExpressions.probeMidsPerTop(meta.nLists)
     val probes = base.select(col("id").as("id_a"), col("v").as("v_a"),
       explode_outer(graft.functions.VectorExpressions
@@ -692,7 +802,8 @@ object KnnIndex {
     // Probe broadcast gate — the shared probeGate/probeBytesFor arithmetic
     // (deltaProbeRoute reports this exact decision to callers)
     val gate = probeGate(spark)
-    val probeBytes = probeBytesFor(meta, nDelta, nprobe, cellsPerSuper, 40L)
+    val probeBytes = probeBytesFor(meta, nDelta, nprobe, cellsPerSuper,
+      probeRowOver(spark, path, payload = false))
     val joined =
       if (probeBytes <= gate) pruned.join(broadcast(probes), Seq("cell"))
       else {
@@ -703,28 +814,41 @@ object KnnIndex {
         val memBytes = pruned.queryExecution.analyzed.stats.sizeInBytes
         val want = (memBytes / BigInt(24L << 20))
           .max(BigInt(probeBytes) / BigInt(16L << 20))
-        val parts = math.max(floor, want.min(BigInt(65536)).toInt)
+        val parts = math.max(floor,
+          want.min(BigInt(Stage.maxExchangeParts(base))).toInt)
         pruned.repartition(parts, col("cell"))
           .join(probes.repartition(parts, col("cell")).hint("SHUFFLE_HASH"),
             Seq("cell"))
       }
-    val perRow = joined.select(col("id_a"),
-      graft.functions.AnnExpressions.cell_rescore_topk(col("v_a"),
-        graft.functions.AnnExpressions.ivfpq_cell_shortlist(col("id_a"),
-          col("v_a"), col("mem"), cand, meta.codebooks, meta.subDim),
-        col("vmem"), rescoreK).as("tk"))
+    // payload-filter mode swaps in the payload rescore so each winner
+    // struct carries the member's payload — the predicate then evaluates
+    // on the flat winner stream with no attach join, the q118 position
+    val shortlist = graft.functions.AnnExpressions.ivfpq_cell_shortlist(
+      col("id_a"), col("v_a"), col("mem"), cand, meta.codebooks, meta.subDim)
+    val perRow =
+      if (payloadIn.isEmpty)
+        joined.select(col("id_a"),
+          graft.functions.AnnExpressions.cell_rescore_topk(col("v_a"),
+            shortlist, col("vmem"), rescoreK).as("tk"))
+      else
+        joined.select(col("id_a"),
+          graft.functions.AnnExpressions.cell_rescore_payload_topk(col("v_a"),
+            shortlist, col("vmem"), rescoreK).as("tk"))
     // rank merge of the per-(cell, batch-row) winner arrays — the delta's
     // only exchange on the broadcast path, ∝ |delta| winner structs
     val floor = spark.sessionState.conf.numShufflePartitions
-    val rankParts = math.max(floor, math.min(65536L,
+    val rankParts = math.max(floor, math.min(Stage.maxExchangeParts(base),
       nDelta * nprobe * fanout * cellsPerSuper * rescoreK * 80L / (48L << 20)).toInt)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
+    val flatCols = Seq(col("id_a"), col("nb.id").as("id_b")) ++
+      (if (payloadIn.isDefined) Seq(col("nb.payload").as("payload_b")) else Nil) ++
+      Seq(col("nb.cosine").as("cosine"))
     val flat = perRow
       .repartition(rankParts, col("id_a"))
       .select(col("id_a"), explode_outer(col("tk")).as("nb"))
       .filter(col("nb").isNotNull)
-      .select(col("id_a"), col("nb.id").as("id_b"), col("nb.cosine").as("cosine"))
+      .select(flatCols: _*)
     // tombstone filter before the rank cut — a file-backed anti-join the
     // planner broadcasts while the log is small (its normal state; a log
     // big enough to shuffle is the signal to compact)
@@ -736,11 +860,23 @@ object KnnIndex {
     val allowedFlat = restrict.fold(liveFlat)(r =>
       liveFlat.join(r.select(col(r.columns.head).cast("long").as("id_b"))
         .distinct(), Seq("id_b"), "left_semi"))
-    allowedFlat
+    // payload predicate (set membership over the stored per-member
+    // attribute — "search only license-clean ∧ lang=en members"), at the
+    // exact restrict position: shortlist and rescore ran over ALL members
+    // (deepened), the predicate filters the rescored winners, rank
+    // re-numbers — so the exactness condition is restrict's verbatim.
+    // A scan-local filter over the winner stream: the payload rode the
+    // winner struct out of the cell, no join of any kind
+    val payFlat = payloadIn.fold(allowedFlat)(vals =>
+      allowedFlat.filter(col("payload_b").isin(vals: _*)))
+    val outCols = Seq(col("id_a"), col("id_b")) ++
+      (if (payloadIn.isDefined) Seq(col("payload_b")) else Nil) ++
+      Seq(col("cosine"), col("rank"))
+    payFlat
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       // the anti-join moves its key first — restate the contract order
-      .select(col("id_a"), col("id_b"), col("cosine"), col("rank"))
+      .select(outCols: _*)
   }
 
   /** Hard-negative mining for an arriving batch against the STORED index —
@@ -762,7 +898,11 @@ object KnnIndex {
     * and `restrict` limits mined negatives to an id ALLOW-LIST ("mine
     * only from the license-clean subset") at the same position and with
     * the same exactness condition as [[knnJoinDelta]]'s — shortlist and
-    * rescore over all members, filter, rank re-numbers.
+    * rescore over all members, filter, rank re-numbers. `payloadIn`
+    * restricts mined negatives by CLASS (label_b set membership — "mine
+    * only from classes {…}") at the same position: label_b already rides
+    * the winner struct, so the predicate is a scan-local filter, and the
+    * deepened-rescore exactness contract is restrict's verbatim.
     * Null-label anchors and members never pair.
     *
     * Oracle anchor: [[graft.operators.Similarity
@@ -780,7 +920,8 @@ object KnnIndex {
       nprobe: Int = 4,
       kCand: Int = 0,
       cellsPerSuper: Int = 1,
-      restrict: Option[DataFrame] = None
+      restrict: Option[DataFrame] = None,
+      payloadIn: Option[Seq[Any]] = None
   ): DataFrame = {
     val spark = newDf.sparkSession
     val meta = metaFor(spark, path)
@@ -789,7 +930,9 @@ object KnnIndex {
     val nDelta = math.max(1L, base.count())
     val cand = math.max(k, if (kCand > 0) kCand else 4 * k)
     val tombs = tombstonesDf(spark, path)
-    val rescoreK = if (tombs.isDefined || restrict.isDefined) cand else k
+    val rescoreK =
+      if (tombs.isDefined || restrict.isDefined || payloadIn.isDefined) cand
+      else k
     val fanout = graft.functions.VectorExpressions.probeMidsPerTop(meta.nLists)
     val probes = base.select(col("id").as("id_a"), col("pay").as("lbl_a"),
       col("v").as("v_a"),
@@ -811,7 +954,8 @@ object KnnIndex {
     // same probe broadcast gate as knnJoinDelta, the label's probe-row
     // width priced in (shared probeGate/probeBytesFor arithmetic)
     val gate = probeGate(spark)
-    val probeBytes = probeBytesFor(meta, nDelta, nprobe, cellsPerSuper, 64L)
+    val probeBytes = probeBytesFor(meta, nDelta, nprobe, cellsPerSuper,
+      probeRowOver(spark, path, payload = true))
     val joined =
       if (probeBytes <= gate) pruned.join(broadcast(probes), Seq("cell"))
       else {
@@ -819,7 +963,8 @@ object KnnIndex {
         val memBytes = pruned.queryExecution.analyzed.stats.sizeInBytes
         val want = (memBytes / BigInt(24L << 20))
           .max(BigInt(probeBytes) / BigInt(16L << 20))
-        val parts = math.max(floor, want.min(BigInt(65536)).toInt)
+        val parts = math.max(floor,
+          want.min(BigInt(Stage.maxExchangeParts(base))).toInt)
         pruned.repartition(parts, col("cell"))
           .join(probes.repartition(parts, col("cell")).hint("SHUFFLE_HASH"),
             Seq("cell"))
@@ -831,7 +976,7 @@ object KnnIndex {
           meta.subDim),
         col("vmem"), rescoreK).as("tk"))
     val floor = spark.sessionState.conf.numShufflePartitions
-    val rankParts = math.max(floor, math.min(65536L,
+    val rankParts = math.max(floor, math.min(Stage.maxExchangeParts(base),
       nDelta * nprobe * fanout * cellsPerSuper * rescoreK * 100L / (48L << 20)).toInt)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
@@ -849,7 +994,13 @@ object KnnIndex {
     val allowedFlat = restrict.fold(liveFlat)(r =>
       liveFlat.join(r.select(col(r.columns.head).cast("long").as("id_b"))
         .distinct(), Seq("id_b"), "left_semi"))
-    allowedFlat
+    // payload predicate at the same position ("mine negatives only from
+    // classes in {…}"): label_b already rides the winner struct, so the
+    // set-membership filter is scan-local — same deepened-rescore
+    // exactness contract as restrict
+    val payFlat = payloadIn.fold(allowedFlat)(vals =>
+      allowedFlat.filter(col("label_b").isin(vals: _*)))
+    payFlat
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id_a"), col("label_a"), col("id_b"), col("label_b"),

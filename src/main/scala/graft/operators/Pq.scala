@@ -146,8 +146,12 @@ object Pq {
       m: Int = 8,
       ks: Int = 16,
       k: Int = 10,
-      dims: Int = 64
+      dims0: Int = 0
   ): DataFrame = {
+    // family-wide dims rule: 0 derives from one sampled row, an explicit
+    // width that disagrees raises (Stage.deriveDims)
+    val dims = Stage.deriveDims(
+      df.select(org.apache.spark.sql.functions.col(vecCol).as("v")), "v", dims0)
     require(dims % m == 0, s"dim $dims must divide into m=$m sub-spaces")
     val subDim = dims / m
     val spark = df.sparkSession

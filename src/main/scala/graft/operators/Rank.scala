@@ -55,7 +55,7 @@ object Rank {
       if (stats >= BigInt(Long.MaxValue) / 4) floor
       else
         math.max(floor, (BigDecimal(stats) * 2 / BigDecimal(bytesPerPart))
-          .toBigInt.min(BigInt(65536)).toInt)
+          .toBigInt.min(BigInt(Stage.maxExchangeParts(df))).toInt)
     }
 
   /** Append a 1-based global `row_number`-style rank column ordered by

@@ -274,7 +274,7 @@ object Similarity {
       val floor = df.sparkSession.sessionState.conf.numShufflePartitions
       // ~80 B of sort state per (id_a, id_b, cosine) row, ~48 MB per task
       val parts = math.max(floor,
-        math.min(65536L, (volume * 80 / (48L << 20)).toLong).toInt)
+        math.min(Stage.maxExchangeParts(df), (volume * 80 / (48L << 20)).toLong).toInt)
       scored.repartition(parts, col("id_a"))
     }
   }
@@ -435,7 +435,7 @@ object Similarity {
       m: Int = 8,
       ks: Int = 16,
       kCand: Int = 0,
-      dims: Int = 64,
+      dims: Int = 0,
       cellsPerSuper: Int = 1
   ): DataFrame =
     ivfJoinCore(df, idCol, vecCol, k, nLists, nprobe, m, ks, kCand, dims,
@@ -480,7 +480,7 @@ object Similarity {
       m: Int = 8,
       ks: Int = 16,
       kCand: Int = 0,
-      dims: Int = 64,
+      dims: Int = 0,
       cellsPerSuper: Int = 1
   ): DataFrame =
     ivfJoinCore(df, idCol, vecCol, k, nLists, nprobe, m, ks, kCand, dims,
@@ -512,7 +512,7 @@ object Similarity {
       m: Int = 8,
       ks: Int = 16,
       kCand: Int = 0,
-      dims: Int = 64,
+      dims: Int = 0,
       cellsPerSuper: Int = 1
   ): DataFrame =
     ivfJoinCore(df, idCol, vecCol, k, nLists, nprobe, m, ks,
@@ -529,7 +529,7 @@ object Similarity {
       m: Int,
       ks: Int,
       kCand: Int,
-      dims: Int,
+      dims0: Int,
       cellsPerSuper: Int,
       labelCol: Option[String],
       balancedPerLabel: Boolean = false
@@ -542,6 +542,11 @@ object Similarity {
         df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
           col(l).as("lbl"))
     }
+    // dims = 0 (every public default) derives the width from one sampled
+    // row and an EXPLICIT dims that disagrees raises — the silent
+    // alternative was degraded recall via mis-assigned cells / truncated
+    // sign dots (the knnJoinAuto dims rule, applied family-wide)
+    val dims = Stage.deriveDims(raw, "v", dims0)
     // The base persists at its ARRIVAL width (ensureWide only guards the
     // degenerate narrow case). Widening the cache itself was measured and
     // REVERTED: sizing it for the probe expansion (206 partitions at
@@ -634,7 +639,13 @@ object Similarity {
     // shortlist depth — price the exchange at that bound
     val outPerCell = if (balancedPerLabel) cand.toLong else k.toLong
     val outBytes = n * nprobe * fanout * cellsPerSuper * outPerCell * (32L + lblW)
-    val dirParts = math.max(floor, math.min(65536L,
+    // the 65536-class caps below are conf-tied (Stage.maxExchangeParts):
+    // at true 100 TB scale the winner volume ÷ 65536 exceeds the
+    // 16–48 MB/task discipline these sizings target, and the deployment
+    // must raise spark.graft.maxExchangeParts rather than silently hand
+    // each task a larger share
+    val maxParts = Stage.maxExchangeParts(df)
+    val dirParts = math.max(floor, math.min(maxParts,
       math.max(dirBytes / (16L << 20), outBytes / (24L << 20))).toInt)
     // Two directories, separately exchanged: column pruning splits the
     // shared member subtree anyway (each branch keeps only its payload),
@@ -685,7 +696,7 @@ object Similarity {
     val probeParts =
       if (!statsKnown) 0
       else (BigDecimal(rawBytes) * nprobe * fanout * cellsPerSuper /
-        BigDecimal(24L << 20)).toBigInt.min(BigInt(65536)).toInt
+        BigDecimal(24L << 20)).toBigInt.min(BigInt(maxParts)).toInt
     val probeIn =
       if (statsKnown && rawBytes > 256L * 1024 * 1024 &&
           probeParts > spark.sparkContext.defaultParallelism)
@@ -758,7 +769,7 @@ object Similarity {
     // preserves the id_a hash partitioning), measured spill-free at 635
     // parts.
     val rankParts = math.max(floor,
-      math.min(65536L,
+      math.min(maxParts,
         n * nprobe * fanout * cellsPerSuper * outPerCell * (80L + lblW) / (48L << 20)).toInt)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
@@ -831,13 +842,9 @@ object Similarity {
     // row — a bounded LIMIT-1 job. The old fixed default of 64 silently
     // mis-assigned IVF cells for any other width (short-read/truncated
     // sign dots — a quiet recall degradation, not an error), and skewed
-    // the LSH row-size divisor the same way.
-    val dimsActual =
-      if (dims > 0) dims
-      else raw.select(col("v")).head(1) match {
-        case Array(r) if !r.isNullAt(0) => r.getSeq[Any](0).size
-        case _ => 64 // empty input: any value yields the same empty join
-      }
+    // the LSH row-size divisor the same way. Now the family-wide
+    // Stage.deriveDims rule (explicit-mismatch raises, typed).
+    val dimsActual = Stage.deriveDims(raw, "v", dims)
     val est = raw.queryExecution.analyzed.stats.sizeInBytes
     // structural leaf check, not an estimate-vs-sentinel comparison (see
     // Stage.statsKnown) — a statless input must never gamble on the LSH
@@ -894,7 +901,7 @@ object Similarity {
       nLists: Int = 0,
       nprobe: Int = 4,
       oversample: Int = 4,
-      dims: Int = 64,
+      dims: Int = 0,
       cellsPerSuper: Int = 1
   ): DataFrame = {
     val nn = knnJoinIvf(df, idCol, vecCol, k = oversample * k,
@@ -937,7 +944,7 @@ object Similarity {
       if (broadcastable) joined
       else {
         val floor = df.sparkSession.sessionState.conf.numShufflePartitions
-        val winParts = math.max(floor, math.min(65536L,
+        val winParts = math.max(floor, math.min(Stage.maxExchangeParts(df),
           nRows * oversample * k * 64L / (48L << 20)).toInt)
         joined.repartition(winParts, col("id_a"))
       }
@@ -1070,11 +1077,12 @@ object Similarity {
       vecCol: String,
       nLists: Int = 8,
       tau: Double = 0.45,
-      dims: Int = 64
+      dims: Int = 0
   ): DataFrame = {
     val base = semanticBase(df, idCol, vecCol)
+    val dimsActual = Stage.deriveDims(base, "v", dims)
     val withCell = base.select(col("id"),
-      graft.functions.VectorExpressions.portable_ivf_assign(col("v"), nLists, dims).as("c"),
+      graft.functions.VectorExpressions.portable_ivf_assign(col("v"), nLists, dimsActual).as("c"),
       col("norm"), col("v"))
     leaderDedup(withCell, tau)
   }
@@ -1202,7 +1210,7 @@ object Similarity {
       m: Int = 8,
       ks: Int = 16,
       kCand: Int = 20,
-      dims: Int = 64
+      dims: Int = 0
   ): DataFrame =
     knnJoinIvfPqPortableCore(df, idCol, vecCol, k, nLists, nprobe, m, ks,
       kCand, dims, probeIds = None)
@@ -1228,10 +1236,40 @@ object Similarity {
       m: Int = 8,
       ks: Int = 16,
       kCand: Int = 20,
-      dims: Int = 64
+      dims: Int = 0
   ): DataFrame =
     knnJoinIvfPqPortableCore(df, idCol, vecCol, k, nLists, nprobe, m, ks,
       kCand, dims, probeIds = None, restrictIds = Some(restrictIds))
+
+  /** [[knnJoinIvfPqPortable]] with a PAYLOAD PREDICATE — the oracle twin
+    * of [[graft.operators.KnnIndex.knnJoinDelta]]'s `payloadIn` option
+    * (q124): answers are limited to members whose per-id payload value
+    * (`payloadCol`) is in `allowed` — "search only license-clean ∧
+    * lang=en members" as a stored-attribute predicate rather than an id
+    * allow-list. Decision order is the q118 restrict position verbatim:
+    * the integer ADC shortlist and the rounded-cosine rescore run over
+    * ALL members, the payload predicate filters the rescored pairs, and
+    * rank re-numbers over the survivors — one more predicate over the
+    * q114 CTE prefix replays it in any ANSI engine. The survivor's
+    * payload rides the output as `payload_b`. */
+  def knnJoinIvfPqPortablePayloadFiltered(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      payloadCol: String,
+      allowed: Seq[Any],
+      k: Int = 5,
+      nLists: Int = 8,
+      nprobe: Int = 2,
+      m: Int = 8,
+      ks: Int = 16,
+      kCand: Int = 20,
+      dims: Int = 0
+  ): DataFrame =
+    knnJoinIvfPqPortableCore(df, idCol, vecCol, k, nLists, nprobe, m, ks,
+      kCand, dims, probeIds = None,
+      payloadFilter = Some((df.select(col(idCol).cast("long").as("id"),
+        col(payloadCol).as("pay")), allowed)))
 
   /** The INCREMENTAL form of [[knnJoinIvfPqPortable]] — the oracle twin of
     * the [[graft.operators.KnnIndex]] delta pass (q116), the same move q87
@@ -1257,7 +1295,7 @@ object Similarity {
       m: Int = 8,
       ks: Int = 16,
       kCand: Int = 20,
-      dims: Int = 64
+      dims: Int = 0
   ): DataFrame = {
     val o = oldDf.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val nw = newDf.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
@@ -1286,7 +1324,7 @@ object Similarity {
       m: Int = 8,
       ks: Int = 16,
       kCand: Int = 20,
-      dims: Int = 64
+      dims: Int = 0
   ): DataFrame =
     knnJoinIvfPqPortableCore(df, idCol, vecCol, k, nLists, nprobe, m, ks,
       kCand, dims, probeIds = None,
@@ -1310,7 +1348,7 @@ object Similarity {
       m: Int = 8,
       ks: Int = 16,
       kCand: Int = 20,
-      dims: Int = 64
+      dims: Int = 0
   ): DataFrame = {
     val all = hardNegativesPortable(df, idCol, vecCol, labelCol, k = kCand,
       nLists, nprobe, m, ks, kCand, dims)
@@ -1342,7 +1380,7 @@ object Similarity {
       m: Int = 8,
       ks: Int = 16,
       kCand: Int = 20,
-      dims: Int = 64
+      dims: Int = 0
   ): DataFrame = {
     val o = oldDf.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
       col(labelCol).as("lbl"))
@@ -1364,13 +1402,17 @@ object Similarity {
       m: Int,
       ks: Int,
       kCand: Int,
-      dims: Int,
+      dims0: Int,
       probeIds: Option[DataFrame],
       restrictIds: Option[DataFrame] = None,
-      labelDf: Option[DataFrame] = None
+      labelDf: Option[DataFrame] = None,
+      payloadFilter: Option[(DataFrame, Seq[Any])] = None
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // same dims = 0 derive / explicit-mismatch-raises rule as ivfJoinCore
+    val dims = Stage.deriveDims(
+      df.select(col(vecCol).as("v")), "v", dims0)
     require(dims % m == 0, "dims must divide into m subspaces")
     val subDim = dims / m
     def md5head(s: String): Long = {
@@ -1463,9 +1505,22 @@ object Similarity {
         Seq("id_b"), "left_semi")
       case None => dp
     }
+    // payload predicate at the SAME restrict position (the KnnIndex
+    // payloadIn decision order): shortlist and rescore over all members,
+    // filter the rescored pairs by the member's payload value, rank
+    // re-numbers over the survivors; payload_b rides the output
+    val payFiltered = payloadFilter match {
+      case Some((pdf, vals)) =>
+        allowed
+          .join(broadcast(pdf.select(col("id").as("id_b"),
+            col("pay").as("payload_b"))), Seq("id_b"))
+          .filter(col("payload_b").isin(vals: _*))
+      case None => allowed
+    }
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
-    val rankedOut = allowed.withColumn("rank", row_number().over(wRank).cast("long"))
+    val rankedOut = payFiltered
+      .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
     labelDf match {
       case Some(lb) =>
@@ -1477,7 +1532,10 @@ object Similarity {
           .select(col("id_a"), col("la").as("label_a"), col("id_b"),
             col("lb").as("label_b"), col("cosine"), col("rank"))
       case None =>
-        rankedOut.select(col("id_a"), col("id_b"), col("cosine"), col("rank"))
+        val outCols = Seq(col("id_a"), col("id_b")) ++
+          (if (payloadFilter.isDefined) Seq(col("payload_b")) else Nil) ++
+          Seq(col("cosine"), col("rank"))
+        rankedOut.select(outCols: _*)
     }
   }
 
@@ -1504,7 +1562,7 @@ object Similarity {
       m: Int = 8,
       ks: Int = 16,
       kCand: Int = 20,
-      dims: Int = 64
+      dims: Int = 0
   ): DataFrame = {
     val nn = knnJoinIvfPqPortableIncremental(oldDf, newDf, idCol, vecCol,
       k = kCand, nLists, nprobe, m, ks, kCand, dims)
@@ -1535,10 +1593,12 @@ object Similarity {
       nLists: Int = 8,
       nprobe: Int = 2,
       k: Int = 10,
-      dims: Int = 64
+      dims0: Int = 0
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val dims = Stage.deriveDims(
+      df.select(col(vecCol).as("v")), "v", dims0)
     def md5hex(s: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -2,8 +2,60 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 
+/** Typed failure for an explicit `dims` argument that disagrees with the
+  * data: a wrong width silently DEGRADES the vector family (truncated or
+  * short-read sign dots mis-assign IVF cells, ADC subspaces misalign) with
+  * no error at all — the quiet-recall trap every entry point now guards via
+  * [[Stage.deriveDims]]. Carrying both figures lets a pipeline surface the
+  * fix ("pass dims = sampled, or drop the argument") without string
+  * parsing. */
+final case class DimsMismatchException(explicitDims: Int, sampledDims: Int)
+    extends IllegalArgumentException(
+      s"explicit dims=$explicitDims disagrees with the data's vector width " +
+        s"$sampledDims (first sampled row) — drop the dims argument to derive " +
+        "it, or pass the true width")
+
 /** Partitioning helpers shared by the corpus operators. */
 object Stage {
+
+  /** The cap every sized exchange in this codebase applies to its derived
+    * partition count — conf-tied (`spark.graft.maxExchangeParts`, default
+    * 65536) rather than a literal, because the cap is CLUSTER arithmetic:
+    * the sizing discipline targets ≤ ~16–48 MB per task, so once a stage's
+    * priced volume exceeds cap × target the per-task share grows past the
+    * discipline silently. 65536 is unreachable headroom at the local
+    * protocol (48 MB × 65536 ≈ 3 TB of priced volume per stage), but a
+    * true 100 TB deployment whose winner volume exceeds that must RAISE
+    * the conf — this knob is how, without a rebuild. */
+  def maxExchangeParts(df: DataFrame): Long =
+    df.sparkSession.conf.get("spark.graft.maxExchangeParts", "65536").toLong
+
+  /** Derive the vector width from one sampled row — the dims = 0 default
+    * of every public vector entry point — and FAIL FAST (typed
+    * [[DimsMismatchException]]) when an explicit dims disagrees with the
+    * sample: a silent mismatch degrades recall instead of erroring (the
+    * old `dims = 64` defaults mis-assigned cells for any other width).
+    * One bounded LIMIT-1 job per call; null rows are skipped so a leading
+    * null cannot mis-derive. Empty inputs return the explicit dims (any
+    * value yields the same empty result) unless `requireNonEmpty`. */
+  def deriveDims(df: DataFrame, vecCol: String, dims: Int,
+      requireNonEmpty: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.col
+    val sampled = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .head(1) match {
+      case Array(r) => r.getSeq[Any](0).size
+      case _ => 0
+    }
+    if (sampled == 0) {
+      if (requireNonEmpty)
+        throw new IllegalArgumentException(
+          "cannot derive dims from an empty input")
+      if (dims > 0) dims else 64
+    } else if (dims > 0) {
+      if (dims != sampled) throw DimsMismatchException(dims, sampled)
+      dims
+    } else sampled
+  }
 
   /** Widen a frame to the session's default parallelism ONLY when it arrives
     * narrower — e.g. a small parquet table read as a single split, which
@@ -144,7 +196,7 @@ object Stage {
     val floor = df.sparkSession.sessionState.conf.numShufflePartitions
     val est = BigDecimal(df.queryExecution.optimizedPlan.stats.sizeInBytes) * 2
     val want = (est / BigDecimal(buildBytesPerPart)).toBigInt
-      .min(BigInt(65536)).toInt
+      .min(BigInt(maxExchangeParts(df))).toInt
     math.max(floor, want)
   }
 }

@@ -80,7 +80,8 @@ object SubstringIndex {
     val volume = df.agg(coalesce(sum(greatest(length(col(textCol)) - 2, lit(0))
       .cast("long")), lit(0L))).head().getLong(0)
     val floor = df.sparkSession.sessionState.conf.numShufflePartitions
-    math.max(floor, math.min(65536L, volume * 48L / (48L << 20)).toInt)
+    math.max(floor,
+      math.min(Stage.maxExchangeParts(df), volume * 48L / (48L << 20)).toInt)
   }
 
   /** Build the index at `path` as batch 0 (overwrites any previous batch

@@ -402,7 +402,8 @@ object TextOps {
     val floor = df.sparkSession.sessionState.conf.numShufflePartitions
     val est = BigDecimal(
       df.queryExecution.optimizedPlan.stats.sizeInBytes) * expand
-    val want = (est / BigDecimal(bytesPerPart)).toBigInt.min(BigInt(65536)).toInt
+    val want = (est / BigDecimal(bytesPerPart)).toBigInt
+      .min(BigInt(Stage.maxExchangeParts(df))).toInt
     math.max(floor, want)
   }
 

@@ -445,10 +445,22 @@ object EventStreams {
       vecCol: String = "embedding",
       nLists: Int = 64,
       tau: Double = 0.95,
-      dims: Int = 64,
+      dims0: Int = 0,
       maxPerCluster: Int = 1024
   ): Dataset[SemanticVerdict] = {
     import vecs.sparkSession.implicits._
+    // dims = 0 derives from a sampled row on BATCH frames (the family
+    // rule); a STREAMING frame cannot run the LIMIT-1 sample pre-start, so
+    // it must pass the width explicitly — fail fast rather than default to
+    // a silently-wrong 64
+    val dims =
+      if (!vecs.isStreaming)
+        graft.operators.Stage.deriveDims(
+          vecs.select(col(vecCol).as("v")), "v", dims0)
+      else if (dims0 > 0) dims0
+      else throw new IllegalArgumentException(
+        "semanticDedupFilterStream on a streaming frame needs an explicit " +
+          "dims (a stream cannot be sampled before it starts)")
     // Spark round(x, 6): BigDecimal HALF_UP — the batch op's cosine gate
     def round6(x: Double): Double =
       java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)

@@ -239,4 +239,70 @@ class MultimodalSpec extends SparkSpec {
     // no duplicate (id_a, id_b) rows even though (1,2) matched on 4 bands
     assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
   }
+
+  test("signature index lifecycle: nearDupDelta verdicts equal one-shot " +
+      "hashNearDups over stored ∪ batch folded by the q87 rule; append " +
+      "lands new files only; bucket pruning reads probed partitions") {
+    import spark.implicits._
+    val h1 = 0x0123456789abcdefL
+    val h9 = 0x7edcba9876543210L
+    // stored corpus: two distinct families + an unrelated singleton
+    val stored = Seq((10L, h1), (11L, h1 ^ (1L << 5)), (20L, h9), (30L, 0x5555aaaa5555aaaaL))
+      .toDF("id", "hash")
+    // batch: 100 dups 10 (flip ≤ 3), 101 fresh, 102 dup of101 (same batch,
+    // 1 flip), 103 dup of BOTH stored 20 and batch-lower 101? no — keep it
+    // clean: 103 dups stored 20 only
+    val fresh = 0x0f0f0f0f0f0f0f0fL
+    val batch = Seq(
+      (100L, h1 ^ (1L << 40)),            // dup of stored 10/11 family
+      (101L, fresh),                      // fresh leader
+      (102L, fresh ^ (1L << 2)),          // dup of batch-lower 101
+      (103L, h9 ^ (1L << 60) ^ (1L << 7)) // dup of stored 20 (Hamming 2)
+    ).toDF("id", "hash")
+    val path = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+    Multimodal.buildSigIndex(stored, path, bands = 4)
+    val got = Multimodal.nearDupDelta(batch, path, maxHamming = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // independent reference: ONE hashNearDups over the union, folded by
+    // the q87 rule (min stored match; min lower-id same-batch match)
+    val pairs = Multimodal.hashNearDups(stored.unionByName(batch),
+        maxHamming = 3, bands = 4)
+      .as[(Long, Long, Int)].collect()
+    val storedIds = Set(10L, 11L, 20L, 30L)
+    def ref(d: Long): (Long, Long, Long, Long) = {
+      val partners = pairs.collect {
+        case (a, b, _) if a == d => b
+        case (a, b, _) if b == d => a
+      }
+      val old = partners.filter(storedIds.contains).sorted.headOption.getOrElse(-1L)
+      val nw = partners.filter(p => !storedIds.contains(p) && p < d)
+        .sorted.headOption.getOrElse(-1L)
+      (d, old, nw, if (old == -1L && nw == -1L) 1L else 0L)
+    }
+    assert(got == Seq(100L, 101L, 102L, 103L).map(ref), s"got $got")
+    // the planted shape is actually exercised
+    assert(got.map(v => (v._1, v._4)).toMap ==
+      Map(100L -> 0L, 101L -> 1L, 102L -> 0L, 103L -> 0L))
+    // append is ∝ |delta|: new files only, base untouched
+    def files(): Set[String] = {
+      val out = scala.collection.mutable.Set[String]()
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/members"))
+        .forEach(p => if (p.toString.endsWith(".parquet")) out += p.toString)
+      out.toSet
+    }
+    val before = files()
+    Multimodal.appendSigIndex(batch, path)
+    assert(files().size > before.size && before.subsetOf(files()))
+    // the next batch now sees the appended one as stored
+    val next = Seq((200L, fresh ^ (1L << 50))).toDF("id", "hash")
+    val v2 = Multimodal.nearDupDelta(next, path, maxHamming = 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(v2 == ((200L, 101L, -1L, 0L)), s"got $v2")
+    // bucket pruning: a 1-row delta's member read must scan fewer
+    // partitions than the full tree (observable via the pruned plan)
+    val plan = Multimodal.nearDupDelta(next, path, maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["),
+      "probed-bucket pruning must reach the member scan as a partition filter")
+  }
 }

@@ -368,6 +368,23 @@ class KnnIndexSpec extends SparkSpec {
     delta.foreach(r => assert(r._2 != r._4, s"same-label pair leaked: $r"))
   }
 
+  test("payload TYPE parity: appending a differently-typed payload into a " +
+      "stored tree fails fast (mixed member-struct schemas in one parquet " +
+      "directory read arbitrarily and compact would drop payloads)") {
+    val path = tmpDir()
+    KnnIndex.build(emb.filter($"vec_id" % 5 =!= 0), "vec_id", "embedding",
+      path, nLists = 8, payloadCol = "label")
+    val neu = emb.filter($"vec_id" % 5 === 0)
+      .withColumn("label", $"label".cast("string"))
+    val ex = intercept[IllegalArgumentException] {
+      KnnIndex.append(neu, "vec_id", "embedding", path, payloadCol = "label")
+    }
+    assert(ex.getMessage.contains("payload"), ex.getMessage)
+    // same-typed append still lands
+    KnnIndex.append(emb.filter($"vec_id" % 5 === 0), "vec_id", "embedding",
+      path, payloadCol = "label")
+  }
+
   test("payload is optional to READERS: knnJoinDelta answers identically " +
       "over payload and plain trees") {
     val plain = tmpDir(); val pay = tmpDir()
@@ -457,6 +474,98 @@ class KnnIndexSpec extends SparkSpec {
       .as[(Long, Int, Long, Int, Double, Int)].collect().toSet
     assert(mined.toSet == ref, s"restricted mining diverged: " +
       s"only-mined=${(mined.toSet -- ref).take(5)} only-ref=${(ref -- mined.toSet).take(5)}")
+  }
+
+  test("payload-predicate-filtered delta join: equals filter-then-re-rank " +
+      "of the deep unfiltered join (the restrict exactness contract), " +
+      "payload_b riding the output") {
+    val path = tmpDir()
+    val old = emb.filter($"vec_id" % 5 =!= 0)
+    val neu = emb.filter($"vec_id" % 5 === 0)
+    KnnIndex.build(old, "vec_id", "embedding", path, nLists = 8,
+      payloadCol = "label")
+    val allowed: Seq[Any] = Seq(0, 1, 2)
+    val got = KnnIndex.knnJoinDelta(neu, "vec_id", "embedding", path, k = 3,
+        nprobe = 4, kCand = 100000, payloadIn = Some(allowed))
+      .as[(Long, Long, Int, Double, Int)].collect().toSet
+    // independent reference: the unfiltered deep join (every rescored
+    // member kept), labels ATTACHED by join, predicate, re-rank, cut —
+    // the exact decision order the operator claims
+    import org.apache.spark.sql.expressions.Window
+    val deep = KnnIndex.knnJoinDelta(neu, "vec_id", "embedding", path,
+      k = 100000, nprobe = 4, kCand = 100000)
+    val labels = old.select($"vec_id".as("id_b"), $"label".as("payload_b"))
+    val w = Window.partitionBy($"id_a").orderBy($"cosine".desc, $"id_b".asc)
+    val ref = deep.drop("rank").join(labels, "id_b")
+      .filter($"payload_b".isin(allowed: _*))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"id_a", $"id_b", $"payload_b", $"cosine", $"rank")
+      .as[(Long, Long, Int, Double, Int)].collect().toSet
+    assert(got == ref, s"payload filter diverged: only-got=" +
+      s"${(got -- ref).take(5)} only-ref=${(ref -- got).take(5)}")
+    assert(got.nonEmpty)
+    got.foreach(r => assert(Seq(0, 1, 2).contains(r._3),
+      s"disallowed payload leaked: $r"))
+  }
+
+  test("payload-filtered mining: hardNegativesDelta(payloadIn) equals " +
+      "class-filter-then-re-rank of the unfiltered mining output") {
+    val path = tmpDir()
+    KnnIndex.build(emb, "vec_id", "embedding", path, nLists = 8,
+      payloadCol = "label")
+    val allowed: Seq[Any] = Seq(1, 3)
+    val got = KnnIndex.hardNegativesDelta(emb, "vec_id", "embedding",
+        "label", path, k = 2, nprobe = 4, kCand = 100000,
+        payloadIn = Some(allowed))
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSet
+    import org.apache.spark.sql.expressions.Window
+    val deep = KnnIndex.hardNegativesDelta(emb, "vec_id", "embedding",
+      "label", path, k = 100000, nprobe = 4, kCand = 100000)
+    val w = Window.partitionBy($"id_a").orderBy($"cosine".desc, $"id_b".asc)
+    val ref = deep.drop("rank").filter($"label_b".isin(allowed: _*))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 2)
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSet
+    assert(got == ref)
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(Seq(1, 3).contains(r._4), s"disallowed class mined: $r")
+      assert(r._2 != r._4, s"same-label pair leaked: $r")
+    }
+  }
+
+  test("maintain: the stats-driven compaction trigger fires past the " +
+      "thresholds — fragmented or tombstone-heavy trees compact, a fresh " +
+      "tree does not") {
+    val path = tmpDir()
+    val old = emb.filter($"vec_id" % 5 =!= 0)
+    val delta = emb.filter($"vec_id" % 5 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    KnnIndex.build(old, "vec_id", "embedding", path, nLists = 8)
+    assert(!KnnIndex.shouldCompact(spark, path),
+      "a freshly built tree must not trigger")
+    assert(!KnnIndex.maintain(spark, path))
+    // append fragmentation: several delta batches → mean directory rows
+    // per cell climbs past the threshold
+    (0 until 5).foreach { i =>
+      KnnIndex.append(delta.select(($"vec_id" + i * 1000).as("vec_id"),
+        $"embedding"), "vec_id", "embedding", path)
+    }
+    assert(KnnIndex.health(spark, path).meanDirRows > 4.0)
+    assert(KnnIndex.shouldCompact(spark, path), "fragmented tree must trigger")
+    assert(KnnIndex.maintain(spark, path), "maintain must compact it")
+    assert(!KnnIndex.shouldCompact(spark, path),
+      "compaction must restore the tree below the trigger")
+    assert(KnnIndex.health(spark, path).meanDirRows == 1.0)
+    // tombstone pressure: delete ~20% of members → fraction crosses 2%
+    KnnIndex.delete(old.filter($"vec_id" % 5 === 1).select($"vec_id"),
+      "vec_id", path)
+    assert(KnnIndex.health(spark, path).tombstoneFrac > 0.02)
+    assert(KnnIndex.maintain(spark, path), "tombstone-heavy tree must compact")
+    val h = KnnIndex.health(spark, path)
+    assert(h.tombstones == 0, "compact must truncate the log")
+    assert(!KnnIndex.shouldCompact(spark, path))
   }
 
   test("meta round-trips: stored codebook equals the trained one") {

@@ -74,6 +74,67 @@ class RoutingSpec extends SparkSpec {
     assert(inc.nonEmpty && inc.forall(_._1 % 5 == 0))
   }
 
+  test("dims derivation at every entry point: a 128-d corpus with DEFAULTED " +
+      "dims gets correct cell assignment (knnJoinIvf + hardNegativesAnnCell), " +
+      "and an explicit mismatch raises the typed error, not degraded recall") {
+    // 128-d corpus: each fixture vector concatenated with its reverse —
+    // the upper half carries signal a fabricated dims=64 would TRUNCATE
+    val wide = emb.select($"vec_id",
+      concat($"embedding", reverse($"embedding")).as("embedding"))
+    val derived = Similarity.knnJoinIvf(wide, "vec_id", "embedding", k = 3,
+        nLists = 8, nprobe = 4, kCand = 100000)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val explicit = Similarity.knnJoinIvf(wide, "vec_id", "embedding", k = 3,
+        nLists = 8, nprobe = 4, kCand = 100000, dims = 128)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(derived == explicit && derived.nonEmpty,
+      "defaulted dims must assign on all 128 components")
+    val withLbl = wide.withColumn("lbl", pmod($"vec_id", lit(4L)))
+    val minedDerived = Similarity.hardNegativesAnnCell(withLbl, "vec_id",
+        "embedding", "lbl", k = 2, nLists = 8, nprobe = 4, kCand = 100000)
+      .as[(Long, Long, Long, Long, Double, Int)].collect().toSet
+    val minedExplicit = Similarity.hardNegativesAnnCell(withLbl, "vec_id",
+        "embedding", "lbl", k = 2, nLists = 8, nprobe = 4, kCand = 100000,
+        dims = 128)
+      .as[(Long, Long, Long, Long, Double, Int)].collect().toSet
+    assert(minedDerived == minedExplicit && minedDerived.nonEmpty)
+    // explicit dims that disagrees with the data raises — typed, at once
+    val ex = intercept[DimsMismatchException] {
+      Similarity.knnJoinIvf(wide, "vec_id", "embedding", k = 3, dims = 64)
+        .collect()
+    }
+    assert(ex.explicitDims == 64 && ex.sampledDims == 128)
+    intercept[DimsMismatchException] {
+      Similarity.knnJoinIvfPqPortable(wide, "vec_id", "embedding", k = 3,
+        dims = 64).collect()
+    }
+    intercept[DimsMismatchException] {
+      val p = java.nio.file.Files.createTempDirectory("graft_dims").toString
+      KnnIndex.build(wide, "vec_id", "embedding", p, nLists = 8, dims = 64)
+    }
+  }
+
+  test("maxExchangeParts is conf-tied: a sized exchange's derived partition " +
+      "count caps at spark.graft.maxExchangeParts, not a baked-in literal") {
+    assert(Stage.maxExchangeParts(emb) == 65536L)
+    spark.conf.set("spark.graft.maxExchangeParts", "128")
+    try {
+      assert(Stage.maxExchangeParts(emb) == 128L)
+      // a priced volume far past the cap: hashNearDups' band exchange
+      // wants n·bands·96B/16MB parts ≈ 190k at the hinted n — the plan
+      // must carry the conf cap instead
+      val hashes = emb.select($"vec_id".as("id"), xxhash64($"embedding").as("hash"))
+      val got = graft.multimodal.Multimodal.hashNearDups(hashes,
+        maxHamming = 3, bands = 4, nRows = 8L * 1000 * 1000 * 1000)
+      val parts = got.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+          r.optNumPartitions
+      }.flatten
+      assert(parts.contains(128),
+        s"band exchange must size at the conf cap 128, got $parts")
+    } finally spark.conf.unset("spark.graft.maxExchangeParts")
+  }
+
   test("deltaProbeRoute matches the executed probe attach, both regimes") {
     val path = java.nio.file.Files.createTempDirectory("graft_route").toString
     KnnIndex.build(emb, "vec_id", "embedding", path, nLists = 8,

@@ -513,8 +513,11 @@ class StreamingSpec extends SparkSpec {
     }
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Seq[Float])]
+    // a streaming frame cannot be sampled pre-start, so the width is
+    // explicit here — the dims0 = 0 default derives it on batch frames
     val q = EventStreams.semanticDedupFilterStream(
-        mem.toDF().toDF("vec_id", "embedding"), nLists = 4, tau = 0.95)
+        mem.toDF().toDF("vec_id", "embedding"), nLists = 4, tau = 0.95,
+        dims0 = 64)
       .writeStream.format("memory").queryName("semdedup")
       .outputMode("append").start()
     mem.addData((1L, a), (2L, b), (3L, c), (4L, ortho), (9L, zero))
