@@ -895,6 +895,147 @@ object CorpusBench {
         }, s""""appends":4,"tombstones":${n / 50},"files_before":$filesBefore,"impl":"codebook_reuse+bucket_coalesce"""",
           valueField = "files_after")
       }
+      // READ-AMPLIFICATION CURVE of the stored index (the compaction
+      // policy's evidence): one fixed probe batch re-measured after each
+      // of 10 × 1% appends and 2 tombstone batches, then after compact —
+      // each row carries the delta-search wall, planted recall, and the
+      // tree's mean directory rows per cell at that step. The curve prices
+      // what NOT compacting costs (rank-stage re-merge of per-(cell,
+      // batch) rows; tombstones deepening every rescore to the full
+      // shortlist) and what compact restores — the thresholds
+      // KnnIndex.shouldCompact defaults to cite these rows.
+      if (opFilter.exists(_.exists(_.startsWith("knn_index_read_amp")))) {
+        val idxPath = s"$stageDir/knnidxra_$n"
+        def deleteTree(dir: String): Unit = {
+          val p = Paths.get(dir)
+          if (Files.exists(p))
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.deleteIfExists(f))
+        }
+        deleteTree(idxPath)
+        val baseEmb = embs.filter(col("vec_id") % 10 =!= 0)
+        graft.operators.KnnIndex.build(baseEmb, "vec_id", "embedding", idxPath)
+        // fixed probe batch: every vec_id ≡ 0 (mod 100) — all are 20-block
+        // position-0 rows, so both planted partners (+1, +2) are stored in
+        // the base and recall is comparable at every step
+        val probe = embs.filter(col("vec_id") % 100 === 0)
+        var appends = 0
+        var tombstones = 0
+        def measure(step: String): Unit = {
+          val h = graft.operators.KnnIndex.health(spark, idxPath)
+          benchAct("knn_index_read_amp", () =>
+            plantedPairs(graft.operators.KnnIndex.knnJoinDelta(
+              probe, "vec_id", "embedding", idxPath, k = 5, nprobe = 4)),
+            s""""step":"$step","appends":$appends,"tombstone_rows":$tombstones,""" +
+              s""""mean_dir_rows":${h.meanDirRows},"planted":${2 * (n / 100)}""",
+            valueField = "recovered")
+        }
+        measure("fresh")
+        (1 to 10).foreach { j =>
+          // 1%-of-corpus slice j: ids ≡ 10·j (mod 100) — disjoint from the
+          // base (all ≡ 0 mod 10) and from each other
+          graft.operators.KnnIndex.append(
+            embs.filter(col("vec_id") % 100 === (10 * j) % 100),
+            "vec_id", "embedding", idxPath)
+          appends = j
+          if (j == 3 || j == 7 || j == 10) measure(s"append$j")
+          if (j == 5 || j == 10) {
+            // tombstone batch: 0.5% of the base each time
+            graft.operators.KnnIndex.delete(
+              baseEmb.filter(col("vec_id") % 200 === j).select(col("vec_id")),
+              "vec_id", idxPath)
+            tombstones += (n / 200).toInt
+            measure(s"append${j}_tombstoned")
+          }
+        }
+        val trigger = graft.operators.KnnIndex.shouldCompact(spark, idxPath)
+        benchAct("knn_index_read_amp_compact", () => {
+          graft.operators.KnnIndex.compact(spark, idxPath)
+          graft.operators.KnnIndex.health(spark, idxPath).members
+        }, s""""trigger_fired":$trigger""", valueField = "members")
+        appends = 0; tombstones = 0
+        measure("compacted")
+      }
+      // payload-predicate-filtered delta search at grid scale: answers
+      // restricted to members whose stored label is in half the label
+      // space — the q124/knnJoinDelta(payloadIn) shape; rescore deepens to
+      // the full shortlist (the restrict exactness contract), the
+      // predicate itself is a scan-local filter on the winner stream
+      if (opFilter.exists(_.exists(_.startsWith("knn_index_payload_filter")))) {
+        val payPath = s"$stageDir/knnidx_pay_$n"
+        val labeled = embs.filter(col("vec_id") % 10 =!= 0)
+          .withColumn("lbl", pmod(xxhash64(col("vec_id"), lit("hn")), lit(16L)))
+        if (!Files.exists(Paths.get(s"$payPath/meta")))
+          graft.operators.KnnIndex.build(labeled, "vec_id", "embedding",
+            payPath, payloadCol = "lbl")
+        val deltaEmb = embs.filter(col("vec_id") % 10 === 0)
+        val probeRoute = graft.operators.KnnIndex.deltaProbeRoute(
+          spark, payPath, n / 10, nprobe = 4)
+        benchAct("knn_index_payload_filter", () =>
+          graft.operators.KnnIndex.knnJoinDelta(deltaEmb, "vec_id",
+            "embedding", payPath, k = 5, nprobe = 4,
+            payloadIn = Some(Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))).count(),
+          s""""impl":"stored_dirs+$probeRoute+winner_payload_filter","allowed_labels":8,"labels":16""")
+      }
+      // SUSTAINED ingest+mine throughput: 20 × 50k-row batches against the
+      // 5M-class stored payload index, each batch paying exactly-once
+      // appendBatch + hardNegativesDelta — the steady-state cost a
+      // continuous training-data pipeline pays per arriving batch, vs the
+      // one-time build it amortizes (knn_index_build). One row per batch:
+      // wall, shuffle, spill; rows/s = batch_rows / sec.
+      if (opFilter.exists(_.exists(_.startsWith("knn_index_ingest_mine")))) {
+        val idxPath = s"$stageDir/knnidxim_$n"
+        def deleteTree(dir: String): Unit = {
+          val p = Paths.get(dir)
+          if (Files.exists(p))
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.deleteIfExists(f))
+        }
+        deleteTree(idxPath)
+        val labeled = embs
+          .withColumn("lbl", pmod(xxhash64(col("vec_id"), lit("hn")), lit(16L)))
+        // 80/20 split: a 5M corpus yields a 4M stored base and 20 × 50k
+        // arriving batches (vec_id div 5 mod batches slices the delta)
+        graft.operators.KnnIndex.build(
+          labeled.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+          idxPath, payloadCol = "lbl")
+        val batchRows = 50000L
+        val batches = math.min(20L, math.max(1L, (n / 5) / batchRows))
+        val deltaIds = labeled.filter(col("vec_id") % 5 === 0)
+        (0L until batches).foreach { b =>
+          val batch = deltaIds.filter(expr(s"(vec_id div 5) % $batches") === b)
+          benchAct("knn_index_ingest_mine", () => {
+            graft.operators.KnnIndex.appendBatch(batch, "vec_id", "embedding",
+              idxPath, batchId = b, payloadCol = "lbl")
+            graft.operators.KnnIndex.hardNegativesDelta(batch, "vec_id",
+              "embedding", "lbl", idxPath, k = 5, nprobe = 4).count()
+          }, s""""batch":$b,"batch_rows":${n / 5 / batches},"impl":"append_batch+mine"""")
+        }
+      }
+      // near-dup verdicts for an arriving SIGNATURE batch against the
+      // stored banded index — the multimodal dedupDelta: stored corpus
+      // never re-banded or re-scanned beyond probed buckets, batch
+      // leaders decided by one |delta|-sized self-join. Planted: every
+      // 20-block position-0 row arrives in the batch and must name its
+      // stored position-1 copy (hash within 1 flip) as dup_of_old.
+      if (opFilter.exists(_.exists(_.startsWith("hash_near_dups_delta")))) {
+        val hashPath = s"$stageDir/hashes_$n"
+        if (!Files.exists(Paths.get(hashPath)))
+          hashCorpus(spark, n).write.mode("overwrite").parquet(hashPath)
+        val hashes = spark.read.parquet(hashPath)
+          .select(col("id"), col("hash"))
+        val sigPath = s"$stageDir/sigidx_$n"
+        if (!Files.exists(Paths.get(s"$sigPath/meta")))
+          graft.multimodal.Multimodal.buildSigIndex(
+            hashes.filter(col("id") % 10 =!= 0), sigPath, bands = 4)
+        val batch = hashes.filter(col("id") % 10 === 0)
+        benchAct("hash_near_dups_delta", () =>
+          graft.multimodal.Multimodal.nearDupDelta(batch, sigPath,
+              maxHamming = 3)
+            .filter(col("dup_of_old") === col("id") + 1).count(),
+          s""""bands":4,"impl":"stored_band_dirs+bucket_pruned","planted":${n / 20}""",
+          valueField = "recovered")
+      }
       // banded perceptual-hash near-dup join at SIGNATURE scale (no
       // decode): planted ≤3-bit-flip replicas recovered through the
       // bands=4 pigeonhole; volume records the 2^16-bucket saturation law

@@ -454,11 +454,27 @@ object Multimodal {
       mode: String): Unit = {
     val width = 64 / bands
     val mask = (1L << width) - 1
+    // One (band, bucket)-keyed exchange BEFORE the partitioned write so
+    // each task holds whole directory groups: without it every write task
+    // opens a file per (band, bucket) it touches — measured 32,765 files
+    // (269 MB) for a 90k-signature build, parquet footer overhead
+    // dominating the bytes and every later read paying the listing. With
+    // it the tree holds ≤ parts files per directory (parts ≪ task count),
+    // sized from the banded row volume at ~128 MB per write task.
+    val spark = hashes.sparkSession
+    val floor = spark.sparkContext.defaultParallelism
+    val est =
+      if (graft.operators.Stage.statsKnown(hashes))
+        (hashes.queryExecution.analyzed.stats.sizeInBytes / 12).toLong
+      else hashes.count()
+    val parts = math.max(math.min(floor, bands * SigBuckets),
+      math.min(bands.toLong * SigBuckets, est * bands * 24L / (128L << 20)).toInt)
     hashes
       .select(col("id").cast("long").as("id"), col("hash").cast("long").as("hash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bits", expr(s"shiftrightunsigned(hash, band * $width) & $mask"))
       .withColumn("bucket", pmod(col("bits"), lit(SigBuckets)).cast("int"))
+      .repartition(parts, col("band"), col("bucket"))
       .write.mode(mode).partitionBy("band", "bucket").parquet(dest)
   }
 
