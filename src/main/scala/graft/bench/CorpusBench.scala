@@ -1012,6 +1012,46 @@ object CorpusBench {
           }, s""""batch":$b,"batch_rows":${n / 5 / batches},"impl":"append_batch+mine"""")
         }
       }
+      // The SAME campaign with the compaction policy in the loop: maintain()
+      // after each batch (quiesced — this loop is the only maintainer)
+      // compacts when mean directory rows cross the measured threshold, so
+      // per-batch wall stays FLAT where the unmaintained campaign's climbs
+      // ~linearly with accumulated fragmentation (read-amplification paid
+      // on every mine). Rows record whether the batch compacted and the
+      // compact's own wall inside the batch time — the honest steady-state
+      // cost of the policy.
+      if (opFilter.exists(_.exists(_.startsWith("knn_index_ingest_maint")))) {
+        val idxPath = s"$stageDir/knnidximm_$n"
+        def deleteTree(dir: String): Unit = {
+          val p = Paths.get(dir)
+          if (Files.exists(p))
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.deleteIfExists(f))
+        }
+        deleteTree(idxPath)
+        val labeled = embs
+          .withColumn("lbl", pmod(xxhash64(col("vec_id"), lit("hn")), lit(16L)))
+        graft.operators.KnnIndex.build(
+          labeled.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+          idxPath, payloadCol = "lbl")
+        val batchRows = 50000L
+        val batches = math.min(20L, math.max(1L, (n / 5) / batchRows))
+        val deltaIds = labeled.filter(col("vec_id") % 5 === 0)
+        (0L until batches).foreach { b =>
+          val batch = deltaIds.filter(expr(s"(vec_id div 5) % $batches") === b)
+          var compacted = false
+          benchAct("knn_index_ingest_maint", () => {
+            graft.operators.KnnIndex.appendBatch(batch, "vec_id", "embedding",
+              idxPath, batchId = b, payloadCol = "lbl")
+            val c = graft.operators.KnnIndex.hardNegativesDelta(batch, "vec_id",
+              "embedding", "lbl", idxPath, k = 5, nprobe = 4).count()
+            compacted = graft.operators.KnnIndex.maintain(spark, idxPath)
+            c
+          }, s""""batch":$b,"batch_rows":${n / 5 / batches},"impl":"append_batch+mine+maintain"""")
+          if (compacted) record(
+            s"""{"op":"knn_index_ingest_maint_compacted","n_docs":$n,"batch":$b}""")
+        }
+      }
       // near-dup verdicts for an arriving SIGNATURE batch against the
       // stored banded index — the multimodal dedupDelta: stored corpus
       // never re-banded or re-scanned beyond probed buckets, batch

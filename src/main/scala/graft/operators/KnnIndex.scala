@@ -183,7 +183,7 @@ object KnnIndex {
     val base = prep(df, idCol, vecCol, payloadCol)
     val n = math.max(1L, base.count())
     writeMembersTo(base, meta, n * rowBytes(meta) * 2, s"$path/members",
-      SaveMode.Append)
+      SaveMode.Append, withCnt = storedHasCnt(df.sparkSession, path))
     meta
   }
 
@@ -203,6 +203,11 @@ object KnnIndex {
     * read, no data job. */
   private def storedHasPayload(spark: SparkSession, path: String): Boolean =
     storedPayloadType(spark, path).isDefined
+
+  /** Does the stored members tree carry the r14 `cnt` column? Appends must
+    * match it (mixed footers read arbitrarily); compact always upgrades. */
+  private def storedHasCnt(spark: SparkSession, path: String): Boolean =
+    spark.read.parquet(s"$path/members").columns.contains("cnt")
 
   /** An append whose payload presence — or TYPE — disagrees with the stored
     * tree would mix member-struct widths inside one parquet directory, and
@@ -283,7 +288,7 @@ object KnnIndex {
     val n = math.max(1L, base.count())
     val staging = s"$path/staging/batch-$batchId"
     writeMembersTo(base, meta, n * rowBytes(meta) * 2, staging,
-      SaveMode.Overwrite)
+      SaveMode.Overwrite, withCnt = storedHasCnt(spark, path))
     val fs = hadoopFs(spark, path)
     val membersRoot = new org.apache.hadoop.fs.Path(s"$path/members")
     val leftovers = fs.globStatus(new org.apache.hadoop.fs.Path(
@@ -453,8 +458,7 @@ object KnnIndex {
     // expansion) — no count job over the base; a tombstone-heavy log only
     // overestimates, which costs nothing
     val bytes = fs.getContentSummary(live).getLength * 2
-    writeMembersTo(kept, meta, bytes, tmp.toString, SaveMode.Overwrite,
-      coalesceByBucket = true)
+    writeMembersTo(kept, meta, bytes, tmp.toString, SaveMode.Overwrite)
     fs.rename(live, old)
     fs.rename(tmp, live)
     fs.delete(old, true)
@@ -473,13 +477,22 @@ object KnnIndex {
     *
     * The tree is written `nl=<nLists>/bucket=<cell mod 256>/…`: the first
     * level makes the directory self-describing (see [[compact]]'s swap
-    * consistency), the second is the pruning key. `coalesceByBucket` adds
-    * one bucket-keyed exchange before the write so each bucket lands in
-    * O(1) files — the file-merging half of compaction; build/append skip
-    * it (a delta batch's files ARE the per-batch increments the compact
-    * later folds). */
+    * consistency), the second is the pruning key.
+    *
+    * EVERY write coalesces by bucket before the partitioned write (one
+    * extra exchange of the directory bytes, sized ~128 MB per write
+    * task): the cell-hash agg output holds cells of every bucket in
+    * every task, so an unaligned write opens a file per (task × bucket)
+    * — measured 54k files for one 4M-member build generation, and every
+    * subsequent members read (delta join, mining, health) paid the
+    * listing + footer pass: the same probe batch cost 30.7 s against the
+    * unaligned build layout vs 4.6 s against the ≤ 256-file compacted
+    * tree at IDENTICAL mean_dir_rows = 1. A batch's files stay its own
+    * per-batch increments (separate files per append regardless), which
+    * compact later folds. */
   private def writeMembersTo(base: DataFrame, meta: Meta, dirBytes: Long,
-      dest: String, mode: SaveMode, coalesceByBucket: Boolean = false): Unit = {
+      dest: String, mode: SaveMode,
+      withCnt: Boolean = true): Unit = {
     val floor = base.sparkSession.sessionState.conf.numShufflePartitions
     val dirParts = math.max(floor,
       math.min(Stage.maxExchangeParts(base), dirBytes / (16L << 20)).toInt)
@@ -504,19 +517,25 @@ object KnnIndex {
       .repartition(dirParts, col("cell"))
       .groupBy(col("cell"))
       .agg(collect_list(col("m0")).as("mem"), collect_list(col("v0")).as("vmem"))
+      // cnt (this directory row's member count) rides as its own skinny
+      // column so the compaction-policy read ([[health]]) scans (cell,
+      // cnt) WITHOUT decoding the code/vector arrays — the full-stats
+      // variant of that read cost ~30 s per call on a 4.5M-member tree,
+      // turning a per-batch maintain() into the campaign's dominant term.
+      // Appends into a pre-cnt tree keep the old schema (mixed footers
+      // read arbitrarily — the payload-parity hazard); the next compact
+      // upgrades the whole generation.
+      .withColumn("cnt", size(col("mem")).cast("long"))
       .withColumn("bucket", pmod(col("cell"), lit(Buckets)))
       .withColumn("nl", lit(meta.nLists))
-    val out =
-      if (!coalesceByBucket) grouped
-      else {
-        // target ~128 MB parquet files: each write task holds whole
-        // buckets, so files-per-bucket ≈ 1 at small scale and
-        // bytes/128 MB at large
-        val fileParts = math.max(1L, math.min(Buckets.toLong,
-          dirBytes / (128L << 20))).toInt
-        grouped.repartition(fileParts, col("bucket"))
-      }
-    out.write.mode(mode).partitionBy("nl", "bucket").parquet(dest)
+    val shaped =
+      if (withCnt) grouped else grouped.drop("cnt")
+    // target ~128 MB parquet files: each write task holds whole buckets,
+    // so files-per-bucket ≈ 1 at small scale and bytes/128 MB at large
+    val fileParts = math.max(1L, math.min(Buckets.toLong,
+      dirBytes / (128L << 20))).toInt
+    shaped.repartition(fileParts, col("bucket"))
+      .write.mode(mode).partitionBy("nl", "bucket").parquet(dest)
   }
 
   /** The nLists the stored members were assigned with — read from the
@@ -552,8 +571,14 @@ object KnnIndex {
     * members-tree aggregate (codes column only — vectors never load) plus
     * two FS listings; nothing driver-side beyond the summary row. */
   def stats(spark: SparkSession, path: String): DataFrame = {
-    val perCell = spark.read.parquet(s"$path/members")
-      .select(col("cell"), size(col("mem")).as("batch_members"))
+    val members = spark.read.parquet(s"$path/members")
+    // the stored per-row count (r14+ trees) spares decoding the code
+    // arrays; older trees fall back to size(mem)
+    val cnt =
+      if (members.columns.contains("cnt")) col("cnt")
+      else size(col("mem")).cast("long")
+    val perCell = members
+      .select(col("cell"), cnt.as("batch_members"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("dir_rows"), sum(col("batch_members")).as("occ"))
     val tombs = tombstonesDf(spark, path)
@@ -586,33 +611,59 @@ object KnnIndex {
       if (members <= 0) 0.0 else tombstones.toDouble / members
   }
 
-  /** One bounded collect over [[stats]] — the policy read. */
+  /** The policy read — CHEAP by construction: scans only the members
+    * tree's (cell, cnt) columns (cnt is the stored per-row member count,
+    * written since r14; older trees fall back to `size(mem)`, which
+    * decodes the code arrays), plus the tiny tombstone log. Running the
+    * full [[stats]] here was measured at ~30 s per call on a 4.5M-member
+    * tree — a per-batch maintain() must cost milliseconds, not a scan of
+    * every stored code. */
   def health(spark: SparkSession, path: String): Health = {
-    val r = stats(spark, path).head()
+    val members = spark.read.parquet(s"$path/members")
+    val cnt =
+      if (members.columns.contains("cnt")) col("cnt")
+      else size(col("mem")).cast("long")
+    val r = members.select(col("cell"), cnt.as("c"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("dir_rows"), sum(col("c")).as("occ"))
+      .agg(count(lit(1)).as("cells"),
+        coalesce(sum(col("occ")), lit(0L)).as("members"),
+        avg(col("dir_rows")).as("mean_dir_rows"))
+      .head()
+    val tombs = tombstonesDf(spark, path).map(_.count()).getOrElse(0L)
     Health(r.getAs[Long]("cells"), r.getAs[Long]("members"),
-      r.getAs[Double]("mean_dir_rows"), r.getAs[Long]("tombstones"))
+      r.getAs[Double]("mean_dir_rows"), tombs)
   }
 
   /** Does the index need a [[compact]]? The stats-driven trigger of the
     * LSM lifecycle, with thresholds set from the measured
     * read-amplification curve (docs/corpusbench_local32.jsonl,
-    * `knn_index_read_amp` rows — 5M base, 10 × 1% appends, 2 tombstone
-    * batches):
+    * `knn_index_read_amp` rows — 4.5M base, 10 × 1% appends, 2 tombstone
+    * batches, one fixed 50k-row probe batch re-measured per step):
     *
-    *  - `maxMeanDirRows` (default 4.0): append fragmentation multiplies
-    *    the per-(cell, batch) directory rows the delta join's rank stage
-    *    re-merges; the measured curve prices each extra directory row
-    *    generation at roughly +4–7% of delta-search wall (shuffle grows
-    *    ∝ winner rows), so ~4 generations ≈ the cost of the compact that
-    *    resets them, amortized over the campaign.
-    *  - `maxTombstoneFrac` (default 0.02): ANY pending tombstone deepens
+    *  - `maxMeanDirRows` (default 4.0): every probe×cell row re-runs the
+    *    ADC shortlist (tables built per row) once per (cell, batch)
+    *    directory row, and each append batch adds its own files per
+    *    bucket, so delta-search wall grows ~linearly in mean_dir_rows:
+    *    at 5M the same probe batch costs 4.6 s on a compacted tree,
+    *    8.8 s at mean_dir_rows 3.8, 9.4 s at 5.0 (~2×), and the compact
+    *    that resets it costs 25.9 s — ~5 fragmented-vs-compacted search
+    *    deltas — so 4.0 amortizes within a handful of post-compact
+    *    queries on any search-active campaign. (Before the bucket-aligned
+    *    members write the same curve ran 4.6 → 77 s with a 91 s compact:
+    *    the dominant term was the file-per-(task × bucket) write layout,
+    *    now fixed at the writer — see [[writeMembersTo]].)
+    *  - `maxTombstoneFrac` (default 0.02): pending tombstones deepen
     *    every delta rescore to the full shortlist (`rescoreK = cand` —
-    *    the exactness contract), the single largest step on the measured
-    *    curve; the fraction threshold keeps one tiny delete from forcing
-    *    an immediate full rewrite while bounding how long the deepened
-    *    rescore is paid.
+    *    the exactness contract), a modest wall term at default depths
+    *    (within step noise on the curve: 7.1 s tombstoned vs 9.4 s not,
+    *    at equal fragmentation) but an unbounded correctness debt — the
+    *    filter stays exact only while `cand` covers each probed cell's
+    *    SURVIVING members, so a growing log erodes the guarantee. The
+    *    fraction threshold bounds that window without letting one tiny
+    *    delete force a full rewrite.
     *
-    * Pure read — one stats aggregate, no data rewrite. */
+    * Pure read — one (cell, cnt) aggregate, no data rewrite. */
   def shouldCompact(spark: SparkSession, path: String,
       maxMeanDirRows: Double = 4.0,
       maxTombstoneFrac: Double = 0.02): Boolean = {

@@ -812,21 +812,34 @@ object Similarity {
     * wrapper reads the same size estimate the attach strategy keys on
     * (analyzed stats of the (id, vec) projection — file bytes for a
     * source-backed frame) and dispatches: at or under `lshMaxBytes`
-    * (default 1 GB of source bytes ≈ 4M×64d) the LSH join runs with its
-    * occupancy-sized plane count; above it — or when stats are unknown
-    * STRUCTURALLY ([[Stage.statsKnown]]), since a statless input must not
-    * gamble on a driver-side broadcast collect — [[knnJoinIvf]] with its
-    * default occupancy-64 list policy.
+    * (default 384 MB of source bytes ≈ 1.4M×64d) the LSH join runs with
+    * its occupancy-sized plane count; above it — or when stats are
+    * unknown STRUCTURALLY ([[Stage.statsKnown]]), since a statless input
+    * must not gamble on a driver-side broadcast collect —
+    * [[knnJoinIvf]] with its default occupancy-64 list policy.
     *
-    * The boundary is BRACKETED in the grid (docs/corpusbench_local32
-    * .jsonl, knn_join_auto_recall rows): at 3M×64d (~0.8 GB source
-    * bytes, just under the default) the routed LSH join completes on the
-    * protocol 8 GB heap at 100% planted recall (54.1 s, 5.6 GB spill);
-    * at 5M×64d (~1.3 GB, just over) the routed IVF join runs 48.3 s /
-    * 98.2% / ZERO spill — and the r11 measurement of LSH forced at 5M
-    * (2× heap, 54 GB spill) is the cliff the dispatch avoids. A dims≠64
-    * profile is covered by the dims-derivation rule below and the
-    * knn_join_auto_d16 row (dims read from the data, 100% recall).
+    * The default sits at LSH's measured SPILL ONSET, not at the wall
+    * crossover — full bracket (docs/corpusbench_local32.jsonl,
+    * knn_join_auto_recall + knn_join_ivf_recall/knn_join_recall rows,
+    * 64d, protocol heap):
+    *
+    *  - 500k (131 MB): LSH 3.7 s / 0 spill / 100% vs IVF 12.1 s — LSH
+    *  - 1M (262 MB): LSH 16.6 s / 0 spill / 100% vs IVF 32.2 s — LSH
+    *  - 2M (525 MB): LSH 42.9 s / 3.9 GB SPILL vs IVF 47.1 s / 0 — IVF
+    *  - 3M (787 MB): LSH 54.1 s / 5.6 GB SPILL vs IVF 48.8 s / 0 — IVF
+    *  - 5M (1.3 GB): LSH 255 s / 54 GB spill (2× heap) vs IVF 48.3 s / 0
+    *
+    * Below 384 MB the routed LSH plan is both faster and spill-free;
+    * above it the routed IVF plan is spill-free and at worst 10% slower
+    * at 2M (already strictly faster by 3M). The spill trajectory
+    * (0 → 3.9 → 5.6 → 54 GB) is the cliff precursor the boundary
+    * guards: a plan whose spill grows superlinearly with n loses any
+    * wall advantage at the next scale step, so the dispatcher trades
+    * ≤ 10% of wall in the 384–700 MB band for zero spill at every
+    * measured point. (The r13 1 GB default routed that whole band into
+    * the spilling plan.) A dims≠64 profile is covered by the
+    * dims-derivation rule below and the knn_join_auto_d16 row (dims
+    * read from the data, 100% recall).
     *
     * Same (id_a, id_b, cosine, rank) contract either way. */
   def knnJoinAuto(
@@ -834,7 +847,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      lshMaxBytes: Long = 1L << 30,
+      lshMaxBytes: Long = 384L << 20,
       dims: Int = 0
   ): DataFrame = {
     val raw = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
@@ -868,7 +881,7 @@ object Similarity {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      lshMaxBytes: Long = 1L << 30
+      lshMaxBytes: Long = 384L << 20
   ): String = {
     val raw = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val est = raw.queryExecution.analyzed.stats.sizeInBytes
