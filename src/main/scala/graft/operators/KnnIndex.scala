@@ -530,12 +530,38 @@ object KnnIndex {
       .withColumn("nl", lit(meta.nLists))
     val shaped =
       if (withCnt) grouped else grouped.drop("cnt")
-    // target ~128 MB parquet files: each write task holds whole buckets,
-    // so files-per-bucket ≈ 1 at small scale and bytes/128 MB at large
-    val fileParts = math.max(1L, math.min(Buckets.toLong,
-      dirBytes / (128L << 20))).toInt
-    shaped.repartition(fileParts, col("bucket"))
-      .write.mode(mode).partitionBy("nl", "bucket").parquet(dest)
+    // Target ~128 MB parquet files. One file per bucket while the
+    // generation fits Buckets × 128 MB; past that the write salts on
+    // pmod(cell, filesPerBucket) — still whole-cell-aligned per file, so
+    // each directory holds exactly filesPerBucket files per generation
+    // (capping at Buckets tasks instead let files grow unbounded with the
+    // corpus: the 50M build wrote ~150 MB files whose default-size row
+    // groups of fat array columns OOMed 32 concurrent vectorized readers
+    // on the protocol heap).
+    val filesPerBucket = math.max(1L,
+      (dirBytes + (128L << 20) * Buckets - 1) / ((128L << 20) * Buckets)).toInt
+    val keyed =
+      if (filesPerBucket <= 1) {
+        val fileParts = math.max(1L, math.min(Buckets.toLong,
+          dirBytes / (128L << 20))).toInt
+        shaped.repartition(fileParts, col("bucket"))
+      } else
+        shaped.repartition(Buckets * filesPerBucket, col("bucket"),
+          pmod(col("cell"), lit(filesPerBucket)))
+    // 8 MB row groups (down from parquet-mr's 128 MB default): the
+    // vectorized reader decodes min(4096 rows, one row group) into
+    // on-heap column vectors that no memory manager tracks, and a members
+    // row is a whole cell directory (~20 KB of vector structs at the
+    // occupancy-64 policy — CONSTANT in n), so default-size groups hand
+    // each of 32 concurrent readers ~100+ MB of decoded array pages —
+    // the measured 50M delta-join heap death at protocol heap (the
+    // pre-r14 fragmented layout dodged it only by accident: near-empty
+    // files meant near-empty reader batches). 8 MB groups ≈ 400 rows ≈
+    // ~12 MB decoded per task; the fix rides in the TREE, so any stock
+    // session reads it safely.
+    keyed.write.mode(mode)
+      .option("parquet.block.size", String.valueOf(8L << 20))
+      .partitionBy("nl", "bucket").parquet(dest)
   }
 
   /** The nLists the stored members were assigned with — read from the
