@@ -695,7 +695,7 @@ object SparkEntry {
       // assertions. Integer-quantized projections: the bit decision is
       // exact cross-engine, no float-ordering hazard.
       Dedup.portableEmbeddingNearDups(TestTables.embeddings(s, dir), "vec_id",
-        "embedding", threshold = 0.45, planes = 4, tables = 4, dims0 = 64)),
+        "embedding", threshold = 0.45, planes = 4, tables = 4, dims = 64)),
     "q23_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccard(TestTables.documents(s, dir), "doc_id", "text", threshold = 0.3)),
     "q24_cosine_topk" -> ((s, dir) => {

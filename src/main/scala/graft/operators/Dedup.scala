@@ -1264,20 +1264,20 @@ object Dedup {
       threshold: Double = 0.45,
       planes: Int = 4,
       tables: Int = 4,
-      dims0: Int = 0
+      dims: Int = 0
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // family-wide dims rule: 0 derives from one sampled row, an explicit
     // width that disagrees raises (Stage.deriveDims)
-    val dims = Stage.deriveDims(df.select(col(vecCol).as("v")), "v", dims0)
+    val dimsActual = Stage.deriveDims(df.select(col(vecCol).as("v")), "v", dims)
     def md5hex(s: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       d.map(b => f"$b%02x").mkString
     }
     val signRows = for {
-      t <- 0 until tables; p <- 0 until planes; i <- 1 to dims
+      t <- 0 until tables; p <- 0 until planes; i <- 1 to dimsActual
     } yield (t, p, i,
       if (java.lang.Long.parseLong(md5hex(s"hp-$t-$p-$i").substring(0, 8), 16) % 2 == 0) 1
       else -1)

@@ -532,8 +532,15 @@ object KnnIndex {
       if (withCnt) grouped else grouped.drop("cnt")
     // Target ~128 MB parquet files. One file per bucket while the
     // generation fits Buckets × 128 MB; past that the write salts on
-    // pmod(cell, filesPerBucket) — still whole-cell-aligned per file, so
-    // each directory holds exactly filesPerBucket files per generation
+    // pmod(cell div Buckets, filesPerBucket) — still whole-cell-aligned
+    // per file, and INDEPENDENT of the partition key `bucket = cell mod
+    // Buckets` (a pmod(cell, filesPerBucket) salt is determined BY the
+    // bucket whenever filesPerBucket shares a factor with Buckets — fully
+    // degenerate at 2, 4, 8, the first values past the 32 GB threshold —
+    // collapsing each directory back to ~1 oversized file). Within one
+    // bucket the cells are bucket, bucket+Buckets, bucket+2·Buckets, …,
+    // so `cell div Buckets` walks 0, 1, 2, … and the pmod spreads them
+    // across exactly filesPerBucket files per directory per generation
     // (capping at Buckets tasks instead let files grow unbounded with the
     // corpus: the 50M build wrote ~150 MB files whose default-size row
     // groups of fat array columns OOMed 32 concurrent vectorized readers
@@ -547,7 +554,7 @@ object KnnIndex {
         shaped.repartition(fileParts, col("bucket"))
       } else
         shaped.repartition(Buckets * filesPerBucket, col("bucket"),
-          pmod(col("cell"), lit(filesPerBucket)))
+          pmod(expr(s"cell div $Buckets"), lit(filesPerBucket)))
     // 8 MB row groups (down from parquet-mr's 128 MB default): the
     // vectorized reader decodes min(4096 rows, one row group) into
     // on-heap column vectors that no memory manager tracks, and a members
@@ -608,7 +615,7 @@ object KnnIndex {
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("dir_rows"), sum(col("batch_members")).as("occ"))
     val tombs = tombstonesDf(spark, path)
-      .map(_.count()).getOrElse(0L)
+      .map(_.distinct().count()).getOrElse(0L)
     val fs = hadoopFs(spark, path)
     val files = fs.globStatus(new org.apache.hadoop.fs.Path(
       s"$path/members/nl=*/bucket=*/*.parquet"))
@@ -656,7 +663,11 @@ object KnnIndex {
         coalesce(sum(col("occ")), lit(0L)).as("members"),
         avg(col("dir_rows")).as("mean_dir_rows"))
       .head()
-    val tombs = tombstonesDf(spark, path).map(_.count()).getOrElse(0L)
+    // distinct ids, not raw log rows: repeated delete() calls for the same
+    // ids (or ids absent from the tree) would inflate tombstoneFrac and
+    // fire shouldCompact prematurely — the log is tiny by design, so the
+    // distinct costs nothing
+    val tombs = tombstonesDf(spark, path).map(_.distinct().count()).getOrElse(0L)
     Health(r.getAs[Long]("cells"), r.getAs[Long]("members"),
       r.getAs[Double]("mean_dir_rows"), tombs)
   }

@@ -146,14 +146,15 @@ object Pq {
       m: Int = 8,
       ks: Int = 16,
       k: Int = 10,
-      dims0: Int = 0
+      dims: Int = 0
   ): DataFrame = {
     // family-wide dims rule: 0 derives from one sampled row, an explicit
     // width that disagrees raises (Stage.deriveDims)
-    val dims = Stage.deriveDims(
-      df.select(org.apache.spark.sql.functions.col(vecCol).as("v")), "v", dims0)
-    require(dims % m == 0, s"dim $dims must divide into m=$m sub-spaces")
-    val subDim = dims / m
+    val dimsActual = Stage.deriveDims(
+      df.select(org.apache.spark.sql.functions.col(vecCol).as("v")), "v", dims)
+    require(dimsActual % m == 0,
+      s"dim $dimsActual must divide into m=$m sub-spaces")
+    val subDim = dimsActual / m
     val spark = df.sparkSession
     import spark.implicits._
     def md5hex(str: String): String = {

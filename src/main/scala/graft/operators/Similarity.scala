@@ -1522,11 +1522,15 @@ object Similarity {
     // payloadIn decision order): shortlist and rescore over all members,
     // filter the rescored pairs by the member's payload value, rank
     // re-numbers over the survivors; payload_b rides the output
+    // no broadcast hint: the payload projection is the FULL corpus (id,
+    // pay) — ~800 MB at 50M rows — so forcing it past
+    // autoBroadcastJoinThreshold is a driver/executor memory hazard at
+    // grid scale; the planner broadcasts it on its own at oracle sizes
     val payFiltered = payloadFilter match {
       case Some((pdf, vals)) =>
         allowed
-          .join(broadcast(pdf.select(col("id").as("id_b"),
-            col("pay").as("payload_b"))), Seq("id_b"))
+          .join(pdf.select(col("id").as("id_b"),
+            col("pay").as("payload_b")), Seq("id_b"))
           .filter(col("payload_b").isin(vals: _*))
       case None => allowed
     }
@@ -1606,18 +1610,18 @@ object Similarity {
       nLists: Int = 8,
       nprobe: Int = 2,
       k: Int = 10,
-      dims0: Int = 0
+      dims: Int = 0
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val dims = Stage.deriveDims(
-      df.select(col(vecCol).as("v")), "v", dims0)
+    val dimsActual = Stage.deriveDims(
+      df.select(col(vecCol).as("v")), "v", dims)
     def md5hex(s: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       d.map(b => f"$b%02x").mkString
     }
-    val signDf = (for { c <- 0 until nLists; i <- 1 to dims } yield (c, i,
+    val signDf = (for { c <- 0 until nLists; i <- 1 to dimsActual } yield (c, i,
         if (java.lang.Long.parseLong(md5hex(s"ivf-$c-$i").substring(0, 8), 16) % 2 == 0) 1
         else -1))
       .toDF("c", "dim", "sgn")

@@ -445,7 +445,7 @@ object EventStreams {
       vecCol: String = "embedding",
       nLists: Int = 64,
       tau: Double = 0.95,
-      dims0: Int = 0,
+      dims: Int = 0,
       maxPerCluster: Int = 1024
   ): Dataset[SemanticVerdict] = {
     import vecs.sparkSession.implicits._
@@ -453,11 +453,11 @@ object EventStreams {
     // rule); a STREAMING frame cannot run the LIMIT-1 sample pre-start, so
     // it must pass the width explicitly — fail fast rather than default to
     // a silently-wrong 64
-    val dims =
+    val dimsActual =
       if (!vecs.isStreaming)
         graft.operators.Stage.deriveDims(
-          vecs.select(col(vecCol).as("v")), "v", dims0)
-      else if (dims0 > 0) dims0
+          vecs.select(col(vecCol).as("v")), "v", dims)
+      else if (dims > 0) dims
       else throw new IllegalArgumentException(
         "semanticDedupFilterStream on a streaming frame needs an explicit " +
           "dims (a stream cannot be sampled before it starts)")
@@ -468,7 +468,7 @@ object EventStreams {
     val assigned = vecs.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).as("v"),
         graft.functions.VectorExpressions
-          .portable_ivf_assign(col(vecCol), nLists, dims).as("c"))
+          .portable_ivf_assign(col(vecCol), nLists, dimsActual).as("c"))
       .as[VecRow]
     assigned.groupByKey(_.c)
       .flatMapGroupsWithState[ClusterReps, SemanticVerdict](

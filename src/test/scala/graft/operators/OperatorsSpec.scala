@@ -240,7 +240,7 @@ class OperatorsSpec extends SparkSpec {
       (3L, Array.tabulate(8)(i => ((i % 2) * 2 - 1).toFloat * (8 - i)))
     ).toDF("vec_id", "embedding")
     val got = Dedup.portableEmbeddingNearDups(vecs, "vec_id", "embedding",
-        threshold = 0.99, planes = 4, tables = 2, dims0 = 8)
+        threshold = 0.99, planes = 4, tables = 2, dims = 8)
       .as[(Long, Long, Double)].collect()
     // identical vectors share every bucket bit in every table — guaranteed found
     assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 2L)), got.mkString(","))
@@ -252,7 +252,7 @@ class OperatorsSpec extends SparkSpec {
     val exact = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", 0.45)
       .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
     val port = Dedup.portableEmbeddingNearDups(emb, "vec_id", "embedding",
-        threshold = 0.45, planes = 4, tables = 4, dims0 = 64)
+        threshold = 0.45, planes = 4, tables = 4, dims = 64)
       .as[(Long, Long, Double)].collect()
     assert(port.nonEmpty, "portable LSH found no pairs at all")
     port.foreach { case (a, b, c) =>

@@ -517,7 +517,7 @@ class StreamingSpec extends SparkSpec {
     // explicit here — the dims0 = 0 default derives it on batch frames
     val q = EventStreams.semanticDedupFilterStream(
         mem.toDF().toDF("vec_id", "embedding"), nLists = 4, tau = 0.95,
-        dims0 = 64)
+        dims = 64)
       .writeStream.format("memory").queryName("semdedup")
       .outputMode("append").start()
     mem.addData((1L, a), (2L, b), (3L, c), (4L, ortho), (9L, zero))
