@@ -799,7 +799,8 @@ object CorpusBench {
           graft.operators.KnnIndex.build(baseEmb, "vec_id", "embedding", idxPath)
         def memberFiles(): Set[String] = {
           val out = scala.collection.mutable.Set[String]()
-          java.nio.file.Files.walk(Paths.get(s"$idxPath/members")).forEach { p =>
+          java.nio.file.Files.walk(Paths.get(
+              graft.operators.KnnIndex.membersDir(spark, idxPath))).forEach { p =>
             if (p.toString.endsWith(".parquet")) out += p.toString
           }
           out.toSet
@@ -886,12 +887,13 @@ object CorpusBench {
             "vec_id", idxPath)
           linkTree(idxPath, fragSave)
         }
-        val filesBefore = parquetCount(s"$fragSave/members")
+        val filesBefore = parquetCount(
+          graft.operators.KnnIndex.membersDir(spark, fragSave))
         benchAct("knn_index_compact", () => {
           deleteTree(idxPath)
           linkTree(fragSave, idxPath)
           graft.operators.KnnIndex.compact(spark, idxPath)
-          parquetCount(s"$idxPath/members")
+          parquetCount(graft.operators.KnnIndex.membersDir(spark, idxPath))
         }, s""""appends":4,"tombstones":${n / 50},"files_before":$filesBefore,"impl":"codebook_reuse+bucket_coalesce"""",
           valueField = "files_after")
       }

@@ -62,13 +62,16 @@ import org.apache.spark.sql.functions._
   *    policy — RESPLITS to a new `nLists` while REUSING the stored
   *    codebook: PQ training (the expensive float-iterative piece of
   *    [[build]]) is never re-paid; only deterministic assign + encode CPU
-  *    over the stored vectors plus one sized exchange. Crash-safe via the
-  *    rename-first swap ([[graft.load.Loader.optimize]]'s ordering), and
-  *    consistent under resplit because the members tree is
+  *    over the stored vectors plus one sized exchange. Crash-safe AND
+  *    reader-safe via the generation-pointer swap (a fresh
+  *    `members-gen-<N>` tree committed by atomically rewriting the tiny
+  *    `CURRENT` pointer; superseded generations stay on disk for
+  *    [[vacuum]]'s grace window so in-flight queries finish on a complete
+  *    snapshot), and consistent under resplit because each generation is
   *    SELF-DESCRIBING: its `nl=<nLists>` partition level carries the one
   *    parameter its cells were computed with, so members and their
-  *    nLists swap in the same rename — there is no window where a stale
-  *    `meta` row could aim probes at re-split cells.
+  *    nLists swap in the same pointer commit — there is no window where a
+  *    stale `meta` row could aim probes at re-split cells.
   *
   * Like knnJoinIvf, the trained-PQ shortlist makes this family spec-gated
   * on recall; the oracle anchor is the portable twin
@@ -161,8 +164,14 @@ object KnnIndex {
       }
     }.toSeq.toDF("sub", "code", "dim", "value")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebook")
-    writeMembersTo(base, meta, n * rowBytes(meta) * 2, s"$path/members",
-      SaveMode.Overwrite)
+    // a fresh GENERATION directory + pointer swap, not an in-place
+    // overwrite: readers mid-query on the old tree keep a complete
+    // snapshot until vacuum's grace window closes over it
+    val gen = nextGen(fsb, path)
+    writeMembersTo(base, meta, n * rowBytes(meta) * 2,
+      s"$path/members-gen-$gen", SaveMode.Overwrite)
+    commitCurrent(fsb, path, gen)
+    vacuum(spark, path)
     meta
   }
 
@@ -178,36 +187,158 @@ object KnnIndex {
     * after a resplitting [[compact]] lands in the re-split cells. */
   def append(df: DataFrame, idCol: String, vecCol: String, path: String,
       payloadCol: String = null): Meta = {
-    val meta = metaFor(df.sparkSession, path)
+    val spark = df.sparkSession
+    val live = membersDir(spark, path)
+    val meta = metaForIn(spark, path, live)
     requirePayloadParity(df, path, payloadCol)
     val base = prep(df, idCol, vecCol, payloadCol)
     val n = math.max(1L, base.count())
-    writeMembersTo(base, meta, n * rowBytes(meta) * 2, s"$path/members",
-      SaveMode.Append, withCnt = storedHasCnt(df.sparkSession, path))
+    writeMembersTo(base, meta, n * rowBytes(meta) * 2, live,
+      SaveMode.Append, withCnt = storedHasCntIn(spark, live))
     meta
+  }
+
+  /** Resolve the LIVE members tree for the index at `path` — the single
+    * read point every reader and appender goes through, which is what
+    * makes [[compact]] reader-safe: a compaction writes a NEW
+    * `members-gen-<N>` directory beside the live one and commits it by
+    * atomically swapping the tiny `CURRENT` pointer (temp + rename, the
+    * ManifestSidecarFormat ordering), so a query that resolved the tree
+    * before the commit keeps reading a complete, untouched generation
+    * for as long as [[vacuum]]'s grace window (default 15 min,
+    * `spark.graft.index.gcGraceMs`) keeps it on disk.
+    *
+    * Resolution order:
+    *  1. `CURRENT`'s generation, when the file parses and its directory
+    *     exists — the normal path (one FS read, no data job);
+    *  2. a torn/missing `CURRENT` (the delete+rename commit has a
+    *     sub-millisecond absent window; a tampered file is the crash-replay
+    *     spec) falls back to the HIGHEST completely-written generation —
+    *     `_SUCCESS` present (every generation is one parquet Overwrite) and
+    *     not `_SUPERSEDED`-marked, then highest overall;
+    *  3. the pre-generation legacy layout `path/members`. */
+  def membersDir(spark: SparkSession, path: String): String = {
+    val fs = hadoopFs(spark, path)
+    val cur = new org.apache.hadoop.fs.Path(s"$path/$CurrentFile")
+    // an unreadable CURRENT (torn write, checksum-sidecar mismatch) is
+    // the same as an unparseable one: fall back, don't throw
+    val fromCurrent: Option[String] =
+      try {
+        if (!fs.exists(cur)) None
+        else {
+          val in = fs.open(cur)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          txt.toLongOption.map(n => s"$path/members-gen-$n")
+            .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    fromCurrent.orElse {
+      val committed = scannedGens(fs, path).sorted(Ordering[Long].reverse)
+        .map(n => s"$path/members-gen-$n")
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/_SUCCESS")))
+      committed.find(d =>
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$d/$SupersededFile")))
+        .orElse(committed.headOption)
+    }.getOrElse(s"$path/members")
+  }
+
+  private val CurrentFile = "CURRENT"
+  private val SupersededFile = "_SUPERSEDED"
+
+  /** Generation numbers of every `members-gen-*` directory on disk —
+    * committed or not (one FS glob). */
+  private def scannedGens(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Long] =
+    Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$path/members-gen-*"))).toSeq.flatten
+      .flatMap(_.getPath.getName.stripPrefix("members-gen-").toLongOption)
+
+  /** The next unused generation number — past every directory on disk,
+    * committed or crash-stranded, so a rewrite never collides with a
+    * half-written tree a reader's fallback might otherwise observe. */
+  private def nextGen(fs: org.apache.hadoop.fs.FileSystem, path: String): Long =
+    scannedGens(fs, path).maxOption.getOrElse(-1L) + 1
+
+  /** Commit generation `gen` as the live tree: write `CURRENT.tmp`, then
+    * swap it in. The delete+rename pair (portable across Hadoop
+    * FileSystems, which reject rename-onto-existing) has a sub-ms window
+    * where `CURRENT` is absent — [[membersDir]]'s fallback resolves the
+    * highest committed generation there, which is exactly `gen`. */
+  private def commitCurrent(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      gen: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/$CurrentFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$CurrentFile"), false)
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$path/$CurrentFile"))
+  }
+
+  /** GC grace window before a superseded generation is deleted — long
+    * enough for any query that resolved the old tree pre-commit to finish
+    * reading it. Conf-tied like the exchange caps. */
+  private def gcGraceMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.index.gcGraceMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
+
+  /** Garbage-collect superseded members generations — every on-disk tree
+    * except the live one (older committed generations, crash-stranded
+    * uncommitted ones, the legacy `members` layout after a migrating
+    * [[compact]]). Two-phase so in-flight readers survive: an unmarked
+    * tree first gets a `_SUPERSEDED` stamp (underscore-prefixed — parquet
+    * readers ignore it), and only once the stamp is older than the grace
+    * window (`graceMs`, default `spark.graft.index.gcGraceMs` = 15 min;
+    * `0` deletes in the same pass) is the tree deleted. Runs automatically
+    * at the end of [[build]]/[[compact]]; callable standalone. A
+    * MAINTAINER operation like compact itself (must not race another
+    * writer), but safe beside readers by construction. Returns the number
+    * of trees deleted. */
+  def vacuum(spark: SparkSession, path: String, graceMs: Long = -1L): Int = {
+    val fs = hadoopFs(spark, path)
+    val grace = if (graceMs >= 0) graceMs else gcGraceMs(spark)
+    val live = membersDir(spark, path)
+    val legacy = s"$path/members"
+    val candidates = scannedGens(fs, path).map(n => s"$path/members-gen-$n") ++
+      (if (fs.exists(new org.apache.hadoop.fs.Path(legacy))) Seq(legacy) else Nil)
+    val now = System.currentTimeMillis()
+    var deleted = 0
+    candidates.filterNot(_ == live).foreach { dir =>
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/$SupersededFile")
+      if (!fs.exists(marker)) fs.create(marker, true).close()
+      else if (now - fs.getFileStatus(marker).getModificationTime >= grace) {
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        deleted += 1
+      }
+      if (grace <= 0 && fs.exists(new org.apache.hadoop.fs.Path(dir))) {
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        deleted += 1
+      }
+    }
+    deleted
   }
 
   /** The stored members tree's payload TYPE, when it carries one — read
     * from the `mem` struct's third field. One footer-schema read, no data
     * job. */
-  private def storedPayloadType(spark: SparkSession,
-      path: String): Option[org.apache.spark.sql.types.DataType] =
-    spark.read.parquet(s"$path/members").schema("mem").dataType match {
+  private def storedPayloadTypeIn(spark: SparkSession,
+      live: String): Option[org.apache.spark.sql.types.DataType] =
+    spark.read.parquet(live).schema("mem").dataType match {
       case org.apache.spark.sql.types.ArrayType(
         s: org.apache.spark.sql.types.StructType, _) if s.length >= 3 =>
         Some(s.fields(2).dataType)
       case _ => None
     }
 
-  /** Does the stored members tree carry a payload field? One footer-schema
-    * read, no data job. */
-  private def storedHasPayload(spark: SparkSession, path: String): Boolean =
-    storedPayloadType(spark, path).isDefined
+  private def storedPayloadType(spark: SparkSession,
+      path: String): Option[org.apache.spark.sql.types.DataType] =
+    storedPayloadTypeIn(spark, membersDir(spark, path))
 
   /** Does the stored members tree carry the r14 `cnt` column? Appends must
     * match it (mixed footers read arbitrarily); compact always upgrades. */
-  private def storedHasCnt(spark: SparkSession, path: String): Boolean =
-    spark.read.parquet(s"$path/members").columns.contains("cnt")
+  private def storedHasCntIn(spark: SparkSession, live: String): Boolean =
+    spark.read.parquet(live).columns.contains("cnt")
 
   /** An append whose payload presence — or TYPE — disagrees with the stored
     * tree would mix member-struct widths inside one parquet directory, and
@@ -282,17 +413,18 @@ object KnnIndex {
         new org.apache.hadoop.fs.Path(s"$path/staging/batch-$batchId"), true)
       return false
     }
-    val meta = metaFor(spark, path)
+    val live = membersDir(spark, path)
+    val meta = metaForIn(spark, path, live)
     requirePayloadParity(df, path, payloadCol)
     val base = prep(df, idCol, vecCol, payloadCol)
     val n = math.max(1L, base.count())
     val staging = s"$path/staging/batch-$batchId"
     writeMembersTo(base, meta, n * rowBytes(meta) * 2, staging,
-      SaveMode.Overwrite, withCnt = storedHasCnt(spark, path))
+      SaveMode.Overwrite, withCnt = storedHasCntIn(spark, live))
     val fs = hadoopFs(spark, path)
-    val membersRoot = new org.apache.hadoop.fs.Path(s"$path/members")
+    val membersRoot = new org.apache.hadoop.fs.Path(live)
     val leftovers = fs.globStatus(new org.apache.hadoop.fs.Path(
-      s"$path/members/nl=*/bucket=*/ingest-b$batchId-*.parquet"))
+      s"$live/nl=*/bucket=*/ingest-b$batchId-*.parquet"))
     if (leftovers != null) leftovers.foreach(st => fs.delete(st.getPath, false))
     val staged = fs.globStatus(new org.apache.hadoop.fs.Path(
       s"$staging/nl=*/bucket=*/*.parquet"))
@@ -411,35 +543,49 @@ object KnnIndex {
     * ∝ |stored bytes| — the amortized cost that keeps a long append
     * campaign's read path at its build-time shape.
     *
-    * Crash-safe (the [[graft.load.Loader]] rename-first ordering): the
-    * compacted tree is written beside the live one, the live tree renamed
-    * aside, the new one renamed in, then the old tree and the tombstone
-    * log deleted. A crash at any point leaves a complete generation on
-    * disk, and a crash before the log delete merely re-applies
-    * already-removed ids (the anti-join of an absent id is a no-op).
+    * Crash-safe AND reader-safe (the generation-pointer swap): the
+    * compacted tree is written as a fresh `members-gen-<N>` directory
+    * beside the live one, committed by atomically swapping the tiny
+    * `CURRENT` pointer (temp + rename), and only then is the tombstone
+    * log deleted and the superseded generation handed to [[vacuum]],
+    * which keeps it on disk for a grace window
+    * (`spark.graft.index.gcGraceMs`, default 15 min). A crash at any
+    * point leaves `CURRENT` aimed at a complete generation (a stranded
+    * uncommitted tree is invisible to [[membersDir]] and GC'd later); a
+    * crash before the log delete merely re-applies already-removed ids
+    * (the anti-join of an absent id is a no-op). A READER concurrent with
+    * the swap is safe end-to-end: it resolved the old tree through
+    * [[membersDir]] before the commit and that tree stays complete and
+    * untouched until its grace window closes — the r14 two-rename swap's
+    * missing-tree window is gone.
     *
-    * SINGLE-MAINTAINER CONTRACT: compact must not run concurrently with
+    * SINGLE-MAINTAINER CONTRACT (writers only, readers are now safe):
+    * compact must not run concurrently with
     * [[append]]/[[appendBatch]]/[[ingestStream]] — a batch landing between
-    * compact's read and its swap is deleted with the old tree while its
-    * exactly-once marker survives, so the engine will not replay it. Stop
-    * the ingest stream (or quiesce the appender) first; this is the
-    * standard LSM coordination point, not a crash-safety gap. */
+    * compact's read and its pointer swap lands in the generation being
+    * superseded while its exactly-once marker survives, so the engine will
+    * not replay it. Stop the ingest stream (or quiesce the appender)
+    * first; this is the standard LSM coordination point, not a
+    * crash-safety gap. */
   def compact(spark: SparkSession, path: String, nLists: Int = 0): Meta = {
     val meta0 = metaFor(spark, path)
     val meta = if (nLists > 0) meta0.copy(nLists = nLists) else meta0
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$path/members")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/members.compact.tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$path/members.compact.old")
-    // residue from a crashed run: tmp is incomplete by definition; an old
-    // tree survives only a crash between the two renames, in which case
-    // the live tree may be missing — restore it first
-    if (fs.exists(old)) {
-      if (!fs.exists(live)) fs.rename(old, live) else fs.delete(old, true)
+    // residue from a PRE-generation (r14) crashed run: tmp is incomplete
+    // by definition; an old tree survives only a crash between the two
+    // renames, in which case the legacy live tree may be missing —
+    // restore it first
+    val legacyLive = new org.apache.hadoop.fs.Path(s"$path/members")
+    val legacyTmp = new org.apache.hadoop.fs.Path(s"$path/members.compact.tmp")
+    val legacyOld = new org.apache.hadoop.fs.Path(s"$path/members.compact.old")
+    if (fs.exists(legacyOld)) {
+      if (!fs.exists(legacyLive)) fs.rename(legacyOld, legacyLive)
+      else fs.delete(legacyOld, true)
     }
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    val stored = spark.read.parquet(live.toString)
+    if (fs.exists(legacyTmp)) fs.delete(legacyTmp, true)
+    val live = membersDir(spark, path)
+    val stored = spark.read.parquet(live)
     // a payload tree re-compacts with its payload intact (the vmem element
     // carries it as the 4th field)
     val hasPay = stored.schema("vmem").dataType match {
@@ -457,13 +603,15 @@ object KnnIndex {
     // size the rebuild exchange from the stored file bytes (×2 in-memory
     // expansion) — no count job over the base; a tombstone-heavy log only
     // overestimates, which costs nothing
-    val bytes = fs.getContentSummary(live).getLength * 2
-    writeMembersTo(kept, meta, bytes, tmp.toString, SaveMode.Overwrite)
-    fs.rename(live, old)
-    fs.rename(tmp, live)
-    fs.delete(old, true)
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(live)).getLength * 2
+    val gen = nextGen(fs, path)
+    writeMembersTo(kept, meta, bytes, s"$path/members-gen-$gen",
+      SaveMode.Overwrite)
+    commitCurrent(fs, path, gen)
     val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     if (fs.exists(ts)) fs.delete(ts, true)
+    vacuum(spark, path)
     meta
   }
 
@@ -572,13 +720,13 @@ object KnnIndex {
   }
 
   /** The nLists the stored members were assigned with — read from the
-    * tree's `nl=` partition level (one FS listing, no job), falling back
-    * to the build-time `meta` row for a pre-resplit layout. */
-  private def storedNLists(spark: SparkSession, path: String,
+    * LIVE tree's `nl=` partition level (one FS listing, no job), falling
+    * back to the build-time `meta` row for a pre-resplit layout. */
+  private def storedNLists(spark: SparkSession, live: String,
       fallback: Int): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val members = new org.apache.hadoop.fs.Path(s"$path/members")
+      new java.net.URI(live), spark.sparkContext.hadoopConfiguration)
+    val members = new org.apache.hadoop.fs.Path(live)
     if (!fs.exists(members)) fallback
     else fs.listStatus(members).iterator
       .map(_.getPath.getName)
@@ -589,11 +737,17 @@ object KnnIndex {
   /** [[readMeta]] with `nLists` overridden by the members tree's own
     * `nl=` level — what every operation that touches stored cells must
     * use, so a resplitting [[compact]]'s swap is the single source of
-    * truth for the assign rule. */
-  private def metaFor(spark: SparkSession, path: String): Meta = {
+    * truth for the assign rule. Operators that read the tree resolve the
+    * generation ONCE ([[membersDir]]) and pass it here, so one query
+    * never mixes two generations' parameters. */
+  private def metaForIn(spark: SparkSession, path: String,
+      live: String): Meta = {
     val m = readMeta(spark, path)
-    m.copy(nLists = storedNLists(spark, path, m.nLists))
+    m.copy(nLists = storedNLists(spark, live, m.nLists))
   }
+
+  private def metaFor(spark: SparkSession, path: String): Meta =
+    metaForIn(spark, path, membersDir(spark, path))
 
   /** Index health introspection — the `\$files`/`\$manifests` analogue for
     * the stored directory tree, and the inputs a compaction policy reads:
@@ -604,7 +758,8 @@ object KnnIndex {
     * members-tree aggregate (codes column only — vectors never load) plus
     * two FS listings; nothing driver-side beyond the summary row. */
   def stats(spark: SparkSession, path: String): DataFrame = {
-    val members = spark.read.parquet(s"$path/members")
+    val live = membersDir(spark, path)
+    val members = spark.read.parquet(live)
     // the stored per-row count (r14+ trees) spares decoding the code
     // arrays; older trees fall back to size(mem)
     val cnt =
@@ -618,7 +773,7 @@ object KnnIndex {
       .map(_.distinct().count()).getOrElse(0L)
     val fs = hadoopFs(spark, path)
     val files = fs.globStatus(new org.apache.hadoop.fs.Path(
-      s"$path/members/nl=*/bucket=*/*.parquet"))
+      s"$live/nl=*/bucket=*/*.parquet"))
     val nFiles = if (files == null) 0 else files.length
     perCell.agg(
       count(lit(1)).as("cells"),
@@ -629,7 +784,7 @@ object KnnIndex {
       max(col("occ")).as("max_occupancy"))
       .withColumn("files", lit(nFiles))
       .withColumn("tombstones", lit(tombs))
-      .withColumn("n_lists", lit(metaFor(spark, path).nLists))
+      .withColumn("n_lists", lit(metaForIn(spark, path, live).nLists))
   }
 
   /** The compaction-policy inputs, extracted from one [[stats]] row:
@@ -652,7 +807,7 @@ object KnnIndex {
     * tree — a per-batch maintain() must cost milliseconds, not a scan of
     * every stored code. */
   def health(spark: SparkSession, path: String): Health = {
-    val members = spark.read.parquet(s"$path/members")
+    val members = spark.read.parquet(membersDir(spark, path))
     val cnt =
       if (members.columns.contains("cnt")) col("cnt")
       else size(col("mem")).cast("long")
@@ -851,9 +1006,13 @@ object KnnIndex {
       payloadIn: Option[Seq[Any]] = None
   ): DataFrame = {
     val spark = newDf.sparkSession
-    val meta = metaFor(spark, path)
+    // resolve the generation ONCE — meta, payload check, and the member
+    // scan below all read the same snapshot even if a compact commits
+    // mid-query (its superseded tree stays on disk for the grace window)
+    val live = membersDir(spark, path)
+    val meta = metaForIn(spark, path, live)
     if (payloadIn.isDefined)
-      require(storedHasPayload(spark, path),
+      require(storedPayloadTypeIn(spark, live).isDefined,
         s"index at $path was built without a payload column — " +
           "payloadIn needs build/append(payloadCol = ...)")
     val base = prep(newDf, idCol, vecCol)
@@ -874,7 +1033,7 @@ object KnnIndex {
         .portable_ivf_probe(col("v"), meta.nLists, meta.dims, nprobe, cellsPerSuper))
         .as("cell"))
       .filter(col("cell").isNotNull)
-    val members = spark.read.parquet(s"$path/members")
+    val members = spark.read.parquet(live)
     // Bucket pruning for trickle deltas: the distinct probed-bucket set is
     // a bounded collect (≤ Buckets rows). Pushing it as a partition filter
     // prunes the member READ to the touched buckets — decisive when
@@ -1012,7 +1171,9 @@ object KnnIndex {
       payloadIn: Option[Seq[Any]] = None
   ): DataFrame = {
     val spark = newDf.sparkSession
-    val meta = metaFor(spark, path)
+    // one generation snapshot per query, the knnJoinDelta rule
+    val live = membersDir(spark, path)
+    val meta = metaForIn(spark, path, live)
     val base = prep(newDf, idCol, vecCol, labelCol)
       .filter(col("pay").isNotNull)
     val nDelta = math.max(1L, base.count())
@@ -1028,8 +1189,8 @@ object KnnIndex {
         .portable_ivf_probe(col("v"), meta.nLists, meta.dims, nprobe, cellsPerSuper))
         .as("cell"))
       .filter(col("cell").isNotNull)
-    val members = spark.read.parquet(s"$path/members")
-    require(storedHasPayload(spark, path),
+    val members = spark.read.parquet(live)
+    require(storedPayloadTypeIn(spark, live).isDefined,
       s"index at $path was built without a payload column — " +
         "hardNegativesDelta needs build/append(payloadCol = ...)")
     val probedBuckets = probes

@@ -62,7 +62,7 @@ class KnnIndexSpec extends SparkSpec {
     KnnIndex.build(emb.filter($"vec_id" % 5 =!= 0), "vec_id", "embedding",
       path, nLists = 8)
     def files(): Map[String, Long] = {
-      val root = java.nio.file.Paths.get(s"$path/members")
+      val root = java.nio.file.Paths.get(KnnIndex.membersDir(spark, path))
       val out = scala.collection.mutable.Map[String, Long]()
       java.nio.file.Files.walk(root).forEach { p =>
         if (p.toString.endsWith(".parquet"))
@@ -104,7 +104,7 @@ class KnnIndexSpec extends SparkSpec {
     KnnIndex.append(old.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding", path)
     KnnIndex.append(neu, "vec_id", "embedding", path)
     val before = deltaRows(path, neu)
-    val members = s"$path/members"
+    def members = KnnIndex.membersDir(spark, path)
     val rowsPerCellBefore = spark.read.parquet(members)
       .groupBy($"cell").count().agg(max($"count")).head().getLong(0)
     assert(rowsPerCellBefore > 1, "three batches should leave multi-row cells")
@@ -172,7 +172,7 @@ class KnnIndexSpec extends SparkSpec {
     assert(nn == deltaRows(path2, neu),
       "tombstone filtering diverged from an index built without the ids")
     KnnIndex.compact(spark, path)
-    val storedIds = spark.read.parquet(s"$path/members")
+    val storedIds = spark.read.parquet(KnnIndex.membersDir(spark, path))
       .select(explode($"vmem.id").as("id")).as[Long].collect().toSet
     assert(gone.as[Long].collect().forall(!storedIds.contains(_)),
       "compact left tombstoned ids in the directory")
@@ -255,13 +255,13 @@ class KnnIndexSpec extends SparkSpec {
     val neu = emb.filter($"vec_id" % 5 === 0)
     assert(KnnIndex.appendBatch(neu, "vec_id", "embedding", path, 7L),
       "first appendBatch should commit")
-    val files1 = parquetFiles(s"$path/members").toSet
+    val files1 = parquetFiles(KnnIndex.membersDir(spark, path)).toSet
     assert(files1.exists(_.contains("ingest-b7-")),
       "batch files should carry the batch-scoped names")
     val rows1 = deltaRows(path, neu)
     // fully committed: the replay must not touch the tree
     assert(!KnnIndex.appendBatch(neu, "vec_id", "embedding", path, 7L))
-    assert(parquetFiles(s"$path/members").toSet == files1)
+    assert(parquetFiles(KnnIndex.membersDir(spark, path)).toSet == files1)
     // crash between the file moves and the marker commit: the marker is
     // missing but the files landed — the replay re-stages and re-renames
     // onto the SAME names, so the member set (and every answer) is stable
@@ -269,7 +269,7 @@ class KnnIndexSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$path/ingest_log/batch-7"))
     assert(KnnIndex.appendBatch(neu, "vec_id", "embedding", path, 7L),
       "replay after a lost marker should re-commit")
-    assert(parquetFiles(s"$path/members").toSet == files1,
+    assert(parquetFiles(KnnIndex.membersDir(spark, path)).toSet == files1,
       "replay changed the member file set")
     assert(deltaRows(path, neu) == rows1, "replay changed answers")
   }
@@ -310,7 +310,7 @@ class KnnIndexSpec extends SparkSpec {
     assert(b1(30002L) == ((1L, -1L, 0L)),
       s"batch-1 copy should name the min stored id, got ${b1(30002L)}")
     // both batches are committed members under their batch-scoped names
-    val files = parquetFiles(s"$path/members")
+    val files = parquetFiles(KnnIndex.membersDir(spark, path))
     assert(files.exists(_.contains("ingest-b0-")) &&
       files.exists(_.contains("ingest-b1-")),
       "streamed batches missing from the members tree")
@@ -566,6 +566,110 @@ class KnnIndexSpec extends SparkSpec {
     val h = KnnIndex.health(spark, path)
     assert(h.tombstones == 0, "compact must truncate the log")
     assert(!KnnIndex.shouldCompact(spark, path))
+  }
+
+  test("reader-safe compact: delta searches looping CONCURRENTLY with the " +
+      "generation-pointer swap never fail and never change answers") {
+    val path = tmpDir()
+    val old = emb.filter($"vec_id" % 5 =!= 0)
+    val neu = emb.filter($"vec_id" % 5 === 0)
+    KnnIndex.build(old.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      path, nLists = 8)
+    KnnIndex.append(old.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding", path)
+    val expect = deltaRows(path, neu)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val iters = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val got = deltaRows(path, neu)
+          iters.incrementAndGet()
+          if (got != expect)
+            failures.add(new AssertionError(
+              s"concurrent reader saw divergent answers: " +
+                s"only-got=${(got -- expect).take(3)} " +
+                s"only-expect=${(expect -- got).take(3)}"))
+        } catch { case t: Throwable => failures.add(t); stop.set(true) }
+      }
+    })
+    reader.start()
+    try {
+      // two full pointer swaps while the reader loops — under the r14
+      // two-rename layout the reader would observe a missing members tree
+      KnnIndex.compact(spark, path)
+      KnnIndex.compact(spark, path)
+    } finally {
+      stop.set(true)
+      reader.join(120000)
+    }
+    assert(failures.isEmpty,
+      s"reader-during-compact failed after ${iters.get()} iterations: " +
+        s"${Option(failures.peek()).map(_.toString)}")
+    assert(iters.get() > 0, "the concurrent reader never completed a query")
+    assert(deltaRows(path, neu) == expect, "answers changed across compacts")
+  }
+
+  test("torn CURRENT pointer: readers fall back to the highest committed " +
+      "generation; stranded uncommitted trees are invisible; the next " +
+      "compact repairs the pointer") {
+    val path = tmpDir()
+    KnnIndex.build(emb.filter($"vec_id" % 5 =!= 0), "vec_id", "embedding",
+      path, nLists = 8)
+    KnnIndex.append(emb.filter($"vec_id" % 5 === 0), "vec_id", "embedding", path)
+    val neu = emb.filter($"vec_id" % 5 === 0)
+    val expect = deltaRows(path, neu)
+    KnnIndex.compact(spark, path)
+    val live = KnnIndex.membersDir(spark, path)
+    assert(live.contains("members-gen-"), s"expected a generation dir: $live")
+    // a crash-stranded HIGHER generation with no _SUCCESS must stay
+    // invisible to the resolver
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$path/members-gen-99/nl=8"))
+    // torn CURRENT (simulated tamper — the temp+rename commit cannot
+    // actually produce one): resolver falls back to the highest COMMITTED,
+    // non-superseded generation, which is the compacted tree
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/CURRENT"),
+      "garbage ".getBytes("UTF-8"))
+    assert(KnnIndex.membersDir(spark, path) == live,
+      "fallback must resolve the committed generation under a torn CURRENT")
+    assert(deltaRows(path, neu) == expect,
+      "answers changed under a torn CURRENT")
+    // CURRENT deleted outright: same fallback
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$path/CURRENT"))
+    assert(KnnIndex.membersDir(spark, path) == live)
+    // the next maintainer pass recommits a parseable pointer
+    KnnIndex.compact(spark, path)
+    val repaired = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/CURRENT")), "UTF-8").trim
+    assert(repaired.toLongOption.isDefined, s"pointer not repaired: $repaired")
+    assert(deltaRows(path, neu) == expect, "answers changed after repair")
+  }
+
+  test("vacuum: superseded generations survive the grace window for " +
+      "in-flight readers, then delete; the live tree is never touched") {
+    val path = tmpDir()
+    KnnIndex.build(emb.filter($"vec_id" % 5 =!= 0), "vec_id", "embedding",
+      path, nLists = 8)
+    val gen0 = KnnIndex.membersDir(spark, path)
+    KnnIndex.append(emb.filter($"vec_id" % 5 === 0), "vec_id", "embedding", path)
+    KnnIndex.compact(spark, path)
+    val gen1 = KnnIndex.membersDir(spark, path)
+    assert(gen0 != gen1)
+    // default grace (15 min): the superseded tree is still on disk and
+    // carries the _SUPERSEDED stamp compact's vacuum pass gave it
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(gen0)),
+      "superseded generation deleted inside the grace window")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$gen0/_SUPERSEDED")))
+    // grace 0: delete in the same pass
+    assert(KnnIndex.vacuum(spark, path, graceMs = 0L) >= 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(gen0)),
+      "vacuum(grace=0) must delete the superseded generation")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(gen1)),
+      "vacuum touched the live generation")
+    val neu = emb.filter($"vec_id" % 5 === 0)
+    assert(deltaRows(path, neu).nonEmpty, "live tree unreadable after vacuum")
   }
 
   test("meta round-trips: stored codebook equals the trained one") {
