@@ -1309,6 +1309,25 @@ object SparkEntry {
         "vec_id", "embedding", "pay", allowed = Seq(1L, 3L, 5L),
         k = 5, nLists = 8, nprobe = 2, m = 8, ks = 16, kCand = 20)
     }),
+    "q125_knn_join_payload_where" -> ((s, dir) => {
+      // STRUCT-payload predicate ANN — the oracle anchor of
+      // KnnIndex.knnJoinDelta(payloadWhere = …): the production filtered
+      // search ("license IN (…) AND quality > q") as a set + range
+      // CONJUNCTION over two stored member attributes (class = vec_id %
+      // 16, quality = round6((vec_id % 97) / 97)), evaluated at the q118
+      // restrict position — shortlist + rescore over ALL members, the
+      // conjunction filters the rescored pairs, rank re-numbers; both
+      // attributes ride the output. One more WHERE conjunction over the
+      // q114 CTE prefix replays every verdict in ANSI SQL
+      val e = TestTables.embeddings(s, dir)
+      val payDf = e.select(col("vec_id").cast("long").as("id"),
+        pmod(col("vec_id"), lit(16L)).as("payload_cls"),
+        round(pmod(col("vec_id"), lit(97L)) / lit(97.0), 6).as("payload_q"))
+      Similarity.knnJoinIvfPqPortablePayloadWhere(
+        e, "vec_id", "embedding", payDf,
+        col("payload_cls").isin(1L, 3L, 5L, 7L) && col("payload_q") > 0.25,
+        k = 5, nLists = 8, nprobe = 2, m = 8, ks = 16, kCand = 20)
+    }),
     "q64_shuffle_order" -> ((s, dir) =>
       // deterministic corpus shuffle — the pre-training reorder: sort by
       // content hash, reproducible on any engine/run. At scale this is a
@@ -3027,6 +3046,21 @@ object SparkEntry {
          |  SELECT id_a, id_b, cosine,
          |    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rank
          |  FROM sc WHERE id_b % 16 IN (1, 3, 5))
+         |WHERE rank <= 5""").stripMargin,
+    // q125: struct-payload predicate ANN — q124 generalized to a set +
+    // range CONJUNCTION over two member attributes, same restrict
+    // position (filter BEFORE the rank window), both attributes ride out
+    "q125_knn_join_payload_where" ->
+      (ivfPqJoinCtes("") + """
+         |SELECT id_a, id_b, id_b % 16 AS payload_cls,
+         |  round((id_b % 97) / 97.0, 6) AS payload_q, cosine,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (
+         |  SELECT id_a, id_b, cosine,
+         |    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rank
+         |  FROM sc
+         |  WHERE id_b % 16 IN (1, 3, 5, 7)
+         |    AND round((id_b % 97) / 97.0, 6) > 0.25)
          |WHERE rank <= 5""").stripMargin,
     "q55_knn_brute" ->
       ("""WITH v AS (

@@ -979,6 +979,31 @@ object CorpusBench {
             payloadIn = Some(Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))).count(),
           s""""impl":"stored_dirs+$probeRoute+winner_payload_filter","allowed_labels":8,"labels":16""")
       }
+      // STRUCT-payload predicate search at grid scale — the q125 /
+      // knnJoinDelta(payloadWhere) shape: a (cls, q) struct stored per
+      // member, answers gated by a set + range CONJUNCTION evaluated
+      // scan-local on the winner stream (no attach join); ~37% of members
+      // allowed (8/16 classes × q > 0.25)
+      if (opFilter.exists(_.exists(_.startsWith("knn_index_payload_where")))) {
+        val pwPath = s"$stageDir/knnidx_pw_$n"
+        val structed = embs.filter(col("vec_id") % 10 =!= 0)
+          .withColumn("pay", struct(
+            pmod(xxhash64(col("vec_id"), lit("hn")), lit(16L)).as("cls"),
+            round(pmod(col("vec_id"), lit(97L)) / lit(97.0), 6).as("q")))
+        if (!Files.exists(Paths.get(s"$pwPath/meta")))
+          graft.operators.KnnIndex.build(structed, "vec_id", "embedding",
+            pwPath, payloadCol = "pay")
+        val deltaEmb = embs.filter(col("vec_id") % 10 === 0)
+        val probeRoute = graft.operators.KnnIndex.deltaProbeRoute(
+          spark, pwPath, n / 10, nprobe = 4)
+        benchAct("knn_index_payload_where", () =>
+          graft.operators.KnnIndex.knnJoinDelta(deltaEmb, "vec_id",
+            "embedding", pwPath, k = 5, nprobe = 4,
+            payloadWhere = Some(col("payload_b.cls")
+              .isin(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
+              && col("payload_b.q") > 0.25)).count(),
+          s""""impl":"stored_dirs+$probeRoute+winner_struct_predicate","allowed_frac":0.37""")
+      }
       // SUSTAINED ingest+mine throughput: 20 × 50k-row batches against the
       // 5M-class stored payload index, each batch paying exactly-once
       // appendBatch + hardNegativesDelta — the steady-state cost a
@@ -1077,6 +1102,61 @@ object CorpusBench {
             .filter(col("dup_of_old") === col("id") + 1).count(),
           s""""bands":4,"impl":"stored_band_dirs+bucket_pruned","planted":${n / 20}""",
           valueField = "recovered")
+      }
+      // READ-AMPLIFICATION CURVE of the stored SIGNATURE index (the
+      // maintainSig policy's evidence — the knn_index_read_amp shape one
+      // abstraction over): one fixed delta batch re-measured after each
+      // append generation, then after compactSigIndex. Signature rows are
+      // flat, so the amplification is purely the per-file listing + footer
+      // pass nearDupDelta's member scan pays — each row carries
+      // mean_files_per_dir at that step.
+      if (opFilter.exists(_.exists(_.startsWith("sig_index_read_amp")))) {
+        val hashPath = s"$stageDir/hashes_$n"
+        if (!Files.exists(Paths.get(hashPath)))
+          hashCorpus(spark, n).write.mode("overwrite").parquet(hashPath)
+        val hashes = spark.read.parquet(hashPath)
+          .select(col("id"), col("hash"))
+        val sigPath = s"$stageDir/sigidxra_$n"
+        def deleteTree(dir: String): Unit = {
+          val p = Paths.get(dir)
+          if (Files.exists(p))
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.deleteIfExists(f))
+        }
+        deleteTree(sigPath)
+        graft.multimodal.Multimodal.buildSigIndex(
+          hashes.filter(col("id") % 10 =!= 0), sigPath, bands = 4)
+        // fixed probe batch: every id ≡ 0 (mod 100) — 20-block position-0
+        // rows whose stored position-1 copy (1 flip) is in the base at
+        // every step, so recall is comparable across the curve
+        val batch = hashes.filter(col("id") % 100 === 0)
+        var appends = 0
+        def measure(step: String): Unit = {
+          val h = graft.multimodal.Multimodal.sigHealth(spark, sigPath)
+          benchAct("sig_index_read_amp", () =>
+            graft.multimodal.Multimodal.nearDupDelta(batch, sigPath,
+                maxHamming = 3)
+              .filter(col("dup_of_old") === col("id") + 1).count(),
+            s""""step":"$step","appends":$appends,""" +
+              s""""mean_files_per_dir":${h.meanFilesPerDir},""" +
+              s""""files":${h.files},"planted":${n / 100}""",
+            valueField = "recovered")
+        }
+        measure("fresh")
+        (1 to 8).foreach { j =>
+          graft.multimodal.Multimodal.appendSigIndex(
+            hashes.filter(col("id") % 100 === (10 * j) % 100), sigPath)
+          appends = j
+          if (j == 2 || j == 5 || j == 8) measure(s"append$j")
+        }
+        val trigger = graft.multimodal.Multimodal.shouldCompactSig(spark, sigPath)
+        benchAct("sig_index_read_amp_compact", () => {
+          graft.multimodal.Multimodal.compactSigIndex(spark, sigPath)
+          graft.operators.Generations.vacuum(spark, sigPath, graceMs = 0L)
+          graft.multimodal.Multimodal.sigHealth(spark, sigPath).files
+        }, s""""trigger_fired":$trigger""", valueField = "files_after")
+        appends = 0
+        measure("compacted")
       }
       // banded perceptual-hash near-dup join at SIGNATURE scale (no
       // decode): planted ≤3-bit-flip replicas recovered through the

@@ -435,16 +435,32 @@ object Multimodal {
     import spark.implicits._
     Seq(bands).toDF("bands").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
-    writeSigMembers(hashes, bands, s"$path/members", "overwrite")
+    // generation-pointer layout (graft.operators.Generations — the
+    // KnnIndex machinery): write a fresh members-gen-N, swap CURRENT,
+    // GC superseded trees after the reader grace window
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val gen = graft.operators.Generations.next(fs, path)
+    writeSigMembers(hashes, bands, s"$path/members-gen-$gen", "overwrite")
+    graft.operators.Generations.commit(fs, path, gen)
+    graft.operators.Generations.vacuum(spark, path)
   }
+
+  /** The LIVE signature members tree — resolved through the shared
+    * generation pointer ([[graft.operators.Generations.resolve]]); legacy
+    * pre-generation trees (`path/members`) still resolve. */
+  def sigMembersDir(spark: SparkSession, path: String): String =
+    graft.operators.Generations.resolve(spark, path)
 
   /** Ingest a delta batch of signatures into the stored index — work
     * (banding CPU, bytes written) ∝ |delta|; the base directories are
-    * never read or rewritten (new files into the band/bucket layout, the
-    * KnnIndex.append contract). */
-  def appendSigIndex(newHashes: DataFrame, path: String): Unit =
-    writeSigMembers(newHashes, sigIndexBands(newHashes.sparkSession, path),
-      s"$path/members", "append")
+    * never read or rewritten (new files into the band/bucket layout of
+    * the LIVE generation, the KnnIndex.append contract). */
+  def appendSigIndex(newHashes: DataFrame, path: String): Unit = {
+    val spark = newHashes.sparkSession
+    writeSigMembers(newHashes, sigIndexBands(spark, path),
+      sigMembersDir(spark, path), "append")
+  }
 
   /** The stored index's band count — one tiny parquet read. */
   def sigIndexBands(spark: SparkSession, path: String): Int =
@@ -476,6 +492,86 @@ object Multimodal {
       .withColumn("bucket", pmod(col("bits"), lit(SigBuckets)).cast("int"))
       .repartition(parts, col("band"), col("bucket"))
       .write.mode(mode).partitionBy("band", "bucket").parquet(dest)
+  }
+
+  /** The signature-index compaction-policy inputs — pure FS metadata, no
+    * data job at all (the [[graft.operators.KnnIndex.health]] discipline,
+    * one level cheaper: signature rows are flat, so fragmentation is
+    * entirely a FILE phenomenon): every append generation adds ~1 parquet
+    * file per touched (band, bucket) directory, and every
+    * [[nearDupDelta]] pays the listing + footer pass per file — the exact
+    * read amplification the KnnIndex curve measured, one abstraction
+    * over. */
+  final case class SigHealth(dirs: Long, files: Long) {
+    def meanFilesPerDir: Double =
+      if (dirs <= 0) 0.0 else files.toDouble / dirs
+  }
+
+  /** One FS glob over the live generation. */
+  def sigHealth(spark: SparkSession, path: String): SigHealth = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val live = sigMembersDir(spark, path)
+    val files = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$live/band=*/bucket=*/*.parquet"))).toSeq.flatten
+    val dirs = files.map(_.getPath.getParent.toString).distinct.size
+    SigHealth(dirs.toLong, files.size.toLong)
+  }
+
+  /** Does the signature index need a [[compactSigIndex]]? Triggered on
+    * append fragmentation only (the index has no tombstones): mean parquet
+    * files per (band, bucket) directory, 1.0-per-generation when fully
+    * compacted. Default threshold 4.0 mirrors the KnnIndex mean_dir_rows
+    * policy — each append batch adds one file per touched directory, so
+    * the threshold fires after ~3 appends of full-corpus scope, where the
+    * measured sig read-amp curve's delta-search drift repays one compact
+    * within a handful of queries. Pure FS read. */
+  def shouldCompactSig(spark: SparkSession, path: String,
+      maxMeanFilesPerDir: Double = 4.0): Boolean =
+    sigHealth(spark, path).meanFilesPerDir > maxMeanFilesPerDir
+
+  /** Compact the signature index: rewrite the accumulated per-append
+    * files into one coalesced tree — work ∝ |stored bytes|, one
+    * (band, bucket)-keyed exchange, rows unchanged (banding is already
+    * materialized; [[nearDupDelta]]'s min-id verdicts are insensitive to
+    * any at-least-once append duplicates, so no dedup pass is owed).
+    * Crash- AND reader-safe via the shared generation-pointer swap
+    * ([[graft.operators.Generations]]): the new tree commits by CURRENT
+    * rewrite, superseded generations stay for the GC grace window.
+    * Single-MAINTAINER like [[graft.operators.KnnIndex.compact]]: don't
+    * run concurrently with [[appendSigIndex]] (a batch landing mid-rewrite
+    * stays in the superseded tree); readers are safe by construction. */
+  def compactSigIndex(spark: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val live = sigMembersDir(spark, path)
+    val stored = spark.read.parquet(live)
+    val bands = sigIndexBands(spark, path)
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(live)).getLength
+    // ~128 MB of stored bytes per write task (×2 in-memory expansion),
+    // capped at one task per (band, bucket) directory — the
+    // writeSigMembers sizing read back from the files instead of a count
+    val floor = spark.sparkContext.defaultParallelism
+    val parts = math.max(math.min(floor, bands * SigBuckets),
+      math.min(bands.toLong * SigBuckets, bytes * 2 / (128L << 20)).toInt)
+    val gen = graft.operators.Generations.next(fs, path)
+    stored.repartition(parts, col("band"), col("bucket"))
+      .write.mode("overwrite").partitionBy("band", "bucket")
+      .parquet(s"$path/members-gen-$gen")
+    graft.operators.Generations.commit(fs, path, gen)
+    graft.operators.Generations.vacuum(spark, path)
+  }
+
+  /** The policy face of [[compactSigIndex]] — compacts IFF
+    * [[shouldCompactSig]]'s threshold is crossed, returning whether it
+    * ran. An ingest campaign calls this between appended batches
+    * (quiesced — the single-maintainer contract). */
+  def maintainSig(spark: SparkSession, path: String,
+      maxMeanFilesPerDir: Double = 4.0): Boolean = {
+    val go = shouldCompactSig(spark, path, maxMeanFilesPerDir)
+    if (go) compactSigIndex(spark, path)
+    go
   }
 
   /** Near-dup verdicts for an arriving media batch against the STORED
@@ -522,7 +618,10 @@ object Multimodal {
       .select(col("id").as("id_d"), col("hash").as("hash_d"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bits", expr(s"shiftrightunsigned(hash_d, band * $width) & $mask"))
-    val members = spark.read.parquet(s"$path/members")
+    // one generation snapshot per query (the KnnIndex.knnJoinDelta rule):
+    // a compactSigIndex committing mid-query leaves this tree on disk for
+    // the grace window
+    val members = spark.read.parquet(sigMembersDir(spark, path))
     // bucket pruning: distinct probed (band, bucket) — bounded collect
     val probed = banded
       .select(col("band"), pmod(col("bits"), lit(SigBuckets)).cast("int").as("bucket"))

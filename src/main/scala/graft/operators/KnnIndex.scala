@@ -167,10 +167,10 @@ object KnnIndex {
     // a fresh GENERATION directory + pointer swap, not an in-place
     // overwrite: readers mid-query on the old tree keep a complete
     // snapshot until vacuum's grace window closes over it
-    val gen = nextGen(fsb, path)
+    val gen = Generations.next(fsb, path)
     writeMembersTo(base, meta, n * rowBytes(meta) * 2,
       s"$path/members-gen-$gen", SaveMode.Overwrite)
-    commitCurrent(fsb, path, gen)
+    Generations.commit(fsb, path, gen)
     vacuum(spark, path)
     meta
   }
@@ -216,108 +216,18 @@ object KnnIndex {
     *     spec) falls back to the HIGHEST completely-written generation —
     *     `_SUCCESS` present (every generation is one parquet Overwrite) and
     *     not `_SUPERSEDED`-marked, then highest overall;
-    *  3. the pre-generation legacy layout `path/members`. */
-  def membersDir(spark: SparkSession, path: String): String = {
-    val fs = hadoopFs(spark, path)
-    val cur = new org.apache.hadoop.fs.Path(s"$path/$CurrentFile")
-    // an unreadable CURRENT (torn write, checksum-sidecar mismatch) is
-    // the same as an unparseable one: fall back, don't throw
-    val fromCurrent: Option[String] =
-      try {
-        if (!fs.exists(cur)) None
-        else {
-          val in = fs.open(cur)
-          val txt =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            finally in.close()
-          txt.toLongOption.map(n => s"$path/members-gen-$n")
-            .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-        }
-      } catch { case scala.util.control.NonFatal(_) => None }
-    fromCurrent.orElse {
-      val committed = scannedGens(fs, path).sorted(Ordering[Long].reverse)
-        .map(n => s"$path/members-gen-$n")
-        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/_SUCCESS")))
-      committed.find(d =>
-          !fs.exists(new org.apache.hadoop.fs.Path(s"$d/$SupersededFile")))
-        .orElse(committed.headOption)
-    }.getOrElse(s"$path/members")
-  }
+    *  3. the pre-generation legacy layout `path/members`.
+    *
+    * Machinery shared with the multimodal signature index —
+    * [[graft.operators.Generations]]. */
+  def membersDir(spark: SparkSession, path: String): String =
+    Generations.resolve(spark, path)
 
-  private val CurrentFile = "CURRENT"
-  private val SupersededFile = "_SUPERSEDED"
-
-  /** Generation numbers of every `members-gen-*` directory on disk —
-    * committed or not (one FS glob). */
-  private def scannedGens(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Seq[Long] =
-    Option(fs.globStatus(
-      new org.apache.hadoop.fs.Path(s"$path/members-gen-*"))).toSeq.flatten
-      .flatMap(_.getPath.getName.stripPrefix("members-gen-").toLongOption)
-
-  /** The next unused generation number — past every directory on disk,
-    * committed or crash-stranded, so a rewrite never collides with a
-    * half-written tree a reader's fallback might otherwise observe. */
-  private def nextGen(fs: org.apache.hadoop.fs.FileSystem, path: String): Long =
-    scannedGens(fs, path).maxOption.getOrElse(-1L) + 1
-
-  /** Commit generation `gen` as the live tree: write `CURRENT.tmp`, then
-    * swap it in. The delete+rename pair (portable across Hadoop
-    * FileSystems, which reject rename-onto-existing) has a sub-ms window
-    * where `CURRENT` is absent — [[membersDir]]'s fallback resolves the
-    * highest committed generation there, which is exactly `gen`. */
-  private def commitCurrent(fs: org.apache.hadoop.fs.FileSystem, path: String,
-      gen: Long): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/$CurrentFile.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$CurrentFile"), false)
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$path/$CurrentFile"))
-  }
-
-  /** GC grace window before a superseded generation is deleted — long
-    * enough for any query that resolved the old tree pre-commit to finish
-    * reading it. Conf-tied like the exchange caps. */
-  private def gcGraceMs(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.index.gcGraceMs")
-      .map(_.toLong).getOrElse(15L * 60 * 1000)
-
-  /** Garbage-collect superseded members generations — every on-disk tree
-    * except the live one (older committed generations, crash-stranded
-    * uncommitted ones, the legacy `members` layout after a migrating
-    * [[compact]]). Two-phase so in-flight readers survive: an unmarked
-    * tree first gets a `_SUPERSEDED` stamp (underscore-prefixed — parquet
-    * readers ignore it), and only once the stamp is older than the grace
-    * window (`graceMs`, default `spark.graft.index.gcGraceMs` = 15 min;
-    * `0` deletes in the same pass) is the tree deleted. Runs automatically
-    * at the end of [[build]]/[[compact]]; callable standalone. A
-    * MAINTAINER operation like compact itself (must not race another
-    * writer), but safe beside readers by construction. Returns the number
-    * of trees deleted. */
-  def vacuum(spark: SparkSession, path: String, graceMs: Long = -1L): Int = {
-    val fs = hadoopFs(spark, path)
-    val grace = if (graceMs >= 0) graceMs else gcGraceMs(spark)
-    val live = membersDir(spark, path)
-    val legacy = s"$path/members"
-    val candidates = scannedGens(fs, path).map(n => s"$path/members-gen-$n") ++
-      (if (fs.exists(new org.apache.hadoop.fs.Path(legacy))) Seq(legacy) else Nil)
-    val now = System.currentTimeMillis()
-    var deleted = 0
-    candidates.filterNot(_ == live).foreach { dir =>
-      val marker = new org.apache.hadoop.fs.Path(s"$dir/$SupersededFile")
-      if (!fs.exists(marker)) fs.create(marker, true).close()
-      else if (now - fs.getFileStatus(marker).getModificationTime >= grace) {
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-        deleted += 1
-      }
-      if (grace <= 0 && fs.exists(new org.apache.hadoop.fs.Path(dir))) {
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-        deleted += 1
-      }
-    }
-    deleted
-  }
+  /** Garbage-collect superseded members generations — see
+    * [[graft.operators.Generations.vacuum]]. Runs automatically at the
+    * end of [[build]]/[[compact]]; callable standalone. */
+  def vacuum(spark: SparkSession, path: String, graceMs: Long = -1L): Int =
+    Generations.vacuum(spark, path, graceMs)
 
   /** The stored members tree's payload TYPE, when it carries one — read
     * from the `mem` struct's third field. One footer-schema read, no data
@@ -605,10 +515,10 @@ object KnnIndex {
     // overestimates, which costs nothing
     val bytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(live)).getLength * 2
-    val gen = nextGen(fs, path)
+    val gen = Generations.next(fs, path)
     writeMembersTo(kept, meta, bytes, s"$path/members-gen-$gen",
       SaveMode.Overwrite)
-    commitCurrent(fs, path, gen)
+    Generations.commit(fs, path, gen)
     val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     if (fs.exists(ts)) fs.delete(ts, true)
     vacuum(spark, path)
@@ -985,6 +895,21 @@ object KnnIndex {
     * [[graft.operators.Similarity.knnJoinIvfPqPortablePayloadFiltered]]
     * (q124) — one more predicate over the q114 CTE prefix.
     *
+    * `payloadWhere` is `payloadIn` generalized to ARBITRARY predicates
+    * over a (possibly STRUCT-typed) stored payload — the production
+    * filtered-ANN shape: "license IN (…) AND lang = 'en' AND
+    * quality > q" as one Column over the output's `payload_b`
+    * (e.g. `col("payload_b.lang") === "en" &&
+    * col("payload_b.quality") > 0.25`). Same position, same plan (the
+    * payload rides the winner struct; the predicate is a scan-local
+    * filter on the flat winner stream — no attach join), same
+    * deepened-rescore exactness contract: exact while `kCand` covers
+    * each probed cell's ALLOWED members, so a highly-selective predicate
+    * needs `kCand` raised toward occupancy ÷ allowed-fraction. Oracle
+    * anchor: [[graft.operators.Similarity
+    * .knnJoinIvfPqPortablePayloadWhere]] (q125) — the same conjunction
+    * over the q114 CTE prefix.
+    *
     * Plan shape: probes (delta × nprobe exploded cells, query vector
     * attached) BROADCAST while they fit the driver-capped gate — the
     * stored members then stream scan-local through one BroadcastHashJoin
@@ -1003,18 +928,20 @@ object KnnIndex {
       kCand: Int = 0,
       cellsPerSuper: Int = 1,
       restrict: Option[DataFrame] = None,
-      payloadIn: Option[Seq[Any]] = None
+      payloadIn: Option[Seq[Any]] = None,
+      payloadWhere: Option[org.apache.spark.sql.Column] = None
   ): DataFrame = {
     val spark = newDf.sparkSession
+    val wantPayload = payloadIn.isDefined || payloadWhere.isDefined
     // resolve the generation ONCE — meta, payload check, and the member
     // scan below all read the same snapshot even if a compact commits
     // mid-query (its superseded tree stays on disk for the grace window)
     val live = membersDir(spark, path)
     val meta = metaForIn(spark, path, live)
-    if (payloadIn.isDefined)
+    if (wantPayload)
       require(storedPayloadTypeIn(spark, live).isDefined,
         s"index at $path was built without a payload column — " +
-          "payloadIn needs build/append(payloadCol = ...)")
+          "payloadIn/payloadWhere need build/append(payloadCol = ...)")
     val base = prep(newDf, idCol, vecCol)
     val nDelta = math.max(1L, base.count())
     val cand = math.max(k, if (kCand > 0) kCand else 4 * k)
@@ -1025,7 +952,7 @@ object KnnIndex {
     // read-amplification tradeoff compact() resets
     val tombs = tombstonesDf(spark, path)
     val rescoreK =
-      if (tombs.isDefined || restrict.isDefined || payloadIn.isDefined) cand
+      if (tombs.isDefined || restrict.isDefined || wantPayload) cand
       else k
     val fanout = graft.functions.VectorExpressions.probeMidsPerTop(meta.nLists)
     val probes = base.select(col("id").as("id_a"), col("v").as("v_a"),
@@ -1073,7 +1000,7 @@ object KnnIndex {
     val shortlist = graft.functions.AnnExpressions.ivfpq_cell_shortlist(
       col("id_a"), col("v_a"), col("mem"), cand, meta.codebooks, meta.subDim)
     val perRow =
-      if (payloadIn.isEmpty)
+      if (!wantPayload)
         joined.select(col("id_a"),
           graft.functions.AnnExpressions.cell_rescore_topk(col("v_a"),
             shortlist, col("vmem"), rescoreK).as("tk"))
@@ -1089,7 +1016,7 @@ object KnnIndex {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
     val flatCols = Seq(col("id_a"), col("nb.id").as("id_b")) ++
-      (if (payloadIn.isDefined) Seq(col("nb.payload").as("payload_b")) else Nil) ++
+      (if (wantPayload) Seq(col("nb.payload").as("payload_b")) else Nil) ++
       Seq(col("nb.cosine").as("cosine"))
     val flat = perRow
       .repartition(rankParts, col("id_a"))
@@ -1114,10 +1041,14 @@ object KnnIndex {
     // re-numbers — so the exactness condition is restrict's verbatim.
     // A scan-local filter over the winner stream: the payload rode the
     // winner struct out of the cell, no join of any kind
-    val payFlat = payloadIn.fold(allowedFlat)(vals =>
+    val paySet = payloadIn.fold(allowedFlat)(vals =>
       allowedFlat.filter(col("payload_b").isin(vals: _*)))
+    // general predicate (set + range conjunctions over struct fields),
+    // same position and same scan-local evaluation — the caller's Column
+    // references `payload_b` (e.g. col("payload_b.lang") === "en")
+    val payFlat = payloadWhere.fold(paySet)(pred => paySet.filter(pred))
     val outCols = Seq(col("id_a"), col("id_b")) ++
-      (if (payloadIn.isDefined) Seq(col("payload_b")) else Nil) ++
+      (if (wantPayload) Seq(col("payload_b")) else Nil) ++
       Seq(col("cosine"), col("rank"))
     payFlat
       .withColumn("rank", row_number().over(w))

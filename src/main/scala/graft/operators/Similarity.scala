@@ -1284,6 +1284,35 @@ object Similarity {
       payloadFilter = Some((df.select(col(idCol).cast("long").as("id"),
         col(payloadCol).as("pay")), allowed)))
 
+  /** [[knnJoinIvfPqPortablePayloadFiltered]] generalized to an ARBITRARY
+    * payload predicate — the oracle twin of
+    * [[graft.operators.KnnIndex.knnJoinDelta]]'s `payloadWhere` option
+    * (q125): `payDf` carries one row per member id plus any number of
+    * attribute columns (a flattened struct payload — license class,
+    * language, a quality score), and `predicate` is a conjunction over
+    * them ("cls IN (…) AND quality > q"). Decision order is the q118
+    * restrict position verbatim — integer ADC shortlist and
+    * rounded-cosine rescore over ALL members, the predicate filters the
+    * rescored pairs, rank re-numbers — so one more WHERE conjunction over
+    * the q114 CTE prefix replays every verdict in ANSI SQL. The
+    * survivors' attribute columns ride the output. */
+  def knnJoinIvfPqPortablePayloadWhere(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      payDf: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      k: Int = 5,
+      nLists: Int = 8,
+      nprobe: Int = 2,
+      m: Int = 8,
+      ks: Int = 16,
+      kCand: Int = 20,
+      dims: Int = 0
+  ): DataFrame =
+    knnJoinIvfPqPortableCore(df, idCol, vecCol, k, nLists, nprobe, m, ks,
+      kCand, dims, probeIds = None, payloadWhere = Some((payDf, predicate)))
+
   /** The INCREMENTAL form of [[knnJoinIvfPqPortable]] — the oracle twin of
     * the [[graft.operators.KnnIndex]] delta pass (q116), the same move q87
     * made for the MinHash family: `newDf` is a delta batch arriving against
@@ -1419,7 +1448,8 @@ object Similarity {
       probeIds: Option[DataFrame],
       restrictIds: Option[DataFrame] = None,
       labelDf: Option[DataFrame] = None,
-      payloadFilter: Option[(DataFrame, Seq[Any])] = None
+      payloadFilter: Option[(DataFrame, Seq[Any])] = None,
+      payloadWhere: Option[(DataFrame, org.apache.spark.sql.Column)] = None
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -1526,13 +1556,25 @@ object Similarity {
     // pay) — ~800 MB at 50M rows — so forcing it past
     // autoBroadcastJoinThreshold is a driver/executor memory hazard at
     // grid scale; the planner broadcasts it on its own at oracle sizes
-    val payFiltered = payloadFilter match {
+    val paySet = payloadFilter match {
       case Some((pdf, vals)) =>
         allowed
           .join(pdf.select(col("id").as("id_b"),
             col("pay").as("payload_b")), Seq("id_b"))
           .filter(col("payload_b").isin(vals: _*))
       case None => allowed
+    }
+    // general payload predicate (set + range conjunctions over several
+    // attached attribute columns) at the SAME position — the q125 oracle
+    // twin of knnJoinDelta(payloadWhere): pdf carries (id, <fields…>),
+    // the predicate references the field columns, and every field rides
+    // the output so the filter's inputs are visible in the result
+    val payFiltered = payloadWhere match {
+      case Some((pdf, pred)) =>
+        paySet
+          .join(pdf.withColumnRenamed(pdf.columns.head, "id_b"), Seq("id_b"))
+          .filter(pred)
+      case None => paySet
     }
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b").asc)
@@ -1551,6 +1593,7 @@ object Similarity {
       case None =>
         val outCols = Seq(col("id_a"), col("id_b")) ++
           (if (payloadFilter.isDefined) Seq(col("payload_b")) else Nil) ++
+          payloadWhere.toSeq.flatMap(_._1.columns.tail).map(col) ++
           Seq(col("cosine"), col("rank"))
         rankedOut.select(outCols: _*)
     }

@@ -286,7 +286,8 @@ class MultimodalSpec extends SparkSpec {
     // append is ∝ |delta|: new files only, base untouched
     def files(): Set[String] = {
       val out = scala.collection.mutable.Set[String]()
-      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/members"))
+      java.nio.file.Files.walk(java.nio.file.Paths.get(
+          Multimodal.sigMembersDir(spark, path)))
         .forEach(p => if (p.toString.endsWith(".parquet")) out += p.toString)
       out.toSet
     }
@@ -309,5 +310,57 @@ class MultimodalSpec extends SparkSpec {
         .findFirstIn(plan).isDefined,
       "probed-bucket pruning must reach the member scan as a non-empty " +
         s"band/bucket partition filter; plan:\n$plan")
+  }
+
+  test("sig-index maintenance: append fragmentation trips the file-count " +
+      "trigger, compactSigIndex coalesces through a reader-safe generation " +
+      "swap, and no delta verdict changes") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sigm").toString
+    val rng = new scala.util.Random(7)
+    val stored = (0 until 400)
+      .map(i => (i.toLong, rng.nextLong())).toDF("id", "hash")
+    Multimodal.buildSigIndex(stored, path, bands = 4)
+    assert(!Multimodal.shouldCompactSig(spark, path),
+      "a freshly built tree must not trigger")
+    assert(!Multimodal.maintainSig(spark, path))
+    val gen0 = Multimodal.sigMembersDir(spark, path)
+    // 5 full-scope appends: each adds ≥1 file per touched directory, so
+    // meanFilesPerDir climbs past the 4.0 threshold
+    (0 until 5).foreach { b =>
+      val batch = (0 until 400).map(i =>
+        ((1000 + b * 1000 + i).toLong, rng.nextLong())).toDF("id", "hash")
+      Multimodal.appendSigIndex(batch, path)
+    }
+    val frag = Multimodal.sigHealth(spark, path)
+    assert(frag.meanFilesPerDir > 4.0, s"expected fragmentation, got $frag")
+    assert(Multimodal.shouldCompactSig(spark, path))
+    // a batch with one planted near-dup of a stored member: verdicts must
+    // be identical before and after the compact
+    val probeHash = stored.filter($"id" === 10L).head().getLong(1)
+    val batch = Seq((90000L, probeHash ^ (1L << 13)), (90001L, rng.nextLong()))
+      .toDF("id", "hash")
+    val before = Multimodal.nearDupDelta(batch, path, maxHamming = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(before.head == ((90000L, 10L, -1L, 0L)), s"got $before")
+    assert(Multimodal.maintainSig(spark, path), "maintain must compact")
+    val gen1 = Multimodal.sigMembersDir(spark, path)
+    assert(gen1 != gen0 && gen1.contains("members-gen-"),
+      s"compact must commit a new generation: $gen0 -> $gen1")
+    // superseded tree survives the default grace window for in-flight
+    // readers (the shared Generations contract), then vacuums on demand
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(gen0)))
+    val healed = Multimodal.sigHealth(spark, path)
+    assert(healed.meanFilesPerDir <= 1.0 + 1e-9,
+      s"compact left fragmentation: $healed")
+    assert(healed.files < frag.files,
+      s"compact did not merge files (${frag.files} -> ${healed.files})")
+    assert(!Multimodal.shouldCompactSig(spark, path))
+    val after = Multimodal.nearDupDelta(batch, path, maxHamming = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(after == before, "compactSigIndex changed delta verdicts")
+    assert(graft.operators.Generations.vacuum(spark, path, graceMs = 0L) >= 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(gen0)))
+    assert(Multimodal.nearDupDelta(batch, path, maxHamming = 3)
+      .count() == before.size, "live tree unreadable after vacuum")
   }
 }

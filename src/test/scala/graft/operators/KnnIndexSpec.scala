@@ -568,6 +568,43 @@ class KnnIndexSpec extends SparkSpec {
     assert(!KnnIndex.shouldCompact(spark, path))
   }
 
+  test("payloadWhere: set + range conjunction over a STRUCT payload equals " +
+      "filter-then-re-rank of the deep unfiltered join, the struct riding " +
+      "the output") {
+    val path = tmpDir()
+    val withPay = emb.withColumn("pay", struct($"label".as("cls"),
+      round(pmod($"vec_id", lit(97L)) / lit(97.0), 6).as("q")))
+    val old = withPay.filter($"vec_id" % 5 =!= 0)
+    val neu = withPay.filter($"vec_id" % 5 === 0)
+    KnnIndex.build(old, "vec_id", "embedding", path, nLists = 8,
+      payloadCol = "pay")
+    val pred = col("payload_b.cls").isin(0, 1, 2) && col("payload_b.q") > 0.25
+    val got = KnnIndex.knnJoinDelta(neu, "vec_id", "embedding", path, k = 3,
+        nprobe = 4, kCand = 100000, payloadWhere = Some(pred))
+      .as[(Long, Long, (Int, Double), Double, Int)].collect().toSet
+    // independent reference: the unfiltered deep join, the struct ATTACHED
+    // by join, the same conjunction, re-rank, cut — the operator's claimed
+    // decision order with the payload arriving a different way
+    import org.apache.spark.sql.expressions.Window
+    val deep = KnnIndex.knnJoinDelta(neu, "vec_id", "embedding", path,
+      k = 100000, nprobe = 4, kCand = 100000)
+    val pays = old.select($"vec_id".as("id_b"), $"pay".as("payload_b"))
+    val w = Window.partitionBy($"id_a").orderBy($"cosine".desc, $"id_b".asc)
+    val ref = deep.drop("rank").join(pays, "id_b")
+      .filter(pred)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"id_a", $"id_b", $"payload_b", $"cosine", $"rank")
+      .as[(Long, Long, (Int, Double), Double, Int)].collect().toSet
+    assert(got == ref, s"payloadWhere diverged: " +
+      s"only-got=${(got -- ref).take(5)} only-ref=${(ref -- got).take(5)}")
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(Seq(0, 1, 2).contains(r._3._1), s"disallowed class answered: $r")
+      assert(r._3._2 > 0.25, s"below-range quality answered: $r")
+    }
+  }
+
   test("reader-safe compact: delta searches looping CONCURRENTLY with the " +
       "generation-pointer swap never fail and never change answers") {
     val path = tmpDir()
