@@ -313,6 +313,13 @@ object CorpusBench {
     // executor memory/disk death mid-join (operators/Dedup.scala)
     sys.env.get("EDITDIST_PAIR_BUDGET").foreach(b =>
       spark.conf.set("spark.graft.editdist.maxCandidatePairs", b))
+    // superseded-generation GC grace: the 15 min default is the reader-
+    // safety window a production maintainer wants, but on this host's
+    // ~64 GB budget a 50M campaign can hold 2-3 × 12 GB generations
+    // inside it — campaigns pass a short grace (no concurrent readers
+    // here by construction: benchAct is the only query issuer)
+    sys.env.get("GRAFT_GC_GRACE_MS").foreach(g =>
+      spark.conf.set("spark.graft.index.gcGraceMs", g))
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
 
@@ -956,6 +963,50 @@ object CorpusBench {
           graft.operators.KnnIndex.health(spark, idxPath).members
         }, s""""trigger_fired":$trigger""", valueField = "members")
         appends = 0; tombstones = 0
+        measure("compacted")
+      }
+      // TOMBSTONE-HEAVY COMPACT at scale (the delete tail of the LSM
+      // lifecycle, never before run at 50M): delete 2% of the stored
+      // members, measure delta search under the deepened rescore the
+      // pending log forces, compact (tombstones applied physically,
+      // policy trigger recorded), measure restoration. The fixed probe
+      // batch is the read-amp curve's (every id ≡ 0 mod 100); deleted ids
+      // (≡ 5 mod 50) avoid the planted partners (≡ 1, 2 mod 100), so
+      // recall is comparable at every step.
+      if (opFilter.exists(_.exists(_.startsWith("knn_index_tombstone")))) {
+        val idxPath = s"$stageDir/knnidxts_$n"
+        def deleteTree(dir: String): Unit = {
+          val p = Paths.get(dir)
+          if (Files.exists(p))
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.deleteIfExists(f))
+        }
+        deleteTree(idxPath)
+        val baseEmb = embs.filter(col("vec_id") % 10 =!= 0)
+        graft.operators.KnnIndex.build(baseEmb, "vec_id", "embedding", idxPath)
+        val probe = embs.filter(col("vec_id") % 100 === 0)
+        def measure(step: String): Unit = {
+          val h = graft.operators.KnnIndex.health(spark, idxPath)
+          benchAct("knn_index_tombstone", () =>
+            plantedPairs(graft.operators.KnnIndex.knnJoinDelta(
+              probe, "vec_id", "embedding", idxPath, k = 5, nprobe = 4)),
+            s""""step":"$step","tombstone_rows":${h.tombstones},""" +
+              f""""tombstone_frac":${h.tombstoneFrac}%.4f,""" +
+              s""""planted":${2 * (n / 100)}""",
+            valueField = "recovered")
+        }
+        measure("clean")
+        graft.operators.KnnIndex.delete(
+          baseEmb.filter(col("vec_id") % 50 === 5).select(col("vec_id")),
+          "vec_id", idxPath)
+        measure("tombstoned")
+        val trigger = graft.operators.KnnIndex.shouldCompact(spark, idxPath)
+        benchAct("knn_index_tombstone_compact", () => {
+          graft.operators.KnnIndex.compact(spark, idxPath)
+          graft.operators.KnnIndex.vacuum(spark, idxPath, graceMs = 0L)
+          graft.operators.KnnIndex.health(spark, idxPath).members
+        }, s""""trigger_fired":$trigger,"deleted_frac":0.02""",
+          valueField = "members")
         measure("compacted")
       }
       // payload-predicate-filtered delta search at grid scale: answers
