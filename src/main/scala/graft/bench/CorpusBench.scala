@@ -791,10 +791,15 @@ object CorpusBench {
             "embedding", "lbl", payPath, k = 5, nprobe = 4).count(),
           s""""impl":"stored_dirs+$payProbePath+in_cell_label_gate","labels":16,"anchor_fraction":0.1""")
       }
-      if (opFilter.exists(_.exists(p =>
-          (p.startsWith("knn_index") && !p.startsWith("knn_index_compact") &&
-            !p.startsWith("knn_index_negatives")) ||
-            p == "semantic_dedup_delta"))) {
+      // EXACT op set, not a startsWith: this block stages a full knnidx_$n
+      // build as a side effect even when every benchAct inside is
+      // filtered, and the old `startsWith("knn_index")` gate matched every
+      // later lifecycle op (tombstone/payload/read-amp/ingest) — at 50M
+      // that was a surprise 12 GB build per filtered run, the ENOSPC that
+      // killed the first r15 tomb_50m attempt
+      if (opFilter.exists(_.exists(p => Set("knn_index_build",
+          "knn_index_delta", "knn_index_trickle", "semantic_dedup_delta")
+          .contains(p)))) {
         val idxPath = s"$stageDir/knnidx_$n"
         val baseEmb = embs.filter(col("vec_id") % 10 =!= 0)
         val deltaEmb = embs.filter(col("vec_id") % 10 === 0)
