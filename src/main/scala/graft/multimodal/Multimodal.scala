@@ -485,13 +485,20 @@ object Multimodal {
       else hashes.count()
     val parts = math.max(math.min(floor, bands * SigBuckets),
       math.min(bands.toLong * SigBuckets, est * bands * 24L / (128L << 20)).toInt)
-    hashes
+    val banded = hashes
       .select(col("id").cast("long").as("id"), col("hash").cast("long").as("hash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bits", expr(s"shiftrightunsigned(hash, band * $width) & $mask"))
       .withColumn("bucket", pmod(col("bits"), lit(SigBuckets)).cast("int"))
       .repartition(parts, col("band"), col("bucket"))
-      .write.mode(mode).partitionBy("band", "bucket").parquet(dest)
+    // concurrent partition writers — skip FileFormatWriter's per-task
+    // sort (the KnnIndex.writeMembersTo rule; see compactSigIndex)
+    val prevWriters = spark.conf
+      .get("spark.sql.maxConcurrentOutputFileWriters", "0")
+    spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "32")
+    try banded.write.mode(mode).partitionBy("band", "bucket").parquet(dest)
+    finally
+      spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", prevWriters)
   }
 
   /** The signature-index compaction-policy inputs — pure FS metadata, no
@@ -556,9 +563,19 @@ object Multimodal {
     val parts = math.max(math.min(floor, bands * SigBuckets),
       math.min(bands.toLong * SigBuckets, bytes * 2 / (128L << 20)).toInt)
     val gen = graft.operators.Generations.next(fs, path)
-    stored.repartition(parts, col("band"), col("bucket"))
-      .write.mode("overwrite").partitionBy("band", "bucket")
-      .parquet(s"$path/members-gen-$gen")
+    // concurrent partition writers — the KnnIndex.writeMembersTo rule:
+    // skip FileFormatWriter's per-task sort (the measured 12 GB one-time
+    // spill on the 50M sig compact); tasks hold whole (band, bucket)
+    // groups, so few writers are open at once
+    val prevWriters = spark.conf
+      .get("spark.sql.maxConcurrentOutputFileWriters", "0")
+    spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "32")
+    try
+      stored.repartition(parts, col("band"), col("bucket"))
+        .write.mode("overwrite").partitionBy("band", "bucket")
+        .parquet(s"$path/members-gen-$gen")
+    finally
+      spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", prevWriters)
     graft.operators.Generations.commit(fs, path, gen)
     graft.operators.Generations.vacuum(spark, path)
   }

@@ -624,9 +624,27 @@ object KnnIndex {
     // files meant near-empty reader batches). 8 MB groups ≈ 400 rows ≈
     // ~12 MB decoded per task; the fix rides in the TREE, so any stock
     // session reads it safely.
-    keyed.write.mode(mode)
-      .option("parquet.block.size", String.valueOf(8L << 20))
-      .partitionBy("nl", "bucket").parquet(dest)
+    // Concurrent partition writers instead of FileFormatWriter's
+    // sort-by-partition-columns: each write task holds whole buckets (the
+    // repartition above), so at most a handful of (nl, bucket) leaves are
+    // open at once — but the default sort path buffers the task's ENTIRE
+    // ~128 MB share through a spillable sorter whose 75 MB execution
+    // slice (32 concurrent tasks, protocol heap) forces one spill
+    // generation per task at 50M-class generations: the measured
+    // 2.4–16 GB "one-time rewrite spill" on build/compact rows. With
+    // concurrent writers the rows stream straight into the (8 MB
+    // row-group) parquet writers and the sorter never materializes.
+    // Writer memory is bounded: ≤ 32 open writers × one row group.
+    val sess = base.sparkSession
+    val prevWriters = sess.conf
+      .get("spark.sql.maxConcurrentOutputFileWriters", "0")
+    sess.conf.set("spark.sql.maxConcurrentOutputFileWriters", "32")
+    try
+      keyed.write.mode(mode)
+        .option("parquet.block.size", String.valueOf(8L << 20))
+        .partitionBy("nl", "bucket").parquet(dest)
+    finally
+      sess.conf.set("spark.sql.maxConcurrentOutputFileWriters", prevWriters)
   }
 
   /** The nLists the stored members were assigned with — read from the
