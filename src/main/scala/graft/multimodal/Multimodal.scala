@@ -588,6 +588,9 @@ object Multimodal {
       maxMeanFilesPerDir: Double = 4.0): Boolean = {
     val go = shouldCompactSig(spark, path, maxMeanFilesPerDir)
     if (go) compactSigIndex(spark, path)
+    // age out generations the PREVIOUS compact superseded (a few FS ops)
+    // — the KnnIndex.maintain rule
+    else graft.operators.Generations.vacuum(spark, path)
     go
   }
 

@@ -796,13 +796,19 @@ object KnnIndex {
     * thresholds are crossed, returning whether it ran. An ingest campaign
     * calls this between batches (quiesced — the single-maintainer
     * contract); the curve-measured thresholds mean the campaign pays the
-    * compact exactly when continuing NOT to pay it costs more. */
+    * compact exactly when continuing NOT to pay it costs more.
+    *
+    * Every call also [[vacuum]]s (a few FS ops): a generation superseded
+    * by the PREVIOUS compact ages out as soon as its grace window closes,
+    * instead of waiting for the next compact to happen by — on the 50M
+    * campaign that wait held a second 12 GB tree on disk for 8 batches. */
   def maintain(spark: SparkSession, path: String,
       maxMeanDirRows: Double = 4.0,
       maxTombstoneFrac: Double = 0.02,
       nLists: Int = 0): Boolean = {
     val go = shouldCompact(spark, path, maxMeanDirRows, maxTombstoneFrac)
     if (go) compact(spark, path, nLists)
+    else vacuum(spark, path)
     go
   }
 

@@ -699,11 +699,23 @@ class KnnIndexSpec extends SparkSpec {
       "superseded generation deleted inside the grace window")
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$gen0/_SUPERSEDED")))
-    // grace 0: delete in the same pass
+    // a NON-compacting maintain() pass also vacuums, so a generation the
+    // previous compact superseded ages out without waiting for the next
+    // compact (grace forced to 0 via the conf for the test)
+    spark.conf.set("spark.graft.index.gcGraceMs", "0")
+    try {
+      assert(!KnnIndex.maintain(spark, path), "fresh tree must not compact")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(gen0)),
+        "maintain() must vacuum the aged superseded generation")
+    } finally spark.conf.unset("spark.graft.index.gcGraceMs")
+    // grace 0 on a direct vacuum call: mark and delete in the same pass
+    KnnIndex.compact(spark, path)
+    val gen2 = KnnIndex.membersDir(spark, path)
+    assert(gen2 != gen1)
     assert(KnnIndex.vacuum(spark, path, graceMs = 0L) >= 1)
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(gen0)),
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(gen1)),
       "vacuum(grace=0) must delete the superseded generation")
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(gen1)),
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(gen2)),
       "vacuum touched the live generation")
     val neu = emb.filter($"vec_id" % 5 === 0)
     assert(deltaRows(path, neu).nonEmpty, "live tree unreadable after vacuum")
