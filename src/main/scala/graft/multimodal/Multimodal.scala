@@ -466,6 +466,119 @@ object Multimodal {
   def sigIndexBands(spark: SparkSession, path: String): Int =
     spark.read.parquet(s"$path/meta").head().getInt(0)
 
+  /** Has `batchId` already been committed by [[appendSigBatch]]? */
+  def sigIngestCommitted(spark: SparkSession, path: String,
+      batchId: Long): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/ingest_log/batch-$batchId"))
+  }
+
+  /** EXACTLY-ONCE [[appendSigIndex]]: ingest a signature batch under a
+    * caller-supplied batch id (Structured Streaming's `foreachBatch` id —
+    * the unit the engine replays after a failure). Returns false (and does
+    * nothing) when the batch is already committed.
+    *
+    * [[nearDupDelta]]'s min-id verdicts are already insensitive to
+    * at-least-once duplicates (see [[compactSigIndex]]), so a plain
+    * replayed [[appendSigIndex]] can never change an ANSWER — what this
+    * path removes is the duplicate BYTES a replay would park in the tree
+    * until forever (no compact dedups them). Same protocol as
+    * [[graft.operators.KnnIndex.appendBatch]]:
+    *
+    *  1. committed-marker check (`ingest_log/batch-<id>`);
+    *  2. stage the banded rows to `staging/batch-<id>` (Overwrite — a
+    *     half-written staging tree is simply rewritten);
+    *  3. delete any `ingest-b<id>-*` files a partial previous move left;
+    *  4. rename staged files into the live `band=/bucket=` layout under
+    *     deterministic batch-scoped names — metadata-only moves;
+    *  5. commit the marker, delete the staging tree.
+    *
+    * A crash between 4 and 5 replays 2–4 onto the same names — idempotent;
+    * earlier crashes leave the live tree untouched. Work ∝ |delta|. */
+  def appendSigBatch(newHashes: DataFrame, path: String,
+      batchId: Long): Boolean = {
+    val spark = newHashes.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (sigIngestCommitted(spark, path, batchId)) {
+      // a crash between the marker commit and the staging delete leaves
+      // the staged copy behind; the committed replay cleans it (the only
+      // code path guaranteed to run after such a crash)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/staging/batch-$batchId"), true)
+      return false
+    }
+    val live = sigMembersDir(spark, path)
+    val staging = s"$path/staging/batch-$batchId"
+    writeSigMembers(newHashes, sigIndexBands(spark, path), staging,
+      "overwrite")
+    val leftovers = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$live/band=*/bucket=*/ingest-b$batchId-*.parquet"))
+    if (leftovers != null) leftovers.foreach(st => fs.delete(st.getPath, false))
+    val liveRoot = new org.apache.hadoop.fs.Path(live)
+    val staged = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$staging/band=*/bucket=*/*.parquet"))
+    var seq = 0
+    if (staged != null) staged.foreach { st =>
+      val bucketDir = st.getPath.getParent
+      val destDir = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(liveRoot, bucketDir.getParent.getName),
+        bucketDir.getName)
+      fs.mkdirs(destDir)
+      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(destDir,
+        s"ingest-b$batchId-$seq.parquet"))
+      seq += 1
+    }
+    val marker = new org.apache.hadoop.fs.Path(s"$path/ingest_log/batch-$batchId")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    true
+  }
+
+  /** Continuous signature ingest: a `foreachBatch` writer that runs each
+    * arriving media batch's [[nearDupDelta]] verdicts (when `verdictsDir`
+    * is set — idempotent Overwrite per `batch=<id>` directory, `_SUCCESS`-
+    * checked) and then [[appendSigBatch]]es the batch into the stored
+    * index — exactly-once end-to-end. Verdicts run BEFORE the append (the
+    * [[nearDupDelta]] contract: the stored side is "old" by definition,
+    * within-batch matches are computed internally), the inverse of
+    * [[graft.operators.KnnIndex.ingestStream]]'s order.
+    *
+    * With `maintainEvery` = N > 0, every Nth batch ends with a
+    * [[maintainSig]] pass, so the stream's one permitted writer is also
+    * the maintainer and the tree never accumulates the measured
+    * files-per-dir read-amp drift (sig_index_read_amp: verdicts run ~2×
+    * the compacted floor by 9 files/dir). Concurrent readers stay safe
+    * across the policy's compacts via the generation-pointer swap. */
+  def sigIngestStream(
+      hashes: DataFrame,
+      path: String,
+      verdictsDir: String = null,
+      maxHamming: Int = 3,
+      maintainEvery: Int = 0
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    hashes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      if (verdictsDir != null) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(verdictsDir), spark.sparkContext.hadoopConfiguration)
+        val done = new org.apache.hadoop.fs.Path(
+          s"$verdictsDir/batch=$batchId/_SUCCESS")
+        // the verdict ledger must land BEFORE the members commit: replay
+        // after a crash between the two re-reads the batch as still-new
+        // (marker absent ⇒ members absent ⇒ verdicts re-run identically)
+        if (!fs.exists(done) && !sigIngestCommitted(spark, path, batchId))
+          nearDupDelta(batch, path, maxHamming)
+            .write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
+      }
+      appendSigBatch(batch, path, batchId)
+      if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+        maintainSig(spark, path)
+      ()
+    }
+
   private def writeSigMembers(hashes: DataFrame, bands: Int, dest: String,
       mode: String): Unit = {
     val width = 64 / bands

@@ -376,7 +376,17 @@ object KnnIndex {
     * }}}
     *
     * Stop the query before running [[compact]] or [[build]] on the same
-    * path (the single-maintainer contract — see [[compact]]). */
+    * path (the single-maintainer contract — see [[compact]]). With
+    * `maintainEvery` = N > 0 the contract is satisfied FROM INSIDE the
+    * stream instead: every Nth batch ends with a [[maintain]] pass (the
+    * measured-threshold policy), so the one writer the contract allows is
+    * also the maintainer and a long-lived ingest stream never accumulates
+    * the unmaintained fragmentation drift (the 50M campaign's 2.5→5.4 GB
+    * per-batch spill trajectory — docs/bench_r15_notes.md). Concurrent
+    * delta searches/mining on OTHER sessions stay safe across the policy's
+    * compacts via the generation-pointer swap ([[Generations]]); a
+    * replayed batch merely re-checks the policy (maintain is a health read
+    * when thresholds aren't crossed — idempotent). */
   def ingestStream(
       emb: DataFrame,
       idCol: String,
@@ -386,12 +396,13 @@ object KnnIndex {
       tau: Double = 0.9,
       k: Int = 8,
       nprobe: Int = 4,
-      payloadCol: String = null
+      payloadCol: String = null,
+      maintainEvery: Int = 0
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     emb.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       appendBatch(batch, idCol, vecCol, path, batchId, payloadCol)
+      val spark = batch.sparkSession
       if (verdictsDir != null) {
-        val spark = batch.sparkSession
         val done = new org.apache.hadoop.fs.Path(
           s"$verdictsDir/batch=$batchId/_SUCCESS")
         if (!hadoopFs(spark, verdictsDir).exists(done))
@@ -399,6 +410,8 @@ object KnnIndex {
             .write.mode(SaveMode.Overwrite)
             .parquet(s"$verdictsDir/batch=$batchId")
       }
+      if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+        maintain(spark, path)
       ()
     }
 

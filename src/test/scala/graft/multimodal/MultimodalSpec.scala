@@ -363,4 +363,99 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.nearDupDelta(batch, path, maxHamming = 3)
       .count() == before.size, "live tree unreadable after vacuum")
   }
+
+  test("appendSigBatch: exactly-once — a committed batch short-circuits, a " +
+      "lost marker replays onto the same file names, rows never duplicate") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sigb").toString
+    val rng = new scala.util.Random(11)
+    val stored = (0 until 200)
+      .map(i => (i.toLong, rng.nextLong())).toDF("id", "hash")
+    Multimodal.buildSigIndex(stored, path, bands = 4)
+    val batch = (1000 until 1200)
+      .map(i => (i.toLong, rng.nextLong())).toDF("id", "hash")
+    def files(): Set[String] = {
+      val out = scala.collection.mutable.Set[String]()
+      java.nio.file.Files.walk(java.nio.file.Paths.get(
+          Multimodal.sigMembersDir(spark, path)))
+        .forEach(p => if (p.toString.endsWith(".parquet")) out += p.toString)
+      out.toSet
+    }
+    def rows(): Long =
+      spark.read.parquet(Multimodal.sigMembersDir(spark, path)).count()
+    assert(Multimodal.appendSigBatch(batch, path, 0L))
+    val f1 = files(); val r1 = rows()
+    assert(f1.exists(_.contains("ingest-b0-")),
+      "batch files must land under deterministic batch-scoped names")
+    assert(!Multimodal.appendSigBatch(batch, path, 0L),
+      "a committed batch must short-circuit")
+    assert(files() == f1 && rows() == r1)
+    // crash between the file moves and the marker commit: the replay
+    // re-stages and re-renames onto the SAME names — member set stable
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$path/ingest_log/batch-0"))
+    assert(Multimodal.appendSigBatch(batch, path, 0L),
+      "replay after a lost marker should re-commit")
+    assert(files() == f1, "replay changed the member file set")
+    assert(rows() == r1, "replay duplicated member rows")
+    assert(Multimodal.sigIngestCommitted(spark, path, 0L))
+  }
+
+  test("sigIngestStream: verdicts-before-append micro-batch ingest — a " +
+      "batch dup of an EARLIER batch's arrival matches it as stored; " +
+      "maintainEvery fires the file-count policy mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_sigs").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sigsv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sigsc").toString
+    val rng = new scala.util.Random(13)
+    val stored = (0 until 400)
+      .map(i => (i.toLong, rng.nextLong())).toDF("id", "hash")
+    Multimodal.buildSigIndex(stored, path, bands = 4)
+    val gen0 = Multimodal.sigMembersDir(spark, path)
+    val hash10 = stored.filter($"id" === 10L).head().getLong(1)
+    val fresh = 0x0f0f0f0f0f0f0f0fL
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = Multimodal.sigIngestStream(mem.toDF().toDF("id", "hash"), path,
+        verdictsDir = out, maxHamming = 3, maintainEvery = 1)
+      .option("checkpointLocation", ckpt).start()
+    def filler(base: Long, n: Int): Seq[(Long, Long)] =
+      (0 until n).map(i => (base + i, rng.nextLong()))
+    // batch 0: a planted dup of stored 10, a fresh leader, full-scope filler
+    mem.addData(Seq((10000L, hash10 ^ (1L << 9)), (10001L, fresh)) ++
+      filler(11000L, 400))
+    q.processAllAvailable()
+    // batch 1: a dup of batch-0's fresh arrival — 10001 was APPENDED before
+    // this batch's verdicts ran, so it matches as stored, not within-batch
+    mem.addData(Seq((20000L, fresh ^ (1L << 3))) ++ filler(21000L, 400))
+    q.processAllAvailable()
+    // batches 2–5: full-scope filler climbs files/dir past the 4.0
+    // threshold; the per-batch maintainSig pass must compact
+    (2 to 5).foreach { b =>
+      mem.addData(filler(b * 10000L + 1000L, 400))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val b0 = spark.read.parquet(s"$out/batch=0")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(b0(10000L) == ((10L, -1L, 0L)), s"got ${b0(10000L)}")
+    assert(b0(10001L) == ((-1L, -1L, 1L)), s"got ${b0(10001L)}")
+    val b1 = spark.read.parquet(s"$out/batch=1")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(b1(20000L) == ((10001L, -1L, 0L)),
+      s"the earlier batch's arrival must answer as STORED, got ${b1(20000L)}")
+    (0L to 5L).foreach(b =>
+      assert(Multimodal.sigIngestCommitted(spark, path, b), s"batch $b"))
+    assert(Multimodal.sigMembersDir(spark, path) != gen0,
+      "the in-stream policy never compacted")
+    val h = Multimodal.sigHealth(spark, path)
+    assert(h.meanFilesPerDir <= 4.0, s"drift not reset: $h")
+    // the maintained tree still answers: one more planted dup round-trips
+    val check = Multimodal.nearDupDelta(
+      Seq((90000L, hash10 ^ (1L << 2))).toDF("id", "hash"), path, 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(check._2 == 10L && check._4 == 0L, s"got $check")
+  }
 }

@@ -318,6 +318,53 @@ class KnnIndexSpec extends SparkSpec {
       KnnIndex.ingestCommitted(spark, path, 1L))
   }
 
+  test("ingestStream(maintainEvery): the policy compacts from inside the " +
+      "stream — the one permitted writer is the maintainer — and answers " +
+      "match an unmaintained twin fed the same batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpDir(); val twin = tmpDir(); val ckpt = tmpDir()
+    val old = emb.filter($"vec_id" % 5 =!= 0)
+    KnnIndex.build(old, "vec_id", "embedding", path, nLists = 8)
+    KnnIndex.build(old, "vec_id", "embedding", twin, nLists = 8)
+    val gen0 = KnnIndex.membersDir(spark, path)
+    val rest = emb.filter($"vec_id" % 5 === 0)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val batches = rest.grouped(math.max(1, rest.length / 5)).toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = KnnIndex.ingestStream(mem.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", path, maintainEvery = 1)
+      .option("checkpointLocation", ckpt).start()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      mem.addData(b.toSeq)
+      q.processAllAvailable()
+      KnnIndex.appendBatch(b.toSeq.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", twin, i.toLong)
+    }
+    q.stop()
+    // full-scope batches push mean_dir_rows past the 4.0 threshold by the
+    // 4th-5th append, so the per-batch maintain pass must have compacted
+    // (a new generation committed) and reset the drift
+    assert(KnnIndex.membersDir(spark, path) != gen0,
+      "the in-stream policy never compacted")
+    val h = KnnIndex.health(spark, path)
+    assert(h.meanDirRows <= 4.0, s"drift not reset: $h")
+    val hTwin = KnnIndex.health(spark, twin)
+    assert(hTwin.meanDirRows > 4.0,
+      s"the twin should have accumulated fragmentation, got $hTwin")
+    // whole-cell kCand ⇒ exact: the maintained tree must answer exactly
+    // like the never-compacted twin holding the same member set
+    val probe = emb.filter($"vec_id" % 5 === 0).limit(20)
+    val a = KnnIndex.knnJoinDelta(probe, "vec_id", "embedding", path,
+        k = 3, nprobe = 4, kCand = 100000)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val b = KnnIndex.knnJoinDelta(probe, "vec_id", "embedding", twin,
+        k = 3, nprobe = 4, kCand = 100000)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(a == b, s"maintained/unmaintained answers diverged: " +
+      s"only-a=${(a -- b).take(5)} only-b=${(b -- a).take(5)}")
+  }
+
   test("miningStream: per-batch negatives equal the batch operator; replayed " +
       "batches rewrite, never duplicate") {
     implicit val sqlCtx = spark.sqlContext
