@@ -1135,6 +1135,61 @@ object CorpusBench {
             s"""{"op":"knn_index_ingest_maint_compacted","n_docs":$n,"batch":$b}""")
         }
       }
+      // The STREAMING twin of knn_index_ingest_maint's append+maintain
+      // component: the same 20 exactly-once 50k batches driven through
+      // the real Structured Streaming runtime (MemoryStream + checkpoint
+      // + foreachBatch) with the policy IN-stream —
+      // ingestStream(maintainEvery = 1). Measures what the engine's
+      // offset/commit bookkeeping adds per batch over the hand loop, and
+      // proves the self-maintaining stream at grid scale. Mining is
+      // deliberately absent (miningStream is a separate read-only query;
+      // the mining cost per batch is the ingest_mine rows' story).
+      if (opFilter.exists(_.exists(_.startsWith("knn_index_ingest_stream")))) {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val idxPath = s"$stageDir/knnidxis_$n"
+        val ckptDir = s"$stageDir/knnidxis_ckpt_$n"
+        def deleteTree(dir: String): Unit = {
+          val p = Paths.get(dir)
+          if (Files.exists(p))
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.deleteIfExists(f))
+        }
+        deleteTree(idxPath); deleteTree(ckptDir)
+        val labeled = embs
+          .withColumn("lbl", pmod(xxhash64(col("vec_id"), lit("hn")), lit(16L)))
+        graft.operators.KnnIndex.build(
+          labeled.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+          idxPath, payloadCol = "lbl")
+        val batchRows = 50000L
+        val batches = math.min(20L, math.max(1L, (n / 5) / batchRows))
+        val deltaIds = labeled.filter(col("vec_id") % 5 === 0)
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float], Long)]
+        val q = graft.operators.KnnIndex.ingestStream(
+            mem.toDF().toDF("vec_id", "embedding", "lbl"),
+            "vec_id", "embedding", idxPath, payloadCol = "lbl",
+            maintainEvery = 1)
+          .option("checkpointLocation", ckptDir).start()
+        (0L until batches).foreach { b =>
+          // the driver-side batch collect happens OUTSIDE the clock — a
+          // production stream's rows arrive from the source, not a scan
+          val rows = deltaIds
+            .filter(expr(s"(vec_id div 5) % $batches") === b)
+            .select(col("vec_id"), col("embedding"), col("lbl"))
+            .as[(Long, Seq[Float], Long)].collect()
+          val genBefore = graft.operators.KnnIndex.membersDir(spark, idxPath)
+          benchAct("knn_index_ingest_stream", () => {
+            mem.addData(rows.toSeq)
+            q.processAllAvailable()
+            rows.length.toLong
+          }, s""""batch":$b,"batch_rows":${n / 5 / batches},"impl":"ingest_stream+maintain_every_1"""")
+          if (graft.operators.KnnIndex.membersDir(spark, idxPath) != genBefore)
+            record(
+              s"""{"op":"knn_index_ingest_stream_compacted","n_docs":$n,"batch":$b}""")
+        }
+        q.stop()
+      }
       // near-dup verdicts for an arriving SIGNATURE batch against the
       // stored banded index — the multimodal dedupDelta: stored corpus
       // never re-banded or re-scanned beyond probed buckets, batch
