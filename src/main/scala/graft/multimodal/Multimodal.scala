@@ -433,6 +433,7 @@ object Multimodal {
     require(bands > 1 && 64 % bands == 0, "bands must divide 64 (and be > 1)")
     val spark = hashes.sparkSession
     import spark.implicits._
+    graft.operators.Generations.withMaintainerLease(spark, path) {
     Seq(bands).toDF("bands").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
     // generation-pointer layout (graft.operators.Generations — the
@@ -444,6 +445,7 @@ object Multimodal {
     writeSigMembers(hashes, bands, s"$path/members-gen-$gen", "overwrite")
     graft.operators.Generations.commit(fs, path, gen)
     graft.operators.Generations.vacuum(spark, path)
+    }
   }
 
   /** The LIVE signature members tree — resolved through the shared
@@ -458,8 +460,10 @@ object Multimodal {
     * the LIVE generation, the KnnIndex.append contract). */
   def appendSigIndex(newHashes: DataFrame, path: String): Unit = {
     val spark = newHashes.sparkSession
-    writeSigMembers(newHashes, sigIndexBands(spark, path),
-      sigMembersDir(spark, path), "append")
+    graft.operators.Generations.withMaintainerLease(spark, path) {
+      writeSigMembers(newHashes, sigIndexBands(spark, path),
+        sigMembersDir(spark, path), "append")
+    }
   }
 
   /** The stored index's band count — one tiny parquet read. */
@@ -509,6 +513,7 @@ object Multimodal {
         s"$path/staging/batch-$batchId"), true)
       return false
     }
+    graft.operators.Generations.withMaintainerLease(spark, path) {
     val live = sigMembersDir(spark, path)
     val staging = s"$path/staging/batch-$batchId"
     writeSigMembers(newHashes, sigIndexBands(spark, path), staging,
@@ -535,6 +540,7 @@ object Multimodal {
     fs.create(marker, true).close()
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     true
+    }
   }
 
   /** Continuous signature ingest: a `foreachBatch` writer that runs each
@@ -661,7 +667,8 @@ object Multimodal {
     * Single-MAINTAINER like [[graft.operators.KnnIndex.compact]]: don't
     * run concurrently with [[appendSigIndex]] (a batch landing mid-rewrite
     * stays in the superseded tree); readers are safe by construction. */
-  def compactSigIndex(spark: SparkSession, path: String): Unit = {
+  def compactSigIndex(spark: SparkSession, path: String): Unit =
+    graft.operators.Generations.withMaintainerLease(spark, path) {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val live = sigMembersDir(spark, path)
@@ -691,7 +698,7 @@ object Multimodal {
       spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", prevWriters)
     graft.operators.Generations.commit(fs, path, gen)
     graft.operators.Generations.vacuum(spark, path)
-  }
+    }
 
   /** The policy face of [[compactSigIndex]] — compacts IFF
     * [[shouldCompactSig]]'s threshold is crossed, returning whether it

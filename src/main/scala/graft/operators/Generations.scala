@@ -2,6 +2,20 @@ package graft.operators
 
 import org.apache.spark.sql.SparkSession
 
+/** A second maintainer attempted a mutating index operation while another
+  * holds the `_MAINTAINER` lease — the single-maintainer contract,
+  * ENFORCED: without it two concurrent mutators corrupt silently (the
+  * sharpest case: a [[graft.operators.KnnIndex.delete]] landing between a
+  * concurrent compact's tombstone read and its log truncation is simply
+  * LOST). Wait for the holder, or if it crashed the lease expires after
+  * `spark.graft.index.leaseTtlMs` (default 30 min — size it above the
+  * longest mutation; the 50M build measured ~250 s). */
+final class ConcurrentMaintainerException(path: String, holder: String)
+  extends RuntimeException(
+    s"index at $path is being mutated by another maintainer ($holder); " +
+      "wait for it to finish — a crashed holder's lease expires after " +
+      "spark.graft.index.leaseTtlMs")
+
 /** Generation-pointer lifecycle for an on-disk index members tree —
   * shared by [[graft.operators.KnnIndex]] (IVF+PQ directories) and
   * [[graft.multimodal.Multimodal]]'s banded signature index, both of
@@ -27,6 +41,61 @@ object Generations {
 
   val CurrentFile = "CURRENT"
   val SupersededFile = "_SUPERSEDED"
+  val LeaseFile = "_MAINTAINER"
+
+  private def leaseTtlMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.index.leaseTtlMs")
+      .map(_.toLong).getOrElse(30L * 60 * 1000)
+
+  /** Run `op` as the index's single MAINTAINER — the enforcement face of
+    * the contract every mutating entry point documents. Acquire is an
+    * atomic create-no-overwrite of `_MAINTAINER` (underscore-prefixed so
+    * parquet readers ignore it; payload = the holder's JVM name for the
+    * error message). A live lease raises [[ConcurrentMaintainerException]]
+    * — typed, instead of the silent corruption two concurrent mutators
+    * produce; a lease older than `spark.graft.index.leaseTtlMs` is
+    * presumed crashed and broken (size the TTL above the longest
+    * mutation — there is deliberately no heartbeat, one FS op per
+    * mutation is the entire cost). Released on every exit, success or
+    * throw. READERS never touch the lease: delta searches, mining and
+    * health stay lease-free by construction (the generation pointer is
+    * what makes them safe beside a compacting maintainer). */
+  def withMaintainerLease[T](spark: SparkSession, path: String)(op: => T): T = {
+    val fs = hadoopFs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val lease = new org.apache.hadoop.fs.Path(s"$path/$LeaseFile")
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lease, false)
+        try out.write(java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getName
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val staleOrGone =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lease).getModificationTime > leaseTtlMs(spark)
+        catch { case _: java.io.FileNotFoundException => true }
+      if (staleOrGone) {
+        fs.delete(lease, false)
+        acquired = tryAcquire()
+      }
+    }
+    if (!acquired) {
+      val holder =
+        try {
+          val in = fs.open(lease)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => "unknown" }
+      throw new ConcurrentMaintainerException(path, holder)
+    }
+    try op finally fs.delete(lease, false)
+  }
 
   private def hadoopFs(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(

@@ -128,6 +128,7 @@ object KnnIndex {
   ): Meta = {
     val spark = df.sparkSession
     import spark.implicits._
+    Generations.withMaintainerLease(spark, path) {
     val base = prep(df, idCol, vecCol, payloadCol)
     // family-wide dims rule (Stage.deriveDims): 0 derives from one sampled
     // row, an explicit width that disagrees raises a typed error
@@ -173,6 +174,7 @@ object KnnIndex {
     Generations.commit(fsb, path, gen)
     vacuum(spark, path)
     meta
+    }
   }
 
   /** Estimated in-memory bytes of one directory member (vector + code +
@@ -188,6 +190,7 @@ object KnnIndex {
   def append(df: DataFrame, idCol: String, vecCol: String, path: String,
       payloadCol: String = null): Meta = {
     val spark = df.sparkSession
+    Generations.withMaintainerLease(spark, path) {
     val live = membersDir(spark, path)
     val meta = metaForIn(spark, path, live)
     requirePayloadParity(df, path, payloadCol)
@@ -196,6 +199,7 @@ object KnnIndex {
     writeMembersTo(base, meta, n * rowBytes(meta) * 2, live,
       SaveMode.Append, withCnt = storedHasCntIn(spark, live))
     meta
+    }
   }
 
   /** Resolve the LIVE members tree for the index at `path` — the single
@@ -323,6 +327,7 @@ object KnnIndex {
         new org.apache.hadoop.fs.Path(s"$path/staging/batch-$batchId"), true)
       return false
     }
+    Generations.withMaintainerLease(spark, path) {
     val live = membersDir(spark, path)
     val meta = metaForIn(spark, path, live)
     requirePayloadParity(df, path, payloadCol)
@@ -354,6 +359,7 @@ object KnnIndex {
     fs.create(marker, true).close()
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     true
+    }
   }
 
   /** Continuous ingest: a `foreachBatch` writer that [[appendBatch]]es
@@ -451,10 +457,17 @@ object KnnIndex {
     * truncates the log. A tombstone wins over any append of the same id
     * (old generation or re-ingested) until the next compact — re-adding a
     * deleted id requires compacting first, the standard tombstone
-    * semantics. */
+    * semantics.
+    *
+    * A MAINTAINER operation like every mutator: a delete racing a
+    * concurrent [[compact]] could land between compact's tombstone read
+    * and its log truncation and be silently LOST — the lease turns that
+    * race into a typed [[ConcurrentMaintainerException]]. */
   def delete(ids: DataFrame, idCol: String, path: String): Unit =
-    ids.select(col(idCol).cast("long").as("id")).distinct()
-      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+    Generations.withMaintainerLease(ids.sparkSession, path) {
+      ids.select(col(idCol).cast("long").as("id")).distinct()
+        .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+    }
 
   /** Compact the index in place: one directory row per cell again (delta
     * appends leave one per (cell, batch)), tombstones applied physically,
@@ -489,8 +502,13 @@ object KnnIndex {
     * superseded while its exactly-once marker survives, so the engine will
     * not replay it. Stop the ingest stream (or quiesce the appender)
     * first; this is the standard LSM coordination point, not a
-    * crash-safety gap. */
-  def compact(spark: SparkSession, path: String, nLists: Int = 0): Meta = {
+    * crash-safety gap. The contract is now ENFORCED, not just documented:
+    * every mutator runs under [[Generations.withMaintainerLease]], so the
+    * racing writer gets a typed [[ConcurrentMaintainerException]] instead
+    * of the silent member/tombstone loss above (an ingest stream with
+    * `maintainEvery` set never hits it — the stream IS the maintainer). */
+  def compact(spark: SparkSession, path: String, nLists: Int = 0): Meta =
+    Generations.withMaintainerLease(spark, path) {
     val meta0 = metaFor(spark, path)
     val meta = if (nLists > 0) meta0.copy(nLists = nLists) else meta0
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -536,7 +554,7 @@ object KnnIndex {
     if (fs.exists(ts)) fs.delete(ts, true)
     vacuum(spark, path)
     meta
-  }
+    }
 
   /** One directory row per (cell, batch): codes for the ADC shortlist and
     * vectors for the exact rescore as two parquet COLUMNS of the same row —

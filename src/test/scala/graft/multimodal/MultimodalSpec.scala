@@ -398,6 +398,19 @@ class MultimodalSpec extends SparkSpec {
     assert(files() == f1, "replay changed the member file set")
     assert(rows() == r1, "replay duplicated member rows")
     assert(Multimodal.sigIngestCommitted(spark, path, 0L))
+    // the shared maintainer lease guards the sig mutators too
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_MAINTAINER"), "other-jvm".getBytes)
+    intercept[graft.operators.ConcurrentMaintainerException] {
+      Multimodal.appendSigBatch(batch, path, 1L)
+    }
+    intercept[graft.operators.ConcurrentMaintainerException] {
+      Multimodal.compactSigIndex(spark, path)
+    }
+    // reads stay lease-free
+    assert(Multimodal.nearDupDelta(batch, path, 3).count() == 200L)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$path/_MAINTAINER"))
   }
 
   test("sigIngestStream: verdicts-before-append micro-batch ingest — a " +

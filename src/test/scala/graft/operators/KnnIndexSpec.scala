@@ -365,6 +365,48 @@ class KnnIndexSpec extends SparkSpec {
       s"only-a=${(a -- b).take(5)} only-b=${(b -- a).take(5)}")
   }
 
+  test("maintainer lease: a second maintainer raises typed instead of " +
+      "corrupting; a crashed holder's stale lease is broken; every mutator " +
+      "releases on exit") {
+    val path = tmpDir()
+    KnnIndex.build(emb, "vec_id", "embedding", path, nLists = 8)
+    // build acquired and released — no lease left behind
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_MAINTAINER")))
+    // simulate a LIVE concurrent maintainer (fresh lease file)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_MAINTAINER"), "other-jvm".getBytes)
+    val neu = emb.limit(5)
+      .select(($"vec_id" + 90000).as("vec_id"), $"embedding")
+    intercept[ConcurrentMaintainerException] {
+      KnnIndex.append(neu, "vec_id", "embedding", path)
+    }
+    intercept[ConcurrentMaintainerException] {
+      KnnIndex.appendBatch(neu, "vec_id", "embedding", path, 50L)
+    }
+    intercept[ConcurrentMaintainerException] {
+      KnnIndex.delete(emb.limit(1).select($"vec_id"), "vec_id", path)
+    }
+    intercept[ConcurrentMaintainerException] {
+      KnnIndex.compact(spark, path)
+    }
+    // readers never touch the lease: a delta search under a held lease
+    val got = KnnIndex.knnJoinDelta(neu, "vec_id", "embedding", path,
+      k = 1, nprobe = 4).count()
+    assert(got > 0, "reads must proceed under a held lease")
+    // a crashed maintainer's lease (older than the TTL) is broken and the
+    // blocked mutation proceeds, releasing normally
+    spark.conf.set("spark.graft.index.leaseTtlMs", "1")
+    try {
+      Thread.sleep(5)
+      assert(KnnIndex.appendBatch(neu, "vec_id", "embedding", path, 51L),
+        "a stale lease must be broken, not honored")
+    } finally spark.conf.unset("spark.graft.index.leaseTtlMs")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_MAINTAINER")),
+      "the broken-then-reacquired lease must release on exit")
+  }
+
   test("miningStream: per-batch negatives equal the batch operator; replayed " +
       "batches rewrite, never duplicate") {
     implicit val sqlCtx = spark.sqlContext
