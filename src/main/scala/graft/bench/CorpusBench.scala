@@ -1136,26 +1136,36 @@ object CorpusBench {
         }
       }
       // The STREAMING twin of knn_index_ingest_maint's append+maintain
-      // component: the same 20 exactly-once 50k batches driven through
-      // the real Structured Streaming runtime (MemoryStream + checkpoint
-      // + foreachBatch) with the policy IN-stream —
+      // component: the same 20 exactly-once batches driven through the
+      // real Structured Streaming runtime (FILE stream source +
+      // checkpoint + foreachBatch) with the policy IN-stream —
       // ingestStream(maintainEvery = 1). Measures what the engine's
-      // offset/commit bookkeeping adds per batch over the hand loop, and
-      // proves the self-maintaining stream at grid scale. Mining is
-      // deliberately absent (miningStream is a separate read-only query;
-      // the mining cost per batch is the ingest_mine rows' story).
+      // source-discovery + offset/commit bookkeeping adds per batch over
+      // the hand loop, and proves the self-maintaining stream at grid
+      // scale. Mining is deliberately absent (miningStream is a separate
+      // read-only query; the mining cost per batch is the ingest_mine
+      // rows' story).
+      //
+      // Fed through a file source, NOT MemoryStream: the first 50M
+      // attempt OOM'd in the batch-7 in-stream compact because
+      // MemoryStream (plus the driver-side collect feeding it) holds
+      // each 500k × 64-float batch as ~0.5-1 GB of boxed JVM objects —
+      // a HARNESS artifact invisible at 5M's 50k batches. Files arriving
+      // in a watched directory are the production arrival shape anyway:
+      // rows never materialize on the driver.
       if (opFilter.exists(_.exists(_.startsWith("knn_index_ingest_stream")))) {
-        import spark.implicits._
-        implicit val sqlCtx = spark.sqlContext
         val idxPath = s"$stageDir/knnidxis_$n"
         val ckptDir = s"$stageDir/knnidxis_ckpt_$n"
+        val watchDir = s"$stageDir/knnidxis_in_$n"
+        val feedDir = s"$stageDir/knnidxis_feed_$n"
         def deleteTree(dir: String): Unit = {
           val p = Paths.get(dir)
           if (Files.exists(p))
             Files.walk(p).sorted(java.util.Comparator.reverseOrder())
               .forEach(f => Files.deleteIfExists(f))
         }
-        deleteTree(idxPath); deleteTree(ckptDir)
+        Seq(idxPath, ckptDir, watchDir, feedDir).foreach(deleteTree)
+        Files.createDirectories(Paths.get(watchDir))
         val labeled = embs
           .withColumn("lbl", pmod(xxhash64(col("vec_id"), lit("hn")), lit(16L)))
         graft.operators.KnnIndex.build(
@@ -1164,26 +1174,34 @@ object CorpusBench {
         val batchRows = 50000L
         val batches = math.min(20L, math.max(1L, (n / 5) / batchRows))
         val deltaIds = labeled.filter(col("vec_id") % 5 === 0)
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, Seq[Float], Long)]
+        val feed = deltaIds
+          .select(col("vec_id"), col("embedding"), col("lbl"))
+        // pre-stage each batch's parquet OUTSIDE the clock (the arrival
+        // files a production upstream would land)
+        (0L until batches).foreach { b =>
+          feed.filter(expr(s"(vec_id div 5) % $batches") === b)
+            .write.mode("overwrite").parquet(s"$feedDir/b$b")
+        }
+        val src = spark.readStream.schema(feed.schema).parquet(watchDir)
         val q = graft.operators.KnnIndex.ingestStream(
-            mem.toDF().toDF("vec_id", "embedding", "lbl"),
-            "vec_id", "embedding", idxPath, payloadCol = "lbl",
+            src, "vec_id", "embedding", idxPath, payloadCol = "lbl",
             maintainEvery = 1)
           .option("checkpointLocation", ckptDir).start()
         (0L until batches).foreach { b =>
-          // the driver-side batch collect happens OUTSIDE the clock — a
-          // production stream's rows arrive from the source, not a scan
-          val rows = deltaIds
-            .filter(expr(s"(vec_id div 5) % $batches") === b)
-            .select(col("vec_id"), col("embedding"), col("lbl"))
-            .as[(Long, Seq[Float], Long)].collect()
           val genBefore = graft.operators.KnnIndex.membersDir(spark, idxPath)
           benchAct("knn_index_ingest_stream", () => {
-            mem.addData(rows.toSeq)
+            // batch arrival = metadata-only renames into the watched dir;
+            // processAllAvailable folds every new file into ONE micro-batch
+            var moved = 0L
+            Files.list(Paths.get(s"$feedDir/b$b")).forEach { f =>
+              if (f.toString.endsWith(".parquet")) {
+                Files.move(f, Paths.get(s"$watchDir/b$b-${f.getFileName}"))
+                moved += 1
+              }
+            }
             q.processAllAvailable()
-            rows.length.toLong
-          }, s""""batch":$b,"batch_rows":${n / 5 / batches},"impl":"ingest_stream+maintain_every_1"""")
+            n / 5 / batches
+          }, s""""batch":$b,"batch_rows":${n / 5 / batches},"impl":"file_stream+maintain_every_1"""")
           if (graft.operators.KnnIndex.membersDir(spark, idxPath) != genBefore)
             record(
               s"""{"op":"knn_index_ingest_stream_compacted","n_docs":$n,"batch":$b}""")

@@ -59,7 +59,15 @@ object Generations {
     * mutation is the entire cost). Released on every exit, success or
     * throw. READERS never touch the lease: delta searches, mining and
     * health stay lease-free by construction (the generation pointer is
-    * what makes them safe beside a compacting maintainer). */
+    * what makes them safe beside a compacting maintainer).
+    *
+    * Known limit, stated honestly: the stale-lease BREAK is
+    * delete-then-create, not compare-and-swap (HDFS offers none), so two
+    * maintainers recovering the same crashed holder simultaneously can
+    * both acquire — a scenario that already requires two concurrent
+    * mutators, i.e. the very contract violation the lease exists to
+    * surface. The lease is a tripwire for the common accident (one stray
+    * second writer), not a distributed lock service. */
   def withMaintainerLease[T](spark: SparkSession, path: String)(op: => T): T = {
     val fs = hadoopFs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
