@@ -1208,6 +1208,43 @@ object CorpusBench {
         }
         q.stop()
       }
+      // CONCURRENT READER-DURING-COMPACT liveness evidence, two JVMs on
+      // one tree (the generation-pointer claim, measured instead of only
+      // spec'd): the READER JVM (op knn_index_concurrent_reader) builds +
+      // fragments the shared tree, then loops delta searches, labeling
+      // each row with the generation it resolved; the MAINTAINER JVM
+      // (op knn_index_concurrent_compact), launched mid-loop by the
+      // driver script, compacts the same tree under the lease. Expected
+      // evidence: the reader's gen label flips members-gen-0 → gen-1
+      // between iterations with planted recall IDENTICAL on both sides
+      // of the swap and zero failures; search walls during the compact
+      // window inflate only by CPU sharing (both JVMs at local[32]).
+      if (opFilter.exists(_.exists(_.startsWith("knn_index_concurrent")))) {
+        val idxPath = s"$stageDir/knnidxcr_$n"
+        val deltaEmb = embs.filter(col("vec_id") % 10 === 0)
+        if (opFilter.exists(_.contains("knn_index_concurrent_reader"))) {
+          if (!Files.exists(Paths.get(s"$idxPath/meta"))) {
+            graft.operators.KnnIndex.build(
+              embs.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+              idxPath)
+            graft.operators.KnnIndex.append(
+              deltaEmb, "vec_id", "embedding", idxPath)
+          }
+          (0 until 12).foreach { i =>
+            val gen = graft.operators.KnnIndex.membersDir(spark, idxPath)
+              .split('/').last
+            benchAct("knn_index_concurrent_reader", () =>
+              plantedPairs(graft.operators.KnnIndex.knnJoinDelta(
+                deltaEmb, "vec_id", "embedding", idxPath, k = 5, nprobe = 4)),
+              s""""iter":$i,"gen":"$gen","planted":${2 * (n / 20)}""",
+              valueField = "recovered")
+          }
+        } else {
+          benchAct("knn_index_concurrent_compact", () =>
+            graft.operators.KnnIndex.compact(spark, idxPath).nLists.toLong,
+            """"role":"maintainer_jvm"""", valueField = "n_lists")
+        }
+      }
       // near-dup verdicts for an arriving SIGNATURE batch against the
       // stored banded index — the multimodal dedupDelta: stored corpus
       // never re-banded or re-scanned beyond probed buckets, batch
