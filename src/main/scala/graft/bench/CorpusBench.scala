@@ -1182,7 +1182,14 @@ object CorpusBench {
           feed.filter(expr(s"(vec_id div 5) % $batches") === b)
             .write.mode("overwrite").parquet(s"$feedDir/b$b")
         }
-        val src = spark.readStream.schema(feed.schema).parquet(watchDir)
+        // glob source + whole-directory renames: the running engine polls
+        // the watched path continuously, so moving part files one at a
+        // time can be LISTED mid-move and split one arrival across two
+        // micro-batches (observed in the sig twin: a compact-lengthened
+        // batch let the poll land mid-move). A directory rename is one
+        // atomic FS op — the glob lists all of the batch's files or none.
+        val src = spark.readStream.schema(feed.schema)
+          .parquet(s"$watchDir/*")
         val q = graft.operators.KnnIndex.ingestStream(
             src, "vec_id", "embedding", idxPath, payloadCol = "lbl",
             maintainEvery = 1)
@@ -1190,15 +1197,8 @@ object CorpusBench {
         (0L until batches).foreach { b =>
           val genBefore = graft.operators.KnnIndex.membersDir(spark, idxPath)
           benchAct("knn_index_ingest_stream", () => {
-            // batch arrival = metadata-only renames into the watched dir;
-            // processAllAvailable folds every new file into ONE micro-batch
-            var moved = 0L
-            Files.list(Paths.get(s"$feedDir/b$b")).forEach { f =>
-              if (f.toString.endsWith(".parquet")) {
-                Files.move(f, Paths.get(s"$watchDir/b$b-${f.getFileName}"))
-                moved += 1
-              }
-            }
+            Files.move(Paths.get(s"$feedDir/b$b"),
+              Paths.get(s"$watchDir/b$b"))
             q.processAllAvailable()
             n / 5 / batches
           }, s""""batch":$b,"batch_rows":${n / 5 / batches},"impl":"file_stream+maintain_every_1"""")
@@ -1268,6 +1268,69 @@ object CorpusBench {
             .filter(col("dup_of_old") === col("id") + 1).count(),
           s""""bands":4,"impl":"stored_band_dirs+bucket_pruned","planted":${n / 20}""",
           valueField = "recovered")
+      }
+      // The multimodal production loop as a STREAM, measured end-to-end:
+      // sigIngestStream = per-batch nearDupDelta verdicts (the dedup
+      // ledger) → exactly-once appendSigBatch → maintainSig with the
+      // file-count policy in-stream. Same file-source feeding as
+      // knn_index_ingest_stream (rows never materialize on the driver);
+      // the recorded value is the batch's PLANTED verdicts recovered
+      // (position-0 rows naming their stored position-1 copy), read back
+      // from the just-committed ledger.
+      if (opFilter.exists(_.exists(_.startsWith("sig_ingest_stream")))) {
+        val hashPath = s"$stageDir/hashes_$n"
+        if (!Files.exists(Paths.get(hashPath)))
+          hashCorpus(spark, n).write.mode("overwrite").parquet(hashPath)
+        val hashes = spark.read.parquet(hashPath)
+          .select(col("id"), col("hash"))
+        val sigPath = s"$stageDir/sigidxs_$n"
+        val ckptDir = s"$stageDir/sigidxs_ckpt_$n"
+        val watchDir = s"$stageDir/sigidxs_in_$n"
+        val feedDir = s"$stageDir/sigidxs_feed_$n"
+        val outDir = s"$stageDir/sigidxs_verdicts_$n"
+        def deleteTree(dir: String): Unit = {
+          val p = Paths.get(dir)
+          if (Files.exists(p))
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.deleteIfExists(f))
+        }
+        Seq(sigPath, ckptDir, watchDir, feedDir, outDir).foreach(deleteTree)
+        Files.createDirectories(Paths.get(watchDir))
+        graft.multimodal.Multimodal.buildSigIndex(
+          hashes.filter(col("id") % 10 =!= 0), sigPath, bands = 4)
+        val delta = hashes.filter(col("id") % 10 === 0)
+        val batches = 20L
+        (0L until batches).foreach { b =>
+          delta.filter(expr(s"(id div 10) % $batches") === b)
+            .write.mode("overwrite").parquet(s"$feedDir/b$b")
+        }
+        // glob source + atomic whole-directory arrival (see the knn twin:
+        // per-file moves race the engine's continuous listing poll)
+        val src = spark.readStream.schema(delta.schema)
+          .parquet(s"$watchDir/*")
+        val q = graft.multimodal.Multimodal.sigIngestStream(src, sigPath,
+            verdictsDir = outDir, maxHamming = 3, maintainEvery = 1)
+          .option("checkpointLocation", ckptDir).start()
+        (0L until batches).foreach { b =>
+          val genBefore = graft.multimodal.Multimodal.sigMembersDir(
+            spark, sigPath)
+          benchAct("sig_ingest_stream", () => {
+            Files.move(Paths.get(s"$feedDir/b$b"),
+              Paths.get(s"$watchDir/b$b"))
+            q.processAllAvailable()
+            spark.read.parquet(s"$outDir/batch=$b")
+              .filter(col("dup_of_old") === col("id") + 1).count()
+            // the (id div 10) slicing interleaves: EVEN batches hold only
+            // position-0 rows (all planted), odd batches only position-10
+            // rows (none)
+          }, s""""batch":$b,"batch_rows":${n / 10 / batches},"planted":${if (b % 2 == 0) n / 10 / batches else 0L},"impl":"file_stream+verdicts+maintain_sig_every_1"""",
+            valueField = "recovered")
+          if (graft.multimodal.Multimodal.sigMembersDir(spark, sigPath)
+              != genBefore)
+            record(
+              s"""{"op":"sig_ingest_stream_compacted","n_docs":$n,"batch":$b}""")
+        }
+        q.stop()
       }
       // READ-AMPLIFICATION CURVE of the stored SIGNATURE index (the
       // maintainSig policy's evidence — the knn_index_read_amp shape one
