@@ -1014,6 +1014,51 @@ object CorpusBench {
           valueField = "members")
         measure("compacted")
       }
+      // Tombstone-heavy SIG compact — deleteSig's lifecycle at grid
+      // scale (the knn_index_tombstone shape one abstraction over):
+      // planted verdicts measured clean, under a 2.5% tombstone log
+      // (recall must hold — deleted ids ≡ 3 mod 40 never touch the
+      // planted position-1/2 partners), then after the policy-triggered
+      // compact applies the log physically.
+      if (opFilter.exists(_.exists(_.startsWith("sig_index_tombstone")))) {
+        val hashPath = s"$stageDir/hashes_$n"
+        if (!Files.exists(Paths.get(hashPath)))
+          hashCorpus(spark, n).write.mode("overwrite").parquet(hashPath)
+        val hashes = spark.read.parquet(hashPath)
+          .select(col("id"), col("hash"))
+        val sigPath = s"$stageDir/sigidxt_$n"
+        def deleteTree(dir: String): Unit = {
+          val p = Paths.get(dir)
+          if (Files.exists(p))
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.deleteIfExists(f))
+        }
+        deleteTree(sigPath)
+        val base = hashes.filter(col("id") % 10 =!= 0)
+        graft.multimodal.Multimodal.buildSigIndex(base, sigPath, bands = 4)
+        // position-0 rows only: every probe has a planted stored partner
+        val probe = hashes.filter(col("id") % 20 === 0)
+        def measure(step: String): Unit =
+          benchAct("sig_index_tombstone", () =>
+            graft.multimodal.Multimodal.nearDupDelta(probe, sigPath, 3)
+              .filter(col("dup_of_old") === col("id") + 1).count(),
+            s""""step":"$step","planted":${n / 20}""",
+            valueField = "recovered")
+        measure("clean")
+        graft.multimodal.Multimodal.deleteSig(
+          base.filter(col("id") % 40 === 3).select(col("id")), "id", sigPath)
+        measure("tombstoned")
+        val trigger =
+          graft.multimodal.Multimodal.shouldCompactSig(spark, sigPath)
+        benchAct("sig_index_tombstone_compact", () => {
+          graft.multimodal.Multimodal.compactSigIndex(spark, sigPath)
+          graft.operators.Generations.vacuum(spark, sigPath, graceMs = 0L)
+          spark.read.parquet(graft.multimodal.Multimodal
+            .sigMembersDir(spark, sigPath)).count()
+        }, s""""trigger_fired":$trigger,"deleted_frac":0.025""",
+          valueField = "member_rows")
+        measure("compacted")
+      }
       // payload-predicate-filtered delta search at grid scale: answers
       // restricted to members whose stored label is in half the label
       // space — the q124/knnJoinDelta(payloadIn) shape; rescore deepens to

@@ -633,6 +633,33 @@ object Multimodal {
       if (dirs <= 0) 0.0 else files.toDouble / dirs
   }
 
+  /** The tombstone log as a DataFrame, when any deletes are pending. */
+  private def sigTombstonesDf(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+      Some(spark.read.parquet(s"$path/tombstones"))
+    else None
+  }
+
+  /** Tombstone media ids — O(|ids|) append to a side log, no tree
+    * rewrite (the [[graft.operators.KnnIndex.delete]] shape for the
+    * signature index: the GDPR-removal path a media corpus needs).
+    * [[nearDupDelta]] stops naming tombstoned members as `dup_of_old`
+    * from this point on (the arriving copy is re-judged against the
+    * SURVIVING corpus); [[compactSigIndex]] applies the log physically
+    * and truncates it. A tombstone wins over any append of the same id
+    * until the next compact — re-adding a deleted id requires compacting
+    * first, the standard tombstone semantics. A MAINTAINER operation
+    * like every mutator (the delete-vs-compact truncation race is the
+    * lease's sharpest case). */
+  def deleteSig(ids: DataFrame, idCol: String, path: String): Unit =
+    graft.operators.Generations.withMaintainerLease(ids.sparkSession, path) {
+      ids.select(col(idCol).cast("long").as("id")).distinct()
+        .write.mode("append").parquet(s"$path/tombstones")
+    }
+
   /** One FS glob over the live generation. */
   def sigHealth(spark: SparkSession, path: String): SigHealth = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -645,16 +672,31 @@ object Multimodal {
   }
 
   /** Does the signature index need a [[compactSigIndex]]? Triggered on
-    * append fragmentation only (the index has no tombstones): mean parquet
-    * files per (band, bucket) directory, 1.0-per-generation when fully
-    * compacted. Default threshold 4.0 mirrors the KnnIndex mean_dir_rows
-    * policy — each append batch adds one file per touched directory, so
-    * the threshold fires after ~3 appends of full-corpus scope, where the
-    * measured sig read-amp curve's delta-search drift repays one compact
-    * within a handful of queries. Pure FS read. */
+    * append fragmentation (mean parquet files per (band, bucket)
+    * directory, 1.0-per-generation when fully compacted; default 4.0
+    * mirrors the KnnIndex mean_dir_rows policy — each append batch adds
+    * one file per touched directory, so the threshold fires after ~3
+    * full-scope appends, where the measured sig read-amp curve's drift
+    * repays one compact within a handful of queries) OR on tombstone
+    * fraction (> 2 % of stored signatures deleted — the bound on the
+    * anti-join the log imposes on every verdict, the KnnIndex
+    * tombstoneFrac rule). The no-deletes read stays pure FS; the
+    * member count behind the fraction (a zero-column footer-bound job)
+    * runs ONLY when a tombstone log exists. */
   def shouldCompactSig(spark: SparkSession, path: String,
-      maxMeanFilesPerDir: Double = 4.0): Boolean =
-    sigHealth(spark, path).meanFilesPerDir > maxMeanFilesPerDir
+      maxMeanFilesPerDir: Double = 4.0,
+      maxTombstoneFrac: Double = 0.02): Boolean =
+    sigHealth(spark, path).meanFilesPerDir > maxMeanFilesPerDir ||
+      sigTombstonesDf(spark, path).exists { ts =>
+        val t = ts.select(col("id")).distinct().count()
+        t > 0 && {
+          val members =
+            spark.read.parquet(sigMembersDir(spark, path)).count()
+          val sigs = math.max(1L,
+            members / math.max(1, sigIndexBands(spark, path)))
+          t.toDouble / sigs > maxTombstoneFrac
+        }
+      }
 
   /** Compact the signature index: rewrite the accumulated per-append
     * files into one coalesced tree — work ∝ |stored bytes|, one
@@ -672,7 +714,12 @@ object Multimodal {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val live = sigMembersDir(spark, path)
-    val stored = spark.read.parquet(live)
+    val stored0 = spark.read.parquet(live)
+    // tombstones applied PHYSICALLY here (and the log truncated after the
+    // commit) — the tiny distinct log broadcasts into one anti-join
+    val stored = sigTombstonesDf(spark, path).fold(stored0)(ts =>
+      stored0.join(broadcast(ts.select(col("id")).distinct()),
+        Seq("id"), "left_anti"))
     val bands = sigIndexBands(spark, path)
     val bytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(live)).getLength
@@ -697,6 +744,8 @@ object Multimodal {
     finally
       spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", prevWriters)
     graft.operators.Generations.commit(fs, path, gen)
+    val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (fs.exists(ts)) fs.delete(ts, true)
     graft.operators.Generations.vacuum(spark, path)
     }
 
@@ -774,6 +823,12 @@ object Multimodal {
         members.filter((col("band") * lit(SigBuckets) + col("bucket"))
           .isin(keys.map(Integer.valueOf): _*))
       } else members
+    // logical delete: tombstoned members can no longer be dup_of_old —
+    // the arriving copy is re-judged against the SURVIVING corpus (the
+    // KnnIndex.knnJoinDelta tombstone rule; tiny distinct log broadcasts)
+    val prunedLive = sigTombstonesDf(spark, path).fold(pruned)(ts =>
+      pruned.join(broadcast(ts.select(col("id")).distinct()),
+        Seq("id"), "left_anti"))
     // broadcast gate, the KnnIndex probeGate rule: |delta|·bands skinny
     // rows at ~48 B × 2 in-memory expansion vs min(2 GB, maxResultSize)
     val nDelta = math.max(1L, delta.count())
@@ -782,7 +837,7 @@ object Multimodal {
     val gate = if (mrs <= 0) 2L << 30 else math.min(2L << 30, mrs)
     val joined =
       if (nDelta * bands * 48L * 2 <= gate)
-        pruned.join(broadcast(banded), Seq("band", "bits"))
+        prunedLive.join(broadcast(banded), Seq("band", "bits"))
       else {
         val floor = spark.sessionState.conf.numShufflePartitions
         val memBytes = pruned.queryExecution.analyzed.stats.sizeInBytes
@@ -790,7 +845,7 @@ object Multimodal {
           .max(BigInt(nDelta * bands * 96L) / BigInt(16L << 20))
         val parts = math.max(floor, want.min(BigInt(
           graft.operators.Stage.maxExchangeParts(pruned))).toInt)
-        pruned.repartition(parts, col("band"), col("bits"))
+        prunedLive.repartition(parts, col("band"), col("bits"))
           .join(banded.repartition(parts, col("band"), col("bits"))
             .hint("SHUFFLE_HASH"), Seq("band", "bits"))
       }

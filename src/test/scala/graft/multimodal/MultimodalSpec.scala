@@ -413,6 +413,49 @@ class MultimodalSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$path/_MAINTAINER"))
   }
 
+  test("deleteSig: tombstoned members stop being dup_of_old (survivor " +
+      "re-judged), the policy fires on tombstoneFrac, compact applies " +
+      "physically and truncates the log") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sigd").toString
+    val rng = new scala.util.Random(17)
+    val h1 = 0x0123456789abcdefL
+    // stored: a two-member planted family at ids 10/11 + random singletons
+    val stored = (0 until 400).map { i =>
+      val h = if (i == 10) h1 else if (i == 11) h1 ^ (1L << 5)
+        else rng.nextLong()
+      (i.toLong, h)
+    }.toDF("id", "hash")
+    Multimodal.buildSigIndex(stored, path, bands = 4)
+    val batch = Seq((9000L, h1 ^ (1L << 40))).toDF("id", "hash")
+    def verdict(): (Long, Long, Long, Long) =
+      Multimodal.nearDupDelta(batch, path, maxHamming = 3)
+        .as[(Long, Long, Long, Long)].collect().head
+    assert(verdict() == ((9000L, 10L, -1L, 0L)))
+    // delete the min partner: the copy is re-judged against the SURVIVOR
+    Multimodal.deleteSig(Seq(10L).toDF("id"), "id", path)
+    assert(verdict() == ((9000L, 11L, -1L, 0L)),
+      "after deleting 10, the surviving family member must be dup_of_old")
+    // delete the survivor too: the copy becomes a keeper
+    Multimodal.deleteSig(Seq(11L).toDF("id"), "id", path)
+    assert(verdict() == ((9000L, -1L, -1L, 1L)),
+      "with the whole stored family deleted the arrival must be kept")
+    // 2 of 400 (0.5%) stays under the 2% frac — no policy fire yet
+    assert(!Multimodal.shouldCompactSig(spark, path))
+    // push past the threshold (10% of ids), policy fires on tombstoneFrac
+    Multimodal.deleteSig((0L until 40L).toDF("id"), "id", path)
+    assert(Multimodal.shouldCompactSig(spark, path),
+      "10% tombstones must trip the policy")
+    val before = verdict()
+    assert(Multimodal.maintainSig(spark, path), "maintain must compact")
+    // physically applied: 360 surviving ids × 4 bands; log truncated
+    assert(spark.read.parquet(Multimodal.sigMembersDir(spark, path))
+      .select($"id").distinct().count() == 360L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/tombstones")))
+    assert(!Multimodal.shouldCompactSig(spark, path))
+    assert(verdict() == before, "compact changed the delta verdict")
+  }
+
   test("sigIngestStream: verdicts-before-append micro-batch ingest — a " +
       "batch dup of an EARLIER batch's arrival matches it as stored; " +
       "maintainEvery fires the file-count policy mid-stream") {
