@@ -721,7 +721,17 @@ object SparkEntry {
       val terms = d.select(col("doc_id"),
         explode(TextOps.tokens(lower(col("text")))).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // df per term from a scan-local per-doc distinct (array_distinct
+      // BEFORE the explode): each doc emits each term once, so the per-term
+      // count IS the document frequency. The former tf-derived df shuffled
+      // the full distinct (doc_id, term) stream just to re-group it by term
+      // — one full-corpus exchange removed (r15; guide §2.3/§2.4). Row sets
+      // are identical: explode drops null arrays on both shapes, and
+      // array_distinct implements exactly the per-doc DISTINCT the
+      // (doc_id, term) groupBy produced.
+      val dfreq = d.select(
+          explode(array_distinct(TextOps.tokens(lower(col("text"))))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
         .withColumn("tfidf",
           round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 4))
@@ -740,12 +750,20 @@ object SparkEntry {
       val terms = d.select(col("doc_id"),
         explode(TextOps.tokens(lower(col("text")))).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      // dl from tf (Σ tf per doc), NOT from terms: a second groupBy over the
-      // raw term stream is a second scan+tokenize of the corpus, while tf's
-      // exchange is already computed and gets reused for this rollup
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      // dl (per-doc token count) is scan-local arithmetic: Σ_term tf(doc) is
+      // by construction the SIZE of the doc's token array, so no explode and
+      // no aggregate is needed at all — the former tf-derived rollup paid a
+      // full (doc_id, term) exchange plus a doc_id exchange to compute a
+      // number each scan task already holds (r15; guide §2.4). The isNotNull
+      // filter reproduces explode's null-array drop exactly, so the row set
+      // (and with it n_docs / avgdl) is bit-identical on any input.
+      val dl = d.filter(col("text").isNotNull).select(col("doc_id"),
+        size(TextOps.tokens(lower(col("text")))).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // same scan-local per-doc-distinct df as q36 (see there)
+      val dfreq = d.select(
+          explode(array_distinct(TextOps.tokens(lower(col("text"))))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val scored = tf.join(dfreq, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
         .withColumn("idf",
           log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))

@@ -26,10 +26,14 @@ object Contamination {
     * distinct eval documents hit. */
   private def stream(df: DataFrame, idCol: String, textCol: String,
       idAs: String, shingleLen: Int) =
-    Stage.ensureWide(df.select(col(idCol).as(idAs),
-        split(trim(lower(col(textCol))), "\\s+").as("tk")))
-      .select(col(idAs),
-        explode_outer(HashExpressions.shingle_hashes(col("tk"), shingleLen)).as("sh_h"))
+    // tokenize + shingle ABOVE the width exchange (the r15 wide-born rule,
+    // as in Dedup.tokenFrame): a narrow input repartitions the RAW
+    // (id, text) rows, so the hashing runs at session parallelism instead
+    // of inside the lone file split and the exchange carries compact text,
+    // not the fatter token arrays.
+    Stage.ensureWide(df.select(col(idCol).as(idAs), col(textCol).as("__t")))
+      .select(col(idAs), explode_outer(HashExpressions.shingle_hashes(
+        split(trim(lower(col("__t"))), "\\s+"), shingleLen)).as("sh_h"))
       .filter(col("sh_h").isNotNull)
 
   def overlap(

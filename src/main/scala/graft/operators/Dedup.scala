@@ -296,8 +296,9 @@ object Dedup {
       maxHamming: Int = 3
   ): DataFrame =
     simhashPairsFromSig(
-      Stage.ensureWide(df.select(col(idCol).as("id"), toks(col(textCol)).as("tk")))
-        .select(col("id"), simhashFromTokens(col("tk")).as("sig")),
+      // tokenize above the width exchange — see [[tokenFrame]]
+      Stage.ensureWide(df.select(col(idCol).as("id"), col(textCol).as("text")))
+        .select(col("id"), simhashFromTokens(toks(col("text"))).as("sig")),
       maxHamming)
 
   /** 60-bit SimHash whose per-token hash is the top 60 bits of `md5(token)`
@@ -352,9 +353,12 @@ object Dedup {
     val rpb = numHashes / bands
     val P = 2147483647L // 2^31 − 1, prime; a_i·h < 2^38 keeps all math in longs
     // shingles() is per-doc distinct, so (id, shingle) needs no re-distinct
+    // shingle + explode ABOVE the width exchange (see [[tokenFrame]]): the
+    // exchange moves 1× raw text instead of the exploded shingle strings,
+    // and the explode+md5 pipeline runs at session parallelism
     val hashed = Stage.ensureWide(
-        df.select(col(idCol).as("id"),
-          explode(shingles(col(textCol), shingleLen)).as("s")))
+        df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), explode(shingles(col("text"), shingleLen)).as("s"))
       .select(col("id"),
         (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P).as("h"))
     val slotAggs = (0 until numHashes).map(i =>

@@ -120,7 +120,13 @@ object TextOps {
     val winner = LangMarkers.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
       when(col(s"h_$lang") > 0 && col(s"h_$lang") === best, lit(lang)).otherwise(acc)
     }
-    Stage.ensureWide(df.select(col(idCol), tokens(lower(col(textCol))).as("tk")))
+    // tokenize ABOVE the width exchange (the r15 wide-born rule, as in
+    // Dedup.tokenFrame): a narrow input repartitions the RAW (id, text)
+    // rows, so the split runs at session parallelism instead of inside the
+    // lone file split and the exchange carries compact text, not the
+    // fatter token arrays. Catalyst keeps expressions above a repartition.
+    Stage.ensureWide(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), tokens(lower(col(textCol))).as("tk"))
       .select(col(idCol),
         graft.functions.TextExpressions.marker_counts(col("tk"), LangMarkers.map(_._2)).as("h"))
       .select(col(idCol) +: hitCols: _*)
