@@ -422,6 +422,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(rows.forall(r => r.getString(2) != r.getString(3)))
   }
 
+  test("q36/q37: df and dl are scan-local — no full-corpus (doc_id, term) exchange") {
+    // r15 shape: document frequency comes from explode(array_distinct(tokens))
+    // (each doc emits each term once → one term-keyed exchange of partial
+    // counts), and q37's per-doc length is size(tokens) (no aggregate at
+    // all). The former shapes shuffled the full distinct (doc_id, term)
+    // stream (q36) and ran a second full tf rollup for dl (q37) — so the
+    // Generate (explode) count is the regression canary: q36 = 2 (filtered
+    // tf branch + df branch), q37 = 2 (same; dl and corpus stats explode
+    // nothing).
+    def generates(q: String): Int =
+      "Generate explode".r.findAllIn(plan(graft.SparkEntry.queries(q)(spark, dir))).length
+    assert(generates("q36_tfidf") <= 2,
+      s"q36 re-grew an explode branch: ${generates("q36_tfidf")} Generates")
+    assert(generates("q37_bm25") <= 2,
+      s"q37 re-grew an explode branch: ${generates("q37_bm25")} Generates")
+    // and the scan-local df really is per-doc distinct before the explode
+    val p36 = plan(graft.SparkEntry.queries("q36_tfidf")(spark, dir))
+    assert(p36.contains("array_distinct"), s"q36 df lost array_distinct:\n$p36")
+  }
+
+  test("q18: tokenize sits above the width exchange (wide-born small path)") {
+    // the exchange must carry raw (id, text); the split/marker pipeline runs
+    // at session parallelism above it. Parents print before children in
+    // SparkPlan.toString, so "above the exchange" = appears earlier.
+    val p = plan(graft.SparkEntry.queries("q18_langid")(spark, dir))
+    val ex = p.indexOf("Exchange RoundRobinPartitioning")
+    val split = p.indexOf("split(")
+    assert(ex >= 0, s"q18 lost its width exchange:\n$p")
+    assert(split >= 0 && split < ex,
+      s"q18 tokenizes below the width exchange (split at $split, exchange at $ex):\n$p")
+  }
+
   test("catalog introspection surface") {
     Catalog.registerTestTables(spark, dir)
     val tables = Catalog.showTables(spark).collect().map(_.getString(1)).toSet
