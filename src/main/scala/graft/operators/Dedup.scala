@@ -683,9 +683,23 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
+    // Small path: pin the pair exchange at the session partition count too
+    // (explicit count ⇒ AQE cannot coalesce it). Without the pin, AQE
+    // coalesces by the POSTING exchange's bytes (~4.6 MB at the 5k-doc
+    // headline → 4 tasks) — blind to the double-explode's row expansion
+    // behind it — so the posting-final + pair-emission stage runs ~1 s of
+    // CPU on 4 tasks, and the map-side pair partial aggregate builds its
+    // hash table there too for ~zero byte reduction (a pair's repeats live
+    // in other sh_h partitions; measured 20.2 MB partial-aggregated vs
+    // 19.7 MB raw). With the pin the partial collapses into the final
+    // above the exchange at full session width. Measured (min-of-5,
+    // local[32], sf0.1): 0.99 → 0.76 s; stage walls 369 → 224 ms
+    // (pair emission) and the 16-task final becomes 32-task/84 ms.
     val pairKeyed =
       if (large) pairStream.repartition(shParts, col("id_a"), col("id_b"))
-      else pairStream
+      else pairStream.repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id_a"), col("id_b"))
     pairKeyed
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
