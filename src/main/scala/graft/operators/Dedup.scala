@@ -166,23 +166,39 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     // Fused shingling+signature (one native codegen'd pass per row; MinHash
     // over the shingle multiset equals MinHash over the distinct set).
-    val sig = tokenFrame(df, idCol, textCol)
+    val sig0 = tokenFrame(df, idCol, textCol)
       .select(col("id"),
         HashExpressions.minhash_shingles(col("tk"), shingleLen, numHashes).as("sig"))
-    // Band buckets as a static array of codegen'd slice hashes — not a
-    // higher-order `transform`, which would evaluate interpreted.
-    val bandBuckets = array((0 until bands).map(b =>
-      xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
-    val rawBanded = sig.select(col("id"), posexplode(bandBuckets))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // Small/large shape switch on one estimate, decided ONCE for the whole
     // operator: under the broadcast threshold the r7 plan is optimal (AQE
     // broadcasts the band self-join, pairs dedup via distinct, signatures
     // broadcast-attach — adding sized exchanges here measured 2× on the
     // 5k-doc bench corpus because they defeat the broadcast plan); above
     // it every exchange is sized.
-    val sigEst = sig.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sigEst = sig0.queryExecution.optimizedPlan.stats.sizeInBytes
     val smallCorpus = sigEst <= 256L * 1024 * 1024
+    // Small path: materialize the signature frame ONCE per invocation
+    // (eager localCheckpoint). The broadcast plan references the signature
+    // pipeline from FOUR independent subtrees — the band join's shuffled
+    // left, its broadcast right, and the two id-keyed attach broadcasts —
+    // and exchange reuse cannot span a shuffle and three broadcast builds,
+    // so scan → tokenize → 64-slot signature re-ran up to four times per
+    // action (static plan shows four `minhashshingles` scans). One ≤256 MB
+    // checkpoint removes the recomputes: q21 0.357 → 0.242 s (min-of-5,
+    // local[32], sf0.1), results hash-identical. Blocks are reference-
+    // tracked and freed by the ContextCleaner when the frame is GC'd —
+    // the ConnectedComponents iteration discipline, not a persist() leak;
+    // nothing is keyed on the input across invocations (each call
+    // checkpoints afresh), so repeated runs recompute from the scan.
+    // The large path keeps its lazy pipeline (sized exchanges + the
+    // documented volume-job persist); streaming frames cannot checkpoint.
+    val sig = if (smallCorpus && !sig0.isStreaming) sig0.localCheckpoint() else sig0
+    // Band buckets as a static array of codegen'd slice hashes — not a
+    // higher-order `transform`, which would evaluate interpreted.
+    val bandBuckets = array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+    val rawBanded = sig.select(col("id"), posexplode(bandBuckets))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // At scale the band self-join is one canonical SIZED exchange read
     // twice (ReusedExchange): pre-partitioning on the join key scales the
     // join's per-partition work with the banded volume instead of the
@@ -312,7 +328,15 @@ object Dedup {
     * engine-portable pipelines. Ties (bit vote sum 0) resolve to 0. */
   def portableSimhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bits = 60 // 15 hex chars: the 60-bit prefix fits a signed 64-bit int in any engine
-    val tok = df.select(col(idCol).as("id"), explode(toks(col(textCol))).as("t"))
+    // token explode + md5 ABOVE the width exchange (see [[tokenFrame]]): a
+    // narrow arrival repartitions the RAW (id, text) rows, so the per-token
+    // md5 pipeline runs at session parallelism instead of single-threaded
+    // inside the lone split, and the exchange carries 1× text instead of
+    // exploded token rows — the last narrow-arrival explode in the dedup
+    // family (r15 carried item); ensureWide is the identity on wide inputs.
+    val tok = Stage.ensureWide(
+        df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), explode(toks(col("text"))).as("t"))
       .select(col("id"),
         conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
     val votes = (0 until bits).map(j =>
