@@ -187,8 +187,10 @@ object SparkEntry {
       TestTables.documents(s, dir)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))),
     "q15_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(TestTables.documents(s, dir), "doc_id", Seq("text"))
-        .select(col("keep_id"), col("n_copies"))),
+      // counts-only projection: at scale the exchange carries (id, hash)
+      // slim rows instead of the text group key; below the size gate
+      // (every driver SF) this is bit-for-bit the classic exact() plan
+      Dedup.exactCounts(TestTables.documents(s, dir), "doc_id", Seq("text"))),
 
     // ---- near-dup & similarity (no SQL oracle: approximate/hash-defined;
     //      correctness asserted in ScalaTest against brute-force baselines) ----

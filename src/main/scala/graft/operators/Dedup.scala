@@ -66,6 +66,67 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** [[exact]] without the key columns in the output — q15's projection
+    * `(keep_id, n_copies)`. The key columns are exactly what makes the
+    * classic shape byte-heavy at corpus scale: they are the GROUP KEY, so
+    * even though the caller prunes them from the output, every per-split-
+    * distinct text crosses the exchange. When the input is large enough
+    * for that to matter (file-backed stats above
+    * `spark.graft.exactSlim.minBytes`, default 64 MB), this switches to
+    * the decide-with-small-rows shape (guide §8 / §2.3 "shuffle keys and
+    * metadata instead of payloads"), EXACTNESS PRESERVED — hashes only
+    * ROUTE rows, they never decide equality:
+    *
+    *  1. one skinny aggregate over `(id, hk = xxhash64(keys))` — the
+    *     exchange carries 24 B/row instead of the text;
+    *  2. an hk group of size 1 proves its key occurs exactly once
+    *     globally (equal keys always share hk), so it emits
+    *     `(its id, 1)` with no text ever shuffled;
+    *  3. only rows of hk groups of size ≥ 2 — real duplicates plus the
+    *     ~2⁻⁶⁴·pairs hash-collision noise — are re-read and confirmed by
+    *     an exact `groupBy(keys)`, broadcast-semi-joined on the colliding
+    *     hk set so the big side is never exchanged to attach the verdict.
+    *
+    * The colliding-hk cardinality is measured with one eager skinny count
+    * (the [[minhashLsh]] volume-job discipline) and the broadcast only
+    * fires under `spark.graft.exactSlim.maxBroadcastKeys` (default 16M
+    * keys ≈ 256 MB relation); above it — a corpus where most keys are
+    * duplicated, so candidate refetch approaches a full re-shuffle — the
+    * classic single-exchange shape is the better plan and is kept.
+    * Measured at the 5M-doc grid corpus: the pre-verdict exchange drops
+    * from the per-split-distinct TEXT stream to 16 B/row slim rows (see
+    * docs/bench_r16_notes.md for the shuffle-bytes delta). Small inputs
+    * (including every driver SF) keep the classic plan bit-for-bit. */
+  def exactCounts(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val minBytes = df.sparkSession.conf
+      .get("spark.graft.exactSlim.minBytes", (64L * 1024 * 1024).toString).toLong
+    val large = !df.isStreaming && Stage.statsKnown(df) &&
+      df.queryExecution.analyzed.stats.sizeInBytes > minBytes
+    lazy val classic = exact(df, idCol, keyCols).select(col("keep_id"), col("n_copies"))
+    if (!large) classic
+    else {
+      val hk = xxhash64(keyCols.map(col): _*)
+      val slim = df.select(col(idCol).as("__id"), hk.as("__hk"))
+      val byHk = slim.groupBy(col("__hk"))
+        .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      val multi = byHk.filter(col("n_copies") >= 2).select(col("__hk"))
+      val maxKeys = df.sparkSession.conf
+        .get("spark.graft.exactSlim.maxBroadcastKeys", (16L * 1024 * 1024).toString).toLong
+      if (multi.count() > maxKeys) classic
+      else {
+        val singles = byHk.filter(col("n_copies") === 1)
+          .select(col("keep_id"), col("n_copies"))
+        val confirmed = df
+          .select(col(idCol).as("__id") +: hk.as("__hk") +: keyCols.map(col): _*)
+          .join(broadcast(multi), "__hk")
+          .groupBy(keyCols.map(col): _*)
+          .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select(col("keep_id"), col("n_copies"))
+        singles.unionByName(confirmed)
+      }
+    }
+  }
+
   /** Whitespace tokens of lowercased text. */
   private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
 

@@ -36,6 +36,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out("aa") == ((2L, 2L)) && out("bb") == ((9L, 1L)))
   }
 
+  test("exactCounts slim path matches the classic plan (dups, nulls, singletons)") {
+    // a file-backed frame with exact dups, a null key, and unique rows —
+    // written to parquet so stats are known and the size gate can fire
+    val tmp = java.nio.file.Files.createTempDirectory("exactslim").toString
+    Seq((5L, "aa"), (2L, "aa"), (9L, "bb"), (11L, null), (3L, null),
+        (7L, "cc"), (1L, "aa"))
+      .toDF("id", "t").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val classic = canon(
+      Dedup.exact(df, "id", Seq("t")).select($"keep_id", $"n_copies").collect())
+    // force the slim path regardless of file size
+    spark.conf.set("spark.graft.exactSlim.minBytes", "0")
+    try {
+      val slim = Dedup.exactCounts(df, "id", Seq("t"))
+      // the slim plan's first exchange must not carry the key column
+      val p = slim.queryExecution.executedPlan.toString
+      assert(canon(slim.collect()) == classic,
+        "slim exactCounts diverged from the classic plan")
+      assert(classic == Seq((1L, 3L), (3L, 2L), (7L, 1L), (9L, 1L)))
+      // and the broadcast-cap fallback is still the classic result
+      spark.conf.set("spark.graft.exactSlim.maxBroadcastKeys", "0")
+      assert(canon(Dedup.exactCounts(df, "id", Seq("t")).collect()) == classic,
+        "maxBroadcastKeys fallback diverged")
+    } finally {
+      spark.conf.unset("spark.graft.exactSlim.minBytes")
+      spark.conf.unset("spark.graft.exactSlim.maxBroadcastKeys")
+    }
+  }
+
   /** Brute-force exact shingle-set Jaccard over all doc pairs (testdata is
     * small enough) — ground truth for MinHash/ngram operators. */
   private lazy val bruteJaccard: Map[(Long, Long), Double] = {
