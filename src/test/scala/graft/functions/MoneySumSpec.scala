@@ -72,6 +72,49 @@ class MoneySumSpec extends SparkSpec {
     }
   }
 
+  test("property: 1M random magnitudes and signs are bit-identical to decimal") {
+    // randomized closure of the fast-path guard's hand proof: engine-side
+    // deterministic pseudo-random doubles spanning sign x mantissa x
+    // magnitude 1e-7..1e11 (decimal(18,6)'s domain), 211 groups, compared
+    // group-wise against the decimal formulation at the bit level
+    val df = spark.range(1000000L).select(
+      pmod(col("id"), lit(211)).as("g"),
+      (when(pmod(xxhash64(col("id"), lit(1)), lit(2)) === 0, 1.0).otherwise(-1.0) *
+        (abs(xxhash64(col("id"), lit(2))).cast("double") / 9.223372036854776e18) *
+        pow(lit(10.0), (pmod(xxhash64(col("id"), lit(3)), lit(18)) - 6).cast("double"))
+      ).as("x"))
+    val rows = df.groupBy($"g")
+      .agg(dec($"x").as("d"), MoneySum.money_sum($"x").as("m"))
+      .as[(Long, Double, Double)].collect()
+    assert(rows.length == 211)
+    rows.foreach { case (g, d, m) =>
+      assert(java.lang.Double.doubleToLongBits(d) == java.lang.Double.doubleToLongBits(m),
+        s"group $g: decimal $d vs money_sum $m")
+    }
+  }
+
+  test("property: guard boundary neighborhoods (|x-r| near 0.42, |r| near 1e14)") {
+    // the static guard admits |x-r| < 0.42 and |r| < 1e14; sample values
+    // whose micros-fraction straddles 0.42/0.4375/0.5 and whose micros
+    // magnitude straddles 1e14, both signs — every sample must agree with
+    // the decimal formulation bit-for-bit regardless of which path fires
+    val fracs = Seq(0.4199999, 0.42, 0.4200001, 0.4374999, 0.4375,
+      0.4999999, 0.5, 0.5000001)
+    val near = for { k <- 1 to 2000; f <- fracs; s <- Seq(1.0, -1.0) }
+      yield ((k % 13).toLong, s * (k * 997L + f) / 1e6)
+    val mag = for { k <- -2000 to 2000; s <- Seq(1.0, -1.0) }
+      yield (20L + (k % 7).toLong, s * (1e14 + k) / 1e6)
+    val df = (near ++ mag).toDF("g", "x")
+    val rows = df.groupBy($"g")
+      .agg(dec($"x").as("d"), MoneySum.money_sum($"x").as("m"))
+      .as[(Long, Double, Double)].collect()
+    assert(rows.length == 26)
+    rows.foreach { case (g, d, m) =>
+      assert(java.lang.Double.doubleToLongBits(d) == java.lang.Double.doubleToLongBits(m),
+        s"group $g: decimal $d vs money_sum $m")
+    }
+  }
+
   test("null semantics: empty input sums to null, null rows are skipped") {
     val df = Seq((1L, Some(2.5)), (1L, None), (2L, None)).toDF("g", "x")
     val rows = df.groupBy($"g")
