@@ -65,6 +65,13 @@ object SparkEntry {
 
     // ---- core SQL operators over the TPC-H-ish star schema ----
     "q01_pricing_summary" -> ((s, dir) => {
+      // Examined-and-reverted (r16): widening the 3-split lineitem arrival
+      // before the aggregate measured a 2× REGRESSION in an interleaved
+      // A/B (base 0.355 vs widened 0.701 s mean-of-7) — writing the 7.4 MB
+      // keyed exchange from the 3 scan tasks costs as much as the 6-group
+      // partial aggregate it displaces, so the narrow stage keeps the same
+      // wall and the extra stage boundary is pure loss. The scan-local
+      // partial-agg shape below is already the cluster-correct plan.
       val li = TestTables.lineitem(s, dir)
       li.filter(col("l_shipdate") <= ts("1998-09-01 00:00:00"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -116,7 +123,18 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
     }),
     "q10_window_topn" -> ((s, dir) => {
-      val o = TestTables.orders(s, dir)
+      // Keyed widen on the window's own partition key: a narrow arrival
+      // (orders is one 2.7 MB split at sf0.1) otherwise runs the scan +
+      // partial WindowGroupLimit single-threaded, and the byte-blind AQE
+      // coalescer squeezes the window stage too — measured 0.287 → 0.174 s
+      // min-of-5. The widening exchange IS the window's required
+      // distribution, so no second exchange is planned; on a wide arrival
+      // this is the identity and the partial-limit-below-ENSURE_REQ
+      // cluster plan stands untouched.
+      val o = Stage.ensureWideBy(
+        TestTables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"))
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       o.withColumn("rn", row_number().over(w))
@@ -155,6 +173,11 @@ object SparkEntry {
         round(stddev_samp(col("l_discount")), 6).as("sd_discount"),
         round(covar_samp(col("l_quantity"), col("l_tax")), 6).as("cov_qty_tax"))),
     "q20_sessionize" -> ((s, dir) => {
+      // Examined-and-reverted (r16): pinning the user_id window exchange at
+      // the session width (the q10 treatment) measured a REGRESSION here in
+      // an interleaved A/B (base 0.345 vs pinned 0.479 s mean-of-7) — the
+      // lag-window + aggregate over 150 users is cheap enough that 32-task
+      // scheduling overhead exceeds the 2-task serialization it removes.
       val e = TestTables.events(s, dir)
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       e.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))

@@ -78,7 +78,29 @@ object Stage {
     * sf0.1 headline. The projection's width-scaled estimate can undercount
     * the scan bytes, which only errs toward widening — a small exchange on
     * a frame that was at worst mid-sized. */
-  def ensureWide(df: DataFrame): DataFrame = {
+  def ensureWide(df: DataFrame): DataFrame =
+    ensureWideImpl(df, d => d.repartition(d.sparkSession.sparkContext.defaultParallelism))
+
+  /** [[ensureWide]] with a HASH-keyed widening exchange instead of the
+    * round-robin one. Two reasons to prefer it when a natural key exists:
+    * keyless `repartition(n)` first pays a local determinism sort of its
+    * input (`spark.sql.execution.sortBeforeRepartition`, guide §2.5 —
+    * measured 2× on q01's 600k-row lineitem arrival), and when `keys` is
+    * the downstream window/aggregate key the exchange doubles as that
+    * operator's required distribution, so no second exchange is planned
+    * and — because an explicit-count repartition is not AQE-coalescible —
+    * the per-group CPU behind it cannot be squeezed onto 1–4 tasks by the
+    * byte-blind coalescer (the q23 pair-exchange lesson). Identity on
+    * already-wide arrivals, exactly like [[ensureWide]]: at cluster scale
+    * the operator keeps its ENSURE_REQUIREMENTS exchange and every AQE
+    * adaptivity. `keys` must spread — a low-cardinality key would skew the
+    * widened stage. */
+  def ensureWideBy(df: DataFrame, keys: Seq[String]): DataFrame =
+    ensureWideImpl(df, d => d.repartition(
+      d.sparkSession.sparkContext.defaultParallelism,
+      keys.map(org.apache.spark.sql.functions.col): _*))
+
+  private def ensureWideImpl(df: DataFrame, widen: DataFrame => DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val conf = df.sparkSession.sessionState.conf
     val target = sc.defaultParallelism
@@ -103,7 +125,7 @@ object Stage {
       // pass them through unchanged. Batch statless plans ask the RDD
       // directly; the planner round-trip is the honest price.
       if (df.isStreaming) return df
-      return if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+      return if (df.rdd.getNumPartitions < target) widen(df) else df
     }
     val maxSplit = BigDecimal(conf.filesMaxPartitionBytes)
       .min(BigDecimal(conf.filesOpenCostInBytes).max(BigDecimal(bytes) / target))
@@ -111,7 +133,7 @@ object Stage {
       if (maxSplit <= 0) target
       else (BigDecimal(bytes) / maxSplit).setScale(0, BigDecimal.RoundingMode.CEILING)
         .min(BigDecimal(Int.MaxValue)).toInt
-    if (estParts < target) df.repartition(target) else df
+    if (estParts < target) widen(df) else df
   }
 
   /** Whether every leaf of `df`'s analyzed plan carries a REAL size estimate.
